@@ -1,0 +1,307 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication suite over `documents` — exact, keyed, MinHash-LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup (the north-star
+  * training-data-pipeline operators).
+  *
+  * Scale posture: every near-dup variant is **bucket-then-verify** — a
+  * cheap, shuffle-friendly bucketing step (LSH bands / simhash bands /
+  * group keys) bounds the candidate set, and the exact verification runs
+  * only inside buckets. Nothing here is O(n²) on the corpus: at 100 TB the
+  * bucket join shuffles each doc's signature a constant number of times
+  * (one row per band), and candidate pairs are generated per-bucket via a
+  * self-join on the band key. Driver never sees the data (no collect).
+  */
+object Dedup {
+
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  private val tokensSql =
+    "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  // ---------------------------------------------------------------------
+  // Exact dedup (SURVEY §2.4 U2 parity, keyed variant)
+  // ---------------------------------------------------------------------
+
+  /** Exact content dedup: keep the lowest doc_id per distinct text —
+    * hash-partitioned `groupBy(text)`, i.e. the reference's
+    * `drop_duplicates()` (`flows/etl.py:304`) made deterministic and
+    * distributed (shuffle on content hash, not a global sort).
+    * At scale: group on a 128-bit content digest instead of the full text
+    * to cut shuffle width — semantics identical modulo md5 collisions. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), length(col("text")).as("text_len"))
+      .orderBy(col("keep_id"))
+
+  val exactSql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+      |  LENGTH(text) AS text_len
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_id""".stripMargin
+
+  /** Keyed dedup: first record per (lang, source) — the "dedup by business
+    * key" variant (reference's drop_duplicates generalized to a subset). */
+  def keyed(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_in_group"))
+      .orderBy(col("lang"), col("source"))
+
+  val keyedSql: String =
+    """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_in_group
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH near-dup
+  // ---------------------------------------------------------------------
+
+  val NumHashes = 64
+  val Bands     = 16  // 16 bands × 4 rows: catches Jaccard ≳ 0.5 w.h.p.
+  val RowsPerBand = NumHashes / Bands
+
+  /** Word 3-gram shingles as the MinHash universe. */
+  private val shinglesExpr =
+    """array_distinct(transform(
+      |  sequence(1, greatest(size(toks) - 2, 0)),
+      |  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))""".stripMargin
+
+  /** documents → (doc_id, toks, shingles, sig: array[64 minhashes]).
+    *
+    * The hash family is `xxhash64(shingle, seed)` for seed = 0..63 — 64
+    * independent permutation approximations from one codegen'd built-in;
+    * `array_min` over the transformed shingle array gives each minhash
+    * without leaving WholeStageCodegen. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until NumHashes).map { s =>
+      expr(s"array_min(transform(shingles, x -> xxhash64(x, $s)))")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("shingles", expr(shinglesExpr))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", array(sigCols: _*))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
+    *
+    * Plan shape (the 100 TB path):
+    *  1. signature: narrow, per-row, codegen — no shuffle;
+    *  2. band explode: 16 rows/doc keyed by (band, band_sig) — shuffle is
+    *     16× doc *keys*, not content;
+    *  3. bucket self-join on the band key (equi-join ⇒ shuffle hash join,
+    *     never a cross join) with `a.doc_id < b.doc_id` dedup;
+    *  4. distinct candidate pairs → exact Jaccard over shingle sets →
+    *     threshold filter.
+    * Skew guard: buckets larger than `maxBucket` are dropped (a degenerate
+    * band value would otherwise quadratically explode one reducer — the
+    * standard LSH salt-or-drop tradeoff, here: drop, since a bucket that
+    * big means the band carries no selectivity). */
+  def minhash(spark: SparkSession, dir: String,
+              jaccardThreshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(expr(s"slice(sig, ${b * RowsPerBand + 1}, $RowsPerBand)"))
+          .as("band_sig"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("shingles"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("shingles"),
+        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val bucketed = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_sig"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = bucketed.select(col("band"), col("band_sig"),
+      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val b = bucketed.select(col("band"), col("band_sig"),
+      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    val pairs = a.join(b, Seq("band", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    pairs
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash near-dup
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash per document: each token votes ±1 on each bit of its
+    * xxhash64; the sign vector becomes the fingerprint. Candidates are
+    * pairs agreeing on at least one of four 16-bit bands (Hamming ≤ 3 is
+    * guaranteed to collide on ≥1 band by pigeonhole), verified by exact
+    * Hamming distance via bit_count(xor). */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
+              maxBucket: Int = 200): DataFrame = {
+    // Sum of per-token bit votes, then sign: bit i set iff
+    // sum_tokens(2*bit_i(h) - 1) > 0. Arithmetic shift + mask reads the
+    // bit safely for signed longs (DIV by 1<<63 would not).
+    val bitVotes = (0 until 64).map { i =>
+      expr(s"aggregate(toks, 0L, (acc, t) -> acc + (CASE WHEN (shiftright(xxhash64(t), $i) & 1) = 1 THEN 1 ELSE -1 END))")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val withFp = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(Seq(col("doc_id")) ++
+        bitVotes.zipWithIndex.map { case (c, i) => c.as(s"v$i") }: _*)
+      .withColumn("fp", fp)
+      .select(col("doc_id"), col("fp"))
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_val"))
+    }
+    val banded = withFp
+      .select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("fp"),
+        col("bs.band").as("band"), col("bs.band_val").as("band_val"))
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_val"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", expr("bit_count(a_fp ^ b_fp)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact n-gram Jaccard within buckets (oracle-checkable)
+  // ---------------------------------------------------------------------
+
+  /** Token-set Jaccard similarity pairs within (lang, source, length)
+    * blocks. The block key bounds the self-join (equi-join, never a global
+    * cross product) — same bucket-then-verify shape as LSH but with a
+    * semantic block, which makes it SQL-expressible for the oracle. The
+    * `n_chars DIV 100` length band is the standard blocking trick: near-dup
+    * texts have near-equal lengths, and pair count drops quadratically with
+    * block granularity. */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        (col("n_chars") / 100).cast("long").as("len_bucket"),
+        col("doc_id"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val a = docs.select(col("lang"), col("source"), col("len_bucket"),
+      col("doc_id").as("a_id"), col("toks").as("a_toks"))
+    val b = docs.select(col("lang"), col("source"), col("len_bucket"),
+      col("doc_id").as("b_id"), col("toks").as("b_toks"))
+    a.join(b, Seq("lang", "source", "len_bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+      .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("lang"), col("source"), col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("lang"), col("source"), col("a_id"), col("b_id"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""SELECT a.lang, a.source, a.a_id, b.b_id,
+       |  CAST(len(list_filter(a.a_toks, t -> list_contains(b.b_toks, t))) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(a.a_toks, b.b_toks))) AS DOUBLE) AS jaccard
+       |FROM (SELECT lang, source, n_chars // 100 AS len_bucket, doc_id AS a_id, list_distinct($tokensSql) AS a_toks FROM documents) a
+       |JOIN (SELECT lang, source, n_chars // 100 AS len_bucket, doc_id AS b_id, list_distinct($tokensSql) AS b_toks FROM documents) b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.len_bucket = b.len_bucket AND a.a_id < b.b_id
+       |WHERE CAST(len(list_filter(a.a_toks, t -> list_contains(b.b_toks, t))) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.a_toks, b.b_toks))) AS DOUBLE) >= 0.5
+       |ORDER BY a.lang, a.source, a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Embedding-cosine near-dup (oracle-checkable; exact fold order)
+  // ---------------------------------------------------------------------
+
+  val Dim = 64
+
+  /** Cosine similarity with an explicit left-fold in double — the exact
+    * same IEEE754 operation sequence the generated oracle SQL performs, so
+    * values are bit-identical. */
+  private[ops] def cosine(aCol: String, bCol: String): Column = {
+    val dot = expr(
+      s"aggregate(zip_with($aCol, $bCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr(
+      s"aggregate($aCol, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    val nb = expr(
+      s"aggregate($bCol, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** The same cosine as generated SQL (a left-assoc 64-term chain). */
+  private[ops] def cosineSql(aRef: String, bRef: String): String = {
+    def dot(x: String, y: String) = (1 to Dim).map { i =>
+      s"CAST($x[$i] AS DOUBLE) * CAST($y[$i] AS DOUBLE)"
+    }.mkString("(", " + ", ")")
+    s"${dot(aRef, bRef)} / (sqrt(${dot(aRef, aRef)}) * sqrt(${dot(bRef, bRef)}))"
+  }
+
+  /** Embedding near-dup: cosine > threshold pairs within a label bucket.
+    * Bucketing caps the pair blow-up exactly like LSH banding; at scale the
+    * bucket key would be an IVF/LSH cell (see Similarity.scala). */
+  def embeddingCosine(spark: SparkSession, dir: String,
+                      threshold: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine("a_emb", "b_emb"))
+      .filter(col("cos") > threshold)
+      .select(col("label"), col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("label"), col("a_id"), col("b_id"))
+  }
+
+  val embeddingCosineSql: String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $cos > 0.35
+       |ORDER BY a.label, a_id, b_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"     -> (exact _),
+    "dedup_keyed"     -> (keyed _),
+    "dedup_minhash"   -> ((s: SparkSession, d: String) => minhash(s, d)),
+    "dedup_simhash"   -> ((s: SparkSession, d: String) => simhash(s, d)),
+    "dedup_jaccard"   -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "dedup_embedding" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
+  )
+
+  /** minhash/simhash signatures are hash-family-specific → rows-only check
+    * (SURVEY §5.5); jaccard + embedding-cosine are exact math → oracled. */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact"     -> exactSql,
+    "dedup_keyed"     -> keyedSql,
+    "dedup_jaccard"   -> ngramJaccardSql,
+    "dedup_embedding" -> embeddingCosineSql,
+  )
+}

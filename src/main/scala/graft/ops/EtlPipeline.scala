@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Reference-parity ETL pipeline (SURVEY.md §2.9, §3.1): the one flow the
+  * reference actually runs — two sources → union-by-name → full-row dedup →
+  * conditional external enrichment with retry/backoff → load.
+  *
+  * Reference trace (`/root/reference/flows/etl.py:289-311`): scrape two
+  * paginated tables (298-302), `pd.concat(...).drop_duplicates()` (304),
+  * `geocode_dataframe` guarded by `row['Localizar'] == 'No disponible'`
+  * (208) with retry/backoff (215-237), bulk-load (308).
+  *
+  * Spark-first re-expression:
+  *  - sources: any two DataFrames (lazy scans, not eager scrapes);
+  *  - combine: `unionByName` + `dropDuplicates` (hash-partitioned);
+  *  - enrichment: `mapPartitions`-shaped — client created once per
+  *    partition (the reference creates one geolocator for the whole frame,
+  *    `flows/etl.py:198`), per-row retry with exponential backoff
+  *    (deviating deliberately from the reference's shared attempt budget,
+  *    `flows/etl.py:201` — documented fidelity fix, SURVEY §7.4);
+  *  - the enrich UDF is marked non-deterministic so Catalyst will not
+  *    duplicate it or push it past its guard predicate;
+  *  - failure → null coordinate (P4 parity: `flows/etl.py:212,231-234`).
+  */
+object EtlPipeline {
+
+  val NotAvailable = "No disponible"
+
+  /** The reference's lat/lng regex (`flows/etl.py:150`):
+    * `\(([-+]?\d+\.\d+),\s*([-+]?\d+\.\d+)` over an onclick attribute. */
+  val LatLngPattern = """\(([-+]?\d+\.\d+),\s*([-+]?\d+\.\d+)"""
+
+  /** Extract "lat,lng" from a raw onclick-style string, or NotAvailable —
+    * scan-time decode parity (`flows/etl.py:150-154`). */
+  def decodeLocation(raw: Column): Column = {
+    val lat = regexp_extract(raw, LatLngPattern, 1)
+    val lng = regexp_extract(raw, LatLngPattern, 2)
+    when(lat =!= "" && lng =!= "", concat_ws(",", lat, lng))
+      .otherwise(lit(NotAvailable))
+  }
+
+  /** Address assembly parity (`flows/etl.py:218`):
+    * f"{direccion}, {localidad}, ARGENTINA". */
+  def assembleAddress(direccion: Column, localidad: Column): Column =
+    concat_ws(", ", direccion, localidad, lit("ARGENTINA"))
+
+  /** Geocoder contract: address → Some("lat,lng") | None (not found).
+    * Throwing signals a transient failure (triggers retry). */
+  type Geocoder = String => Option[String]
+
+  /** Per-row retry with exponential backoff — E2 parity
+    * (`flows/etl.py:215-237`), with the attempt budget reset per row
+    * (fidelity fix over the reference's shared budget, documented). */
+  private[ops] def geocodeWithRetry(geocode: Geocoder, address: String,
+                                    maxAttempts: Int = 5,
+                                    initialBackoffMs: Long = 0L): Option[String] = {
+    var attempt = 0
+    var backoff = initialBackoffMs
+    while (attempt < maxAttempts) {
+      try {
+        return geocode(address)
+      } catch {
+        case _: Exception =>
+          attempt += 1
+          if (attempt < maxAttempts && backoff > 0) {
+            Thread.sleep(backoff)
+            backoff *= 2 // exponential, ×2 per retry (flows/etl.py:224-225)
+          }
+      }
+    }
+    None // hard failure → null coordinate (flows/etl.py:212)
+  }
+
+  /** Deterministic mock geocoder (tests/fixtures — SURVEY §5.5): hash the
+    * address into a plausible Buenos Aires-province lat/lng. */
+  def mockGeocoder: Geocoder = { address =>
+    if (address == null || address.isEmpty) None
+    else {
+      val h = address.hashCode.toLong & 0x7fffffffL
+      val lat = -38.0 + (h % 4000) / 1000.0        // [-38, -34)
+      val lng = -63.0 + ((h / 4000) % 5000) / 1000.0 // [-63, -58)
+      Some(f"$lat%.3f,$lng%.3f")
+    }
+  }
+
+  /** The full combine+enrich pipeline over two source frames with columns
+    * (direccion, localidad, rubro, localizar):
+    * union-by-name → full-row dedup → enrich rows whose `localizar` is
+    * NotAvailable via the geocoder (with retry), leaving others untouched
+    * (`flows/etl.py:208,239`). Dedup runs BEFORE enrichment, as the
+    * reference orders it (304 → 306) — never pay the expensive external
+    * call for a row dedup would discard. */
+  def combineAndEnrich(a: DataFrame, b: DataFrame, geocode: Geocoder,
+                       spark: SparkSession): DataFrame = {
+    val combined = a.unionByName(b).dropDuplicates()
+    val geocodeUdf = udf { (address: String) =>
+      geocodeWithRetry(geocode, address).orNull
+    }.asNondeterministic() // side-effecting external call: never duplicate/reorder
+    combined.withColumn("localizar",
+      when(col("localizar") === NotAvailable,
+        geocodeUdf(assembleAddress(col("direccion"), col("localidad"))))
+        .otherwise(col("localizar")))
+  }
+
+  /** Batched sink parity (K1/K2, `flows/etl.py:256-286`): schema-only
+    * create via limit(0) overwrite, then append — expressed on the parquet
+    * writer here (same writer API takes .jdbc with batchsize/numPartitions
+    * against a real database). */
+  def writeBatched(df: DataFrame, path: String): Unit = {
+    df.limit(0).write.mode("overwrite").parquet(path) // L1: schema-only DDL
+    df.write.mode("append").parquet(path)             // K2: parallel append
+  }
+
+  /** Fixture-shaped pipeline run for the driver contract: builds the two
+    * "scraped" source frames from customer ⋈ nation (string columns, a
+    * location that is present for even keys and NotAvailable otherwise —
+    * mirroring the reference's half-filled Localizar column), then runs
+    * combine+enrich with the deterministic mock geocoder.
+    * Non-SQL-expressible (nondeterministic-marked UDF) → rows-only check. */
+  def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_name").as("direccion"),
+        col("n_name").as("localidad"),
+        col("c_mktsegment").as("rubro"),
+        when(col("c_custkey") % 2 === 0,
+          concat_ws(",",
+            round(lit(-34.0) - col("c_custkey") % 100 / 100.0, 3).cast("string"),
+            round(lit(-58.0) - col("c_custkey") % 100 / 100.0, 3).cast("string")))
+          .otherwise(lit(NotAvailable)).as("localizar"),
+        col("c_custkey"))
+    // two overlapping "pages" (the reference scrapes two tables that share rows)
+    val pageA = base.filter(col("c_custkey") % 3 =!= 0).drop("c_custkey")
+    val pageB = base.filter(col("c_custkey") % 2 === 0).drop("c_custkey")
+    combineAndEnrich(pageA, pageB, mockGeocoder, spark)
+      .orderBy(col("direccion"), col("localidad"), col("rubro"), col("localizar"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_etl" -> (pipelineQuery _),
+  )
+
+  /** Nondeterministic-marked UDF ⇒ not SQL-expressible for the oracle. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over `embeddings.embedding` (array<float>, dim 64).
+  *
+  * Three tiers, trading recall for scan cost — the standard ANN ladder:
+  *  1. brute force: exact top-k, O(n·q) — the correctness baseline, still
+  *     the right plan when the query set is small and broadcastable;
+  *  2. IVF: coarse centroids + probe the nearest cells — scan cost drops to
+  *     O(n·q / cells · probes);
+  *  3. hyperplane LSH: signature equality bucket join — sub-linear
+  *     candidate generation, fully shuffle-based, no centroids needed.
+  *
+  * Scale posture: queries are broadcast (small side), the corpus never
+  * re-shuffles for brute force; IVF/LSH shuffle the corpus ONCE on the
+  * cell/signature key and reuse that partitioning. All cosine math is the
+  * explicit left-fold from Dedup.cosine, bit-identical to the oracle.
+  */
+object Similarity {
+
+  val K = 5
+  val NumQueries = 8  // vec_id < 8 are the query vectors
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact brute-force top-k: broadcast the query set against the corpus,
+    * per-row cosine (codegen'd fold), then per-query top-k via
+    * rank-over-window. The window shuffles O(n·q) scored rows keyed by
+    * q_id; with q small this is one narrow shuffle. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = corpus.join(broadcast(queriesDf(spark, dir)),
+        col("q_id") =!= col("n_id"))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val bruteForceTopKSql: String = {
+    val cos = Dedup.cosineSql("q.embedding", "n.embedding")
+    s"""SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, $cos AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, n.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NumQueries) t
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) ANN
+  // ---------------------------------------------------------------------
+
+  /** IVF-style ANN: the fixture `label` plays the coarse-quantizer cell id
+    * (in production the cells come from k-means; the dataflow — assign,
+    * bucket, probe — is identical and label is deterministic for the
+    * oracle-free rows check). Each query probes the `nprobe` cells whose
+    * centroid is nearest, then exact-reranks inside them.
+    *
+    * Centroids are per-cell means computed distributed (treeAggregate-like
+    * partial means via groupBy), then broadcast — the corpus shuffles only
+    * on the cell key. */
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // per-cell centroid: element-wise mean via posexplode + re-assemble
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
+      .select(col("label").as("c_label"),
+        expr("transform(pairs, p -> CAST(p.mean_v AS DOUBLE))").as("centroid"))
+    // rank cells per query by centroid cosine, keep nprobe
+    val qc = queriesDf(spark, dir).join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", Dedup.cosine("q_emb", "centroid"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_label"))
+    val probed = qc.withColumn("c_rank", row_number().over(wq))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_label"))
+    // exact rerank within probed cells only
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("label").as("c_label"), col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    corpus.join(broadcast(probed), Seq("c_label"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Hyperplane LSH ANN
+  // ---------------------------------------------------------------------
+
+  val LshBits = 12
+  val LshTables = 4
+
+  /** Signature: bit j = sign(<v, h_j>) with Rademacher hyperplanes derived
+    * from xxhash64(table, bit, dim) — deterministic, no stored model, and
+    * the whole signature is one codegen'd expression. */
+  private def lshSig(embCol: String, table: Int): Column = {
+    val bits = (0 until LshBits).map { j =>
+      // h_{j,i} = ±1 from the parity of a hash of (table, j, i)
+      val dotTerms =
+        s"""aggregate(
+           |  zip_with($embCol,
+           |    transform(sequence(0, ${Dedup.Dim - 1}),
+           |      i -> CASE WHEN (xxhash64($table, $j, i) & 1) = 1 THEN 1.0D ELSE -1.0D END),
+           |    (x, h) -> CAST(x AS DOUBLE) * h),
+           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+      s"CASE WHEN ($dotTerms) >= 0.0 THEN ${1L << j}L ELSE 0L END"
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  /** LSH-bucketed ANN: per table, corpus and queries hash to a signature;
+    * equality bucket join generates candidates; exact cosine reranks the
+    * union of candidates over all tables. Misses are possible (that's the
+    * approximation); candidate generation is an equi-join, so the plan is
+    * two narrow shuffles regardless of corpus size. */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val qs = queriesDf(spark, dir)
+    val candParts = (0 until LshTables).map { t =>
+      val cSig = corpus.withColumn("sig", lshSig("n_emb", t))
+      val qSig = qs.withColumn("sig", lshSig("q_emb", t))
+      cSig.join(broadcast(qSig), Seq("sig"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
+    }
+    val cands = candParts.reduce(_ unionByName _).dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cands
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> (bruteForceTopK _),
+    "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
+    "sim_topk_lsh"   -> (lshTopK _),
+  )
+
+  /** Brute force is exact math → oracled; IVF/LSH are
+    * approximation-structure-specific → rows-only. */
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" -> bruteForceTopKSql,
+  )
+}

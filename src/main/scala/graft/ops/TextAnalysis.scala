@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the LLM-data-
+  * pipeline surface mandated by BASELINE.json's north star (language ID,
+  * quality scoring, token counting, fingerprinting, n-grams).
+  *
+  * Everything here is built from codegen'd built-ins (`split`,
+  * `regexp_extract_all`, higher-order array functions) — no UDFs — so the
+  * whole pipeline stays inside WholeStageCodegen and scales embarrassingly:
+  * every operator is per-row until the final aggregation, which shuffles
+  * O(distinct tokens), not O(rows).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped (Spark split is regex-based
+    * and can emit empties on repeated separators). */
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  private val tokensSql =
+    "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  // ---------------------------------------------------------------------
+
+  /** Corpus word count: tokenize → explode → hash agg. The classic
+    * first-shuffle-is-the-only-shuffle plan: token counts partial-aggregate
+    * map-side, so the shuffle carries O(vocab) rows per partition. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+
+  val wordCountSql: String =
+    s"""SELECT token, COUNT(*) AS n
+       |FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY n DESC, token""".stripMargin
+
+  /** Per-document stats: regex token count (BPE-ish `[a-z0-9]+` word
+    * pieces), char length, whitespace token count. */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .as("n_word_pieces"),
+        length(col("text")).as("n_chars_computed"),
+        col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val docStatsSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_pieces,
+       |  length(text) AS n_chars_computed,
+       |  n_chars,
+       |  len($tokensSql) AS n_tokens
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+  private val stopwordsSql = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Quality scoring: stopword ratio, mean token length, and a composite
+    * score — the heuristics a pretraining-data filter runs per document.
+    * All ratios are double divisions of exact integer counts, so the oracle
+    * comparison is bit-exact. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks,
+      t => array_contains(array(stopwords.map(lit): _*), t))).cast("double")
+    val sumLen = aggregate(toks, lit(0),
+      (acc, t) => acc + length(t)).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        (nStop / nTok).as("stop_ratio"),
+        (sumLen / nTok).as("mean_token_len"),
+        // Composite: long docs with some-but-not-too-many stopwords win.
+        (nTok / (nTok + lit(100.0)) * (lit(1.0) - (nStop / nTok))).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  n_stop / n_tok AS stop_ratio,
+       |  sum_len / n_tok AS mean_token_len,
+       |  n_tok / (n_tok + 100.0) * (1.0 - (n_stop / n_tok)) AS quality
+       |FROM (
+       |  SELECT doc_id, toks,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t))) AS DOUBLE) AS n_stop,
+       |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE) AS sum_len
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** Corpus bigram counts via higher-order functions (sequence → transform
+    * → explode) — no self-join, no shuffle until the count. */
+  def bigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+
+  val bigramsSql: String =
+    s"""SELECT bigram, COUNT(*) AS n
+       |FROM (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       |  FROM (SELECT $tokensSql AS toks FROM documents))
+       |GROUP BY bigram
+       |ORDER BY n DESC, bigram""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** Document fingerprinting: a 31-ary polynomial rolling hash mod 1e9+7
+    * over the characters (stays in codegen via the `aggregate` HOF; the
+    * modulus keeps ANSI-mode long arithmetic overflow-free), plus md5 for
+    * an exact content fingerprint. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("aggregate(split(text, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+          .as("poly_hash"),
+        md5(col("text")).as("md5_hex"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS poly_hash,
+      |  md5(text) AS md5_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+  )
+
+  /** Language ID by stopword-marker voting: score per language = distinct
+    * marker tokens present; argmax with a fixed priority order. A real
+    * deployment swaps the marker lists for char-n-gram profiles — the
+    * dataflow (per-row scoring, no shuffle) is identical. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toksD = array_distinct(tokens(col("text")))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(toksD, array(markers.map(lit): _*)))
+    }
+    val df = Tables.documents(spark, dir)
+      .select((Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        scores.map { case (l, s) => s.as(s"score_$l") }): _*)
+    val argmax = langMarkers.map(_._1).foldRight[Column](lit("und")) {
+      case (lang, acc) =>
+        val isMax = langMarkers.map(_._1).filter(_ != lang).foldLeft[Column](
+          col(s"score_$lang") > 0) { case (c, other) =>
+          val cmp = if (langMarkers.indexWhere(_._1 == other) <
+            langMarkers.indexWhere(_._1 == lang))
+            col(s"score_$lang") > col(s"score_$other")   // must beat earlier langs
+          else
+            col(s"score_$lang") >= col(s"score_$other")  // ties beat later langs
+          c && cmp
+        }
+        when(isMax, lit(lang)).otherwise(acc)
+    }
+    df.withColumn("pred_lang", argmax)
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val scoreCols = langMarkers.map { case (lang, markers) =>
+      val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(list_distinct($tokensSql), t -> list_contains($arr, t))) AS score_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkers.map(_._1)
+    val argmax = langs.reverse.foldLeft("'und'") { case (acc, lang) =>
+      val conds = (s"score_$lang > 0" +: langs.filter(_ != lang).map { other =>
+        if (langs.indexOf(other) < langs.indexOf(lang))
+          s"score_$lang > score_$other"
+        else
+          s"score_$lang >= score_$other"
+      }).mkString(" AND ")
+      s"CASE WHEN $conds THEN '$lang' ELSE $acc END"
+    }
+    s"""SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr,
+       |  $argmax AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |  $scoreCols
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_wordcount"   -> (wordCount _),
+    "text_doc_stats"   -> (docStats _),
+    "text_quality"     -> (qualityScore _),
+    "text_bigrams"     -> (bigrams _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_langid"      -> (langId _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_wordcount"   -> wordCountSql,
+    "text_doc_stats"   -> docStatsSql,
+    "text_quality"     -> qualityScoreSql,
+    "text_bigrams"     -> bigramsSql,
+    "text_fingerprint" -> fingerprintSql,
+    "text_langid"      -> langIdSql,
+  )
+}
