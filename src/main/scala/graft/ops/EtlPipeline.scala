@@ -55,7 +55,7 @@ object EtlPipeline {
   /** Per-row retry with exponential backoff — E2 parity
     * (`flows/etl.py:215-237`), with the attempt budget reset per row
     * (fidelity fix over the reference's shared budget, documented). */
-  private[ops] def geocodeWithRetry(geocode: Geocoder, address: String,
+  def geocodeWithRetry(geocode: Geocoder, address: String,
                                     maxAttempts: Int = 5,
                                     initialBackoffMs: Long = 0L): Option[String] = {
     var attempt = 0

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Dedup
+
+/** Dedup-suite semantics on tiny controlled corpora written to temp
+  * parquet (the operators read a directory, like production). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Build a documents.parquet in a temp dir from (doc_id, text) pairs. */
+  private def corpus(rows: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.toSeq
+      .map { case (id, t) => (id, t, "en", s"src${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private val nearDup = base.replace("tonight", "today") // 1-word edit
+  private val unrelated =
+    "completely different content about spark shuffles and partitions in clusters now"
+
+  test("minhash finds the planted near-dup pair and not the unrelated doc") {
+    val dir = corpus((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = Dedup.minhash(spark, dir, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash jaccard value is the exact shingle-set jaccard") {
+    val dir = corpus((1L, base), (2L, base)) // identical docs
+    val j = Dedup.minhash(spark, dir).collect().head.getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-dups small hamming") {
+    val dir = corpus((1L, base), (2L, base), (3L, unrelated))
+    val out = Dedup.simhash(spark, dir, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((1L, 2L)) == 0)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
+  test("exact dedup keeps the lowest doc_id per distinct text") {
+    val dir = corpus((5L, base), (2L, base), (9L, unrelated))
+    val kept = Dedup.exact(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(2L -> 2L, 9L -> 1L)) // keep_id -> n_copies
+  }
+
+  test("embedding cosine near-dup finds identical vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val v = Array.tabulate(64)(i => (math.sin(i) * 0.1).toFloat)
+    val w = Array.tabulate(64)(i => (math.cos(i) * 0.1).toFloat)
+    Seq((1L, v, 0), (2L, v, 0), (3L, w, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Dedup.embeddingCosine(spark, dir, threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.length == 1)
+    val (a, b, cos) = pairs.head
+    assert((a, b) == (1L, 2L) && math.abs(cos - 1.0) < 1e-12)
+  }
+}
