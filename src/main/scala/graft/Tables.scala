@@ -18,6 +18,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin rebalance to the session's full parallelism. The fixture
+    * files are single-row-group parquet — one input split — so any heavy
+    * per-row pipeline downstream of a bare scan runs in ONE task. One cheap
+    * narrow-row shuffle buys full-width execution; on a real multi-TB
+    * table the scan is already split and this becomes a no-op choice. */
+  def rebalanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.unsafe.Platform
+
+/** Compiled per-row kernels for the hashing-heavy dedup operators.
+  *
+  * Why UDFs here and built-ins everywhere else: Spark's higher-order array
+  * functions (`transform`/`aggregate` with lambdas) are CodegenFallback —
+  * every lambda application is interpreted with per-element boxing, which
+  * measured ~30 ms/doc for the shingle+64-hash pipeline. A compiled JVM
+  * loop does the same work in microseconds. This mirrors Spark MLlib's own
+  * approach (HashingTF / MinHashLSH are UDF-based for exactly this
+  * reason). The kernels are pure, deterministic, and per-row — they keep
+  * the distributed dataflow (explode/join/aggregate) in DataFrame ops.
+  *
+  * Hashing uses xxhash64 (same algorithm family as the SQL `xxhash64`
+  * built-in) via Spark's unsafe XXH64, seeded per family member. */
+object TextKernels {
+
+  private val Seed = 42L
+
+  /** xxhash64 of a UTF-8 string. */
+  private def hashString(s: String, seed: Long): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+  }
+
+  private def hashLong(v: Long, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, seed)
+
+  private def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.split(" ").filter(_.nonEmpty)
+
+  /** Distinct word n-gram shingles of a text. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  /** MinHash signature: numHashes family members over the shingle set.
+    * Family trick: hash each shingle string once, then derive member s via
+    * a long re-hash — identical structure to the expression version, just
+    * compiled. Returns null (→ filtered) when there are no shingles. */
+  def minhashSignature(text: String, n: Int, numHashes: Int): Array[Long] = {
+    val sh = shingles(text, n)
+    if (sh.isEmpty) null
+    else {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        val h1 = hashString(sh(i), Seed)
+        var s = 0
+        while (s < numHashes) {
+          val hs = hashLong(h1, s)
+          if (hs < sig(s)) sig(s) = hs
+          s += 1
+        }
+        i += 1
+      }
+      sig
+    }
+  }
+
+  /** 64-bit SimHash: every token occurrence votes ±1 per bit of its
+    * xxhash64; the sign vector is the fingerprint. Null on empty docs. */
+  def simhash64(text: String): java.lang.Long = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) null
+    else {
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = hashString(toks(i), Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(fp)
+    }
+  }
+
+  val shingleUdf: UserDefinedFunction =
+    udf((text: String, n: Int) => shingles(text, n))
+
+  val minhashUdf: UserDefinedFunction =
+    udf((text: String, n: Int, numHashes: Int) => minhashSignature(text, n, numHashes))
+
+  val simhashUdf: UserDefinedFunction =
+    udf((text: String) => simhash64(text))
+}

@@ -71,28 +71,26 @@ object Dedup {
   val Bands     = 16  // 16 bands × 4 rows: catches Jaccard ≳ 0.5 w.h.p.
   val RowsPerBand = NumHashes / Bands
 
-  /** Word 3-gram shingles as the MinHash universe. */
-  private val shinglesExpr =
-    """array_distinct(transform(
-      |  sequence(1, greatest(size(toks) - 2, 0)),
-      |  i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))""".stripMargin
+  val ShingleN = 3
 
-  /** documents → (doc_id, toks, shingles, sig: array[64 minhashes]).
-    *
-    * The hash family is `xxhash64(shingle, seed)` for seed = 0..63 — 64
-    * independent permutation approximations from one codegen'd built-in;
-    * `array_min` over the transformed shingle array gives each minhash
-    * without leaving WholeStageCodegen. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until NumHashes).map { s =>
-      expr(s"array_min(transform(shingles, x -> xxhash64(x, $s)))")
-    }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("shingles", expr(shinglesExpr))
+  /** documents → (doc_id, shingles) — the verification-side lookup.
+    * Compiled kernel (see TextKernels): the HOF-lambda equivalent is
+    * CodegenFallback-interpreted and ~100× slower per row. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.TextKernels.shingleUdf(col("text"), lit(ShingleN)).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", array(sigCols: _*))
-  }
+
+  /** documents → (doc_id, sig: array[64 minhash longs]), one compiled pass
+    * per document (each shingle string hashes once; the 64 family members
+    * re-hash that fixed-width long). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.TextKernels
+          .minhashUdf(col("text"), lit(ShingleN), lit(NumHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
     *
@@ -116,23 +114,31 @@ object Dedup {
         xxhash64(expr(s"slice(sig, ${b * RowsPerBand + 1}, $RowsPerBand)"))
           .as("band_sig"))
     }
+    // Banding runs on a SLIM frame (doc_id + 16 band keys): the wide
+    // shingle arrays must not ride through the band shuffle — they rejoin
+    // only for the (few) surviving candidate pairs below. The slim frame
+    // is persisted because the bucket filter and both self-join sides
+    // consume it (without it Spark recomputes the signatures per branch).
     val banded = sigs
-      .select(col("doc_id"), col("shingles"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"),
         col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .persist()
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_sig"))))
       .filter(col("bucket_n") <= maxBucket)
-    val a = bucketed.select(col("band"), col("band_sig"),
-      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-    val b = bucketed.select(col("band"), col("band_sig"),
-      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
-    val pairs = a.join(b, Seq("band", "band_sig"))
+    val a = bucketed.select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
+    val b = bucketed.select(col("band"), col("band_sig"), col("doc_id").as("b_id"))
+    val candidates = a.join(b, Seq("band", "band_sig"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    pairs
+    // exact-verify: fetch shingle sets for candidates only
+    val sh = shingleSets(spark, dir)
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
       .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
       .withColumn("jaccard", col("inter") / col("uni"))
@@ -152,22 +158,12 @@ object Dedup {
     * Hamming distance via bit_count(xor). */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
               maxBucket: Int = 200): DataFrame = {
-    // Sum of per-token bit votes, then sign: bit i set iff
-    // sum_tokens(2*bit_i(h) - 1) > 0. Arithmetic shift + mask reads the
-    // bit safely for signed longs (DIV by 1<<63 would not).
-    val bitVotes = (0 until 64).map { i =>
-      expr(s"aggregate(toks, 0L, (acc, t) -> acc + (CASE WHEN (shiftright(xxhash64(t), $i) & 1) = 1 THEN 1 ELSE -1 END))")
-    }
-    val fp = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-    val withFp = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(Seq(col("doc_id")) ++
-        bitVotes.zipWithIndex.map { case (c, i) => c.as(s"v$i") }: _*)
-      .withColumn("fp", fp)
-      .select(col("doc_id"), col("fp"))
+    // One compiled pass per doc: every token occurrence votes ±1 per bit
+    // of its xxhash64; the sign vector is the fingerprint (TextKernels).
+    val withFp = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        graft.functions.TextKernels.simhashUdf(col("text")).as("fp"))
+      .filter(col("fp").isNotNull)
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_val"))
@@ -267,12 +263,21 @@ object Dedup {
     * bucket key would be an IVF/LSH cell (see Similarity.scala). */
   def embeddingCosine(spark: SparkSession, dir: String,
                       threshold: Double = 0.35): DataFrame = {
+    // Norms are precomputed per vector BEFORE the pair join — O(n) folds
+    // instead of O(pairs) — leaving only the dot product per pair. The
+    // computed value is bit-identical to the per-pair form (same fold).
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")))
+    val a = e.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    val dot = expr(
+      "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
     a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", cosine("a_emb", "b_emb"))
+      .withColumn("cos", dot / (col("a_norm") * col("b_norm")))
       .filter(col("cos") > threshold)
       .select(col("label"), col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("label"), col("a_id"), col("b_id"))

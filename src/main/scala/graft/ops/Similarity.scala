@@ -26,21 +26,34 @@ object Similarity {
   val K = 5
   val NumQueries = 8  // vec_id < 8 are the query vectors
 
+  /** Per-vector L2 norm, precomputed once per row (O(n) folds instead of
+    * O(pairs)); bit-identical to computing it inside the pair expression. */
+  private def withNorm(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("norm", sqrt(expr(
+      s"aggregate($embCol, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")))
+
+  private def dotExpr(aCol: String, bCol: String) = expr(
+    s"aggregate(zip_with($aCol, $bCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    withNorm(Tables.embeddings(spark, dir), "embedding")
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+
+  private def corpusDf(spark: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("norm").as("n_norm"))
 
   /** Exact brute-force top-k: broadcast the query set against the corpus,
-    * per-row cosine (codegen'd fold), then per-query top-k via
-    * rank-over-window. The window shuffles O(n·q) scored rows keyed by
-    * q_id; with q small this is one narrow shuffle. */
+    * per-row cosine (codegen'd fold; norms precomputed per side), then
+    * per-query top-k via rank-over-window. The window shuffles O(n·q)
+    * scored rows keyed by q_id; with q small this is one narrow shuffle. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val scored = corpus.join(broadcast(queriesDf(spark, dir)),
+    val scored = corpusDf(spark, dir).join(broadcast(queriesDf(spark, dir)),
         col("q_id") =!= col("n_id"))
-      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+      .withColumn("cos", dotExpr("q_emb", "n_emb") / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored
@@ -91,15 +104,15 @@ object Similarity {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_label"))
     val probed = qc.withColumn("c_rank", row_number().over(wq))
       .filter(col("c_rank") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("c_label"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_label"))
     // exact rerank within probed cells only
-    val corpus = Tables.embeddings(spark, dir)
+    val corpus = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("label").as("c_label"), col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"))
+        col("embedding").as("n_emb"), col("norm").as("n_norm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     corpus.join(broadcast(probed), Seq("c_label"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+      .withColumn("cos", dotExpr("q_emb", "n_emb") / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
@@ -137,20 +150,20 @@ object Similarity {
     * approximation); candidate generation is an equi-join, so the plan is
     * two narrow shuffles regardless of corpus size. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val corpus = corpusDf(spark, dir)
     val qs = queriesDf(spark, dir)
     val candParts = (0 until LshTables).map { t =>
       val cSig = corpus.withColumn("sig", lshSig("n_emb", t))
       val qSig = qs.withColumn("sig", lshSig("q_emb", t))
       cSig.join(broadcast(qSig), Seq("sig"))
         .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
+        .select(col("q_id"), col("q_emb"), col("q_norm"),
+          col("n_id"), col("n_emb"), col("n_norm"))
     }
     val cands = candParts.reduce(_ unionByName _).dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     cands
-      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+      .withColumn("cos", dotExpr("q_emb", "n_emb") / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling entry: runs one named query N times and prints each
+  * iteration's wall time (separates codegen/compile cost from steady-state
+  * execution). Usage: runMain graft.tools.Profile <query> <sfDir> [n]. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    for (i <- 1 to n) {
+      val t0 = System.nanoTime()
+      val cnt = fn(spark, sfDir).count()
+      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+    }
+    spark.stop()
+  }
+}
