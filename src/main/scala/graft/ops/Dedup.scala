@@ -237,18 +237,12 @@ object Dedup {
 
   val Dim = 64
 
-  /** Cosine similarity with an explicit left-fold in double — the exact
-    * same IEEE754 operation sequence the generated oracle SQL performs, so
-    * values are bit-identical. */
-  private[ops] def cosine(aCol: String, bCol: String): Column = {
-    val dot = expr(
-      s"aggregate(zip_with($aCol, $bCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    val na = expr(
-      s"aggregate($aCol, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-    val nb = expr(
-      s"aggregate($bCol, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity via the native codegen'd expression
+    * (graft.functions.CosineSimilarity): left-fold in double, index order —
+    * the exact IEEE754 operation sequence the generated oracle SQL
+    * performs, so values are bit-identical. */
+  private[ops] def cosine(aCol: String, bCol: String): Column =
+    graft.functions.CosineSimilarity.cosine_sim(col(aCol), col(bCol))
 
   /** The same cosine as generated SQL (a left-assoc 64-term chain). */
   private[ops] def cosineSql(aRef: String, bRef: String): String = {
@@ -263,21 +257,12 @@ object Dedup {
     * bucket key would be an IVF/LSH cell (see Similarity.scala). */
   def embeddingCosine(spark: SparkSession, dir: String,
                       threshold: Double = 0.35): DataFrame = {
-    // Norms are precomputed per vector BEFORE the pair join — O(n) folds
-    // instead of O(pairs) — leaving only the dot product per pair. The
-    // computed value is bit-identical to the per-pair form (same fold).
     val e = Tables.embeddings(spark, dir)
-      .withColumn("norm", sqrt(expr(
-        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")))
-    val a = e.select(col("label"), col("vec_id").as("a_id"),
-      col("embedding").as("a_emb"), col("norm").as("a_norm"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"),
-      col("embedding").as("b_emb"), col("norm").as("b_norm"))
-    val dot = expr(
-      "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", dot / (col("a_norm") * col("b_norm")))
+      .withColumn("cos", cosine("a_emb", "b_emb"))
       .filter(col("cos") > threshold)
       .select(col("label"), col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("label"), col("a_id"), col("b_id"))

@@ -26,34 +26,23 @@ object Similarity {
   val K = 5
   val NumQueries = 8  // vec_id < 8 are the query vectors
 
-  /** Per-vector L2 norm, precomputed once per row (O(n) folds instead of
-    * O(pairs)); bit-identical to computing it inside the pair expression. */
-  private def withNorm(df: DataFrame, embCol: String): DataFrame =
-    df.withColumn("norm", sqrt(expr(
-      s"aggregate($embCol, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")))
-
-  private def dotExpr(aCol: String, bCol: String) = expr(
-    s"aggregate(zip_with($aCol, $bCol, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
   private def queriesDf(spark: SparkSession, dir: String): DataFrame =
-    withNorm(Tables.embeddings(spark, dir), "embedding")
+    Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   private def corpusDf(spark: SparkSession, dir: String): DataFrame =
-    withNorm(Tables.embeddings(spark, dir), "embedding")
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("norm").as("n_norm"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
 
   /** Exact brute-force top-k: broadcast the query set against the corpus,
-    * per-row cosine (codegen'd fold; norms precomputed per side), then
-    * per-query top-k via rank-over-window. The window shuffles O(n·q)
-    * scored rows keyed by q_id; with q small this is one narrow shuffle. */
+    * per-row cosine (native codegen'd expression), then per-query top-k
+    * via rank-over-window. The window shuffles O(n·q) scored rows keyed by
+    * q_id; with q small this is one narrow shuffle. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     val scored = corpusDf(spark, dir).join(broadcast(queriesDf(spark, dir)),
         col("q_id") =!= col("n_id"))
-      .withColumn("cos", dotExpr("q_emb", "n_emb") / (col("q_norm") * col("n_norm")))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored
@@ -104,15 +93,15 @@ object Similarity {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_label"))
     val probed = qc.withColumn("c_rank", row_number().over(wq))
       .filter(col("c_rank") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_label"))
+      .select(col("q_id"), col("q_emb"), col("c_label"))
     // exact rerank within probed cells only
-    val corpus = withNorm(Tables.embeddings(spark, dir), "embedding")
+    val corpus = Tables.embeddings(spark, dir)
       .select(col("label").as("c_label"), col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"), col("norm").as("n_norm"))
+        col("embedding").as("n_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     corpus.join(broadcast(probed), Seq("c_label"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dotExpr("q_emb", "n_emb") / (col("q_norm") * col("n_norm")))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
@@ -127,22 +116,10 @@ object Similarity {
   val LshTables = 4
 
   /** Signature: bit j = sign(<v, h_j>) with Rademacher hyperplanes derived
-    * from xxhash64(table, bit, dim) — deterministic, no stored model, and
-    * the whole signature is one codegen'd expression. */
-  private def lshSig(embCol: String, table: Int): Column = {
-    val bits = (0 until LshBits).map { j =>
-      // h_{j,i} = ±1 from the parity of a hash of (table, j, i)
-      val dotTerms =
-        s"""aggregate(
-           |  zip_with($embCol,
-           |    transform(sequence(0, ${Dedup.Dim - 1}),
-           |      i -> CASE WHEN (xxhash64($table, $j, i) & 1) = 1 THEN 1.0D ELSE -1.0D END),
-           |    (x, h) -> CAST(x AS DOUBLE) * h),
-           |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-      s"CASE WHEN ($dotTerms) >= 0.0 THEN ${1L << j}L ELSE 0L END"
-    }
-    expr(bits.mkString("(", " + ", ")"))
-  }
+    * from hashes of (table, bit, dim) — deterministic, no stored model
+    * (compiled kernel: graft.functions.VectorKernels). */
+  private def lshSig(embCol: String, table: Int): Column =
+    graft.functions.VectorKernels.lshSigUdf(col(embCol), lit(table), lit(LshBits))
 
   /** LSH-bucketed ANN: per table, corpus and queries hash to a signature;
     * equality bucket join generates candidates; exact cosine reranks the
@@ -157,13 +134,12 @@ object Similarity {
       val qSig = qs.withColumn("sig", lshSig("q_emb", t))
       cSig.join(broadcast(qSig), Seq("sig"))
         .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("q_emb"), col("q_norm"),
-          col("n_id"), col("n_emb"), col("n_norm"))
+        .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
     }
     val cands = candParts.reduce(_ unionByName _).dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     cands
-      .withColumn("cos", dotExpr("q_emb", "n_emb") / (col("q_norm") * col("n_norm")))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * Column API. Spark 4 moved Column onto ColumnNode and made the
+  * Expression⇄Column conversions `private[sql]`; this shim (in the
+  * org.apache.spark.sql namespace, the standard pattern for Spark
+  * extension libraries) re-exposes exactly the two conversions. */
+object GraftShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
