@@ -146,15 +146,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Brute-force top-k via the typed bounded-heap Aggregator instead of
+    * rank-over-window: partial aggregation ships at most k rows per group
+    * per map task, so shuffle volume is O(groups·k) — the plan that
+    * survives a 100× corpus scale-up where the window variant's full sort
+    * does not. Same exact results (same cosine, same ordering), same
+    * oracle. */
+  def aggTopK(spark: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topkUdaf(K)
+    val scored = corpusDf(spark, dir).join(broadcast(queriesDf(spark, dir)),
+        col("q_id") =!= col("n_id"))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+    scored
+      .groupBy(col("q_id"))
+      .agg(topk(col("n_id"), col("cos")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.n_id").as("n_id"), col("s.cos").as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> (bruteForceTopK _),
+    "sim_topk_agg"   -> (aggTopK _),
     "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_topk_lsh"   -> (lshTopK _),
   )
 
-  /** Brute force is exact math → oracled; IVF/LSH are
-    * approximation-structure-specific → rows-only. */
+  /** Brute force + aggregator variants are exact math → oracled; IVF/LSH
+    * are approximation-structure-specific → rows-only. */
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> bruteForceTopKSql,
+    "sim_topk_agg"   -> bruteForceTopKSql,
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.PagedTableSource
+
+/** DataSourceV2 paged-table source (SURVEY §2.1 S1-S6 parity). */
+class PagedTableSourceSpec extends SparkSpec {
+
+  /** Write a paged fixture: layout cols (skipped) + real cols; the
+    * Localizar column holds raw onclick text like the scraped site. */
+  private def writePages(): String = {
+    val dir = Files.createTempDirectory("graft-pages").toString
+    val header = Seq("x1", "x2", "x3", "x4", // first 4 = layout columns
+      "Dirección", "Localidad", "Rubro", "Localizar").mkString("\t")
+    def row(cells: String*) = (Seq("a", "b", "c", "d") ++ cells).mkString("\t")
+    Files.writeString(java.nio.file.Path.of(dir, "page-0.tsv"), Seq(
+      header,
+      row(" Av. Mitre 100 ", "Avellaneda", "gastronomia",
+        "javascript:mapa(-34.6037,-58.3816)"),
+      row("Calle 7 n 1234", "La Plata", "indumentaria", "No disponible"),
+    ).mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(dir, "page-1.tsv"), Seq(
+      header,
+      row("Mitre 55", "Quilmes", "hogar", "mapa(+1.5, 2.25); void(0)"),
+    ).mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(dir, "_count"), "1.234")
+    dir
+  }
+
+  private def read(dir: String) =
+    spark.read.format("graft.sources.PagedTableSource")
+      .option("skipColumns", 4)
+      .option("decodeLocation", "Localizar")
+      .load(dir)
+
+  test("S2 schema discovery: headers from page 0, first 4 skipped, all strings") {
+    val df = read(writePages())
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("Dirección", "Localidad", "Rubro", "Localizar"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("S3 paginated scan: one partition per page, all rows, cells trimmed") {
+    val df = read(writePages())
+    assert(df.rdd.getNumPartitions == 2)
+    val rows = df.collect().map(_.toSeq).toSet
+    assert(rows.size == 3)
+    // F3: cells are trimmed like innerText.trim()
+    assert(rows.exists(_.head == "Av. Mitre 100"))
+  }
+
+  test("S3 location decode: lat/lng regex or the No disponible sentinel") {
+    val locs = read(writePages()).select("Localizar")
+      .collect().map(_.getString(0)).toSet
+    assert(locs == Set("-34.6037,-58.3816", "No disponible", "+1.5,2.25"))
+  }
+
+  test("P1 projection pushdown prunes columns inside the reader") {
+    val df = read(writePages()).select("Localidad")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("Avellaneda", "La Plata", "Quilmes"))
+    assert(scan.contains("Localidad") && !scan.contains("Rubro"))
+  }
+
+  test("S4 statistics: row count probe from the _count sidecar") {
+    // 1.234 with thousands separator stripped → 1234 (flows/etl.py:135)
+    val dir = writePages()
+    val rel = read(dir).queryExecution.optimizedPlan
+    val stats = rel.stats
+    assert(stats.rowCount.contains(BigInt(1234)))
+  }
+
+  test("source feeds the full reference pipeline end to end") {
+    val dir = writePages()
+    val df = read(dir)
+    val enriched = graft.ops.EtlPipeline.combineAndEnrich(
+      df.select("Dirección", "Localidad", "Rubro", "Localizar")
+        .toDF("direccion", "localidad", "rubro", "localizar"),
+      df.select("Dirección", "Localidad", "Rubro", "Localizar")
+        .toDF("direccion", "localidad", "rubro", "localizar"),
+      graft.ops.EtlPipeline.mockGeocoder, spark)
+    val out = enriched.collect()
+    assert(out.length == 3) // dup pages deduped
+    assert(out.forall(r => r.getString(3) != PagedTableSource.NotAvailable))
+  }
+}
