@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Second batch of oracle-checked operators: json structs, array and
+  * date/math scalar functions, conditional aggregation, subqueries, pivot,
+  * and a real Structured Streaming run (readStream → watermarked window →
+  * memory sink) whose result is still DuckDB-checkable. */
+object Relational2 {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** from_json into a typed struct (JsonToStructs — q21's get_json_object
+    * sibling), aggregated per event type. */
+  def q25FromJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("parsed.k")).as("sum_k"),
+        count(col("parsed.k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  val q25Sql: String =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Array scalar functions over the embedding column (no arithmetic —
+    * element extraction and extremes only, so float values pass through
+    * bit-identically). */
+  def q26ArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        array_max(col("embedding")).cast("double").as("max_v"),
+        array_min(col("embedding")).cast("double").as("min_v"),
+        element_at(col("embedding"), 1).cast("double").as("first_v"))
+      .orderBy(col("vec_id"))
+
+  val q26Sql: String =
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_v,
+      |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_v,
+      |  CAST(embedding[1] AS DOUBLE) AS first_v
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  /** Date-part extraction + date arithmetic over orders. Day-of-week uses
+    * the ISO numbering (Spark weekday()+1 == DuckDB isodow) — the two
+    * engines' default dayofweek origins differ. */
+  def q27DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        datediff(to_date(col("o_orderdate")), lit("2020-01-01").cast("date"))
+          .as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  val q27Sql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y,
+      |  month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d,
+      |  isodow(o_orderdate) AS isodow,
+      |  datediff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Math scalar functions (IEEE-deterministic subset: sqrt/abs/floor/
+    * ceil/round — no libm-divergent transcendentals). */
+  def q28MathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        abs(col("l_discount") - 0.05).as("abs_ctr"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+        round(col("l_extendedprice"), 1).as("round_price"),
+        pmod(col("l_orderkey"), lit(97)).as("mod97"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  val q28Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  sqrt(l_extendedprice) AS sqrt_price,
+      |  abs(l_discount - 0.05) AS abs_ctr,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      |  round(l_extendedprice, 1) AS round_price,
+      |  l_orderkey % 97 AS mod97
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin
+
+  /** Conditional aggregation: count/sum over predicates (FILTER clause
+    * semantics via when()). */
+  def q29CondAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_high_disc"),
+        count(when(col("l_quantity") < 10, 1)).as("n_small_qty"),
+        dsum(when(col("l_linestatus") === "F", col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("sum_f_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q29Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+      |  COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small_qty,
+      |  CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_f_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Correlated scalar subquery (SQL frontend). */
+  def q30ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q30Sql: String =
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |ORDER BY c_custkey""".stripMargin
+
+  /** IN-subquery (rewritten by Catalyst to a semi join). */
+  def q31InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT p_partkey, p_name
+        |FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  val q31Sql: String =
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Pivot: order counts per status × priority, statuses as columns.
+    * The oracle spells it as conditional aggregation — the relational
+    * content of a pivot. */
+  def q32Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  val q32Sql: String =
+    """SELECT o_orderpriority,
+      |  COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F,
+      |  COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O,
+      |  COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** A REAL Structured Streaming run, DuckDB-checked: readStream over the
+    * events parquet → watermarked tumbling window aggregation → memory
+    * sink in Complete mode (all windows emitted once the bounded input
+    * drains). The streaming plan is the exact one a kafka/file deployment
+    * runs; with a bounded source its result equals the batch aggregation,
+    * which is what the oracle computes. */
+  def q33StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // the file source wants a directory
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("bucket"), col("event_type"))
+  }
+
+  val q33Sql: String =
+    """SELECT CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) AS bucket, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_from_json"       -> (q25FromJson _),
+    "q26_array_funcs"     -> (q26ArrayFuncs _),
+    "q27_date_funcs"      -> (q27DateFuncs _),
+    "q28_math_funcs"      -> (q28MathFuncs _),
+    "q29_cond_agg"        -> (q29CondAgg _),
+    "q30_scalar_subquery" -> (q30ScalarSubquery _),
+    "q31_in_subquery"     -> (q31InSubquery _),
+    "q32_pivot"           -> (q32Pivot _),
+    "q33_stream_tumbling" -> (q33StreamTumbling _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_from_json"       -> q25Sql,
+    "q26_array_funcs"     -> q26Sql,
+    "q27_date_funcs"      -> q27Sql,
+    "q28_math_funcs"      -> q28Sql,
+    "q29_cond_agg"        -> q29Sql,
+    "q30_scalar_subquery" -> q30Sql,
+    "q31_in_subquery"     -> q31Sql,
+    "q32_pivot"           -> q32Sql,
+    "q33_stream_tumbling" -> q33Sql,
+  )
+}
