@@ -277,6 +277,34 @@ object Dedup {
        |ORDER BY a.label, a_id, b_id""".stripMargin
   }
 
+  /** Embedding near-dup without any semantic bucket column: candidates
+    * come from hyperplane-LSH signature equality (multi-table), verified
+    * by exact cosine — the fully content-addressed variant that works on
+    * any corpus. Each table's bucket join is an equi-join on the 12-bit
+    * signature; a pair colliding in ANY table becomes a candidate. */
+  def embeddingLsh(spark: SparkSession, dir: String,
+                   threshold: Double = 0.35, tables: Int = 4,
+                   bits: Int = 12): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val candParts = (0 until tables).map { t =>
+      val sigged = e.withColumn("sig",
+        graft.functions.VectorKernels.lshSigUdf(col("embedding"), lit(t), lit(bits)))
+      val a = sigged.select(col("sig"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val b = sigged.select(col("sig"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+    }
+    candParts.reduce(_ unionByName _)
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", cosine("a_emb", "b_emb"))
+      .filter(col("cos") > threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"     -> (exact _),
     "dedup_keyed"     -> (keyed _),
@@ -284,6 +312,7 @@ object Dedup {
     "dedup_simhash"   -> ((s: SparkSession, d: String) => simhash(s, d)),
     "dedup_jaccard"   -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => embeddingLsh(s, d)),
   )
 
   /** minhash/simhash signatures are hash-family-specific → rows-only check

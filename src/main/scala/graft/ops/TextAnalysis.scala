@@ -215,6 +215,36 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF-style term weighting (ratio form: tf · N/df — log-free so the
+    * doubles divide identically in both engines). tf and df come from two
+    * hash aggregations over the exploded token stream; N joins in as a
+    * broadcast single-row frame. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(df, Seq("token"))
+      .join(broadcast(n), lit(true))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n_docs") / col("df").cast("double"))
+          .as("tfidf_ratio"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+       |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |  CAST(tf.tf AS DOUBLE) * n.n_docs / CAST(df.df AS DOUBLE) AS tfidf_ratio
+       |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+       |ORDER BY tf.doc_id, tf.token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordcount"   -> (wordCount _),
     "text_doc_stats"   -> (docStats _),
@@ -222,6 +252,7 @@ object TextAnalysis {
     "text_bigrams"     -> (bigrams _),
     "text_fingerprint" -> (fingerprint _),
     "text_langid"      -> (langId _),
+    "text_tfidf"       -> (tfidf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,5 +262,6 @@ object TextAnalysis {
     "text_bigrams"     -> bigramsSql,
     "text_fingerprint" -> fingerprintSql,
     "text_langid"      -> langIdSql,
+    "text_tfidf"       -> tfidfSql,
   )
 }
