@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join operators (as-of, range) and distribution aggregates.
+  *
+  * As-of join follows the SURVEY §7.2 preference order: it is EXPRESSIBLE
+  * by composition (tagged union + running last-value window), so no custom
+  * SparkStrategy is needed — the composed plan is one shuffle on the join
+  * key and one sort, exactly what a dedicated as-of physical operator
+  * would do. */
+object Temporal {
+
+  /** As-of join: for every event, the most recent order of the same
+    * customer at-or-before the event time (ties on order time broken by
+    * max orderkey).
+    *
+    * Composition: tag both sides, union on (key, time), sort each key
+    * partition by (time, orders-before-events, orderkey), take the running
+    * `last(orderkey, ignoreNulls)`; event rows then carry the latest
+    * preceding order. One shuffle (the key), one sort — the canonical
+    * as-of dataflow. */
+  def q34AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir).select(
+      col("o_custkey").as("key"), col("o_orderdate").as("t"),
+      col("o_orderkey").as("orderkey"), lit(1).as("is_order"),
+      lit(null).cast("long").as("event_id"))
+    val events = Tables.events(spark, dir).select(
+      col("user_id").as("key"), col("ts").as("t"),
+      lit(null).cast("long").as("orderkey"), lit(0).as("is_order"),
+      col("event_id"))
+    // at equal t, order rows sort before event rows (is_order desc) so an
+    // order at exactly the event time matches; among equal-t orders the
+    // largest orderkey sorts last and wins the running last()
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("is_order").desc, col("orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("asof_orderkey", last(col("orderkey"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0)
+      .select(col("event_id"), col("key").as("user_id"), col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val q34Sql: String =
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT MAX(o.o_orderkey) FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |     AND o.o_orderdate = (SELECT MAX(o2.o_orderdate) FROM orders o2
+      |                          WHERE o2.o_custkey = e.user_id
+      |                            AND o2.o_orderdate <= e.ts)) AS asof_orderkey
+      |FROM events e
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Range (interval) join: events within 24h after each order of the same
+    * customer. The equi-key makes this a hash join + residual range
+    * filter — never a cross product. */
+  def q35RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val e = Tables.events(spark, dir)
+    o.join(e,
+        e("user_id") === o("o_custkey") &&
+          e("ts") >= o("o_orderdate") &&
+          e("ts") < o("o_orderdate") + expr("INTERVAL 1 DAY"))
+      .groupBy(o("o_orderkey"))
+      .agg(count(lit(1)).as("n_events_24h"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q35Sql: String =
+    """SELECT o_orderkey, COUNT(*) AS n_events_24h
+      |FROM orders o JOIN events e
+      |  ON e.user_id = o.o_custkey
+      | AND e.ts >= o.o_orderdate
+      | AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Exact percentiles (linear interpolation — same definition as DuckDB
+    * quantile_cont) per group. */
+  def q36Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q36Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate sketches (HLL++ distinct, quantile sketch) — the
+    * constant-memory versions of q17/q36 for 100 TB cardinalities.
+    * Sketch internals are engine-specific → rows-only check; the exact
+    * columns alongside bound the error for inspection. */
+  def q37ApproxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_asof_join"   -> (q34AsofJoin _),
+    "q35_range_join"  -> (q35RangeJoin _),
+    "q36_percentile"  -> (q36Percentile _),
+    "q37_approx"      -> (q37ApproxSketches _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q34_asof_join"  -> q34Sql,
+    "q35_range_join" -> q35Sql,
+    "q36_percentile" -> q36Sql,
+  )
+}
