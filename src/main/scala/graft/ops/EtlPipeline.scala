@@ -142,10 +142,59 @@ object EtlPipeline {
       .orderBy(col("direccion"), col("localidad"), col("rubro"), col("localizar"))
   }
 
+  /** DSv2 source round-trip, oracle-checked: materialize "scraped pages"
+    * from customer ⋈ nation as TSV page files (distributed CSV write, one
+    * header per page file — exactly the paged-table shape), then scan them
+    * back through graft.sources.PagedTableSource with scan-time location
+    * decode. The oracle recomputes the same rows in pure SQL, so the
+    * source's header discovery, pagination, trimming, and regex decode are
+    * all inside the hash check. */
+  def sourceRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_name").as("direccion"),
+        col("n_name").as("localidad"),
+        col("c_mktsegment").as("rubro"),
+        when(col("c_custkey") % 2 === 0,
+          format_string("javascript:mapa(%.3f,%.3f)",
+            lit(-34.0) - (col("c_custkey") % 100) / 100.0,
+            lit(-58.0) - (col("c_custkey") % 100) / 100.0))
+          .otherwise(lit("sin datos")).as("localizar"))
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft-pages").toString
+    raw.repartition(4).write.mode("overwrite")
+      .option("delimiter", "\t").option("header", "true")
+      .csv(pagesDir)
+    // page files must carry the page- prefix the source lists
+    new java.io.File(pagesDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        f.renameTo(new java.io.File(pagesDir, s"page-$i.tsv"))
+      }
+    spark.read.format("graft.sources.PagedTableSource")
+      .option("decodeLocation", "localizar")
+      .load(pagesDir)
+      .orderBy(col("direccion"), col("localidad"), col("rubro"), col("localizar"))
+  }
+
+  val sourceRoundTripSql: String =
+    """SELECT c_name AS direccion, n_name AS localidad, c_mktsegment AS rubro,
+      |  CASE WHEN c_custkey % 2 = 0 THEN
+      |    printf('%.3f,%.3f', -34.0 - (c_custkey % 100) / 100.0,
+      |                        -58.0 - (c_custkey % 100) / 100.0)
+      |  ELSE 'No disponible' END AS localizar
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY direccion, localidad, rubro, localizar""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_etl" -> (pipelineQuery _),
+    "pipeline_etl"    -> (pipelineQuery _),
+    "etl_source_scan" -> (sourceRoundTrip _),
   )
 
-  /** Nondeterministic-marked UDF ⇒ not SQL-expressible for the oracle. */
-  val oracles: Map[String, String] = Map.empty
+  /** pipeline_etl's nondeterministic-marked UDF ⇒ rows-only; the source
+    * round-trip is fully deterministic ⇒ oracled. */
+  val oracles: Map[String, String] = Map(
+    "etl_source_scan" -> sourceRoundTripSql,
+  )
 }

@@ -101,13 +101,78 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** One sampled "video frame". */
+  case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int, mean_byte: Double)
+
+  /** STUB frame splitter — a real deployment replaces this with the
+    * container demuxer; the chunking shape (payload → fixed-size frames)
+    * is what the dataflow depends on. */
+  private[ops] def splitFrames(payload: Array[Byte], frameSize: Int): Seq[Array[Byte]] =
+    payload.grouped(frameSize).toSeq
+
+  /** Video-style frame sampling: treat the payload as fixed-size frames,
+    * keep every `stride`-th, emit per-frame stub features. flatMap shape:
+    * one input row fans out to its sampled frames — partition-local, no
+    * shuffle, parallelism follows the scan. */
+  def sampleFrames(spark: SparkSession, dir: String, frameSize: Int = 64,
+                   stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        splitFrames(payload, frameSize).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (frame, i) =>
+            val mean =
+              if (frame.isEmpty) 0.0
+              else frame.iterator.map(b => (b & 0xff).toDouble).sum / frame.length
+            Frame(id, i, frame.length, math.rint(mean * 10000) / 10000)
+          }
+      }
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** STUB resize: deterministic byte-stride subsample standing in for a
+    * real image scaler; metadata struct is updated consistently so
+    * downstream metadata-only queries stay correct. */
+  def resize(spark: SparkSession, dir: String, factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    val f = factor
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, w, h, payload) =>
+          val scaled = payload.zipWithIndex.collect {
+            case (b, i) if i % f == 0 => b
+          }
+          (id, w / f, h / f, scaled.length)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_bytes_scaled")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"     -> (mediaMeta _),
     "mm_features" -> (extractFeatures _),
+    "mm_frames"   -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
+    "mm_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
   )
 
-  /** mm_features exercises the mapPartitions stub → rows-only check. */
+  /** mm_features/mm_frames exercise mapPartitions/flatMap stubs →
+    * rows-only; mm_resize's byte count is SQL-expressible. */
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mediaMetaSql,
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((doc_id % 640 + 1) AS INT) // 2 AS width,
+        |  CAST((doc_id % 480 + 1) AS INT) // 2 AS height,
+        |  CAST(ceil(octet_length(encode(text)) / 2.0) AS INT) AS n_bytes_scaled
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
   )
 }

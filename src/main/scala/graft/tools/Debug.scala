@@ -9,13 +9,21 @@ object Debug {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    val p2 = graft.SparkEntry.queries("q2_filter_project")(spark, dir).queryExecution.executedPlan.toString
-    println("[audit] q2 ReadSchema line: " + p2.linesIterator.filter(_.contains("ReadSchema")).mkString(" | ").take(300))
-    val pb = graft.SparkEntry.queries("sim_topk_brute")(spark, dir).queryExecution.executedPlan.toString
-    println("[audit] brute cos line: " + pb.linesIterator.filter(_.toLowerCase.contains("cosine")).take(1).mkString.take(200))
-    val p3 = graft.SparkEntry.queries("q3_join_segment")(spark, dir).queryExecution.executedPlan.toString
-    println("[audit] q3 joins: " + p3.linesIterator.filter(_.contains("Join")).map(_.trim.take(80)).mkString("\n[audit]   "))
+    val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    df.count()
+    val qe = df.queryExecution  // stale; need the count's qe — use listener
+    val c = MetricsCollector.attach(spark)
+    val df2 = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    df2.count()
+    Thread.sleep(2000)
+    // also dump the executed plan of a fresh count
+    val cqe = df2.groupBy().count().queryExecution
+    cqe.executedPlan.execute()
+    println("[debug] collected: " + c.all)
+    val plan = cqe.executedPlan
+    plan.foreach { n =>
+      println(s"[debug] node=${n.nodeName} leaf=${n.children.isEmpty} metrics=${n.metrics.map{case(k,m)=>s"$k=${m.value}"}.mkString(",").take(120)}")
+    }
     spark.stop()
   }
 }
