@@ -113,16 +113,35 @@ object Temporal {
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"))
       .orderBy(col("l_returnflag"))
 
+  /** The same as-of join through the NATIVE custom operator
+    * (graft.plans.AsOfJoin: LogicalPlan + SparkStrategy + streaming-merge
+    * BinaryExecNode) — one exchange + sort per side, O(1) merge state.
+    * Shares q34's oracle: both formulations must hash-match DuckDB. */
+  def q38AsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir).select(
+      col("user_id").cast("long").as("key"), col("ts").as("t"),
+      col("event_id").cast("long").as("id"))
+    val orders = Tables.orders(spark, dir).select(
+      col("o_custkey").cast("long").as("key"), col("o_orderdate").as("t"),
+      col("o_orderkey").cast("long").as("id"))
+    graft.plans.AsOf.join(spark, events, orders)
+      .select(col("left_id").as("event_id"), col("key").as("user_id"),
+        col("asof_right_id").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_asof_join"   -> (q34AsofJoin _),
     "q35_range_join"  -> (q35RangeJoin _),
     "q36_percentile"  -> (q36Percentile _),
     "q37_approx"      -> (q37ApproxSketches _),
+    "q38_asof_native" -> (q38AsofNative _),
   )
 
   val oracles: Map[String, String] = Map(
-    "q34_asof_join"  -> q34Sql,
-    "q35_range_join" -> q35Sql,
-    "q36_percentile" -> q36Sql,
+    "q34_asof_join"   -> q34Sql,
+    "q35_range_join"  -> q35Sql,
+    "q36_percentile"  -> q36Sql,
+    "q38_asof_native" -> q34Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch diagnostics main (not part of the library surface). */
 object Debug {
@@ -9,21 +10,17 @@ object Debug {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf).select(
+      col("user_id").cast("long").as("key"), col("ts").as("t"),
+      col("event_id").cast("long").as("id"))
+    val orders = graft.Tables.orders(spark, sf).select(
+      col("o_custkey").cast("long").as("key"), col("o_orderdate").as("t"),
+      col("o_orderkey").cast("long").as("id"))
+    val df = graft.plans.AsOf.join(spark, events, orders)
     df.count()
-    val qe = df.queryExecution  // stale; need the count's qe — use listener
-    val c = MetricsCollector.attach(spark)
-    val df2 = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
-    df2.count()
-    Thread.sleep(2000)
-    // also dump the executed plan of a fresh count
-    val cqe = df2.groupBy().count().queryExecution
-    cqe.executedPlan.execute()
-    println("[debug] collected: " + c.all)
-    val plan = cqe.executedPlan
-    plan.foreach { n =>
-      println(s"[debug] node=${n.nodeName} leaf=${n.children.isEmpty} metrics=${n.metrics.map{case(k,m)=>s"$k=${m.value}"}.mkString(",").take(120)}")
-    }
+    println("[plan] ===")
+    println(df.queryExecution.executedPlan.toString.linesIterator.take(25).mkString("\n"))
     spark.stop()
   }
 }
