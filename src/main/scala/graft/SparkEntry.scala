@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, EtlPipeline, Multimodal, Relational, Relational2, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Dedup, EtlPipeline, KMeans, Multimodal, Relational, Relational2, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Temporal.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ EtlPipeline.queries
+      Similarity.queries ++ Multimodal.queries ++ EtlPipeline.queries ++ KMeans.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -65,6 +65,28 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to the clicks that
+    * preceded them within `horizon` for the same user. Both sides carry a
+    * watermark + the time-range join condition, which is what bounds each
+    * side's join state (rows age out once the watermark passes the
+    * horizon) — without both, state grows forever. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "30 minutes",
+                      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   // ---------------------------------------------------------------------
   // Custom sessionization state (flatMapGroupsWithState)
   // ---------------------------------------------------------------------

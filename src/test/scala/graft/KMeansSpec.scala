@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.KMeans
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three tight, well-separated direction clusters. */
+  private def corpus(): org.apache.spark.sql.DataFrame = {
+    def unit(axis: Int, jitter: Double, id: Int): Array[Float] = {
+      val v = new Array[Float](8)
+      v(axis) = 1.0f
+      v((axis + 1) % 8) = jitter.toFloat * (1 + id % 3)
+      v
+    }
+    (0 until 30).map { i =>
+      (i.toLong, unit(i % 3 * 2, 0.05, i), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("k-means recovers well-separated clusters") {
+    val c = corpus()
+    val centroids = KMeans.fit(spark, c, k = 3, iterations = 4)
+    assert(centroids.count() == 3)
+    val vecs = c.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val assigned = KMeans.assign(vecs, centroids)
+      .select(col("vec_id"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // all members of a true group land in the same learned cluster
+    (0 until 3).foreach { g =>
+      val ids = (0 until 30).filter(_ % 3 == g).map(_.toLong)
+      assert(ids.map(assigned).toSet.size == 1,
+        s"group $g split across clusters")
+    }
+    // and the three groups land in three distinct clusters
+    assert((0 until 3).map(g => assigned(g.toLong)).toSet.size == 3)
+  }
+
+  test("assignment is deterministic across runs") {
+    val dir = sf
+    val a = KMeans.clusterStats(spark, dir, k = 4, iterations = 2)
+      .collect().map(_.toSeq).toSeq
+    val b = KMeans.clusterStats(spark, dir, k = 4, iterations = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}

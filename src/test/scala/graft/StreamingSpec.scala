@@ -88,6 +88,20 @@ class StreamingSpec extends SparkSpec {
     assert(sess.session_start == ts(0) && sess.session_end == ts(1))
   }
 
+  test("stream-stream interval join matches clicks to later purchases") {
+    val clicks = eventsStream(Seq(
+      Event(1, ts(0), 7, "click", 0),
+      Event(2, ts(50), 7, "click", 0)))  // too late for the purchase
+    val purchases = eventsStream(Seq(
+      Event(10, ts(20), 7, "purchase", 5.0),
+      Event(11, ts(20), 8, "purchase", 5.0))) // different user
+    val out = runToBatch(
+      StreamingOps.clickToPurchase(clicks.toDF(), purchases.toDF()),
+      "ssjoin_out")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L))) // click@0 → purchase@20 (within 30m)
+  }
+
   test("streaming transforms run identically on a batch frame") {
     // the same tumblingCounts plan works in batch mode (no watermark state)
     val batch = Seq(
