@@ -9,9 +9,8 @@ import graft.Tables
 /** Distributed k-means over the embedding corpus — the coarse quantizer a
   * real IVF index trains, expressed as pure DataFrame iterations:
   *
-  *  - init: deterministic — the k vectors with the smallest xxhash64 of
-  *    their vec_id (hash-ordered sample; no RNG, so plans are reproducible
-  *    and retries are safe);
+  *  - init: deterministic greedy farthest-point from a min-hash seed
+  *    (no RNG, so plans are reproducible and retries are safe);
   *  - assign: broadcast the k centroids, per-row argmin of cosine distance
   *    (native CosineSimilarity expression — codegen'd loop);
   *  - update: per-cluster element-wise mean via posexplode + two hash
@@ -93,8 +92,8 @@ object KMeans {
   /** Query surface: cluster sizes + intra-cluster mean similarity after a
     * short training run — deterministic but hash-family-specific
     * (rows-only check; KMeansSpec asserts the semantics). */
-  def clusterStats(spark: SparkSession, dir: String, k: Int = 8,
-                   iterations: Int = 3): DataFrame = {
+  def clusterStats(spark: SparkSession, dir: String, k: Int = 4,
+                   iterations: Int = 2): DataFrame = {
     val corpus = Tables.embeddings(spark, dir)
     val centroids = fit(spark, corpus, k, iterations)
     val vecs = corpus.select(col("vec_id"),

@@ -214,7 +214,47 @@ object Relational2 {
       |GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** Multiset set operations (ALL variants keep duplicates — Spark
+    * exceptAll/intersectAll, modeled relationally as count-bag ops). */
+  def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.filter(col("l_quantity") < 30).select(col("l_partkey").as("k"))
+    val b = li.filter(col("l_discount") > 0.02).select(col("l_partkey").as("k"))
+    a.exceptAll(b)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+  }
+
+  val q39Sql: String =
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT l_partkey AS k FROM lineitem WHERE l_quantity < 30
+      |  EXCEPT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_discount > 0.02)
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
+
+  /** Deterministic global row numbering — the reference's positional
+    * pandas index (SURVEY §1 row identity), reproduced as row_number over
+    * a total order. (`monotonically_increasing_id` is partition-dependent;
+    * rank over an explicit order is the deterministic form.) */
+  def q40RowIds(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("row_id", row_number().over(w) - 1)
+      .orderBy(col("row_id"))
+  }
+
+  val q40Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      |FROM orders
+      |ORDER BY row_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_setops_all"      -> (q39SetOpsAll _),
+    "q40_row_ids"         -> (q40RowIds _),
     "q25_from_json"       -> (q25FromJson _),
     "q26_array_funcs"     -> (q26ArrayFuncs _),
     "q27_date_funcs"      -> (q27DateFuncs _),
@@ -227,6 +267,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_setops_all"      -> q39Sql,
+    "q40_row_ids"         -> q40Sql,
     "q25_from_json"       -> q25Sql,
     "q26_array_funcs"     -> q26Sql,
     "q27_date_funcs"      -> q27Sql,
