@@ -305,7 +305,58 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Resolve near-dup PAIRS into dedup GROUPS: connected components over
+    * the similarity graph by iterative min-label propagation — each round
+    * is one shuffle join + one min-aggregation, state is one (node,label)
+    * row per doc, and convergence takes O(diameter) rounds (near-dup
+    * components are shallow in practice; `maxIters` bounds pathological
+    * chains). The canonical keep-one-per-group dedup decision at corpus
+    * scale — no driver-side graph, no union-find structure. */
+  def components(pairs: DataFrame, allIds: DataFrame,
+                 maxIters: Int = 10): DataFrame = {
+    // undirected edge list
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = allIds.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+      val updated = labels.select(col("doc_id"), col("label"))
+        .unionByName(neighborMin)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .persist()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("doc_id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup groups over the MinHash pair graph: every document
+    * mapped to its group representative (the component's min doc_id), plus
+    * group size — singletons included with themselves as keeper. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhash(spark, dir).select(col("a_id"), col("b_id"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val labels = components(pairs, ids)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("keep_id"), col("group_size"),
+        (col("doc_id") === col("label")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_groups"    -> (dedupGroups _),
     "dedup_exact"     -> (exact _),
     "dedup_keyed"     -> (keyed _),
     "dedup_minhash"   -> ((s: SparkSession, d: String) => minhash(s, d)),

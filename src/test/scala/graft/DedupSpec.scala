@@ -64,4 +64,24 @@ class DedupSpec extends SparkSpec {
     val (a, b, cos) = pairs.head
     assert((a, b) == (1L, 2L) && math.abs(cos - 1.0) < 1e-12)
   }
+
+  test("connected components resolve pair chains into dedup groups") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated 4: component {1,2,3} keeps 1
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val labels = Dedup.components(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
+  test("dedup groups keep exactly one representative per near-dup set") {
+    val dir = corpus((1L, base), (2L, nearDup), (3L, unrelated))
+    val out = Dedup.dedupGroups(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSet == Set(
+      (1L, 1L, 2L, 1),  // keeper of the {1,2} near-dup group
+      (2L, 1L, 2L, 0),  // dropped duplicate
+      (3L, 3L, 1L, 1))) // singleton keeps itself
+  }
 }
