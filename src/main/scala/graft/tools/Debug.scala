@@ -1,26 +1,28 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch diagnostics main (not part of the library surface). */
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    val events = graft.Tables.events(spark, sf).select(
-      col("user_id").cast("long").as("key"), col("ts").as("t"),
-      col("event_id").cast("long").as("id"))
-    val orders = graft.Tables.orders(spark, sf).select(
-      col("o_custkey").cast("long").as("key"), col("o_orderdate").as("t"),
-      col("o_orderkey").cast("long").as("id"))
-    val df = graft.plans.AsOf.join(spark, events, orders)
-    df.count()
-    println("[plan] ===")
-    println(df.queryExecution.executedPlan.toString.linesIterator.take(25).mkString("\n"))
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+        if (dur.exists(_ > 500))
+          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} ${dur.get}%d ms  ${si.name.take(60)}")
+      }
+    })
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries("dedup_groups")(spark, "/root/testdata/sf0.1").count()
+      println(f"[debug] dedup_groups iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
     spark.stop()
   }
 }
