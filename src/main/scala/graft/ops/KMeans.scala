@@ -66,11 +66,15 @@ object KMeans {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cluster_id"),
           expr("transform(pairs, p -> p.m)").as("new_centroid"))
-      // empty clusters keep their previous centroid
+      // empty clusters keep their previous centroid. localCheckpoint cuts
+      // the logical lineage — each iteration references `centroids` twice,
+      // so without truncation the analyzed plan doubles per iteration
+      // (see Dedup.components for the measured blowup).
       centroids = centroids
         .join(updated, Seq("cluster_id"), "left")
         .select(col("cluster_id"),
           coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .localCheckpoint()
     }
     centroids
   }
