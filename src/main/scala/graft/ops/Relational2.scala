@@ -252,7 +252,59 @@ object Relational2 {
       |FROM orders
       |ORDER BY row_id""".stripMargin
 
+  /** Sliding windows in batch (window = 2×slide, so each event lands in
+    * exactly two buckets); the oracle unnests the two candidate starts. */
+  def q41SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("bucket"),
+        col("event_type"), col("n"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val q41Sql: String =
+    """SELECT bucket, event_type, COUNT(*) AS n FROM (
+      |  SELECT unnest([CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT),
+      |                 CAST(FLOOR(epoch(ts) / 900) * 900 - 900 AS BIGINT)]) AS bucket,
+      |    event_type
+      |  FROM events)
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Session windows in batch: gap-based per-user sessions via
+    * session_window; the oracle derives the same sessions with the classic
+    * lag/flag/cumsum idiom over epoch-microseconds (both engines see
+    * identical µs values: Spark truncates the ns fixture on read, DuckDB's
+    * epoch_us truncates the same way). */
+  def q42SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").cast("long").as("session_start"),
+        col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q42Sql: String =
+    """SELECT session_start, user_id, n_events FROM (
+      |  SELECT user_id,
+      |    CAST(MIN(us) // 1000000 AS BIGINT) AS session_start,
+      |    COUNT(*) AS n_events
+      |  FROM (
+      |    SELECT user_id, us,
+      |      SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 300000000
+      |               THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY us
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    FROM (
+      |      SELECT user_id, epoch_us(ts) AS us,
+      |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+      |      FROM events))
+      |  GROUP BY user_id, session_id)
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_sliding_window"  -> (q41SlidingWindow _),
+    "q42_session_window"  -> (q42SessionWindow _),
     "q39_setops_all"      -> (q39SetOpsAll _),
     "q40_row_ids"         -> (q40RowIds _),
     "q25_from_json"       -> (q25FromJson _),
@@ -267,6 +319,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_sliding_window"  -> q41Sql,
+    "q42_session_window"  -> q42Sql,
     "q39_setops_all"      -> q39Sql,
     "q40_row_ids"         -> q40Sql,
     "q25_from_json"       -> q25Sql,

@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression tests: the optimizations the engine's Scaladoc
+  * claims must actually appear in the physical plans — a refactor that
+  * silently drops a pushdown or broadcast fails here, not in a benchmark
+  * three rounds later. */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2: filter and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"))
+    assert(p.contains("DataFilters: [isnotnull(l_discount"))
+    // scan reads only the needed columns (4 output + filter column)
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("l_shipdate") && !scanLine.contains("l_tax"))
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("q3/q4: dimension joins broadcast") {
+    assert(plan("q3_join_segment").contains("BroadcastHashJoin"))
+    assert(plan("q4_join_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("q5/q6: semi and anti joins plan as such (no join+distinct)") {
+    assert(plan("q5_semi_join").contains("LeftSemi"))
+    assert(plan("q6_anti_join").contains("LeftAnti"))
+  }
+
+  test("q7: global top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q7_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("cosine queries use the native codegen expression, not HOF folds") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("cosinesimilarity"))
+    assert(!p.contains("aggregate(zip_with"))
+  }
+
+  test("mm_meta never reads the payload-bearing text column wastefully") {
+    val p = plan("q17_distinct_agg")
+    assert(p.contains("ReadSchema"))
+  }
+}
