@@ -302,7 +302,33 @@ object Relational2 {
       |  GROUP BY user_id, session_id)
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Second string-function batch: substring/pad/reverse/replace/
+    * split_part/position — the remainder of the scalar string surface. */
+  def q43StringBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        reverse(col("c_name")).as("reversed"),
+        regexp_replace(col("c_name"), "0", "#").as("replaced"),
+        element_at(split(col("c_name"), "#"), 1).as("name_part"),
+        instr(col("c_name"), "1").as("pos_one"))
+      .orderBy(col("c_custkey"))
+
+  val q43Sql: String =
+    """SELECT c_custkey,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |  reverse(c_name) AS reversed,
+      |  replace(c_name, '0', '#') AS replaced,
+      |  split_part(c_name, '#', 1) AS name_part,
+      |  instr(c_name, '1') AS pos_one
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_string_batch"    -> (q43StringBatch _),
     "q41_sliding_window"  -> (q41SlidingWindow _),
     "q42_session_window"  -> (q42SessionWindow _),
     "q39_setops_all"      -> (q39SetOpsAll _),
@@ -319,6 +345,7 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_string_batch"    -> q43Sql,
     "q41_sliding_window"  -> q41Sql,
     "q42_session_window"  -> q42Sql,
     "q39_setops_all"      -> q39Sql,
