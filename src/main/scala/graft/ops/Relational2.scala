@@ -327,7 +327,52 @@ object Relational2 {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** RANGE window frame: for each order, how many orders the same
+    * customer placed within ±30 days (value-based frame, not row-based —
+    * the frame boundary follows the ORDER BY value). */
+  def q44RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("d"))
+      .rangeBetween(-30, 30)
+    Tables.orders(spark, dir)
+      .withColumn("d", datediff(to_date(col("o_orderdate")),
+        lit("2020-01-01").cast("date")).cast("long"))
+      .withColumn("n_nearby", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"), col("n_nearby"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderkey, o_custkey, d,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+      |    RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS n_nearby
+      |FROM (SELECT o_orderkey, o_custkey,
+      |        CAST(datediff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** INTERSECT ALL (bag semantics — q14's multiset sibling). */
+  def q45IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.filter(col("l_quantity") < 30).select(col("l_partkey").as("k"))
+    val b = li.filter(col("l_discount") > 0.02).select(col("l_partkey").as("k"))
+    a.intersectAll(b)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+  }
+
+  val q45Sql: String =
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT l_partkey AS k FROM lineitem WHERE l_quantity < 30
+      |  INTERSECT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_discount > 0.02)
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_range_frame"     -> (q44RangeFrame _),
+    "q45_intersect_all"   -> (q45IntersectAll _),
     "q43_string_batch"    -> (q43StringBatch _),
     "q41_sliding_window"  -> (q41SlidingWindow _),
     "q42_session_window"  -> (q42SessionWindow _),
@@ -345,6 +390,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_range_frame"     -> q44Sql,
+    "q45_intersect_all"   -> q45Sql,
     "q43_string_batch"    -> q43Sql,
     "q41_sliding_window"  -> q41Sql,
     "q42_session_window"  -> q42Sql,

@@ -102,6 +102,24 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 10L))) // click@0 → purchase@20 (within 30m)
   }
 
+  test("checkpointed file sink: streaming output lands as parquet") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ms = eventsStream(Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "view", 2.0)))
+    val q = ms.toDF().writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == 2)
+    assert(new java.io.File(s"$base/ckpt").exists) // offsets/commits recorded
+  }
+
   test("streaming transforms run identically on a batch frame") {
     // the same tumblingCounts plan works in batch mode (no watermark state)
     val batch = Seq(
