@@ -16,6 +16,13 @@ import graft.Tables
   * bucket join shuffles each doc's signature a constant number of times
   * (one row per band), and candidate pairs are generated per-bucket via a
   * self-join on the band key. Driver never sees the data (no collect).
+  *
+  * Algorithms are the public classics: MinHash (Broder, "On the
+  * resemblance and containment of documents", 1997), SimHash (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", STOC
+  * 2002), LSH banding (Leskovec/Rajaraman/Ullman, MMDS ch. 3); the
+  * distributed top-k/similarity framing follows the retrieved corpus in
+  * PAPERS.md (e.g. "Incremental ... Top-K Similarity Search", EDBT 2020).
   */
 object Dedup {
 

@@ -20,6 +20,11 @@ import graft.Tables
   * re-shuffles for brute force; IVF/LSH shuffle the corpus ONCE on the
   * cell/signature key and reuse that partitioning. All cosine math is the
   * explicit left-fold from Dedup.cosine, bit-identical to the oracle.
+  *
+  * Public-literature anchors: random-hyperplane LSH (Charikar, STOC
+  * 2002), IVF coarse quantization (Jégou/Douze/Schmid, "Product
+  * quantization for nearest neighbor search", TPAMI 2011); distributed
+  * top-k search framing per PAPERS.md (REPOSE ICDE 2021; EDBT 2020).
   */
 object Similarity {
 
