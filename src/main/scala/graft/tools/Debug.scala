@@ -1,28 +1,16 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Scratch diagnostics main (not part of the library surface). */
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // simulate the driver's smoke check: default-ish session, entry(), rows>0
+    val spark = SparkSession.builder().master("local[4]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val dur = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
-        if (dur.exists(_ > 500))
-          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} ${dur.get}%d ms  ${si.name.take(60)}")
-      }
-    })
-    for (i <- 1 to 2) {
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries("dedup_groups")(spark, "/root/testdata/sf0.1").count()
-      println(f"[debug] dedup_groups iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
+    val rows = graft.SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows: $rows")
+    assert(rows > 0)
     spark.stop()
   }
 }
