@@ -370,7 +370,44 @@ object Relational2 {
       |GROUP BY k
       |ORDER BY k""".stripMargin
 
+  /** JSON serialization: to_json over a struct (the write-side twin of
+    * q21/q25's extraction). */
+  def q46ToJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+      .orderBy(col("event_id"))
+
+  val q46Sql: String =
+    """SELECT event_id,
+      |  to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Null-handling semantics (SURVEY §2.2 P4): nullif/coalesce/null-aware
+    * aggregation over synthesized nulls (the fixtures are null-free). */
+  def q47NullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("flag_or_null", nullif(col("l_returnflag"), lit("N")))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(col("flag_or_null")).as("n_non_null"), // COUNT skips nulls
+        count(lit(1)).as("n_total"),
+        coalesce(min(col("flag_or_null")), lit("NONE")).as("min_flag"))
+      .orderBy(col("l_linestatus"))
+
+  val q47Sql: String =
+    """SELECT l_linestatus,
+      |  COUNT(NULLIF(l_returnflag, 'N')) AS n_non_null,
+      |  COUNT(*) AS n_total,
+      |  COALESCE(MIN(NULLIF(l_returnflag, 'N')), 'NONE') AS min_flag
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_to_json"         -> (q46ToJson _),
+    "q47_null_handling"   -> (q47NullHandling _),
     "q44_range_frame"     -> (q44RangeFrame _),
     "q45_intersect_all"   -> (q45IntersectAll _),
     "q43_string_batch"    -> (q43StringBatch _),
@@ -390,6 +427,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_to_json"         -> q46Sql,
+    "q47_null_handling"   -> q47Sql,
     "q44_range_frame"     -> q44Sql,
     "q45_intersect_all"   -> q45Sql,
     "q43_string_batch"    -> q43Sql,
