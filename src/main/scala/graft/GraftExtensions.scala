@@ -37,15 +37,16 @@ object GraftExtensions {
       spark, cosineSimFunction._1, cosineSimFunction._2, cosineSimFunction._3)
 }
 
-/** Strength reduction: `cosine_sim(x, x)` is 1.0 whenever x is non-null
-  * (a vector is perfectly similar to itself) — rewrite to
-  * `if(isnull(x), null, 1.0)` and skip the O(dim) loop entirely. A small
-  * but genuine `injectOptimizerRule` demonstration: the rule fires only on
-  * deterministic, semantically-equal children. */
+/** Strength reduction: `cosine_sim(x, x)` → `SelfCosine(x)` — one norm²
+  * fold instead of three accumulators, BIT-IDENTICAL results (a rewrite to
+  * literal 1.0 would be wrong twice over: zero/empty vectors yield NaN via
+  * 0/0, and even non-zero vectors yield s/(sqrt(s)·sqrt(s)) which is ≤1 ulp
+  * away from 1.0, not exactly 1.0). The rule fires only on deterministic,
+  * semantically-equal children, so it can never change query results. */
 object SelfCosineRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
+        graft.functions.SelfCosine(a)
     }
 }

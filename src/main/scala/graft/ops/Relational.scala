@@ -167,20 +167,76 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Left anti join (NOT EXISTS): customers with no orders. */
+  /** Left anti join (NOT EXISTS): parts never shipped in bulk (no lineitem
+    * with quantity > 45). Every customer has an order in the fixtures, so
+    * the customer/orders formulation returns 0 rows — a vacuous pass that
+    * can't distinguish a correct anti join from one that drops everything;
+    * this predicate excludes 114 of 2000 parts at sf0.01, so both the
+    * match and no-match branches are exercised. */
   def q6AntiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
+    val p  = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
   }
 
   val q6Sql: String =
-    """SELECT c_custkey, c_name
-      |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-      |ORDER BY c_custkey""".stripMargin
+    """SELECT p_partkey, p_name
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Left OUTER join: every customer, with their high-value orders or
+    * null-extended columns when none exist (68 of 1500 customers at
+    * sf0.01 have no order above the threshold — both the matched and the
+    * null-extension branch carry rows). Broadcast is deliberately NOT
+    * hinted: the preserved (left) side is the big side at scale and
+    * Catalyst picks broadcast for the filtered right side from stats.
+    *
+    * Determinism: o_orderkey is null on unmatched rows and Spark sorts
+    * NULLS FIRST vs DuckDB NULLS LAST, so the sort key is
+    * COALESCE(o_orderkey, -1) on both sides. */
+  def q48LeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 350000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+  }
+
+  val q48Sql: String =
+    """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN (
+      |  SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey, COALESCE(o_orderkey, -1)""".stripMargin
+
+  /** FULL OUTER join with unmatched rows manufactured on BOTH sides:
+    * customers below key 800 vs per-customer order counts above key 400.
+    * Left-only keys [0,400), inner [400,800), right-only [800,1500) — all
+    * three null-extension regimes are populated. The output key coalesces
+    * the two join keys so it is never null (and is unique → total order). */
+  def q49FullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") < 800)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") >= 400)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+        col("c_acctbal"), col("n_orders"))
+      .orderBy(col("key"))
+  }
+
+  val q49Sql: String =
+    """SELECT COALESCE(c_custkey, o_custkey) AS key, c_acctbal, n_orders
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 800) c
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+      |           FROM orders WHERE o_custkey >= 400 GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY key""".stripMargin
 
   // ---------------------------------------------------------------------
   // Sorts / limits / top-k (SURVEY §2.7)
@@ -355,18 +411,23 @@ object Relational {
       |SELECT s_nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
-  /** EXCEPT: nation keys with customers but no suppliers. */
-  def q15Except(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+  /** EXCEPT: parts shipped in small quantities but never in bulk. (The
+    * customer-vs-supplier nationkey formulation is empty at every SF —
+    * all 25 nations have both — so it proved nothing; this one keeps 97
+    * of the small-quantity part keys at sf0.01.) */
+  def q15Except(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_quantity") < 5).select(col("l_partkey").as("partkey"))
       .except(
-        Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
-      .orderBy(col("nationkey"))
+        li.filter(col("l_quantity") > 45).select(col("l_partkey").as("partkey")))
+      .orderBy(col("partkey"))
+  }
 
   val q15Sql: String =
-    """SELECT c_nationkey AS nationkey FROM customer
+    """SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity < 5
       |EXCEPT
-      |SELECT s_nationkey FROM supplier
-      |ORDER BY nationkey""".stripMargin
+      |SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+      |ORDER BY partkey""".stripMargin
 
   // ---------------------------------------------------------------------
   // Counts / distinct aggregates (SURVEY §2.5 A1)
@@ -479,9 +540,11 @@ object Relational {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  // DuckDB SUM(INT) returns HUGEINT (decimal128 in arrow) vs Spark's
+  // BIGINT — identical values, different serialized hash. Pin to BIGINT.
   val q21Sql: String =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n,
       |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events
@@ -575,6 +638,8 @@ object Relational {
     "q22_date_trunc"     -> (q22DateTrunc _),
     "q23_tumbling_window" -> (q23TumblingWindow _),
     "q24_sql_frontend"   -> (q24SqlFrontend _),
+    "q48_left_join"      -> (q48LeftJoin _),
+    "q49_full_join"      -> (q49FullJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -602,5 +667,7 @@ object Relational {
     "q22_date_trunc"     -> q22Sql,
     "q23_tumbling_window" -> q23Sql,
     "q24_sql_frontend"   -> q24Sql,
+    "q48_left_join"      -> q48Sql,
+    "q49_full_join"      -> q49Sql,
   )
 }

@@ -25,9 +25,11 @@ object Relational2 {
         count(col("parsed.k")).as("n_k"))
       .orderBy(col("event_type"))
 
+  // CAST ... AS BIGINT: DuckDB integer SUM yields HUGEINT, Spark BIGINT —
+  // same values, different bytes (round-1's only two hash fails).
   val q25Sql: String =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
       |FROM events
       |GROUP BY event_type

@@ -56,29 +56,42 @@ object Temporal {
       |FROM events e
       |ORDER BY e.event_id""".stripMargin
 
-  /** Range (interval) join: events within 24h after each order of the same
-    * customer. The equi-key makes this a hash join + residual range
-    * filter — never a cross product. */
+  /** Range (interval) join: purchases within 15 minutes after each click
+    * by the same user. The equi-key (user_id) makes this a hash join +
+    * residual range filter — never a cross product. (The original
+    * orders-to-events formulation was vacuously empty: orders span
+    * 1995–2001 and events are all Jan-2024, so the time domains never
+    * overlap; events-to-events overlaps itself by construction — 15
+    * click/purchase pairs at sf0.01.)
+    *
+    * Oracle parity: the ns-precision fixture timestamps are compared at
+    * epoch-µs on the DuckDB side because Spark truncates ns → µs on read;
+    * comparing raw ns timestamps could flip a boundary pair. */
   def q35RangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
     val e = Tables.events(spark, dir)
-    o.join(e,
-        e("user_id") === o("o_custkey") &&
-          e("ts") >= o("o_orderdate") &&
-          e("ts") < o("o_orderdate") + expr("INTERVAL 1 DAY"))
-      .groupBy(o("o_orderkey"))
-      .agg(count(lit(1)).as("n_events_24h"))
-      .orderBy(col("o_orderkey"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") < col("click_ts") + expr("INTERVAL 15 MINUTES"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases_15m"))
+      .orderBy(col("click_id"))
   }
 
   val q35Sql: String =
-    """SELECT o_orderkey, COUNT(*) AS n_events_24h
-      |FROM orders o JOIN events e
-      |  ON e.user_id = o.o_custkey
-      | AND e.ts >= o.o_orderdate
-      | AND e.ts < o.o_orderdate + INTERVAL 1 DAY
-      |GROUP BY o_orderkey
-      |ORDER BY o_orderkey""".stripMargin
+    """SELECT a.event_id AS click_id, COUNT(*) AS n_purchases_15m
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) < epoch_us(a.ts) + 900000000
+      |GROUP BY a.event_id
+      |ORDER BY click_id""".stripMargin
 
   /** Exact percentiles (linear interpolation — same definition as DuckDB
     * quantile_cont) per group. */
@@ -103,15 +116,33 @@ object Temporal {
   /** Approximate sketches (HLL++ distinct, quantile sketch) — the
     * constant-memory versions of q17/q36 for 100 TB cardinalities.
     * Sketch internals are engine-specific → rows-only check; the exact
-    * columns alongside bound the error for inspection. */
+    * twin `q37_exact` below is the oracled bound for these numbers. */
   def q37ApproxSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"))
       .orderBy(col("l_returnflag"))
+
+  /** The exact twin of q37's sketches — COUNT(DISTINCT) + interpolated
+    * median per group, fully SQL-expressible, hash-checked. Reading the
+    * two side by side bounds the sketch error at any SF. */
+  def q37Exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"))
+      .orderBy(col("l_returnflag"))
+
+  val q37ExactSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  quantile_cont(l_quantity, 0.5) AS exact_p50
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** The same as-of join through the NATIVE custom operator
     * (graft.plans.AsOfJoin: LogicalPlan + SparkStrategy + streaming-merge
@@ -135,6 +166,7 @@ object Temporal {
     "q35_range_join"  -> (q35RangeJoin _),
     "q36_percentile"  -> (q36Percentile _),
     "q37_approx"      -> (q37ApproxSketches _),
+    "q37_exact"       -> (q37Exact _),
     "q38_asof_native" -> (q38AsofNative _),
   )
 
@@ -142,6 +174,7 @@ object Temporal {
     "q34_asof_join"   -> q34Sql,
     "q35_range_join"  -> q35Sql,
     "q36_percentile"  -> q36Sql,
+    "q37_exact"       -> q37ExactSql,
     "q38_asof_native" -> q34Sql,
   )
 }

@@ -66,11 +66,19 @@ object PagedTableSource {
       .toSeq
   }
 
+  /** Read a file fully, closing the handle (Source.getLines is lazy —
+    * a leaked iterator would keep the fd open and defeat retry wrappers). */
+  def readLines(file: String): IndexedSeq[String] = {
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    try src.getLines().toIndexedSeq finally src.close()
+  }
+
   /** S2: read page 0's header line, skip the first `skip` columns. */
   def discoverSchema(dir: String, skip: Int): StructType = {
     val first = pageFiles(dir).headOption.getOrElse(
       throw new IllegalArgumentException(s"no ${PagePrefix}* files in $dir"))
-    val header = scala.io.Source.fromFile(first, "UTF-8").getLines().next()
+    val header = readLines(first).headOption.getOrElse(
+      throw new IllegalArgumentException(s"empty page file $first"))
     StructType(header.split("\t").drop(skip).toSeq
       .map(h => StructField(h, StringType, nullable = true)))
   }
@@ -139,7 +147,8 @@ class PagedScan(fullSchema: StructType, required: StructType, path: String,
     override def numRows(): OptionalLong = {
       val f = new java.io.File(path, "_count")
       if (f.exists())
-        OptionalLong.of(scala.io.Source.fromFile(f).mkString.trim
+        OptionalLong.of(PagedTableSource.readLines(f.getAbsolutePath)
+          .mkString.trim
           .replace(".", "").toLong) // thousands-separator strip, flows/etl.py:135
       else OptionalLong.empty()
     }
@@ -154,9 +163,13 @@ class PagedReaderFactory(fullCols: Array[String], requiredCols: Array[String],
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[PagePartition].file
     new PartitionReader[InternalRow] {
-      // S1: the "session open" with retry/backoff
-      private val lines = PagedTableSource.withRetry(3, 0L) {
-        scala.io.Source.fromFile(file, "UTF-8").getLines()
+      // S1: the "session open" with retry/backoff. The page is read
+      // EAGERLY inside the retry: Source.getLines is lazy, so a lazy
+      // iterator here would surface I/O failures later in next(), outside
+      // the retry scope (and leak the file handle). A page file is one
+      // scrape page — small by construction — so materializing is fine.
+      private val lines: Iterator[String] = PagedTableSource.withRetry(3, 0L) {
+        PagedTableSource.readLines(file).iterator
       }
       if (lines.hasNext) lines.next() // skip the header line
       private val colIdx = requiredCols.map(c => fullCols.indexOf(c) + skip)

@@ -97,35 +97,58 @@ object StreamingOps {
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Int, sum_value: Double)
 
-  /** Custom per-user sessionization with explicit state + processing-time
+  /** Custom per-user sessionization with explicit state + EVENT-TIME
     * timeout — the escape hatch for session semantics session_window can't
     * express (here: emit on gap > gapMs using event time carried in state).
-    * State is one small record per active user key. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 5 * 60 * 1000L)
+    * State is one small record per active user key.
+    *
+    * The timeout is what closes the LAST session per user in a continuous
+    * stream: once the watermark passes `session_end + gap`, the group fires
+    * with hasTimedOut, the open session is emitted, and its state is
+    * evicted — without it the final session never emits and state leaks
+    * one record per ever-seen user. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 5 * 60 * 1000L,
+                 watermark: String = "10 minutes")
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            if (st == null) {
-              st = SessionState(t, t, 1, e.value)
-            } else if (t - st.last > gapMs) {
-              out += SessionOut(userId, new Timestamp(st.start),
-                new Timestamp(st.last), st.n, st.sum)
-              st = SessionState(t, t, 1, e.value)
-            } else {
-              st = SessionState(st.start, t, st.n + 1, st.sum + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new rows: close and evict
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(st.start),
+              new Timestamp(st.last), st.n, st.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (st == null) {
+                st = SessionState(t, t, 1, e.value)
+              } else if (t - st.last > gapMs) {
+                out += SessionOut(userId, new Timestamp(st.start),
+                  new Timestamp(st.last), st.n, st.sum)
+                st = SessionState(t, t, 1, e.value)
+              } else {
+                st = SessionState(st.start, t, st.n + 1, st.sum + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // fire once the watermark passes the session's gap horizon
+              // (must be strictly beyond the current watermark or Spark
+              // rejects the timestamp)
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          out.iterator
       }
   }
 }

@@ -34,19 +34,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 1.0)
   }
 
-  test("SelfCosineRule rewrites cosine_sim(x, x) to a null-safe literal") {
+  test("SelfCosineRule rewrites cosine_sim(x, x) to SelfCosine") {
     val df = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("e")
     val plan = df.select(cosine_sim(col("e"), col("e")).as("c"))
       .queryExecution.analyzed
     val rewritten = SelfCosineRule(plan)
     val exprs = rewritten.expressions.flatMap(_.collect {
-      case i: If => i
-      case l @ Literal(1.0, _) => l
+      case s: graft.functions.SelfCosine => s
     })
     assert(exprs.nonEmpty, s"rule did not fire: $rewritten")
-    // and the rewrite is value-correct
-    assert(spark.sessionState.executePlan(rewritten) // fires through execution
-      .executedPlan != null)
+  }
+
+  test("SelfCosine is bit-identical to the unoptimized expression, incl. zero/empty vectors") {
+    // zero vector and empty array → 0/0 = NaN in the unoptimized form; a
+    // normal vector → s/(sqrt(s)·sqrt(s)), often 1 ulp away from 1.0.
+    // The rule must preserve all of it bitwise.
+    val rows = Seq(
+      Array(1.0f, 2.0f, 3.0f),
+      Array(0.0f, 0.0f, 0.0f),
+      Array[Float](),
+      Array(2.0f, 0.0f, 0.0f))
+    val df = rows.map(Tuple1(_)).toDF("e")
+    val unopt = df.select(cosine_sim(col("e"), col("e"))).as[Double].collect()
+    val viaRule = {
+      val plan = df.select(cosine_sim(col("e"), col("e")).as("c")).queryExecution.analyzed
+      val rewritten = SelfCosineRule(plan)
+      org.apache.spark.sql.graft.GraftShim.ofRows(spark, rewritten).as[Double].collect()
+    }
+    assert(unopt.length == viaRule.length)
+    unopt.zip(viaRule).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+        s"$a vs $b not bitwise-equal")
+    }
+    assert(unopt(1).isNaN && unopt(2).isNaN) // documents the 0/0 semantics
+  }
+
+  test("cosine_sim handles int/short/byte element arrays width-correctly") {
+    val df = Seq((Array(1, 2), Array(2, 3))).toDF("a", "b")
+    val got = df.select(cosine_sim(col("a"), col("b"))).as[Double].collect().head
+    val expect = (1.0 * 2 + 2.0 * 3) / (math.sqrt(1.0 + 4.0) * math.sqrt(4.0 + 9.0))
+    assert(math.abs(got - expect) < 1e-15)
+    // short + byte arrays through the SQL surface (interpreted + codegen)
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(array(CAST(3 AS SMALLINT), CAST(4 AS SMALLINT)), array(CAST(3 AS TINYINT), CAST(4 AS TINYINT))) AS c")
+      .as[Double].collect().head
+    assert(math.abs(viaSql - 1.0) < 1e-15)
   }
 
   test("TopKAggregator keeps k best with deterministic tie-break") {
