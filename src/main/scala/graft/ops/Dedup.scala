@@ -320,7 +320,7 @@ object Dedup {
     * chains). The canonical keep-one-per-group dedup decision at corpus
     * scale — no driver-side graph, no union-find structure. */
   def components(pairs: DataFrame, allIds: DataFrame,
-                 rounds: Int = 4): DataFrame = {
+                 minRounds: Int = 4, maxIters: Int = 50): DataFrame = {
     // undirected edge list, materialized once (every round reuses it).
     // localCheckpoint (eager) replaces the logical plan with the
     // materialized RDD — persist() alone is NOT enough for an iterative
@@ -332,18 +332,30 @@ object Dedup {
       .localCheckpoint()
     var labels = allIds.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
-    // Fixed round count instead of a convergence probe: min-label
-    // propagation converges in graph-diameter rounds, and near-dup
-    // components are shallow (bucket-join pairs form near-cliques) —
-    // 4 rounds covers diameter-4 chains (LSH near-dup components are near-cliques; raise for pathological corpora).
-    for (_ <- 1 to rounds) {
-      labels = labels
-        .unionByName(edges
-          .join(labels, edges("dst") === labels("doc_id"))
-          .select(col("src").as("doc_id"), col("label")))
-        .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint()
+    def round(ls: DataFrame): DataFrame = ls
+      .unionByName(edges
+        .join(ls, edges("dst") === ls("doc_id"))
+        .select(col("src").as("doc_id"), col("label")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("label")).as("label"))
+      .localCheckpoint()
+    // Min-label propagation converges in graph-diameter rounds. Near-dup
+    // components are usually near-cliques (diameter ≤ 4), so the first
+    // `minRounds` run without a probe; after that, each round pays one
+    // cheap anti-join count and the loop stops at zero changed labels —
+    // a diameter-6 chain (or worse) converges instead of silently
+    // mislabeling its tail. `maxIters` bounds pathological graphs.
+    for (_ <- 1 to minRounds) labels = round(labels)
+    var changed = 1L
+    var iters = minRounds
+    while (changed > 0 && iters < maxIters) {
+      val next = round(labels)
+      // changed = rows whose label moved this round (labels only ever
+      // decrease, so an inner join on (doc_id, label) finds the stable ones)
+      changed = next.count() -
+        next.join(labels, Seq("doc_id", "label"), "left_semi").count()
+      labels = next
+      iters += 1
     }
     labels
   }

@@ -75,6 +75,18 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("components converge on a diameter-9 chain (beyond the fixed min rounds)") {
+    import spark.implicits._
+    // path 1-2-3-...-10: min label 1 propagates one hop per round, so a
+    // fixed-4-round loop would leave nodes 6..10 mislabeled — the
+    // convergence probe must keep iterating until zero changed labels.
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ids = (1L to 10L).toDF("doc_id")
+    val labels = Dedup.components(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 10L).map(_ -> 1L).toMap)
+  }
+
   test("dedup groups keep exactly one representative per near-dup set") {
     val dir = corpus((1L, base), (2L, nearDup), (3L, unrelated))
     val out = Dedup.dedupGroups(spark, dir)
