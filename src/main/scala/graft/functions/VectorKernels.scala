@@ -41,4 +41,66 @@ object VectorKernels {
 
   val lshSigUdf: UserDefinedFunction =
     udf((v: Array[Float], table: Int, bits: Int) => lshSignature(v, table, bits))
+
+  /** Cosine similarity of `v` against every row of a candidate matrix;
+    * returns (argmax index, max cosine). Ties keep the lowest index; NaN
+    * cosines (zero-norm vectors) never win. The matrix is CLOSED OVER by
+    * the udf (primitive arrays, serialized once per task with the
+    * closure) — passing it as a column literal instead would re-convert
+    * the whole matrix from ArrayData to boxed Seq[Seq[Double]] on EVERY
+    * row, which dominates the runtime at corpus scale. The argmax is
+    * map-side — this is what lets k-means assignment run with ZERO
+    * shuffle. */
+  def nearest(v: Array[Double], m: Array[Array[Double]]): (Int, Double) = {
+    var bestIdx = 0
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < m.length) {
+      val row = m(c)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(v.length, row.length)
+      while (i < n) {
+        val a = v(i); val b = row(i)
+        dot += a * b; na += a * a; nb += b * b
+        i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > best) { best = cos; bestIdx = c }
+      c += 1
+    }
+    (bestIdx, best)
+  }
+
+  /** Multi-probe LSH: all signatures within Hamming distance ≤ d of `sig`
+    * over the low `bits` bits (Lv et al., "Multi-probe LSH", VLDB 2007 —
+    * probing neighbor buckets recovers the recall that more tables would
+    * buy, without re-hashing the corpus). d ≤ 2 keeps the probe count at
+    * 1 + bits + bits·(bits−1)/2. */
+  def probeSigs(sig: Long, bits: Int, d: Int): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer(sig)
+    if (d >= 1) {
+      var i = 0
+      while (i < bits) {
+        out += (sig ^ (1L << i))
+        if (d >= 2) {
+          var j = i + 1
+          while (j < bits) { out += (sig ^ (1L << i) ^ (1L << j)); j += 1 }
+        }
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  val probeSigsUdf: UserDefinedFunction =
+    udf((sig: Long, bits: Int, d: Int) => probeSigs(sig, bits, d))
+
+  /** (argmax index, max cosine) as a struct column — fields `_1`, `_2`. */
+  def nearestUdf(m: Array[Array[Double]]): UserDefinedFunction =
+    udf((v: Array[Double]) => nearest(v, m))
+
+  /** Max cosine of `v` against the candidate matrix (k-means|| cost term). */
+  def maxCosUdf(m: Array[Array[Double]]): UserDefinedFunction =
+    udf((v: Array[Double]) => nearest(v, m)._2)
 }

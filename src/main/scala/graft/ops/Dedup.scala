@@ -287,25 +287,33 @@ object Dedup {
   /** Embedding near-dup without any semantic bucket column: candidates
     * come from hyperplane-LSH signature equality (multi-table), verified
     * by exact cosine — the fully content-addressed variant that works on
-    * any corpus. Each table's bucket join is an equi-join on the 12-bit
-    * signature; a pair colliding in ANY table becomes a candidate. */
+    * any corpus. Each table's bucket join is an equi-join on the short
+    * signature; one side additionally probes all buckets within Hamming ≤
+    * `probes` of its signature (multi-probe, Lv et al. VLDB 2007), so a
+    * pair within that Hamming distance in ANY table becomes a candidate —
+    * recall rises steeply while each doc still hashes once per table. */
   def embeddingLsh(spark: SparkSession, dir: String,
                    threshold: Double = 0.35, tables: Int = 4,
-                   bits: Int = 12): DataFrame = {
+                   bits: Int = 6, probes: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
+    // candidate pairs stay SLIM (two ids) through the union + distinct —
+    // the 64-float embeddings must not ride the shuffle (same discipline
+    // as minhash's slim band frame); they rejoin only for the survivors.
     val candParts = (0 until tables).map { t =>
-      val sigged = e.withColumn("sig",
+      val sigged = e.withColumn("sig0",
         graft.functions.VectorKernels.lshSigUdf(col("embedding"), lit(t), lit(bits)))
-      val a = sigged.select(col("sig"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"))
-      val b = sigged.select(col("sig"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"))
+      val a = sigged.select(col("vec_id").as("a_id"),
+        explode(graft.functions.VectorKernels.probeSigsUdf(
+          col("sig0"), lit(bits), lit(probes))).as("sig"))
+      val b = sigged.select(col("sig0").as("sig"), col("vec_id").as("b_id"))
       a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+        .select(col("a_id"), col("b_id"))
     }
     candParts.reduce(_ unionByName _)
       .dropDuplicates("a_id", "b_id")
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
       .withColumn("cos", cosine("a_emb", "b_emb"))
       .filter(col("cos") > threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
@@ -351,9 +359,9 @@ object Dedup {
     while (changed > 0 && iters < maxIters) {
       val next = round(labels)
       // changed = rows whose label moved this round (labels only ever
-      // decrease, so an inner join on (doc_id, label) finds the stable ones)
-      changed = next.count() -
-        next.join(labels, Seq("doc_id", "label"), "left_semi").count()
+      // decrease, so an anti join on (doc_id, label) finds the movers) —
+      // ONE count job per probe round
+      changed = next.join(labels, Seq("doc_id", "label"), "left_anti").count()
       labels = next
       iters += 1
     }

@@ -1,96 +1,164 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorKernels
 
 /** Distributed k-means over the embedding corpus — the coarse quantizer a
-  * real IVF index trains, expressed as pure DataFrame iterations:
+  * real IVF index trains, expressed as pure DataFrame passes:
   *
-  *  - init: deterministic greedy farthest-point from a min-hash seed
-  *    (no RNG, so plans are reproducible and retries are safe);
-  *  - assign: broadcast the k centroids, per-row argmin of cosine distance
-  *    (native CosineSimilarity expression — codegen'd loop);
-  *  - update: per-cluster element-wise mean via posexplode + two hash
-  *    aggregations (partial aggregation does the heavy lifting map-side;
-  *    shuffle volume is O(k·dim), independent of corpus size).
+  *  - init: deterministic k-means‖-style oversampling (Bahmani et al.,
+  *    "Scalable k-means++", VLDB 2012) — O(initRounds) full scans TOTAL,
+  *    independent of k, each sampling ~k·oversample candidates
+  *    cost-proportionally; the k final centers are picked driver-side from
+  *    the tiny weighted candidate pool;
+  *  - assign: per-row argmax of cosine similarity against the centroid
+  *    matrix carried as a plan literal (compiled kernel) — map-side only,
+  *    ZERO shuffle;
+  *  - update: per-cluster element-wise mean via posexplode + hash
+  *    aggregation (partial aggregation map-side; shuffle volume is
+  *    O(k·dim), independent of corpus size).
   *
-  * Each iteration is one broadcast + one narrow pass + one O(k·dim)
-  * shuffle — the canonical scalable k-means loop. The driver only ever
-  * holds k centroids (collected for the broadcast), never data rows.
+  * The driver only ever holds centroids and candidates (≤ k·oversample·
+  * initRounds rows of dim doubles), never corpus data. Every pass is
+  * hash-deterministic — no RNG, so retries and re-runs are safe.
   */
 object KMeans {
 
-  /** Train k centroids; returns (cluster_id, centroid: array<double>).
-    *
-    * Init is greedy farthest-point (k-center): seed = the min-hash vector,
-    * then k-1 rounds each picking the vector least similar to every chosen
-    * centroid — deterministic, and robust against the all-seeds-in-one-
-    * cluster collapse a hash-ordered sample can produce. Each round scans
-    * once and collects ONE row to the driver (k·dim doubles total — the
-    * only driver-side data in the trainer). Empty clusters retain their
-    * previous centroid, so k stays constant. */
-  def fit(spark: SparkSession, corpus: DataFrame, k: Int,
-          iterations: Int): DataFrame = {
-    import spark.implicits._
-    val vecs = corpus.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  /** Cosine between two driver-side vectors (candidate bookkeeping). */
+  private def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
-    var chosen = Vector(
+  private def asMatrix(rows: Seq[Seq[Double]]): Array[Array[Double]] =
+    rows.map(_.toArray).toArray
+
+  /** k-means‖ candidate pool: seed with the min-hash vector, then each
+    * round samples ~l rows WITHOUT replacement, proportional to their
+    * cost (1 − max cosine to any current candidate), via the
+    * Efraimidis–Spirakis key u^(1/cost) — one TakeOrdered pass per round,
+    * no global total needed. u is a hash-uniform in (0,1) derived from
+    * (vec_id, round), so the sample is deterministic. Already-covered rows
+    * have cost→0 ⇒ key→0 and are never re-drawn. */
+  private def initCandidates(vecs: DataFrame, k: Int, oversample: Int,
+                             initRounds: Int): Vector[Seq[Double]] = {
+    val l = k * oversample
+    var cands = Vector[Seq[Double]](
       vecs.withColumn("h", xxhash64(col("vec_id")))
         .orderBy(col("h"), col("vec_id")).limit(1)
         .select(col("v")).collect().head.getSeq[Double](0).toSeq)
-    while (chosen.size < k) {
-      // farthest point = the vector whose NEAREST chosen centroid is
-      // farthest, i.e. argmin over vectors of max-similarity-to-chosen
-      val maxSim = chosen
-        .map(c => graft.functions.CosineSimilarity.cosine_sim(col("v"), typedLit(c)))
-        .reduce(greatest(_, _))
-      chosen = chosen :+ vecs.withColumn("ms", maxSim)
-        .orderBy(col("ms").asc, col("vec_id")).limit(1)
-        .select(col("v")).collect().head.getSeq[Double](0).toSeq
+    for (r <- 1 to initRounds) {
+      val cost = lit(1.0) - VectorKernels.maxCosUdf(asMatrix(cands))(col("v"))
+      // 53 uniform bits from xxhash64(vec_id, r); +0.5 keeps u strictly in (0,1)
+      val u = (shiftrightunsigned(xxhash64(col("vec_id"), lit(r)), 11).cast("double")
+        + lit(0.5)) / lit(9007199254740992.0)
+      // ANSI mode: x/0 throws even for doubles — cost=0 rows (already
+      // covered by a candidate) get key 0 explicitly, never re-drawn
+      val key = when(cost <= lit(0.0), lit(0.0))
+        .otherwise(pow(u, lit(1.0) / cost))
+      cands = cands ++ vecs
+        .withColumn("es_key", key)
+        .orderBy(col("es_key").desc, col("vec_id"))
+        .limit(l)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq)
     }
-    var centroids = chosen.zipWithIndex
-      .map { case (c, i) => (i, c) }
-      .toDF("cluster_id", "centroid")
-
-    for (_ <- 1 to iterations) {
-      val assigned = assign(vecs, centroids)
-      val updated = assigned
-        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cluster_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-        .select(col("cluster_id"),
-          expr("transform(pairs, p -> p.m)").as("new_centroid"))
-      // empty clusters keep their previous centroid. localCheckpoint cuts
-      // the logical lineage — each iteration references `centroids` twice,
-      // so without truncation the analyzed plan doubles per iteration
-      // (see Dedup.components for the measured blowup).
-      centroids = centroids
-        .join(updated, Seq("cluster_id"), "left")
-        .select(col("cluster_id"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
-        .localCheckpoint()
-    }
-    centroids
+    cands.distinct
   }
 
-  /** Nearest-centroid assignment (broadcast k centroids, per-row argmin
-    * over cosine similarity). */
+  /** Weight each candidate by how many corpus rows it is nearest to
+    * (one map-side pass + an O(candidates) aggregation). */
+  private def candidateWeights(vecs: DataFrame,
+                               cands: Vector[Seq[Double]]): Array[Long] = {
+    val counts = vecs
+      .select(VectorKernels.nearestUdf(asMatrix(cands))(col("v"))
+        .getField("_1").as("ci"))
+      .groupBy(col("ci")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Array.tabulate(cands.size)(i => counts.getOrElse(i, 0L))
+  }
+
+  /** Pick k centers from the weighted candidate pool, driver-side:
+    * weighted greedy k-center (heaviest first, then repeatedly the
+    * candidate maximizing weight × cosine-distance-to-chosen). The pool is
+    * ≤ k·oversample·initRounds rows, so this is O(k·pool·dim) local work. */
+  private def pickK(cands: Vector[Seq[Double]], weights: Array[Long],
+                    k: Int): Vector[Seq[Double]] = {
+    val order = cands.indices.sortBy(i => (-weights(i), i))
+    var chosenIdx = Vector(order.head)
+    while (chosenIdx.size < math.min(k, cands.size)) {
+      val next = cands.indices
+        .filterNot(chosenIdx.contains)
+        .maxBy { i =>
+          val d = 1.0 - chosenIdx.map(j => cosLocal(cands(i), cands(j))).max
+          (weights(i) * math.max(d, 0.0), -i.toDouble)
+        }
+      chosenIdx = chosenIdx :+ next
+    }
+    chosenIdx.map(cands)
+  }
+
+  /** Train k centroids; returns (cluster_id, centroid: array<double>).
+    * Job count: 1 seed + initRounds samples + 1 weighting + 2·iterations —
+    * independent of k (the greedy farthest-point alternative is O(k)
+    * sequential scans, unusable at IVF-scale k). If the corpus has fewer
+    * than k distinct candidate vectors, fewer centroids are returned. */
+  def fit(spark: SparkSession, corpus: DataFrame, k: Int, iterations: Int,
+          oversample: Int = 4, initRounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    // eager checkpoint: the trainer runs ~initRounds+iterations+2 jobs
+    // over this frame — materializing it once keeps every subsequent job's
+    // plan (and its analysis/codegen cost) trivial
+    val vecs = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint()
+
+    def timed[A](n: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_FIT_TIMING"))
+        println(f"FITPHASE $n ${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    }
+    val pool = timed("init")(initCandidates(vecs, k, oversample, initRounds))
+    val w = timed("weights")(candidateWeights(vecs, pool))
+    var centers = timed("pick")(pickK(pool, w, k))
+
+    for (it <- 1 to iterations) timed(s"lloyd$it") {
+      val updated = vecs
+        .withColumn("ci", VectorKernels.nearestUdf(asMatrix(centers))(col("v"))
+          .getField("_1"))
+        .select(col("ci"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("ci"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("ci"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("ci"), expr("transform(pairs, p -> p.m)").as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      // empty clusters keep their previous centroid, so k stays constant
+      centers = centers.indices.map(i => updated.getOrElse(i, centers(i))).toVector
+    }
+    timed("done")(())
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster_id", "centroid")
+  }
+
+  /** Nearest-centroid assignment: collect the ≤k centroid rows once, then
+    * a single map-side kernel pass — no join, no window, no shuffle.
+    * Output: (vec_id, v, cluster_id, sim). */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vecs.join(broadcast(centroids), lit(true))
-      .withColumn("sim",
-        graft.functions.CosineSimilarity.cosine_sim(col("v"), col("centroid")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cluster_id"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cluster_id"), col("sim"))
+    val rows = centroids.orderBy(col("cluster_id"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+    val ids = rows.map(_._1)
+    val nc = VectorKernels.nearestUdf(rows.map(_._2.toArray))(col("v"))
+    vecs
+      .withColumn("nc", nc)
+      .select(col("vec_id"), col("v"),
+        element_at(typedLit(ids), col("nc").getField("_1") + 1).as("cluster_id"),
+        col("nc").getField("_2").as("sim"))
   }
 
   /** Query surface: cluster sizes + intra-cluster mean similarity after a

@@ -72,39 +72,35 @@ object Similarity {
   // IVF (inverted-file) ANN
   // ---------------------------------------------------------------------
 
-  /** IVF-style ANN: the fixture `label` plays the coarse-quantizer cell id
-    * (in production the cells come from k-means; the dataflow — assign,
-    * bucket, probe — is identical and label is deterministic for the
-    * oracle-free rows check). Each query probes the `nprobe` cells whose
-    * centroid is nearest, then exact-reranks inside them.
-    *
-    * Centroids are per-cell means computed distributed (treeAggregate-like
-    * partial means via groupBy), then broadcast — the corpus shuffles only
-    * on the cell key. */
-  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+  /** IVF ANN with a REAL trained coarse quantizer: KMeans.fit learns the
+    * cells (k-means‖ init + Lloyd, all hash-deterministic), the corpus is
+    * bucketed by nearest cell (map-side kernel assignment, no shuffle),
+    * each query probes the `nprobe` cells whose centroid is nearest, and
+    * exact cosine reranks inside the probed cells only — scan cost drops
+    * to ~n·nprobe/cells per query. Float→double casts are exact, so the
+    * reported cosines are bit-identical to the brute-force values. */
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 4,
+              cells: Int = 6, iterations: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    // per-cell centroid: element-wise mean via posexplode + re-assemble
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("mean_v"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
-      .select(col("label").as("c_label"),
-        expr("transform(pairs, p -> CAST(p.mean_v AS DOUBLE))").as("centroid"))
+    val centroids = KMeans.fit(spark, e, cells, iterations)
+    val vecs = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // corpus bucketed by trained cell — one map-side pass
+    val corpus = KMeans.assign(vecs, centroids)
+      .select(col("cluster_id").as("cell"), col("vec_id").as("n_id"),
+        col("v").as("n_emb"))
     // rank cells per query by centroid cosine, keep nprobe
-    val qc = queriesDf(spark, dir).join(broadcast(centroids), lit(true))
+    val qc = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_emb"))
+      .join(broadcast(centroids), lit(true))
       .withColumn("c_cos", Dedup.cosine("q_emb", "centroid"))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_label"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("cluster_id"))
     val probed = qc.withColumn("c_rank", row_number().over(wq))
       .filter(col("c_rank") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("c_label"))
+      .select(col("q_id"), col("q_emb"), col("cluster_id").as("cell"))
     // exact rerank within probed cells only
-    val corpus = Tables.embeddings(spark, dir)
-      .select(col("label").as("c_label"), col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    corpus.join(broadcast(probed), Seq("c_label"))
+    corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
       .withColumn("rank", row_number().over(w))
@@ -117,8 +113,9 @@ object Similarity {
   // Hyperplane LSH ANN
   // ---------------------------------------------------------------------
 
-  val LshBits = 12
+  val LshBits = 6
   val LshTables = 4
+  val LshProbes = 2 // multi-probe Hamming radius on the QUERY side
 
   /** Signature: bit j = sign(<v, h_j>) with Rademacher hyperplanes derived
     * from hashes of (table, bit, dim) — deterministic, no stored model
@@ -128,15 +125,21 @@ object Similarity {
 
   /** LSH-bucketed ANN: per table, corpus and queries hash to a signature;
     * equality bucket join generates candidates; exact cosine reranks the
-    * union of candidates over all tables. Misses are possible (that's the
-    * approximation); candidate generation is an equi-join, so the plan is
-    * two narrow shuffles regardless of corpus size. */
+    * union of candidates over all tables. The QUERY side (small) explodes
+    * into all buckets within Hamming ≤ LshProbes of its signature
+    * (multi-probe, Lv et al. VLDB 2007) — recall rises steeply while the
+    * corpus still hashes exactly once per table. Misses remain possible
+    * (that's the approximation); candidate generation stays an equi-join,
+    * so the plan is two narrow shuffles regardless of corpus size. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val corpus = corpusDf(spark, dir)
     val qs = queriesDf(spark, dir)
     val candParts = (0 until LshTables).map { t =>
       val cSig = corpus.withColumn("sig", lshSig("n_emb", t))
-      val qSig = qs.withColumn("sig", lshSig("q_emb", t))
+      val qSig = qs.withColumn("sig0", lshSig("q_emb", t))
+        .select(col("q_id"), col("q_emb"), explode(
+          graft.functions.VectorKernels.probeSigsUdf(
+            col("sig0"), lit(LshBits), lit(LshProbes))).as("sig"))
       cSig.join(broadcast(qSig), Seq("sig"))
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))

@@ -75,6 +75,62 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("minhash recall is total vs exact all-pairs shingle jaccard (fixture)") {
+    import org.apache.spark.sql.functions._
+    val sh = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.shingleUdf(col("text"), lit(3)).as("s"))
+      .filter(size(col("s")) > 0)
+    val a = sh.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s").as("b_s"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("j", size(array_intersect(col("a_s"), col("b_s"))).cast("double") /
+        size(array_union(col("a_s"), col("b_s"))).cast("double"))
+      .filter(col("j") >= 0.5).select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(mh).size.toDouble / math.max(truth.size, 1)
+    info(f"minhash recall vs exact jaccard>=0.5 = $recall%.3f (truth=${truth.size})")
+    assert(truth.nonEmpty, "fixture has no true near-dup pairs — vacuous test")
+    assert(recall >= 0.95, f"minhash recall $recall%.3f below floor 0.95")
+  }
+
+  test("embedding LSH recall >= 0.9 vs exact label-bucketed twin (fixture)") {
+    val exact = Dedup.embeddingCosine(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val lsh = Dedup.embeddingLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the LSH variant is content-addressed over ALL pairs (no label
+    // restriction), so it is a superset generator; recall is measured
+    // against the label-bucketed exact twin's pairs
+    val recall = exact.intersect(lsh).size.toDouble / math.max(exact.size, 1)
+    info(f"embedding-LSH recall vs exact = $recall%.3f (exact=${exact.size}, lsh=${lsh.size})")
+    assert(exact.nonEmpty, "fixture has no exact near-dup pairs — vacuous test")
+    assert(recall >= 0.9, f"embedding-LSH recall $recall%.3f below floor 0.9")
+  }
+
+  test("simhash recall is exactly 1.0 for hamming<=3 (pigeonhole guarantee)") {
+    import org.apache.spark.sql.functions._
+    // 4 bands × 16 bits: any pair at hamming <= 3 agrees on >= 1 band, so
+    // banding can never miss one — recall vs the exact all-pairs truth is
+    // a deterministic 1.0, not a probabilistic floor.
+    val fp = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.simhashUdf(col("text")).as("fp"))
+    val a = fp.select(col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val b = fp.select(col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("h", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
+      .filter(col("h") <= 3).select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhash(spark, sf, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"simhash truth pairs = ${truth.size}")
+    assert(truth.nonEmpty, "fixture has no hamming<=3 pairs — vacuous test")
+    assert(sh == truth, "simhash output must equal the exact hamming<=3 pair set")
+  }
+
   test("components converge on a diameter-9 chain (beyond the fixed min rounds)") {
     import spark.implicits._
     // path 1-2-3-...-10: min label 1 propagates one hop per round, so a

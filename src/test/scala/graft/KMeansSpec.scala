@@ -39,6 +39,17 @@ class KMeansSpec extends SparkSpec {
     assert((0 until 3).map(g => assigned(g.toLong)).toSet.size == 3)
   }
 
+  test("IVF with the trained quantizer reaches recall >= 0.8 vs brute force") {
+    import graft.ops.Similarity
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(f"IVF recall vs brute = $recall%.3f (${ivf.size} rows)")
+    assert(recall >= 0.8, f"IVF recall $recall%.3f below floor 0.8")
+  }
+
   test("assignment is deterministic across runs") {
     val dir = sf
     val a = KMeans.clusterStats(spark, dir, k = 4, iterations = 2)
