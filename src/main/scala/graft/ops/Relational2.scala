@@ -216,6 +216,48 @@ object Relational2 {
       |GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** The same streaming aggregation through a checkpointed parquet FILE
+    * sink in Append mode, then read back from disk — this puts the
+    * at-least-once sink path (offsets, commits, finalized windows)
+    * inside the correctness gate, not just the memory sink. Append mode
+    * only emits a window once the watermark passes its end, so the last
+    * `watermark` of event time never finalizes on a bounded input; the
+    * oracle applies the identical cutoff (window_end <= max(ts) −
+    * watermark). */
+  def q50StreamFileSink(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val base = java.nio.file.Files.createTempDirectory("graft-q50").toString
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$base/out")
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val q50Sql: String =
+    """SELECT * FROM (
+      |  SELECT CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) AS bucket, event_type,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events
+      |  GROUP BY 1, 2)
+      |WHERE bucket + 1800 <= (SELECT epoch(max(ts)) - 600 FROM events)
+      |ORDER BY bucket, event_type""".stripMargin
+
   /** Multiset set operations (ALL variants keep duplicates — Spark
     * exceptAll/intersectAll, modeled relationally as count-bag ops). */
   def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
@@ -426,6 +468,7 @@ object Relational2 {
     "q31_in_subquery"     -> (q31InSubquery _),
     "q32_pivot"           -> (q32Pivot _),
     "q33_stream_tumbling" -> (q33StreamTumbling _),
+    "q50_stream_file_sink" -> (q50StreamFileSink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -447,5 +490,6 @@ object Relational2 {
     "q31_in_subquery"     -> q31Sql,
     "q32_pivot"           -> q32Sql,
     "q33_stream_tumbling" -> q33Sql,
+    "q50_stream_file_sink" -> q50Sql,
   )
 }
