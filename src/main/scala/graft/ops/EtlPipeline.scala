@@ -115,6 +115,22 @@ object EtlPipeline {
     df.write.mode("append").parquet(path)             // K2: parallel append
   }
 
+  /** The same K1/K2 protocol against a REAL JDBC database (the reference
+    * targets Postgres via pandas `to_sql(..., chunksize=500)`,
+    * `flows/etl.py:256-286`): schema-only overwrite issues the DDL, then a
+    * chunked parallel append — `numPartitions` concurrent connections,
+    * `batchsize` rows per INSERT batch. Works against any JDBC URL; the
+    * integration spec drives it with embedded Derby (the JDBC engine on
+    * Spark's classpath), production points it at Postgres. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                batchSize: Int = 500, numPartitions: Int = 4): Unit = {
+    val w = (d: DataFrame) => d.write
+      .option("batchsize", batchSize)
+      .option("numPartitions", numPartitions)
+    w(df.limit(0)).mode("overwrite").jdbc(url, table, new java.util.Properties) // K1 DDL
+    w(df).mode("append").jdbc(url, table, new java.util.Properties)            // K2 chunked append
+  }
+
   /** Fixture-shaped pipeline run for the driver contract: builds the two
     * "scraped" source frames from customer ⋈ nation (string columns, a
     * location that is present for even keys and NotAvailable otherwise —
