@@ -5,11 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query at the given scale
   * factor and prints one JSON metrics line. A trivial warmup action absorbs
   * JVM/session startup so per-query numbers measure the plans, not
-  * classloading. */
+  * classloading.
+  *
+  * Each query is timed `SPARK_GRAFT_BENCH_ITERS` times (default 3) and the
+  * MEDIAN is reported: single-shot timing on a shared sandbox showed ±5×
+  * machine-contention swings on untouched code (BENCH_r02 vs a quiet rerun),
+  * which a median absorbs. Composite operators (k-means, IVF) additionally
+  * report per-phase timings via graft.tools.PhaseTiming so a regression in
+  * e.g. quantizer training is attributable without re-profiling. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,15 +35,25 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
+    val phases = scala.collection.mutable.Map[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        graft.tools.PhaseTiming.drain() // discard phases from prior iteration
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // phase breakdown from the LAST iteration (steady state: caches warm)
+      phases ++= graft.tools.PhaseTiming.drain()
+        .map { case (k, v) => s"$name.$k" -> v }
+      name -> times.sorted.apply(times.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results)
+    val ph = jsonMap(phases.toSeq.sorted)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$ph,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -120,8 +120,9 @@ object KMeans {
 
     def timed[A](n: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      if (sys.env.contains("GRAFT_FIT_TIMING"))
-        println(f"FITPHASE $n ${(System.nanoTime() - t0) / 1e9}%.2f")
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.tools.PhaseTiming.record(s"kmeans.$n", sec)
+      if (sys.env.contains("GRAFT_FIT_TIMING")) println(f"FITPHASE $n $sec%.2f")
       r
     }
     val pool = timed("init")(initCandidates(vecs, k, oversample, initRounds))
