@@ -96,6 +96,18 @@ object VectorKernels {
   val probeSigsUdf: UserDefinedFunction =
     udf((sig: Long, bits: Int, d: Int) => probeSigs(sig, bits, d))
 
+  /** Squared L2 norm — zero-norm detector. A zero vector has no direction,
+    * so every cosine against it is NaN; such rows must be filtered out of
+    * any cosine-space corpus before training/sampling (a NaN max-cos would
+    * otherwise give the row infinite k-means‖ cost and make it win every
+    * sampling round). */
+  val normSqUdf: UserDefinedFunction = udf((v: Array[Double]) => {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
+  })
+
   /** (argmax index, max cosine) as a struct column — fields `_1`, `_2`. */
   def nearestUdf(m: Array[Array[Double]]): UserDefinedFunction =
     udf((v: Array[Double]) => nearest(v, m))

@@ -365,6 +365,11 @@ object Dedup {
       labels = next
       iters += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: stopped at maxIters=$maxIters with $changed labels " +
+          "still moving — component diameter exceeds the round budget and " +
+          "tail labels may be unresolved; raise maxIters")
     labels
   }
 

@@ -121,7 +121,14 @@ object EtlPipeline {
     * chunked parallel append — `numPartitions` concurrent connections,
     * `batchsize` rows per INSERT batch. Works against any JDBC URL; the
     * integration spec drives it with embedded Derby (the JDBC engine on
-    * Spark's classpath), production points it at Postgres. */
+    * Spark's classpath), production points it at Postgres.
+    *
+    * NOT atomic and NOT idempotent (same hazard as the reference's chunked
+    * `to_sql`): the overwrite-DDL and the append run as separate jobs, so a
+    * failure or concurrent re-run between them leaves an empty or
+    * partially-loaded table. Where exactly-once matters, write to a staging
+    * table and rename on success (dialect-dependent), or make the load
+    * idempotent via a run-id column + delete-before-append. */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 batchSize: Int = 500, numPartitions: Int = 4): Unit = {
     val w = (d: DataFrame) => d.write

@@ -59,11 +59,14 @@ object KMeans {
       val u = (shiftrightunsigned(xxhash64(col("vec_id"), lit(r)), 11).cast("double")
         + lit(0.5)) / lit(9007199254740992.0)
       // ANSI mode: x/0 throws even for doubles — cost=0 rows (already
-      // covered by a candidate) get key 0 explicitly, never re-drawn
+      // covered by a candidate) get key 0 explicitly, and the filter below
+      // keeps them out of the pool even when fewer than l rows still carry
+      // positive cost (limit alone would backfill with covered rows)
       val key = when(cost <= lit(0.0), lit(0.0))
         .otherwise(pow(u, lit(1.0) / cost))
       cands = cands ++ vecs
         .withColumn("es_key", key)
+        .filter(col("es_key") > lit(0.0))
         .orderBy(col("es_key").desc, col("vec_id"))
         .limit(l)
         .select(col("v")).collect().map(_.getSeq[Double](0).toSeq)
@@ -85,22 +88,47 @@ object KMeans {
 
   /** Pick k centers from the weighted candidate pool, driver-side:
     * weighted greedy k-center (heaviest first, then repeatedly the
-    * candidate maximizing weight × cosine-distance-to-chosen). The pool is
-    * ≤ k·oversample·initRounds rows, so this is O(k·pool·dim) local work. */
+    * candidate maximizing weight × cosine-distance-to-chosen). An
+    * incrementally-maintained min-distance array (k-means++ style) makes
+    * this O(pool·k·dim) total — the recompute-from-scratch form is
+    * O(pool·k²·dim), which at IVF-production k (256–4096) is hours of
+    * driver CPU. NaN cosines (degenerate candidates) count as distance 0,
+    * so they are never preferentially chosen. */
   private def pickK(cands: Vector[Seq[Double]], weights: Array[Long],
                     k: Int): Vector[Seq[Double]] = {
-    val order = cands.indices.sortBy(i => (-weights(i), i))
-    var chosenIdx = Vector(order.head)
-    while (chosenIdx.size < math.min(k, cands.size)) {
-      val next = cands.indices
-        .filterNot(chosenIdx.contains)
-        .maxBy { i =>
-          val d = 1.0 - chosenIdx.map(j => cosLocal(cands(i), cands(j))).max
-          (weights(i) * math.max(d, 0.0), -i.toDouble)
-        }
-      chosenIdx = chosenIdx :+ next
+    def distTo(a: Seq[Double], b: Seq[Double]): Double = {
+      val c = cosLocal(a, b)
+      if (c.isNaN) 0.0 else math.max(1.0 - c, 0.0)
     }
-    chosenIdx.map(cands)
+    val n = cands.size
+    val first = cands.indices.minBy(i => (-weights(i), i))
+    val picked = Array.fill(n)(false)
+    picked(first) = true
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val minDist = Array.tabulate(n)(i => distTo(cands(i), cands(first)))
+    while (chosen.size < math.min(k, n)) {
+      var bestI = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val s = weights(i) * minDist(i)
+          if (s > bestScore) { bestScore = s; bestI = i }
+        }
+        i += 1
+      }
+      picked(bestI) = true
+      chosen += bestI
+      var j = 0
+      while (j < n) {
+        if (!picked(j)) {
+          val d = distTo(cands(j), cands(bestI))
+          if (d < minDist(j)) minDist(j) = d
+        }
+        j += 1
+      }
+    }
+    chosen.map(cands).toVector
   }
 
   /** Train k centroids; returns (cluster_id, centroid: array<double>).
@@ -113,9 +141,12 @@ object KMeans {
     import spark.implicits._
     // eager checkpoint: the trainer runs ~initRounds+iterations+2 jobs
     // over this frame — materializing it once keeps every subsequent job's
-    // plan (and its analysis/codegen cost) trivial
+    // plan (and its analysis/codegen cost) trivial. Zero-norm vectors have
+    // no direction in cosine space (every cosine NaN) and would poison the
+    // init sampling — filtered out of the training corpus up front.
     val vecs = corpus.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(VectorKernels.normSqUdf(col("v")) > lit(0.0))
       .localCheckpoint()
 
     def timed[A](n: String)(f: => A): A = {

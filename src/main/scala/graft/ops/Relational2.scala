@@ -225,27 +225,43 @@ object Relational2 {
     * oracle applies the identical cutoff (window_end <= max(ts) −
     * watermark). */
   def q50StreamFileSink(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
     val base = java.nio.file.Files.createTempDirectory("graft-q50").toString
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-      .select(col("window.start").cast("long").as("bucket"),
-        col("event_type"), col("n"), col("sum_value"))
-    val q = stream.writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(s"$base/out")
-      .orderBy(col("bucket"), col("event_type"))
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").cast("long").as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // eager localCheckpoint materializes the read-back so the sink/
+      // checkpoint directories can be deleted before returning (repeated
+      // bench/correctness runs would otherwise accumulate orphaned dirs)
+      spark.read.parquet(s"$base/out").localCheckpoint()
+        .orderBy(col("bucket"), col("event_type"))
+    } finally {
+      // scope the nanos conf to this stream instead of leaking it into
+      // subsequent queries (Tables.events sets it deliberately; a query
+      // function should not)
+      prevNanos match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
+      graft.tools.TempDirs.deleteRecursively(base)
+    }
   }
 
   val q50Sql: String =
