@@ -18,19 +18,42 @@ object VectorKernels {
     XXH64.hashInt(dim, h)
   }
 
+  /** Rademacher plane matrix for (table, bits, dim), flattened row-major —
+    * derived deterministically from hashes, so it needs no shipping; cached
+    * per executor JVM because rebuilding it costs bits·dim hash calls per
+    * ROW otherwise (at adaptive bit widths that dominates signature time). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  private def planes(table: Int, bits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((table, bits, dim), { key: (Int, Int, Int) =>
+      val (t, b, d) = key
+      val arr = new Array[Double](b * d)
+      var j = 0
+      while (j < b) {
+        var i = 0
+        while (i < d) {
+          arr(j * d + i) = if ((planeHash(t, j, i) & 1L) == 1L) 1.0 else -1.0
+          i += 1
+        }
+        j += 1
+      }
+      arr
+    })
+
   /** Random-hyperplane LSH signature: bit j of the result is
     * sign(<v, h_j>) where h_j is a Rademacher (±1) hyperplane derived
     * deterministically from (table, j, dim-index) hashes — no stored
     * model, identical on any executor. */
   def lshSignature(v: Array[Float], table: Int, bits: Int): Long = {
+    val m = planes(table, bits, v.length)
     var sig = 0L
     var j = 0
     while (j < bits) {
       var dot = 0.0
       var i = 0
+      val off = j * v.length
       while (i < v.length) {
-        val h = if ((planeHash(table, j, i) & 1L) == 1L) 1.0 else -1.0
-        dot += v(i).toDouble * h
+        dot += v(i).toDouble * m(off + i)
         i += 1
       }
       if (dot >= 0.0) sig |= (1L << j)

@@ -284,22 +284,12 @@ object Dedup {
        |ORDER BY a.label, a_id, b_id""".stripMargin
   }
 
-  /** Embedding near-dup without any semantic bucket column: candidates
-    * come from hyperplane-LSH signature equality (multi-table), verified
-    * by exact cosine — the fully content-addressed variant that works on
-    * any corpus. Each table's bucket join is an equi-join on the short
-    * signature; one side additionally probes all buckets within Hamming ≤
-    * `probes` of its signature (multi-probe, Lv et al. VLDB 2007), so a
-    * pair within that Hamming distance in ANY table becomes a candidate —
-    * recall rises steeply while each doc still hashes once per table. */
-  def embeddingLsh(spark: SparkSession, dir: String,
-                   threshold: Double = 0.35, tables: Int = 4,
-                   bits: Int = 6, probes: Int = 2): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    // candidate pairs stay SLIM (two ids) through the union + distinct —
-    // the 64-float embeddings must not ride the shuffle (same discipline
-    // as minhash's slim band frame); they rejoin only for the survivors.
+  /** Slim candidate (a_id, b_id) pairs from LSH signature collisions over
+    * `tables` tables with query-side multi-probe — exposed for the
+    * candidate-fraction spec (the sub-linearity claim is asserted on the
+    * candidate count, not assumed). */
+  private[graft] def embeddingLshCandidates(e: DataFrame, tables: Int,
+                                            bits: Int, probes: Int): DataFrame = {
     val candParts = (0 until tables).map { t =>
       val sigged = e.withColumn("sig0",
         graft.functions.VectorKernels.lshSigUdf(col("embedding"), lit(t), lit(bits)))
@@ -310,8 +300,37 @@ object Dedup {
       a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
     }
-    candParts.reduce(_ unionByName _)
-      .dropDuplicates("a_id", "b_id")
+    candParts.reduce(_ unionByName _).dropDuplicates("a_id", "b_id")
+  }
+
+  /** Embedding near-dup without any semantic bucket column: candidates
+    * come from hyperplane-LSH signature equality (multi-table), verified
+    * by exact cosine — the fully content-addressed variant that works on
+    * any corpus. Each table's bucket join is an equi-join on the short
+    * signature; one side additionally probes all buckets within Hamming ≤
+    * `probes` of its signature (multi-probe, Lv et al. VLDB 2007), so a
+    * pair within that Hamming distance in ANY table becomes a candidate —
+    * recall rises steeply while each doc still hashes once per table.
+    *
+    * `bits` ≤ 0 → adaptive signature width from the corpus size
+    * (Similarity.adaptiveLshBits): candidate pairs stay ≤ ~5% of all
+    * pairs at ANY corpus size, which is what makes this the 100 TB plan.
+    * The recall consequence: pairs at angle θ survive with prob
+    * P[Binom(bits, θ/π) ≤ probes] per table — ≈1 for true near-dups
+    * (cos ≳ 0.9) at any width, but pairs that are merely "somewhat
+    * similar" are design-out of scope (use the exact label-bucketed
+    * variant, or IVF cells as the bucket key, for low thresholds). */
+  def embeddingLsh(spark: SparkSession, dir: String,
+                   threshold: Double = 0.35, tables: Int = 4,
+                   bits: Int = -1, probes: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val b = if (bits > 0) bits
+            else Similarity.adaptiveLshBits(e.count(), tables, probes)
+    // candidate pairs stay SLIM (two ids) through the union + distinct —
+    // the 64-float embeddings must not ride the shuffle (same discipline
+    // as minhash's slim band frame); they rejoin only for the survivors.
+    embeddingLshCandidates(e, tables, b, probes)
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
       .withColumn("cos", cosine("a_emb", "b_emb"))

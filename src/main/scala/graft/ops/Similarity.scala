@@ -113,15 +113,70 @@ object Similarity {
   // Hyperplane LSH ANN
   // ---------------------------------------------------------------------
 
-  val LshBits = 6
   val LshTables = 4
   val LshProbes = 2 // multi-probe Hamming radius on the QUERY side
+
+  /** Buckets probed per query per table at Hamming radius ≤ d. */
+  def probeCount(bits: Int, d: Int): Long =
+    1L + (if (d >= 1) bits.toLong else 0L) +
+      (if (d >= 2) bits.toLong * (bits - 1) / 2 else 0L)
+
+  /** Signature width as a function of corpus size — the sub-linearity knob.
+    *
+    * Two constraints, both pushing bits UP with n:
+    *  1. occupancy: 2^bits ≳ 4·n keeps expected bucket size ≲ 1/4, so the
+    *     bucket self-join/probe join stays narrow (bits ≥ log2(n)+2);
+    *  2. scan fraction: tables·probeCount/2^bits ≤ `targetFraction` bounds
+    *     the expected fraction of the corpus that becomes a candidate per
+    *     query (on hash-uniform signatures) — the property that makes LSH
+    *     asymptotically beat brute force. The fixed 6-bit round-2 config
+    *     probed 34% of signature space and was 3× SLOWER than brute force.
+    *
+    * Recall consequence (Charikar STOC 2002: per-bit flip prob = θ/π): a
+    * pair at angle θ survives a table at Hamming ≤ d with prob
+    * P[Binom(bits, θ/π) ≤ d] — still ≈1 for genuinely-near pairs (θ → 0)
+    * at any bit width, but vanishing for unrelated pairs. High recall at
+    * low scan fraction therefore REQUIRES corpus structure; on isotropic
+    * random data recall ≈ scan fraction for every ANN method
+    * (information-theoretic — see NOTES.md). CROSSOVER: below roughly
+    * n ≲ 10·tables·probeCount rows the bucketing machinery costs more than
+    * the ~n·q cosines it avoids — use bruteForceTopK/aggTopK there; LSH is
+    * the ≥10⁶-row plan. */
+  def adaptiveLshBits(n: Long, tables: Int = LshTables, probes: Int = LshProbes,
+                      targetFraction: Double = 0.03): Int = {
+    // target 0.03 on the uniform-signature estimate leaves headroom for
+    // real corpora, whose signatures clump slightly (measured ~1.3× the
+    // estimate on the isotropic fixture) — realized fractions stay ≤ 5%
+    var b = math.max(8, (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1))) + 2)
+    while (b < 32 &&
+      tables.toDouble * probeCount(b, probes) / math.pow(2.0, b) > targetFraction)
+      b += 1
+    b
+  }
 
   /** Signature: bit j = sign(<v, h_j>) with Rademacher hyperplanes derived
     * from hashes of (table, bit, dim) — deterministic, no stored model
     * (compiled kernel: graft.functions.VectorKernels). */
-  private def lshSig(embCol: String, table: Int): Column =
-    graft.functions.VectorKernels.lshSigUdf(col(embCol), lit(table), lit(LshBits))
+  private def lshSig(embCol: String, table: Int, bits: Int): Column =
+    graft.functions.VectorKernels.lshSigUdf(col(embCol), lit(table), lit(bits))
+
+  /** Candidate (q_id, n_id) pairs from signature-bucket collisions across
+    * all tables — SLIM (ids only): the embeddings must not ride the
+    * per-table union + distinct; they rejoin for the survivors. Exposed for
+    * the candidate-fraction spec (sub-linearity is asserted, not assumed). */
+  private[graft] def lshCandidates(corpus: DataFrame, qs: DataFrame,
+                                   tables: Int, bits: Int, probes: Int): DataFrame = {
+    val candParts = (0 until tables).map { t =>
+      val cSig = corpus.select(col("n_id"), lshSig("n_emb", t, bits).as("sig"))
+      val qSig = qs.select(col("q_id"), explode(
+          graft.functions.VectorKernels.probeSigsUdf(
+            lshSig("q_emb", t, bits), lit(bits), lit(probes))).as("sig"))
+      cSig.join(broadcast(qSig), Seq("sig"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+    }
+    candParts.reduce(_ unionByName _).dropDuplicates("q_id", "n_id")
+  }
 
   /** LSH-bucketed ANN: per table, corpus and queries hash to a signature;
     * equality bucket join generates candidates; exact cosine reranks the
@@ -130,23 +185,18 @@ object Similarity {
     * (multi-probe, Lv et al. VLDB 2007) — recall rises steeply while the
     * corpus still hashes exactly once per table. Misses remain possible
     * (that's the approximation); candidate generation stays an equi-join,
-    * so the plan is two narrow shuffles regardless of corpus size. */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    * so the plan is two narrow shuffles regardless of corpus size.
+    * `bits` ≤ 0 → adaptive width from the corpus row count (one cheap
+    * metadata-only count job); see adaptiveLshBits for the scan-fraction
+    * math and the brute/LSH crossover. */
+  def lshTopK(spark: SparkSession, dir: String, bits: Int = -1): DataFrame = {
     val corpus = corpusDf(spark, dir)
     val qs = queriesDf(spark, dir)
-    val candParts = (0 until LshTables).map { t =>
-      val cSig = corpus.withColumn("sig", lshSig("n_emb", t))
-      val qSig = qs.withColumn("sig0", lshSig("q_emb", t))
-        .select(col("q_id"), col("q_emb"), explode(
-          graft.functions.VectorKernels.probeSigsUdf(
-            col("sig0"), lit(LshBits), lit(LshProbes))).as("sig"))
-      cSig.join(broadcast(qSig), Seq("sig"))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
-    }
-    val cands = candParts.reduce(_ unionByName _).dropDuplicates("q_id", "n_id")
+    val b = if (bits > 0) bits else adaptiveLshBits(corpus.count())
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cands
+    lshCandidates(corpus, qs, LshTables, b, LshProbes)
+      .join(broadcast(qs), Seq("q_id"))
+      .join(corpus, Seq("n_id"))
       .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -178,7 +228,7 @@ object Similarity {
     "sim_topk_brute" -> (bruteForceTopK _),
     "sim_topk_agg"   -> (aggTopK _),
     "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
-    "sim_topk_lsh"   -> (lshTopK _),
+    "sim_topk_lsh"   -> ((s: SparkSession, d: String) => lshTopK(s, d)),
   )
 
   /** Brute force + aggregator variants are exact math → oracled; IVF/LSH

@@ -96,18 +96,45 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, f"minhash recall $recall%.3f below floor 0.95")
   }
 
-  test("embedding LSH recall >= 0.9 vs exact label-bucketed twin (fixture)") {
-    val exact = Dedup.embeddingCosine(spark, sf)
-      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
-    val lsh = Dedup.embeddingLsh(spark, sf)
+  test("embedding LSH recall >= 0.9 on planted near-dups at adaptive bits") {
+    // 100 well-spread base directions, each with a jittered near-copy
+    // (cos ≈ 0.9999) — the regime LSH near-dup is designed for. At the
+    // adaptive signature width the per-bit flip probability for a true
+    // near-dup is ~θ/π ≈ 0.004, so every planted pair survives Hamming ≤ 2
+    // multi-probe in some table w.h.p.; random cross pairs (cos ~ N(0,1/8))
+    // essentially never do.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshdup").toString
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).flatMap { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val w = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v, i % 4), (2L * i + 1, w, i % 4))
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val lsh = Dedup.embeddingLsh(spark, dir, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the LSH variant is content-addressed over ALL pairs (no label
-    // restriction), so it is a superset generator; recall is measured
-    // against the label-bucketed exact twin's pairs
-    val recall = exact.intersect(lsh).size.toDouble / math.max(exact.size, 1)
-    info(f"embedding-LSH recall vs exact = $recall%.3f (exact=${exact.size}, lsh=${lsh.size})")
-    assert(exact.nonEmpty, "fixture has no exact near-dup pairs — vacuous test")
+    val planted = (0 until 100).map(i => (2L * i, 2L * i + 1)).toSet
+    val recall = planted.intersect(lsh).size.toDouble / planted.size
+    info(f"embedding-LSH recall on planted near-dups = $recall%.3f (found=${lsh.size})")
     assert(recall >= 0.9, f"embedding-LSH recall $recall%.3f below floor 0.9")
+  }
+
+  test("embedding LSH candidate pairs stay <= 5% of all pairs (sf0.1, adaptive bits)") {
+    import org.apache.spark.sql.functions.col
+    // The sub-linearity claim, asserted: on the isotropic sf0.1 corpus
+    // (worst case for LSH — no structure), adaptive bits keep the
+    // candidate set a bounded fraction of the n·(n−1)/2 pairs brute-force
+    // dedup would score. Signatures are hash-deterministic → exact value.
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val bits = graft.ops.Similarity.adaptiveLshBits(n)
+    val cands = Dedup.embeddingLshCandidates(e, tables = 4, bits = bits, probes = 2).count()
+    val allPairs = n * (n - 1) / 2
+    info(f"adaptive bits=$bits, candidates=$cands of $allPairs pairs (${cands.toDouble / allPairs}%.4f)")
+    assert(cands <= 0.05 * allPairs,
+      s"candidate pairs $cands exceed 5% of $allPairs — LSH not sub-linear-shaped")
   }
 
   test("simhash recall is exactly 1.0 for hamming<=3 (pigeonhole guarantee)") {

@@ -36,21 +36,9 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L, 4L, 5L)) // 2 probes cover both cells
   }
 
-  test("LSH top-k recall >= 0.9 vs brute force on the fixture corpus") {
-    val brute = Similarity.bruteForceTopK(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val lsh = Similarity.lshTopK(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = brute.intersect(lsh).size.toDouble / brute.size
-    info(f"LSH recall vs brute = $recall%.3f (multi-probe d=${Similarity.LshProbes})")
-    assert(recall >= 0.9, f"LSH recall $recall%.3f below floor 0.9")
-  }
-
-  test("IVF recall >= 0.9 at 20% scan fraction on a CLUSTERED corpus") {
-    // The sf fixture is isotropic random data, where any ANN method's
-    // recall ≈ scan fraction (no structure to exploit). Real embedding
-    // corpora cluster; this corpus plants 10 tight direction-clusters and
-    // shows IVF recovers the true top-k while probing 2 of 10 cells.
+  /** 10 tight direction-clusters of 20 vectors each — the structured
+    * regime where ANN recall at low scan fraction is meaningful. */
+  private def clusteredDir(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfc").toString
     val rows = (0 until 200).map { i =>
       val c = i % 10
@@ -63,6 +51,52 @@ class SimilaritySpec extends SparkSpec {
     import spark.implicits._
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("LSH top-k recall >= 0.9 on a CLUSTERED corpus at adaptive bits") {
+    // On isotropic random data recall ≈ scan fraction for every ANN
+    // method (information-theoretic; NOTES.md) — the old fixed-6-bit
+    // config bought fixture recall by scanning 34% of signature space,
+    // which is slower than brute force. Recall is therefore asserted
+    // where it is achievable: a clustered corpus, at the same adaptive
+    // bit width the production path derives from corpus size.
+    val dir = clusteredDir()
+    val brute = Similarity.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    info(f"clustered-corpus LSH recall vs brute = $recall%.3f (multi-probe d=${Similarity.LshProbes})")
+    assert(recall >= 0.9, f"LSH recall $recall%.3f below floor 0.9")
+  }
+
+  test("LSH candidate set stays <= 5% of corpus x queries at adaptive bits (sf0.1)") {
+    import org.apache.spark.sql.functions.col
+    // Sub-linearity asserted on the worst case (isotropic corpus, no
+    // structure): candidates per query bounded by the target fraction.
+    // Signatures are hash-deterministic, so the count is exact, not flaky.
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = e.count()
+    val bits = Similarity.adaptiveLshBits(n)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val qs = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = Similarity
+      .lshCandidates(corpus, qs, Similarity.LshTables, bits, Similarity.LshProbes)
+      .count()
+    val ceiling = 0.05 * n * Similarity.NumQueries
+    info(f"adaptive bits=$bits, candidates=$cands, ceiling=$ceiling%.0f (${cands / (n.toDouble * Similarity.NumQueries)}%.4f of scans)")
+    assert(cands <= ceiling,
+      s"candidate count $cands exceeds 5% of ${n * Similarity.NumQueries} — LSH not sub-linear-shaped")
+  }
+
+  test("IVF recall >= 0.9 at 20% scan fraction on a CLUSTERED corpus") {
+    // The sf fixture is isotropic random data, where any ANN method's
+    // recall ≈ scan fraction (no structure to exploit). Real embedding
+    // corpora cluster; this corpus plants 10 tight direction-clusters and
+    // shows IVF recovers the true top-k while probing 2 of 10 cells.
+    val dir = clusteredDir()
     val brute = Similarity.bruteForceTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = Similarity.ivfTopK(spark, dir, nprobe = 2, cells = 10, iterations = 3)
