@@ -406,7 +406,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Group resolution under the bitwise oracle: the same min-label
+    * propagation as dedupGroups, but over the ORACLED n-gram-Jaccard pair
+    * graph (dedup_jaccard) instead of the hash-family-specific MinHash
+    * pairs — DuckDB reproduces the pairs exactly and closes the graph with
+    * WITH RECURSIVE, so the component logic itself is hash-checked, not
+    * just spec-checked. */
+  def dedupGroupsJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val labels = components(pairs, ids)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("keep_id"), col("group_size"),
+        (col("doc_id") === col("label")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of dedupGroupsJaccard: the jaccard pair graph as a CTE,
+    * closed transitively by a recursive walk (UNION-distinct terminates
+    * it), then per-node MIN(label) = the component minimum — the exact
+    * fixpoint min-label propagation converges to. */
+  val dedupGroupsJaccardSql: String =
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket, doc_id,
+       |         list_distinct($tokensSql) AS toks
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM toks a JOIN toks b
+       |    ON a.lang = b.lang AND a.source = b.source
+       |   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node),
+       |labels AS (SELECT node AS doc_id, MIN(label) AS keep_id FROM walk GROUP BY node),
+       |sizes AS (SELECT keep_id, COUNT(*) AS group_size FROM labels GROUP BY keep_id)
+       |SELECT l.doc_id, l.keep_id, s.group_size,
+       |       CAST(l.doc_id = l.keep_id AS INT) AS is_keeper
+       |FROM labels l JOIN sizes s USING (keep_id)
+       |ORDER BY l.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_groups_jaccard" -> (dedupGroupsJaccard _),
     "dedup_groups"    -> (dedupGroups _),
     "dedup_exact"     -> (exact _),
     "dedup_keyed"     -> (keyed _),
@@ -420,6 +468,7 @@ object Dedup {
   /** minhash/simhash signatures are hash-family-specific → rows-only check
     * (SURVEY §5.5); jaccard + embedding-cosine are exact math → oracled. */
   val oracles: Map[String, String] = Map(
+    "dedup_groups_jaccard" -> dedupGroupsJaccardSql,
     "dedup_exact"     -> exactSql,
     "dedup_keyed"     -> keyedSql,
     "dedup_jaccard"   -> ngramJaccardSql,
