@@ -28,7 +28,7 @@ import graft.functions.VectorKernels
 object KMeans {
 
   /** Cosine between two driver-side vectors (candidate bookkeeping). */
-  private def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -94,18 +94,21 @@ object KMeans {
     * O(pool·k²·dim), which at IVF-production k (256–4096) is hours of
     * driver CPU. NaN cosines (degenerate candidates) count as distance 0,
     * so they are never preferentially chosen. */
-  private def pickK(cands: Vector[Seq[Double]], weights: Array[Long],
-                    k: Int): Vector[Seq[Double]] = {
-    def distTo(a: Seq[Double], b: Seq[Double]): Double = {
+  private[graft] def pickK(cands: Vector[Seq[Double]], weights: Array[Long],
+                           k: Int): Vector[Seq[Double]] = {
+    def distTo(a: Array[Double], b: Array[Double]): Double = {
       val c = cosLocal(a, b)
       if (c.isNaN) 0.0 else math.max(1.0 - c, 0.0)
     }
+    // one up-front conversion to primitive arrays: the inner loops below
+    // must not pay per-element boxing (or O(i) List indexing)
+    val ca = cands.map(_.toArray).toArray
     val n = cands.size
     val first = cands.indices.minBy(i => (-weights(i), i))
     val picked = Array.fill(n)(false)
     picked(first) = true
     val chosen = scala.collection.mutable.ArrayBuffer(first)
-    val minDist = Array.tabulate(n)(i => distTo(cands(i), cands(first)))
+    val minDist = Array.tabulate(n)(i => distTo(ca(i), ca(first)))
     while (chosen.size < math.min(k, n)) {
       var bestI = -1
       var bestScore = Double.NegativeInfinity
@@ -122,7 +125,7 @@ object KMeans {
       var j = 0
       while (j < n) {
         if (!picked(j)) {
-          val d = distTo(cands(j), cands(bestI))
+          val d = distTo(ca(j), ca(bestI))
           if (d < minDist(j)) minDist(j) = d
         }
         j += 1
@@ -177,6 +180,17 @@ object KMeans {
     timed("done")(())
     centers.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster_id", "centroid")
   }
+
+  /** Persist a trained quantizer — (cluster_id, centroid) — as parquet.
+    * The index is k rows of dim doubles: trivially small, but saving it is
+    * what lets a 100 TB pipeline train ONCE and reuse the quantizer across
+    * every subsequent query/ingest instead of re-scanning the corpus. */
+  def saveIndex(centroids: DataFrame, path: String): Unit =
+    centroids.write.mode("overwrite").parquet(path)
+
+  /** Load a quantizer persisted by saveIndex. */
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Nearest-centroid assignment: collect the ≤k centroid rows once, then
     * a single map-side kernel pass — no join, no window, no shuffle.

@@ -58,4 +58,36 @@ class KMeansSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("index save/load round-trips and the cached index answers queries") {
+    import graft.ops.Similarity
+    val centroids = KMeans.fit(spark, corpus(), k = 3, iterations = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-idx").toString + "/ivf"
+    KMeans.saveIndex(centroids, path)
+    val loaded = KMeans.loadIndex(spark, path)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val orig = centroids
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(loaded == orig)
+    // second ivfTopK call hits the persisted-index cache (no retrain) and
+    // returns the identical result — train-once/search-many is lossless
+    val first = Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSeq
+    val second = Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(first == second)
+  }
+
+  test("pickK handles IVF-production k (256) from a large pool in seconds") {
+    // O(pool·k·dim) with the incremental min-distance array; the previous
+    // O(pool·k²·dim) form would take minutes-to-hours at production k.
+    val rnd = new scala.util.Random(11)
+    val pool = Vector.fill(3000)(Seq.fill(64)(rnd.nextGaussian()))
+    val weights = Array.fill(3000)(1L + rnd.nextInt(100).toLong)
+    val t0 = System.nanoTime()
+    val centers = KMeans.pickK(pool, weights, 256)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"pickK(pool=3000, k=256, dim=64) took $sec%.2f s")
+    assert(centers.size == 256)
+    assert(centers.distinct.size == 256, "picked duplicate centers")
+    assert(sec < 20.0, f"pickK took $sec%.1f s — complexity regression")
+  }
 }
