@@ -238,6 +238,26 @@ object Relational {
       |  ON c_custkey = o_custkey
       |ORDER BY key""".stripMargin
 
+  /** RIGHT outer join — q48's mirror: the preserved side (customer) sits
+    * on the RIGHT, the filtered orders on the left. Catalyst plans the
+    * same join with sides swapped; listed for completeness of the outer
+    * family (left q48, full q49, right here). Same determinism trick:
+    * coalesce the nullable sort key. */
+  def q52RightJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 350000.0)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+  }
+
+  val q52Sql: String =
+    """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+      |RIGHT JOIN customer ON c_custkey = o_custkey
+      |ORDER BY c_custkey, COALESCE(o_orderkey, -1)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Sorts / limits / top-k (SURVEY §2.7)
   // ---------------------------------------------------------------------
@@ -640,6 +660,7 @@ object Relational {
     "q24_sql_frontend"   -> (q24SqlFrontend _),
     "q48_left_join"      -> (q48LeftJoin _),
     "q49_full_join"      -> (q49FullJoin _),
+    "q52_right_join"     -> (q52RightJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -669,5 +690,6 @@ object Relational {
     "q24_sql_frontend"   -> q24Sql,
     "q48_left_join"      -> q48Sql,
     "q49_full_join"      -> q49Sql,
+    "q52_right_join"     -> q52Sql,
   )
 }

@@ -274,6 +274,78 @@ object Relational2 {
       |WHERE bucket + 1800 <= (SELECT epoch(max(ts)) - 600 FROM events)
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** A stateful SESSION-window aggregation through the same checkpointed
+    * parquet file sink as q50 — puts the streaming session-merge state
+    * path (merging session state store, append-mode finalization) inside
+    * the bitwise gate, not just the MemoryStream specs. A session closes
+    * after 30 minutes without an event for its key; append mode emits a
+    * session only once the 10-minute watermark passes its end, so the
+    * oracle sessionizes with the classic lag/cumulative-sum trick and
+    * applies the identical cutoff. Session bounds are emitted as epoch
+    * MICROS: starts are raw event times (not bucket-aligned), and
+    * second-truncation could alias two sessions of the same key. */
+  def q51StreamSessionSink(spark: SparkSession, dir: String): DataFrame = {
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    val base = java.nio.file.Files.createTempDirectory("graft-q51").toString
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$base/out").localCheckpoint()
+        .orderBy(col("event_type"), col("session_start"))
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
+      graft.tools.TempDirs.deleteRecursively(base)
+    }
+  }
+
+  /** Session merge mirrored relationally: a gap ≥ 30 min starts a new
+    * session (Spark merges an event iff it lands strictly before
+    * prev_ts + gap); session_end = last event + gap. */
+  val q51Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY event_type ORDER BY ts) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, tus, value,
+      |    SUM(new_s) OVER (PARTITION BY event_type ORDER BY tus
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m),
+      |sess AS (
+      |  SELECT event_type,
+      |    MIN(tus) AS session_start,
+      |    MAX(tus) + 1800000000 AS session_end,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM s GROUP BY event_type, sid)
+      |SELECT session_start, session_end, event_type, n, sum_value
+      |FROM sess
+      |WHERE session_end <= (SELECT MAX(epoch_us(ts)) - 600000000 FROM events)
+      |ORDER BY event_type, session_start""".stripMargin
+
   /** Multiset set operations (ALL variants keep duplicates — Spark
     * exceptAll/intersectAll, modeled relationally as count-bag ops). */
   def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
@@ -485,6 +557,7 @@ object Relational2 {
     "q32_pivot"           -> (q32Pivot _),
     "q33_stream_tumbling" -> (q33StreamTumbling _),
     "q50_stream_file_sink" -> (q50StreamFileSink _),
+    "q51_stream_session_sink" -> (q51StreamSessionSink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -507,5 +580,6 @@ object Relational2 {
     "q32_pivot"           -> q32Sql,
     "q33_stream_tumbling" -> q33Sql,
     "q50_stream_file_sink" -> q50Sql,
+    "q51_stream_session_sink" -> q51Sql,
   )
 }
