@@ -37,15 +37,18 @@ object Bench {
     }
     val phases = scala.collection.mutable.Map[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
       val times = (1 to iters).map { _ =>
-        graft.tools.PhaseTiming.drain() // discard phases from prior iteration
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // accumulate across iterations (last write wins): steady-state
+        // phases come from the final iteration, while train-once phases
+        // (ivf.train fires only on the first call per corpus) survive
+        phases ++= graft.tools.PhaseTiming.drain()
+          .map { case (k, v) => s"$name.$k" -> v }
+        t
       }
-      // phase breakdown from the LAST iteration (steady state: caches warm)
-      phases ++= graft.tools.PhaseTiming.drain()
-        .map { case (k, v) => s"$name.$k" -> v }
       name -> times.sorted.apply(times.size / 2)
     }
     def jsonMap(m: Iterable[(String, Double)]): String =
