@@ -346,6 +346,53 @@ object Relational2 {
       |WHERE session_end <= (SELECT MAX(epoch_us(ts)) - 600000000 FROM events)
       |ORDER BY event_type, session_start""".stripMargin
 
+  /** Streaming dedup (dropDuplicatesWithinWatermark) through the
+    * checkpointed parquet file sink — the last previously spec-only
+    * stateful streaming op, now inside the bitwise gate. Keys are
+    * (event_type, 10-minute bucket); only the KEY columns are emitted,
+    * because which physical row survives dedup is processing-order-
+    * dependent, but the surviving key set equals DISTINCT — which is what
+    * the oracle computes. The bounded file source processes as one batch
+    * (watermark still 0), so no row is late-dropped and state covers the
+    * whole input. */
+  def q53StreamDedupSink(spark: SparkSession, dir: String): DataFrame = {
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    val base = java.nio.file.Files.createTempDirectory("graft-q53").toString
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("bucket", expr("CAST(ts AS LONG) div 600 * 600"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_type", "bucket")
+        .select(col("event_type"), col("bucket"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$base/out").localCheckpoint()
+        .orderBy(col("event_type"), col("bucket"))
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
+      graft.tools.TempDirs.deleteRecursively(base)
+    }
+  }
+
+  val q53Sql: String =
+    """SELECT DISTINCT event_type,
+      |  CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS bucket
+      |FROM events
+      |ORDER BY event_type, bucket""".stripMargin
+
   /** Multiset set operations (ALL variants keep duplicates — Spark
     * exceptAll/intersectAll, modeled relationally as count-bag ops). */
   def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
@@ -558,6 +605,7 @@ object Relational2 {
     "q33_stream_tumbling" -> (q33StreamTumbling _),
     "q50_stream_file_sink" -> (q50StreamFileSink _),
     "q51_stream_session_sink" -> (q51StreamSessionSink _),
+    "q53_stream_dedup_sink" -> (q53StreamDedupSink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -581,5 +629,6 @@ object Relational2 {
     "q33_stream_tumbling" -> q33Sql,
     "q50_stream_file_sink" -> q50Sql,
     "q51_stream_session_sink" -> q51Sql,
+    "q53_stream_dedup_sink" -> q53Sql,
   )
 }
