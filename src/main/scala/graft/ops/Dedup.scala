@@ -347,7 +347,7 @@ object Dedup {
     * chains). The canonical keep-one-per-group dedup decision at corpus
     * scale — no driver-side graph, no union-find structure. */
   def components(pairs: DataFrame, allIds: DataFrame,
-                 minRounds: Int = 4, maxIters: Int = 50): DataFrame = {
+                 minRounds: Int = 2, maxIters: Int = 50): DataFrame = {
     // undirected edge list, materialized once (every round reuses it).
     // localCheckpoint (eager) replaces the logical plan with the
     // materialized RDD — persist() alone is NOT enough for an iterative
@@ -367,11 +367,11 @@ object Dedup {
       .agg(min(col("label")).as("label"))
       .localCheckpoint()
     // Min-label propagation converges in graph-diameter rounds. Near-dup
-    // components are usually near-cliques (diameter ≤ 4), so the first
+    // components are usually near-cliques (diameter ≤ 2), so the first
     // `minRounds` run without a probe; after that, each round pays one
     // cheap anti-join count and the loop stops at zero changed labels —
-    // a diameter-6 chain (or worse) converges instead of silently
-    // mislabeling its tail. `maxIters` bounds pathological graphs.
+    // a longer chain converges instead of silently mislabeling its tail.
+    // `maxIters` bounds pathological graphs.
     for (_ <- 1 to minRounds) labels = round(labels)
     var changed = 1L
     var iters = minRounds

@@ -48,4 +48,22 @@ class PlanRegressionSpec extends SparkSpec {
     val p = plan("q17_distinct_agg")
     assert(p.contains("ReadSchema"))
   }
+
+  test("q52: right outer join broadcasts the filtered (small) side") {
+    val p = plan("q52_right_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH candidate generation stays an equi-join (no cartesian/BNLJ)") {
+    val p = plan("sim_topk_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("jaccard blocked self-join is an equi-join on the block key") {
+    val p = plan("dedup_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
