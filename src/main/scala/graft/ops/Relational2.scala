@@ -572,7 +572,85 @@ object Relational2 {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** Distribution window functions (percent_rank / cume_dist / ntile) —
+    * the §2.6 analytic family beyond rank/lag. Both engines compute
+    * percent_rank as (rank−1)/(n−1) and cume_dist as peers/n on exact
+    * integers, so the doubles are bit-identical; the tie-broken ORDER BY
+    * (unique o_orderkey) makes ranks deterministic. ntile is cast to
+    * BIGINT because DuckDB's returns BIGINT while Spark's returns INT. */
+  def q54WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("nt", ntile(10).over(w).cast("long"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q54Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  ntile(10) OVER w AS nt
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Arbitrary GROUPING SETS (beyond rollup q11 / cube q12) through the
+    * SQL frontend: two single-column sets plus the grand total, with
+    * COALESCE sentinels so the NULL grouping placeholders sort
+    * identically in both engines. */
+  def q55GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  val q55Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY flag, status""".stripMargin
+
+  /** Positional explode (lateral array flattening with ordinality) — the
+    * write-side of the array family: each document's first five tokens
+    * become (doc_id, pos, tok) rows. DuckDB has no WITH ORDINALITY, so the
+    * oracle unnests generate_series(1, len) and indexes the list. */
+  def q56Posexplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("slice(filter(split(text, ' '), t -> t != ''), 1, 5)"))
+          .as(Seq("pos", "tok")))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val q56Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '')[1:5] AS toks
+      |  FROM documents),
+      |e AS (SELECT doc_id, toks,
+      |        unnest(generate_series(1, len(toks))) AS i
+      |      FROM t)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+      |FROM e
+      |ORDER BY doc_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_window_distribution" -> (q54WindowDistribution _),
+    "q55_grouping_sets"   -> (q55GroupingSets _),
+    "q56_posexplode"      -> (q56Posexplode _),
     "q46_to_json"         -> (q46ToJson _),
     "q47_null_handling"   -> (q47NullHandling _),
     "q44_range_frame"     -> (q44RangeFrame _),
@@ -597,6 +675,9 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_window_distribution" -> q54Sql,
+    "q55_grouping_sets"   -> q55Sql,
+    "q56_posexplode"      -> q56Sql,
     "q46_to_json"         -> q46Sql,
     "q47_null_handling"   -> q47Sql,
     "q44_range_frame"     -> q44Sql,
