@@ -381,6 +381,58 @@ object Relational2 {
       |FROM events
       |ORDER BY event_type, bucket""".stripMargin
 
+  /** Stream-stream INTERVAL join through the checkpointed file sink: two
+    * watermarked streams over the events source (clicks and purchases),
+    * joined on user within a 2-hour event-time window — the flagship
+    * Structured Streaming join, previously only MemoryStream-spec-checked.
+    * An append-mode INNER stream-stream join emits each match as soon as
+    * both sides have arrived (watermarks only bound state retention, not
+    * emission), so on a bounded source the emitted set equals the batch
+    * interval join — which is exactly what the oracle computes, no cutoff
+    * needed. */
+  def q59StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+    val base = java.nio.file.Files.createTempDirectory("graft-q59").toString
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      def src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$base/out").localCheckpoint()
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q59Sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   /** Multiset set operations (ALL variants keep duplicates — Spark
     * exceptAll/intersectAll, modeled relationally as count-bag ops). */
   def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
@@ -728,6 +780,7 @@ object Relational2 {
     "q50_stream_file_sink" -> (q50StreamFileSink _),
     "q51_stream_session_sink" -> (q51StreamSessionSink _),
     "q53_stream_dedup_sink" -> (q53StreamDedupSink _),
+    "q59_stream_stream_join" -> (q59StreamStreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -757,5 +810,6 @@ object Relational2 {
     "q50_stream_file_sink" -> q50Sql,
     "q51_stream_session_sink" -> q51Sql,
     "q53_stream_dedup_sink" -> q53Sql,
+    "q59_stream_stream_join" -> q59Sql,
   )
 }
