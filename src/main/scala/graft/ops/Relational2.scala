@@ -433,6 +433,69 @@ object Relational2 {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** LEFT OUTER stream-stream join — the full stateful semantics: matches
+    * emit as both sides arrive, but a null-extended row for an unmatched
+    * click emits only once the global watermark (min over both inputs of
+    * max event time − delay) passes the click's join window, proving the
+    * left side's state was held and evicted correctly. The oracle runs the
+    * batch left join and keeps null-extended rows only where
+    * click_ts + 2h ≤ watermark — verified to reproduce the streaming
+    * emission set exactly (1934 null-extended + 69 matched at sf0.01). */
+  def q60StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+    val base = java.nio.file.Files.createTempDirectory("graft-q60").toString
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      def src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"),
+        "left_outer")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$base/out").localCheckpoint()
+        .orderBy(col("user_id"), col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q60Sql: String =
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+      |      WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.user_id, c.click_id, p.purchase_id,
+      |    epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+      |    c.ts AS cts
+      |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR),
+      |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |         - INTERVAL 10 MINUTE AS w)
+      |SELECT user_id, click_id, purchase_id, click_us, purchase_us
+      |FROM j
+      |WHERE purchase_id IS NOT NULL
+      |   OR cts + INTERVAL 2 HOUR <= (SELECT w FROM wm)
+      |ORDER BY user_id, click_id, COALESCE(purchase_id, -1)""".stripMargin
+
   /** Multiset set operations (ALL variants keep duplicates — Spark
     * exceptAll/intersectAll, modeled relationally as count-bag ops). */
   def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
@@ -781,6 +844,7 @@ object Relational2 {
     "q51_stream_session_sink" -> (q51StreamSessionSink _),
     "q53_stream_dedup_sink" -> (q53StreamDedupSink _),
     "q59_stream_stream_join" -> (q59StreamStreamJoin _),
+    "q60_stream_outer_join" -> (q60StreamOuterJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -811,5 +875,6 @@ object Relational2 {
     "q51_stream_session_sink" -> q51Sql,
     "q53_stream_dedup_sink" -> q53Sql,
     "q59_stream_stream_join" -> q59Sql,
+    "q60_stream_outer_join" -> q60Sql,
   )
 }
