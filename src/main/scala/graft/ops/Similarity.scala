@@ -231,6 +231,23 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Cost-based ANN entry point: below the brute/LSH crossover the
+    * bucketing machinery (4 table scans of signature hashing + probe
+    * explode + union + distinct) costs more than the ~n·q exact cosines
+    * it avoids, so brute force is BOTH exact and faster — the planner
+    * picks it. Above the crossover, adaptive-bit LSH scans a bounded
+    * candidate fraction and wins asymptotically. The crossover
+    * (~10·tables·probeCount rows) is derived from the scan-fraction
+    * model in adaptiveLshBits and asserted in SimilaritySpec. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val n = corpusDf(spark, dir).count()
+    if (lshWinsAt(n)) lshTopK(spark, dir) else bruteForceTopK(spark, dir)
+  }
+
+  /** The crossover predicate, exposed for the planner spec. */
+  def lshWinsAt(n: Long): Boolean =
+    n >= 10L * LshTables * probeCount(adaptiveLshBits(n), LshProbes)
+
   /** Brute-force top-k via the typed bounded-heap Aggregator instead of
     * rank-over-window: partial aggregation ships at most k rows per group
     * per map task, so shuffle volume is O(groups·k) — the plan that
@@ -256,12 +273,17 @@ object Similarity {
     "sim_topk_agg"   -> (aggTopK _),
     "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_topk_lsh"   -> ((s: SparkSession, d: String) => lshTopK(s, d)),
+    "sim_topk_ann"   -> (annTopK _),
   )
 
   /** Brute force + aggregator variants are exact math → oracled; IVF/LSH
-    * are approximation-structure-specific → rows-only. */
+    * are approximation-structure-specific → rows-only. annTopK shares the
+    * exact oracle because every fixture corpus sits below the brute/LSH
+    * crossover, so the planner must return the exact plan's result —
+    * the choice itself is what the gate checks. */
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> bruteForceTopKSql,
     "sim_topk_agg"   -> bruteForceTopKSql,
+    "sim_topk_ann"   -> bruteForceTopKSql,
   )
 }

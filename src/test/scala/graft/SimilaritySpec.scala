@@ -91,6 +91,16 @@ class SimilaritySpec extends SparkSpec {
       s"candidate count $cands exceeds 5% of ${n * Similarity.NumQueries} — LSH not sub-linear-shaped")
   }
 
+  test("annTopK picks brute force below the crossover and LSH above it") {
+    // fixture corpora (500-2000 rows) sit below the crossover: the exact
+    // plan is both faster and exact, so the planner must choose it
+    assert(!Similarity.lshWinsAt(2000))
+    assert(Similarity.lshWinsAt(1000000))
+    val brute = Similarity.bruteForceTopK(spark, sf).collect().map(_.toSeq).toSeq
+    val ann = Similarity.annTopK(spark, sf).collect().map(_.toSeq).toSeq
+    assert(ann == brute, "below the crossover annTopK must return the exact plan's result")
+  }
+
   test("IVF recall >= 0.9 at 20% scan fraction on a CLUSTERED corpus") {
     // The sf fixture is isotropic random data, where any ANN method's
     // recall ≈ scan fraction (no structure to exploit). Real embedding
