@@ -398,7 +398,9 @@ object Dedup {
     * RESOLUTION queries then read the artifact. The generation cost stays
     * measured in the dedup_minhash / dedup_jaccard entries; the groups
     * entries measure resolution. Pairs are deterministic, so the cached
-    * artifact equals a regenerated one. */
+    * artifact equals a regenerated one. Keyed by directory path on the
+    * assumption the corpus under it is immutable (true for the fixture
+    * dirs); a mutable corpus would key on a content fingerprint. */
   private lazy val pairsRoot =
     java.nio.file.Files.createTempDirectory("graft-pairs").toString
   private val pairsPaths =

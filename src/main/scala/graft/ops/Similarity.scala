@@ -78,7 +78,9 @@ object Similarity {
     * a corpus trains via KMeans.fit and persists (cluster_id, centroid) to
     * parquet (the production artifact path); subsequent queries load the
     * saved index. Training is hash-deterministic, so a cached index equals
-    * a retrained one. */
+    * a retrained one. The cache is keyed by directory path and assumes the
+    * corpus under it is immutable (true for the fixture dirs); a mutable
+    * corpus would key on a content fingerprint instead. */
   private lazy val indexRoot =
     java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
   private val indexPaths =

@@ -84,4 +84,36 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("probeSigs enumerates exactly the Hamming<=d ball, distinct") {
+    import graft.functions.VectorKernels
+    import graft.ops.Similarity
+    forAll(Gen.zip(Gen.chooseNum(0L, 1L << 14), Gen.chooseNum(4, 14)), n = 20) {
+      case (sig0, bits) =>
+        val sig = sig0 & ((1L << bits) - 1)
+        for (d <- 0 to 2) {
+          val probes = VectorKernels.probeSigs(sig, bits, d)
+          assert(probes.length == Similarity.probeCount(bits, d),
+            s"probe count mismatch at bits=$bits d=$d")
+          assert(probes.distinct.length == probes.length, "duplicate probes")
+          probes.foreach { p =>
+            assert(java.lang.Long.bitCount(p ^ sig) <= d, "probe outside ball")
+          }
+        }
+    }
+  }
+
+  test("adaptiveLshBits is monotone in n and meets the scan-fraction target") {
+    import graft.ops.Similarity
+    val ns = Seq(10L, 100L, 1000L, 10000L, 1000000L, 1000000000L)
+    val bits = ns.map(Similarity.adaptiveLshBits(_))
+    assert(bits == bits.sorted, s"bits not monotone: $bits")
+    ns.zip(bits).foreach { case (n, b) =>
+      val frac = Similarity.LshTables.toDouble *
+        Similarity.probeCount(b, Similarity.LshProbes) / math.pow(2.0, b)
+      assert(frac <= 0.03 + 1e-12, f"n=$n bits=$b fraction $frac%.4f > target")
+      assert(b >= (64 - java.lang.Long.numberOfLeadingZeros(n)),
+        s"n=$n bits=$b below occupancy floor")
+    }
+  }
 }
