@@ -40,6 +40,32 @@ object VectorKernels {
       arr
     })
 
+  /** LSH signature directly over Catalyst ArrayData — the entry point the
+    * native LshSignature expression's generated code calls (static
+    * forwarder; no per-row encoder conversion to Array[Float], no boxing).
+    * `isFloat` is resolved once at analysis time from the column's element
+    * type. Bit-for-bit identical to lshSignature below. */
+  def lshSigArrayData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                      table: Int, bits: Int, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    val m = planes(table, bits, n)
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var i = 0
+      val off = j * n
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * m(off + i)
+        i += 1
+      }
+      if (dot >= 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Random-hyperplane LSH signature: bit j of the result is
     * sign(<v, h_j>) where h_j is a Rademacher (±1) hyperplane derived
     * deterministically from (table, j, dim-index) hashes — no stored
@@ -61,9 +87,6 @@ object VectorKernels {
     }
     sig
   }
-
-  val lshSigUdf: UserDefinedFunction =
-    udf((v: Array[Float], table: Int, bits: Int) => lshSignature(v, table, bits))
 
   /** Cosine similarity of `v` against every row of a candidate matrix;
     * returns (argmax index, max cosine). Ties keep the lowest index; NaN

@@ -292,7 +292,7 @@ object Dedup {
                                             bits: Int, probes: Int): DataFrame = {
     val candParts = (0 until tables).map { t =>
       val sigged = e.withColumn("sig0",
-        graft.functions.VectorKernels.lshSigUdf(col("embedding"), lit(t), lit(bits)))
+        graft.functions.LshSignature.lsh_sig(col("embedding"), t, bits))
       val a = sigged.select(col("vec_id").as("a_id"),
         explode(graft.functions.VectorKernels.probeSigsUdf(
           col("sig0"), lit(bits), lit(probes))).as("sig"))

@@ -184,10 +184,12 @@ object Similarity {
   }
 
   /** Signature: bit j = sign(<v, h_j>) with Rademacher hyperplanes derived
-    * from hashes of (table, bit, dim) — deterministic, no stored model
-    * (compiled kernel: graft.functions.VectorKernels). */
+    * from hashes of (table, bit, dim) — deterministic, no stored model.
+    * Native codegen expression (graft.functions.LshSignature): the
+    * signature stage scans the whole corpus, so it must not pay the UDF's
+    * per-row encoder conversion or break the scan's codegen span. */
   private def lshSig(embCol: String, table: Int, bits: Int): Column =
-    graft.functions.VectorKernels.lshSigUdf(col(embCol), lit(table), lit(bits))
+    graft.functions.LshSignature.lsh_sig(col(embCol), table, bits)
 
   /** Candidate (q_id, n_id) pairs from signature-bucket collisions across
     * all tables — SLIM (ids only): the embeddings must not ride the

@@ -20,6 +20,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(got(2) - 1.0) < 1e-15)
   }
 
+  test("lsh_sig native expression matches the Array[Float] kernel (codegen path)") {
+    import graft.functions.{LshSignature, VectorKernels}
+    val vecs = Seq(
+      Array(1.0f, 0.0f, -0.5f, 2.0f),
+      Array(-1.0f, 3.0f, 0.25f, -0.75f),
+      Array(0.1f, 0.1f, 0.1f, 0.1f))
+    val df = vecs.toDF("v")
+    for (t <- 0 until 3; bits <- Seq(6, 14)) {
+      val got = df.select(LshSignature.lsh_sig(col("v"), t, bits))
+        .as[Long].collect().toSeq
+      val want = vecs.map(VectorKernels.lshSignature(_, t, bits))
+      assert(got == want, s"table=$t bits=$bits")
+    }
+    // double arrays dispatch through the other getter
+    val dd = Seq(Array(1.0, -2.0, 0.5)).toDF("v")
+      .select(LshSignature.lsh_sig(col("v"), 0, 8)).as[Long].collect().head
+    assert(dd == VectorKernels.lshSignature(Array(1.0f, -2.0f, 0.5f), 0, 8))
+  }
+
   test("cosine_sim null propagation") {
     val df = Seq((Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]))
       .toDF("a", "b")
