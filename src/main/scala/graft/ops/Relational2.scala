@@ -496,6 +496,34 @@ object Relational2 {
       |   OR cts + INTERVAL 2 HOUR <= (SELECT w FROM wm)
       |ORDER BY user_id, click_id, COALESCE(purchase_id, -1)""".stripMargin
 
+  /** Hive-style partitioned write + partition-pruned read — THE 100 TB
+    * layout technique: documents land partitioned by lang, and the
+    * read-back filter prunes to the matching directory before any file is
+    * opened (PlanRegressionSpec asserts PartitionFilters on the scan; a
+    * full-scan-then-filter plan fails there). The aggregation result is
+    * oracled against the unpartitioned source — layout must never change
+    * semantics. */
+  def q61PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-q61").toString
+    try {
+      Tables.documents(spark, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$base/docs")
+      spark.read.parquet(s"$base/docs")
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+        .localCheckpoint() // materialize before the temp layout is deleted
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q61Sql: String =
+    """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang = 'en'
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Multiset set operations (ALL variants keep duplicates — Spark
     * exceptAll/intersectAll, modeled relationally as count-bag ops). */
   def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
@@ -845,6 +873,7 @@ object Relational2 {
     "q53_stream_dedup_sink" -> (q53StreamDedupSink _),
     "q59_stream_stream_join" -> (q59StreamStreamJoin _),
     "q60_stream_outer_join" -> (q60StreamOuterJoin _),
+    "q61_partitioned_write" -> (q61PartitionedWrite _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -876,5 +905,6 @@ object Relational2 {
     "q53_stream_dedup_sink" -> q53Sql,
     "q59_stream_stream_join" -> q59Sql,
     "q60_stream_outer_join" -> q60Sql,
+    "q61_partitioned_write" -> q61Sql,
   )
 }

@@ -66,4 +66,17 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("partition-column filter prunes partitions at the scan (q61 layout)") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$base/docs")
+    val p = spark.read.parquet(s"$base/docs")
+      .filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      "lang filter did not reach PartitionFilters — scan reads all partitions")
+    graft.tools.TempDirs.deleteRecursively(base)
+  }
 }
