@@ -524,6 +524,81 @@ object Relational2 {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Mergeable HLL sketches (Apache DataSketches, built into Spark 4):
+    * per-group sketch aggregation + estimate — the approximate-distinct
+    * pattern that scales to 100 TB because partial sketches merge
+    * commutatively across partitions (and can be persisted and re-merged
+    * across days). DuckDB's approx_count_distinct uses a different HLL
+    * implementation, so this is rows-only; the estimates are
+    * deterministic (merge is order-insensitive) and the spec bounds the
+    * relative error vs exact COUNT(DISTINCT). */
+  def q62HllSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  /** The foreachBatch sink — the production workhorse for sinks Spark has
+    * no native writer for (JDBC upserts, multi-sink fanout): a
+    * complete-mode aggregation hands each micro-batch DataFrame to user
+    * code, which overwrites the target; the final batch therefore equals
+    * the batch aggregation, which the oracle computes (same result set as
+    * q33, arrived at through the foreachBatch path). */
+  def q63ForeachBatchSink(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+    val base = java.nio.file.Files.createTempDirectory("graft-q63").toString
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").cast("long").as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = stream.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$base/out")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$base/out").localCheckpoint()
+        .orderBy(col("bucket"), col("event_type"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** JSON-lines source round-trip: documents written as JSONL, read back
+    * with an explicit schema, aggregated — the oracle runs on the parquet
+    * source, so serialization through a second format must be
+    * semantics-preserving (schema-carrying formats are not a given at
+    * 100 TB; explicit schema avoids the inference scan). */
+  def q64JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-q64").toString
+    try {
+      val docs = Tables.documents(spark, dir)
+      docs.write.mode("overwrite").json(s"$base/docs")
+      spark.read.schema(docs.schema).json(s"$base/docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy(col("lang"))
+        .localCheckpoint()
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q64Sql: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Multiset set operations (ALL variants keep duplicates — Spark
     * exceptAll/intersectAll, modeled relationally as count-bag ops). */
   def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
@@ -874,6 +949,9 @@ object Relational2 {
     "q59_stream_stream_join" -> (q59StreamStreamJoin _),
     "q60_stream_outer_join" -> (q60StreamOuterJoin _),
     "q61_partitioned_write" -> (q61PartitionedWrite _),
+    "q62_hll_sketch"      -> (q62HllSketch _),
+    "q63_foreach_batch"   -> (q63ForeachBatchSink _),
+    "q64_json_roundtrip"  -> (q64JsonRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -906,5 +984,7 @@ object Relational2 {
     "q59_stream_stream_join" -> q59Sql,
     "q60_stream_outer_join" -> q60Sql,
     "q61_partitioned_write" -> q61Sql,
+    "q63_foreach_batch"   -> q33Sql,
+    "q64_json_roundtrip"  -> q64Sql,
   )
 }

@@ -39,6 +39,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(dd == VectorKernels.lshSignature(Array(1.0f, -2.0f, 0.5f), 0, 8))
   }
 
+  test("HLL sketch estimate stays within 5% of exact distinct (q62)") {
+    val rows = graft.ops.Relational2.q62HllSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1)
+      val exact = r.getLong(2)
+      assert(exact > 0)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("cosine_sim null propagation") {
     val df = Seq((Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]))
       .toDF("a", "b")
