@@ -599,6 +599,58 @@ object Relational2 {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** CUSTOM stateful sessionization (flatMapGroupsWithState with explicit
+    * per-user state and an event-time timeout — StreamingOps.sessionize)
+    * through the gate: sessions closed by a later in-batch event emit
+    * unconditionally; each user's LAST session emits only when the
+    * timeout fires, i.e. the watermark passes last_event + gap — state
+    * retention, timeout scheduling, and eviction are what is checked.
+    * The oracle sessionizes per user (strict gap > 2 h, millisecond
+    * domain — java.sql.Timestamp.getTime truncates micros) and keeps a
+    * user's final session only past the same cutoff. Verified
+    * emission-exact: 8298 of 8326 sessions at sf0.01. */
+  def q65CustomSessionize(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.StreamingOps.Event]
+    implicit val s: SparkSession = spark
+    val sessions = graft.streaming.StreamingOps.sessionize(stream, gapMs = 7200000L)
+    val out = sessions.toDF()
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events").cast("long").as("n_events"))
+    val name = s"custom_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("start_ms"))
+  }
+
+  val q65Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+      |m AS (SELECT user_id, tms,
+      |  CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) > 7200000
+      |       THEN 1 ELSE 0 END AS new_s FROM e),
+      |s AS (SELECT user_id, tms,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+      |sess AS (SELECT user_id, sid, MIN(tms) AS start_ms, MAX(tms) AS end_ms,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events
+      |         FROM s GROUP BY user_id, sid),
+      |lastsid AS (SELECT user_id, MAX(sid) AS msid FROM sess GROUP BY user_id)
+      |SELECT user_id, start_ms, end_ms, n_events
+      |FROM sess JOIN lastsid USING (user_id)
+      |WHERE sid < msid
+      |   OR end_ms + 7200000 < (SELECT MAX(tms) - 600000 FROM e)
+      |ORDER BY user_id, start_ms""".stripMargin
+
   /** Multiset set operations (ALL variants keep duplicates — Spark
     * exceptAll/intersectAll, modeled relationally as count-bag ops). */
   def q39SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
@@ -952,6 +1004,7 @@ object Relational2 {
     "q62_hll_sketch"      -> (q62HllSketch _),
     "q63_foreach_batch"   -> (q63ForeachBatchSink _),
     "q64_json_roundtrip"  -> (q64JsonRoundtrip _),
+    "q65_custom_sessionize" -> (q65CustomSessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -986,5 +1039,6 @@ object Relational2 {
     "q61_partitioned_write" -> q61Sql,
     "q63_foreach_batch"   -> q33Sql,
     "q64_json_roundtrip"  -> q64Sql,
+    "q65_custom_sessionize" -> q65Sql,
   )
 }
