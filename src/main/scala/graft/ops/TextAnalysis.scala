@@ -245,7 +245,56 @@ object TextAnalysis {
        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
        |ORDER BY tf.doc_id, tf.token""".stripMargin
 
+  /** Deterministic, reproducible train/val/test split — the
+    * training-data-pipeline op that must NOT use rand(): the split is a
+    * pure function of the stable doc_id (first hex nibble of its md5), so
+    * any executor, any retry, and any re-run of the corpus assigns every
+    * document identically, and joining new columns onto a split later
+    * cannot leak rows across sets. ~12.5% test / ~12.5% val / 75% train. */
+  def detSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("bucket").isin("0", "1"), lit("test"))
+          .when(col("bucket").isin("2", "3"), lit("val"))
+          .otherwise(lit("train")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+      .orderBy(col("lang"), col("split"))
+
+  val detSplitSql: String =
+    """SELECT lang,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+      |       ELSE 'train' END AS split,
+      |  COUNT(*) AS n, MIN(doc_id) AS min_id
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
+  /** Text normalization for training corpora: strip tag-like markup,
+    * collapse runs of whitespace, trim — composed regexp_replace (both
+    * engines use leftmost-longest semantics on these simple patterns). */
+  def textClean(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(col("text"), "<[^>]*>", " "),
+          "\\s+", " ")).as("clean"))
+      .withColumn("clean_len", length(col("clean")))
+      .orderBy(col("doc_id"))
+
+  val textCleanSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      |       '\s+', ' ', 'g')) AS clean,
+      |  LENGTH(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      |       '\s+', ' ', 'g'))) AS clean_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_det_split"   -> (detSplit _),
+    "text_clean"       -> (textClean _),
     "text_wordcount"   -> (wordCount _),
     "text_doc_stats"   -> (docStats _),
     "text_quality"     -> (qualityScore _),
@@ -256,6 +305,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_det_split"   -> detSplitSql,
+    "text_clean"       -> textCleanSql,
     "text_wordcount"   -> wordCountSql,
     "text_doc_stats"   -> docStatsSql,
     "text_quality"     -> qualityScoreSql,
