@@ -292,7 +292,47 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Within-document repetition ratio (the Gopher-style quality filter
+    * that catches boilerplate/looping text): fraction of a document's
+    * 3-grams that are duplicates of an earlier 3-gram in the same
+    * document. Documents above a repetition threshold get dropped from
+    * training corpora; the ratio is emitted so the threshold stays a
+    * downstream choice. */
+  def repRatio(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= lit("")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+      .withColumn("grams", expr(
+        "transform(sequence(1, n - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("total_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("distinct_grams"))
+      .withColumn("rep_ratio",
+        (col("total_grams") - col("distinct_grams")).cast("double") /
+          col("total_grams").cast("double"))
+      .orderBy(col("doc_id"))
+
+  val repRatioSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)] AS grams
+      |  FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS total_grams,
+      |  CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_grams,
+      |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
+      |    CAST(len(grams) AS DOUBLE) AS rep_ratio
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rep_ratio"   -> (repRatio _),
     "text_det_split"   -> (detSplit _),
     "text_clean"       -> (textClean _),
     "text_wordcount"   -> (wordCount _),
@@ -305,6 +345,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_rep_ratio"   -> repRatioSql,
     "text_det_split"   -> detSplitSql,
     "text_clean"       -> textCleanSql,
     "text_wordcount"   -> wordCountSql,
