@@ -25,7 +25,7 @@ object Scale {
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
     val salted = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
