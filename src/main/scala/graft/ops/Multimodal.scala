@@ -10,8 +10,11 @@ import graft.Tables
   * with the decode / feature-extract step structured as a per-partition
   * batch operator.
   *
-  * The image/audio codecs aren't available in this environment, so
-  * `decodeStub` is a clearly-marked deterministic fake — but everything
+  * The IMAGE path is real end to end (mm_decode_real): actual PNG
+  * encode/decode through the JDK's javax.imageio codec plus a
+  * deterministic nearest-neighbor resize — no fake steps. Audio/video
+  * have no JVM built-in codecs, so `decodeStub`/`splitFrames` remain
+  * clearly-marked deterministic fakes for those — but everything
   * Spark-side is real and load-bearing: the binary column representation,
   * the metadata struct schema, the `mapPartitions` batch shape (one
   * decoder init per partition, not per row — the same pattern as the
@@ -156,11 +159,112 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // REAL image path (JDK javax.imageio — no external codecs needed)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic ARGB pixels for a synthetic image (pure function of
+    * (media_id, x, y) — the ground truth the round-trip spec compares
+    * decoded pixels against). */
+  private[graft] def syntheticPixels(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+      val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+      val b = ((id * 11 + x * 19 + y * 23) % 256).toInt
+      0xFF000000 | (r << 16) | (g << 8) | b
+    }
+
+  /** Encode the synthetic image as a REAL PNG via the JDK codec. */
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, syntheticPixels(id, w, h), 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode PNG bytes with the JDK codec (PNG is lossless, so decoded
+    * pixels equal the generated ones exactly). */
+  private[graft] def decodePng(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  /** Mean luminance ((r+g+b)/3 averaged in row-major order — fixed fold
+    * order keeps the double deterministic). */
+  private[graft] def meanLum(img: java.awt.image.BufferedImage): Double = {
+    var s = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    s / (img.getWidth * img.getHeight)
+  }
+
+  /** Deterministic nearest-neighbor resize (explicit sampling — no
+    * platform-dependent interpolation). */
+  private[graft] def resizeNearest(img: java.awt.image.BufferedImage,
+                                 w2: Int, h2: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / w2, y * img.getHeight / h2))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The REAL image pipeline, end to end on actual PNG bytes: encode a
+    * deterministic image per document (real PNG encoder), then a
+    * per-partition decode stage (real PNG decoder) computing true
+    * dimensions and mean luminance, then a real nearest-neighbor resize
+    * to half size with the mean recomputed on the resized pixels. The
+    * audio/video stubs elsewhere in this file remain stubs because the
+    * JVM has no built-in codecs for them — but the image path carries no
+    * fake steps. Rows-only (DuckDB has no PNG codec); the round-trip
+    * spec proves decode(encode(x)) == x pixel-exact. */
+  def decodeReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 16 + 4).cast("int").as("w"),
+        (col("doc_id") % 12 + 4).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        // ImageIO plugin registry warms once per partition, not per row
+        rows.map { case (id, w, h) =>
+          val png = encodePng(id, w, h)
+          val img = decodePng(png)
+          val half = resizeNearest(img, math.max(1, w / 2), math.max(1, h / 2))
+          (id, png.length, img.getWidth, img.getHeight,
+            math.rint(meanLum(img) * 10000) / 10000,
+            half.getWidth, half.getHeight,
+            math.rint(meanLum(half) * 10000) / 10000)
+        }
+      }
+      .toDF("media_id", "png_bytes", "width", "height", "mean_lum",
+        "half_width", "half_height", "half_mean_lum")
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"     -> (mediaMeta _),
     "mm_features" -> (extractFeatures _),
     "mm_frames"   -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
     "mm_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
+    "mm_decode_real" -> (decodeReal _),
   )
 
   /** mm_features/mm_frames exercise mapPartitions/flatMap stubs →

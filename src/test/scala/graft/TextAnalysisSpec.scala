@@ -63,6 +63,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(3) == math.rint(('a' + 'b' + 'c') / 3.0 * 10000) / 10000)
   }
 
+  test("real PNG round-trip: decode(encode(x)) is pixel-exact, resize real") {
+    // the image path uses the JDK's actual PNG codec — lossless, so the
+    // decoded raster must equal the generated ground-truth pixels exactly
+    for (id <- Seq(0L, 7L, 255L)) {
+      val (w, h) = ((id % 16 + 4).toInt, (id % 12 + 4).toInt)
+      val img = Multimodal.decodePng(Multimodal.encodePng(id, w, h))
+      assert(img.getWidth == w && img.getHeight == h)
+      val got = img.getRGB(0, 0, w, h, null, 0, w)
+      assert(got.toSeq == Multimodal.syntheticPixels(id, w, h).toSeq,
+        s"PNG round-trip not pixel-exact for id=$id")
+      val half = Multimodal.resizeNearest(img, w / 2, h / 2)
+      assert(half.getWidth == w / 2 && half.getHeight == h / 2)
+      // nearest-neighbor: every output pixel is some input pixel
+      val src = got.toSet
+      val hp = half.getRGB(0, 0, w / 2, h / 2, null, 0, w / 2)
+      assert(hp.forall(src.contains), "resize invented pixel values")
+    }
+    val rows = Multimodal.decodeReal(spark, docs((3L, "x", "en"))).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getInt(2) == 7 && r.getInt(3) == 7) // id 3 → 3%16+4 × 3%12+4
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 255.0)
+  }
+
   test("multimodal metadata scan does not read the payload column") {
     val plan = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
     // the parquet scan must prune to the columns the query needs; payload
