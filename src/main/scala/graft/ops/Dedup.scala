@@ -70,6 +70,73 @@ object Dedup {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Incremental ingest dedup — the daily-batch shape: documents arriving
+    * in the new batch (doc_id ≥ splitId stands in for the ingest
+    * boundary) are kept only if their exact content is absent from the
+    * historical corpus. Plans as a LEFT ANTI hash join on content; at
+    * 100 TB the join key becomes a 128-bit content digest so the shuffle
+    * carries 16 bytes/doc instead of documents. */
+  def incremental(spark: SparkSession, dir: String,
+                  splitId: Long = 400): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") < splitId).select(col("text"))
+    docs.filter(col("doc_id") >= splitId)
+      .join(old, Seq("text"), "left_anti")
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalSql: String =
+    """SELECT doc_id, LENGTH(text) AS text_len
+      |FROM documents n
+      |WHERE doc_id >= 400
+      |  AND NOT EXISTS (SELECT 1 FROM documents o
+      |                  WHERE o.doc_id < 400 AND o.text = n.text)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination check — near-dup detection ACROSS a
+    * train/eval split: eval documents (doc_id ≥ splitId) whose token-set
+    * Jaccard against any training document reaches the threshold are
+    * flagged (they would leak the benchmark into training). Same
+    * bucket-then-verify blocking as ngramJaccard, constrained to cross
+    * pairs only. */
+  def contamination(spark: SparkSession, dir: String, splitId: Long = 400,
+                    threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        (col("n_chars") / 100).cast("long").as("len_bucket"),
+        col("doc_id"),
+        array_distinct(tokens(col("text"))).as("toks"))
+    val train = docs.filter(col("doc_id") < splitId)
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("doc_id").as("train_id"), col("toks").as("train_toks"))
+    val eval_ = docs.filter(col("doc_id") >= splitId)
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("doc_id").as("eval_id"), col("toks").as("eval_toks"))
+    eval_.join(train, Seq("lang", "source", "len_bucket"))
+      .withColumn("inter",
+        size(array_intersect(col("eval_toks"), col("train_toks"))).cast("double"))
+      .withColumn("uni",
+        size(array_union(col("eval_toks"), col("train_toks"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("eval_id"), col("train_id"), col("jaccard"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  val contaminationSql: String =
+    s"""SELECT e.eval_id, t.train_id,
+       |  CAST(len(list_filter(e.toks, x -> list_contains(t.toks, x))) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(e.toks, t.toks))) AS DOUBLE) AS jaccard
+       |FROM (SELECT lang, source, n_chars // 100 AS len_bucket, doc_id AS eval_id,
+       |        list_distinct($tokensSql) AS toks FROM documents WHERE doc_id >= 400) e
+       |JOIN (SELECT lang, source, n_chars // 100 AS len_bucket, doc_id AS train_id,
+       |        list_distinct($tokensSql) AS toks FROM documents WHERE doc_id < 400) t
+       |  ON e.lang = t.lang AND e.source = t.source AND e.len_bucket = t.len_bucket
+       |WHERE CAST(len(list_filter(e.toks, x -> list_contains(t.toks, x))) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(e.toks, t.toks))) AS DOUBLE) >= 0.5
+       |ORDER BY eval_id, train_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // MinHash + LSH near-dup
   // ---------------------------------------------------------------------
@@ -480,6 +547,8 @@ object Dedup {
        |ORDER BY l.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> ((s: SparkSession, d: String) => incremental(s, d)),
+    "dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "dedup_groups_jaccard" -> (dedupGroupsJaccard _),
     "dedup_groups"    -> (dedupGroups _),
     "dedup_exact"     -> (exact _),
@@ -494,6 +563,8 @@ object Dedup {
   /** minhash/simhash signatures are hash-family-specific → rows-only check
     * (SURVEY §5.5); jaccard + embedding-cosine are exact math → oracled. */
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalSql,
+    "dedup_contamination" -> contaminationSql,
     "dedup_groups_jaccard" -> dedupGroupsJaccardSql,
     "dedup_exact"     -> exactSql,
     "dedup_keyed"     -> keyedSql,
