@@ -331,7 +331,66 @@ object TextAnalysis {
       |FROM g
       |ORDER BY doc_id""".stripMargin
 
+  /** The composed pretraining-corpus pipeline — the end-to-end user
+    * story, not a single operator: normalize text (tag strip + whitespace
+    * collapse) → token-count quality filter → exact content dedup (keep
+    * the lowest doc_id per distinct cleaned text) → deterministic
+    * md5-bucket train/val/test split → per-(lang, split) corpus stats.
+    * Every stage is one of this library's gate-checked operators; the
+    * composition itself is what this entry hash-checks. All stages are
+    * narrow or single-shuffle: clean/filter/split are map-side, dedup is
+    * one hash aggregation + a semi join, stats one partial-agg shuffle. */
+  def pretrainPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.Tables.documents(spark, dir)
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(col("text"), "<[^>]*>", " "), "\\s+", " ")))
+      .withColumn("n_tokens",
+        size(filter(split(col("clean"), " "), t => t =!= lit(""))))
+      .filter(col("n_tokens") >= 30)
+    val keep = cleaned.groupBy(col("clean"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    cleaned.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("bucket").isin("0", "1"), lit("test"))
+          .when(col("bucket").isin("2", "3"), lit("val"))
+          .otherwise(lit("train")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val pretrainPipelineSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang,
+      |    trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+      |         '\s+', ' ', 'g')) AS clean
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang, clean,
+      |    len(list_filter(string_split(clean, ' '), x -> x <> '')) AS n_tokens
+      |  FROM c
+      |  WHERE len(list_filter(string_split(clean, ' '), x -> x <> '')) >= 30),
+      |k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY clean),
+      |kept AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+      |s AS (SELECT lang,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+      |       ELSE 'train' END AS split,
+      |  n_tokens FROM kept)
+      |SELECT lang, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens
+      |FROM s
+      |GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain" -> (pretrainPipeline _),
     "text_rep_ratio"   -> (repRatio _),
     "text_det_split"   -> (detSplit _),
     "text_clean"       -> (textClean _),
@@ -345,6 +404,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pretrain" -> pretrainPipelineSql,
     "text_rep_ratio"   -> repRatioSql,
     "text_det_split"   -> detSplitSql,
     "text_clean"       -> textCleanSql,
