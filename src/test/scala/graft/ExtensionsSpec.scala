@@ -51,6 +51,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches are mergeable: union of per-group partials == direct global") {
+    import org.apache.spark.sql.functions._
+    // the property that makes sketches the at-scale distinct-counter:
+    // partial sketches built independently (per group / per partition /
+    // per day) union into exactly the sketch a single global pass builds
+    val e = graft.Tables.events(spark, sf)
+    val direct = e.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().head.getLong(0)
+    val merged = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    assert(merged == direct,
+      s"merged partial sketches ($merged) != direct global sketch ($direct)")
+  }
+
   test("cosine_sim null propagation") {
     val df = Seq((Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]))
       .toDF("a", "b")
