@@ -137,6 +137,33 @@ class DedupSpec extends SparkSpec {
       s"candidate pairs $cands exceed 5% of $allPairs — LSH not sub-linear-shaped")
   }
 
+  test("components match a reference union-find on random graphs") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (0 until 35)
+        .map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
+        .distinct
+      // reference union-find with min-id roots (attach larger root under
+      // smaller, so each root is its component's minimum id)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val pairs = edges.toDF("a_id", "b_id")
+      val ids = (0 until n).map(_.toLong).toDF("doc_id")
+      val got = Dedup.components(pairs, ids)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: labels diverge from union-find")
+    }
+  }
+
   test("simhash recall is exactly 1.0 for hamming<=3 (pigeonhole guarantee)") {
     import org.apache.spark.sql.functions._
     // 4 bands × 16 bits: any pair at hamming <= 3 agrees on >= 1 band, so
