@@ -394,7 +394,7 @@ object Relational2 {
     val base = java.nio.file.Files.createTempDirectory("graft-q59").toString
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      def src = spark.readStream.schema(schema)
+      val src = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -445,7 +445,7 @@ object Relational2 {
     val base = java.nio.file.Files.createTempDirectory("graft-q60").toString
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      def src = spark.readStream.schema(schema)
+      val src = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
