@@ -118,7 +118,10 @@ object Dedup {
         size(array_intersect(col("eval_toks"), col("train_toks"))).cast("double"))
       .withColumn("uni",
         size(array_union(col("eval_toks"), col("train_toks"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+      // two token-less docs give 0/0 — ANSI mode throws even on doubles;
+      // null jaccard drops at the threshold filter, matching the oracle
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter") / col("uni")))
       .filter(col("jaccard") >= threshold)
       .select(col("eval_id"), col("train_id"), col("jaccard"))
       .orderBy(col("eval_id"), col("train_id"))
@@ -288,7 +291,10 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
       .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+      // two token-less docs give 0/0 — ANSI mode throws even on doubles;
+      // null jaccard drops at the threshold filter, matching the oracle
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter") / col("uni")))
       .filter(col("jaccard") >= threshold)
       .select(col("lang"), col("source"), col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("lang"), col("source"), col("a_id"), col("b_id"))
@@ -468,22 +474,11 @@ object Dedup {
     * artifact equals a regenerated one. Keyed by directory path on the
     * assumption the corpus under it is immutable (true for the fixture
     * dirs); a mutable corpus would key on a content fingerprint. */
-  private lazy val pairsRoot =
-    java.nio.file.Files.createTempDirectory("graft-pairs").toString
-  private val pairsPaths =
-    scala.collection.concurrent.TrieMap[(String, String), String]()
   private def cachedPairs(spark: SparkSession, dir: String, kind: String)
-                         (gen: => DataFrame): DataFrame = {
-    val path = pairsPaths.getOrElseUpdate((dir, kind), {
-      val p = s"$pairsRoot/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$kind"
-      val t0 = System.nanoTime()
+                         (gen: => DataFrame): DataFrame =
+    graft.tools.ArtifactCache.parquet(spark, dir, s"pairs_$kind") { p =>
       gen.select(col("a_id"), col("b_id")).write.mode("overwrite").parquet(p)
-      graft.tools.PhaseTiming.record(s"pairs.$kind.build",
-        (System.nanoTime() - t0) / 1e9)
-      p
-    })
-    spark.read.parquet(path)
-  }
+    }
 
   /** Near-dup dedup groups over the MinHash pair graph: every document
     * mapped to its group representative (the component's min doc_id), plus

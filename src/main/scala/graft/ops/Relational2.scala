@@ -223,7 +223,12 @@ object Relational2 {
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy(col("bucket"), col("event_type"))
+    // checkpoint the sink contents and drop the backing temp view —
+    // repeated bench/gate runs would otherwise pin every run's full
+    // result set in driver memory for the session lifetime
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("bucket"), col("event_type"))
   }
 
   val q33Sql: String =
@@ -630,7 +635,10 @@ object Relational2 {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy(col("user_id"), col("start_ms"))
+    // same cleanup discipline as q33: checkpoint, then drop the temp view
+    val result = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    result.orderBy(col("user_id"), col("start_ms"))
   }
 
   val q65Sql: String =

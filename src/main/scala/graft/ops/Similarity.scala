@@ -81,23 +81,12 @@ object Similarity {
     * a retrained one. The cache is keyed by directory path and assumes the
     * corpus under it is immutable (true for the fixture dirs); a mutable
     * corpus would key on a content fingerprint instead. */
-  private lazy val indexRoot =
-    java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
-  private val indexPaths =
-    scala.collection.concurrent.TrieMap[(String, Int, Int), String]()
   private[graft] def ivfIndex(spark: SparkSession, dir: String,
-                              cells: Int, iterations: Int): DataFrame = {
-    val path = indexPaths.getOrElseUpdate((dir, cells, iterations), {
-      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val p = s"$indexRoot/$safe/c${cells}_i$iterations"
-      val t0 = System.nanoTime()
+                              cells: Int, iterations: Int): DataFrame =
+    graft.tools.ArtifactCache.parquet(spark, dir, s"ivf_c${cells}_i$iterations") { p =>
       KMeans.saveIndex(
         KMeans.fit(spark, Tables.embeddings(spark, dir), cells, iterations), p)
-      graft.tools.PhaseTiming.record("ivf.train", (System.nanoTime() - t0) / 1e9)
-      p
-    })
-    KMeans.loadIndex(spark, path)
-  }
+    }
 
   /** IVF ANN with a REAL trained coarse quantizer: KMeans.fit learns the
     * cells (k-means‖ init + Lloyd, all hash-deterministic), the corpus is
@@ -245,7 +234,10 @@ object Similarity {
     * model in adaptiveLshBits and asserted in SimilaritySpec. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val n = corpusDf(spark, dir).count()
-    if (lshWinsAt(n)) lshTopK(spark, dir) else bruteForceTopK(spark, dir)
+    // pass the derived bits down — lshTopK would otherwise re-count the
+    // corpus (a second full metadata scan) to derive the same number
+    if (lshWinsAt(n)) lshTopK(spark, dir, adaptiveLshBits(n))
+    else bruteForceTopK(spark, dir)
   }
 
   /** The crossover predicate, exposed for the planner spec. */

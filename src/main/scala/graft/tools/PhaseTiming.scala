@@ -11,10 +11,13 @@ object PhaseTiming {
 
   def record(name: String, sec: Double): Unit = acc.put(name, sec)
 
-  /** Returns all recorded phases and clears the accumulator. */
+  /** Returns all recorded phases and clears them. Conditional remove(k, v)
+    * only deletes the exact snapshot value — a phase recorded concurrently
+    * between the snapshot and the sweep survives to the next drain instead
+    * of vanishing unreported. */
   def drain(): Map[String, Double] = {
     val m = acc.toMap
-    m.keys.foreach(acc.remove)
+    m.foreach { case (k, v) => acc.remove(k, v) }
     m
   }
 }
