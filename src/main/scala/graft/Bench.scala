@@ -44,8 +44,8 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val t = (System.nanoTime() - t0) / 1e9
         // accumulate across iterations (last write wins): steady-state
-        // phases come from the final iteration, while train-once phases
-        // (ivf.train fires only on the first call per corpus) survive
+        // phases come from the final iteration, while train-once artifact
+        // builds (*.build fires only on the first call per corpus) survive
         phases ++= graft.tools.PhaseTiming.drain()
           .map { case (k, v) => s"$name.$k" -> v }
         t
