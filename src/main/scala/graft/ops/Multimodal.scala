@@ -267,10 +267,39 @@ object Multimodal {
     "mm_decode_real" -> (decodeReal _),
   )
 
-  /** mm_features/mm_frames exercise mapPartitions/flatMap stubs →
-    * rows-only; mm_resize's byte count is SQL-expressible. */
+  /** mm_decode_real needs a PNG codec → rows-only (its lossless round
+    * trip is spec-proved instead). The stub features ARE oracle-able:
+    * payloads are the documents' pure-ASCII UTF-8 bytes, so byte means
+    * equal per-character ord means, which DuckDB computes exactly
+    * (integer sums are exact in doubles at any fold order; round vs
+    * round_even chosen to match Spark's round vs math.rint). */
   val oracles: Map[String, String] = Map(
     "mm_meta" -> mediaMetaSql,
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  round(CAST(list_sum([ord(c) FOR c IN string_split(text, '')]) AS DOUBLE)
+        |        / octet_length(encode(text)), 4) AS mean_byte
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
+    "mm_frames" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+        |           FROM documents),
+        |f AS (SELECT doc_id, text,
+        |        unnest(generate_series(0, CAST((len - 1) // 64 AS INT))) AS frame_idx
+        |      FROM t WHERE len > 0),
+        |s AS (SELECT doc_id, frame_idx,
+        |        substr(text, frame_idx * 64 + 1, 64) AS frame
+        |      FROM f WHERE frame_idx % 4 = 0)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(length(frame) AS INT) AS n_bytes,
+        |  round_even(CAST(list_sum([ord(c) FOR c IN string_split(frame, '')]) AS DOUBLE)
+        |             / length(frame) * 10000, 0) / 10000 AS mean_byte
+        |FROM s
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id AS media_id,
         |  CAST((doc_id % 640 + 1) AS INT) // 2 AS width,
