@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-assembly operators — the steps between "filtered documents" and
+  * "tensors on a trainer": sequence packing, token-budget selection,
+  * per-language balancing, shard-and-shuffle, and vocabulary pruning.
+  * These complete the LLM-data-pipeline surface (SURVEY.md §2 extensions)
+  * alongside TextAnalysis (filter/score) and Dedup (near-dup removal).
+  *
+  * Scale posture: every operator here is window-over-group or
+  * aggregate-join — no global single-partition window anywhere. Groups are
+  * `source` / `lang` / `shard`, i.e. the natural parallelism axes of a real
+  * corpus; at 100 TB each group's window runs inside one task after a
+  * hash-partition shuffle, and the only corpus-wide state (the vocabulary)
+  * is an aggregate that fits in memory and broadcasts.
+  */
+object Corpus {
+
+  /** Whitespace tokens, empties dropped — same tokenizer as TextAnalysis. */
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  private val tokensSql =
+    "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  // ---------------------------------------------------------------------
+
+  /** GPT-style concat-and-chunk sequence packing: within each source,
+    * documents are concatenated in doc_id order and cut into fixed
+    * `seqLen`-token training sequences; a document may span several. Emits,
+    * per document, its first sequence id, offset inside it, and span width.
+    *
+    * The cumulative token count is a running-sum window per source — the
+    * packing of one source never waits on another, and (unlike next-fit bin
+    * packing) the chunk mapping is a pure prefix-sum, so it parallelizes and
+    * is deterministic for the oracle. */
+  def packSequences(spark: SparkSession, dir: String, seqLen: Int = 64): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"cum_before div $seqLen"))
+      .withColumn("seq_offset", expr(s"cum_before % $seqLen"))
+      .withColumn("n_seqs",
+        expr(s"(cum_before + n_tokens - 1) div $seqLen") - col("seq_first") + lit(1L))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT source, doc_id, n_tokens,
+       |  cum_before,
+       |  cum_before // 64 AS seq_first,
+       |  cum_before % 64 AS seq_offset,
+       |  (cum_before + n_tokens - 1) // 64 - cum_before // 64 + 1 AS n_seqs
+       |FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM (SELECT source, doc_id, len($tokensSql) AS n_tokens FROM documents)
+       |)
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** Greedy per-source token-budget selection: walk each source in doc_id
+    * order and keep documents while the running total is under budget — the
+    * "give me ~N tokens per source" sampling step of a corpus recipe. Same
+    * prefix-sum shape as packing; the filter is on the window result. */
+  def budgetSelect(spark: SparkSession, dir: String, budget: Long = 300L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val budgetSelectSql: String =
+    s"""SELECT source, doc_id, n_tokens, cum_before FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM (SELECT source, doc_id, len($tokensSql) AS n_tokens FROM documents)
+       |)
+       |WHERE cum_before < 300
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** Per-language corpus balancing: a deterministic uniform subsample of at
+    * most `perLang` documents per language, ranked by md5(doc_id) — the
+    * standard "don't let English drown the mixture" rebalance, reproducible
+    * across runs because the rank is a pure function of the stable id
+    * (same trick as text_det_split). */
+  def balanceByLang(spark: SparkSession, dir: String, perLang: Int = 40): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perLang)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val balanceByLangSql: String =
+    """SELECT lang, doc_id, rk FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+      |  FROM documents
+      |)
+      |WHERE rk <= 40
+      |ORDER BY lang, rk""".stripMargin
+
+  /** Shard-and-shuffle for training: assign each document to one of
+    * `nShards` shards and give it a deterministic pseudo-random position
+    * inside its shard (rank by md5 of the text). This is the global-shuffle
+    * step before writing training shards — expressed as per-shard windows,
+    * so no global sort: each shard's ordering is independent work after one
+    * hash partition. */
+  def shardShuffle(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("shard", col("doc_id") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shardShuffleSql: String =
+    """SELECT shard, pos, doc_id FROM (
+      |  SELECT doc_id % 8 AS shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+      |      ORDER BY md5(text), doc_id) AS INT) AS pos,
+      |    doc_id
+      |  FROM documents
+      |)
+      |ORDER BY shard, pos""".stripMargin
+
+  /** Vocabulary pruning: build the corpus vocabulary, keep the top
+    * `vocabSize` tokens by frequency (ties broken by token), and rewrite
+    * every document replacing out-of-vocabulary tokens with `<unk>` — the
+    * classic closed-vocab preprocessing step.
+    *
+    * The vocabulary is the only corpus-wide state and it is O(distinct
+    * tokens); it broadcasts to the rewrite join, so the heavy side (the
+    * exploded token stream) never shuffles for the lookup — the one shuffle
+    * is the final per-document regroup. */
+  def vocabPrune(spark: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("vrk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .filter(col("vrk") <= vocabSize)
+      .select(col("token"), lit(1).as("kept"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("kept").isNull, lit("<unk>")).otherwise(col("token")).as("tok"),
+        col("kept").isNull.cast("long").as("is_unk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("pruned_text"),
+        sum(col("is_unk")).as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabPruneSql: String =
+    s"""WITH parts AS (
+       |  SELECT doc_id, $tokensSql AS parts FROM documents
+       |), tok AS (
+       |  SELECT doc_id, pos, parts[pos] AS token FROM (
+       |    SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos, parts
+       |    FROM parts)
+       |), vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS vrk
+       |    FROM tok GROUP BY token)
+       |  WHERE vrk <= 20
+       |)
+       |SELECT t.doc_id,
+       |  string_agg(CASE WHEN v.token IS NULL THEN '<unk>' ELSE t.token END,
+       |             ' ' ORDER BY t.pos) AS pruned_text,
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+       |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pack"        -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "corpus_budget"      -> ((s: SparkSession, d: String) => budgetSelect(s, d)),
+    "corpus_balance"     -> ((s: SparkSession, d: String) => balanceByLang(s, d)),
+    "corpus_shard"       -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
+    "corpus_vocab_prune" -> ((s: SparkSession, d: String) => vocabPrune(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "corpus_pack"        -> packSequencesSql,
+    "corpus_budget"      -> budgetSelectSql,
+    "corpus_balance"     -> balanceByLangSql,
+    "corpus_shard"       -> shardShuffleSql,
+    "corpus_vocab_prune" -> vocabPruneSql,
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ops.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tiny corpus with controlled token counts; two sources, two langs. */
+  private def docs(rows: (Long, String, String, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    rows.toSeq.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(n: Int, w: String = "tok"): String = Seq.fill(n)(w).mkString(" ")
+
+  test("packSequences: chunk mapping is a prefix sum with documents spanning bins") {
+    // source s0: docs of 40, 40, 50 tokens; seqLen 64.
+    val dir = docs(
+      (1L, words(40), "en", "s0"),
+      (2L, words(40), "en", "s0"),
+      (3L, words(50), "en", "s0"),
+      (10L, words(10), "en", "s1"))
+    val rows = Corpus.packSequences(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // doc 1: cum 0  -> seq 0 off 0,  spans 0..(39/64)=0  -> 1 seq
+    // doc 2: cum 40 -> seq 0 off 40, spans 0..(79/64)=1  -> 2 seqs
+    // doc 3: cum 80 -> seq 1 off 16, spans 1..(129/64)=2 -> 2 seqs
+    assert(rows.filter(_._1 == "s0").toSeq == Seq(
+      ("s0", 1L, 40L, 0L, 0L, 0L, 1L),
+      ("s0", 2L, 40L, 40L, 0L, 40L, 2L),
+      ("s0", 3L, 50L, 80L, 1L, 16L, 2L)))
+    // independent source restarts at zero
+    assert(rows.filter(_._1 == "s1").toSeq == Seq(("s1", 10L, 10L, 0L, 0L, 0L, 1L)))
+  }
+
+  test("packSequences: every token lands in exactly one sequence slot") {
+    val dir = docs((1L, words(7), "en", "s0"), (2L, words(9), "en", "s0"),
+      (3L, words(13), "en", "s0"))
+    val rows = Corpus.packSequences(spark, dir, seqLen = 8).collect()
+    // Total slots spanned = total tokens; offsets are consistent with cum.
+    val total = rows.map(_.getLong(2)).sum
+    val last = rows.last
+    assert(last.getLong(3) + last.getLong(2) == total) // cum_before + n = total
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(3) % 8)          // offset = cum % seqLen
+      assert(r.getLong(4) == r.getLong(3) / 8)          // first = cum div seqLen
+    }
+  }
+
+  test("budgetSelect keeps the greedy prefix per source and stops at the budget") {
+    val dir = docs(
+      (1L, words(200), "en", "s0"),
+      (2L, words(150), "en", "s0"),  // cum_before 200 < 300 -> kept (overshoot allowed)
+      (3L, words(10), "en", "s0"),   // cum_before 350 >= 300 -> dropped
+      (9L, words(5), "en", "s1"))
+    val kept = Corpus.budgetSelect(spark, dir).collect().map(r => r.getLong(1)).toSet
+    assert(kept == Set(1L, 2L, 9L))
+  }
+
+  test("balanceByLang caps each language at perLang with a deterministic rank") {
+    val dir = docs((1L to 10L).map(i => (i, words(3), if (i <= 7) "en" else "fr", "s0")): _*)
+    val out = Corpus.balanceByLang(spark, dir, perLang = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.count(_._1 == "en") == 4)   // capped
+    assert(out.count(_._1 == "fr") == 3)   // fewer than cap -> all kept
+    assert(out.filter(_._1 == "fr").map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // determinism: same input -> same ranks
+    val again = Corpus.balanceByLang(spark, dir, perLang = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("shardShuffle partitions all docs and positions are dense per shard") {
+    val dir = docs((1L to 20L).map(i => (i, words(2) + s" d$i", "en", "s0")): _*)
+    val out = Corpus.shardShuffle(spark, dir, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._3).toSet == (1L to 20L).toSet)              // every doc once
+    assert(out.map(_._1).toSet == Set(0L, 1L, 2L, 3L))            // doc_id % 4
+    out.groupBy(_._1).foreach { case (_, rs) =>                   // dense 1..n positions
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.size).toSeq)
+    }
+    out.foreach { case (shard, _, id) => assert(shard == id % 4) }
+  }
+
+  test("vocabPrune replaces exactly the out-of-vocab tokens and preserves order") {
+    // counts: a=4, b=3, c=2, d=1 -> vocabSize=2 keeps {a, b}
+    val dir = docs(
+      (1L, "a b c a", "en", "s0"),
+      (2L, "b d a c", "en", "s0"),
+      (3L, "a b", "en", "s0"))
+    val out = Corpus.vocabPrune(spark, dir, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "a b <unk> a", 1L),
+      (2L, "b <unk> a <unk>", 2L),
+      (3L, "a b", 0L)))
+  }
+
+  test("vocabPrune frequency ties break on token text") {
+    // a=2, b=2, c=2: vocabSize=2 keeps {a, b} (tie -> lexicographic)
+    val dir = docs((1L, "a b c", "en", "s0"), (2L, "c b a", "en", "s0"))
+    val out = Corpus.vocabPrune(spark, dir, vocabSize = 2).collect()
+      .map(r => r.getString(1)).toSeq
+    assert(out == Seq("a b <unk>", "<unk> b a"))
+  }
+}
