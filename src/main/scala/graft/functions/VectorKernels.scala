@@ -154,6 +154,27 @@ object VectorKernels {
     s
   })
 
+  /** Symmetric int8 quantization of a float vector: scale = 127 / max|x|
+    * (0 for an all-zero vector), elements mapped by floor(x · scale).
+    * Returns (scale, quantized) as a struct — one compiled pass per row,
+    * no interpreted HOF in the corpus scan. floor (not round) because
+    * round's tie-breaking differs between engines while floor is exact
+    * IEEE in both, keeping the op oracle-checkable bit-for-bit. */
+  val quantizeInt8Udf: UserDefinedFunction = udf((v: Array[Float]) => {
+    var mab = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble)
+      if (a > mab) mab = a
+      i += 1
+    }
+    val scale = if (mab == 0.0) 0.0 else 127.0 / mab
+    val q = new Array[Long](v.length)
+    i = 0
+    while (i < v.length) { q(i) = math.floor(v(i).toDouble * scale).toLong; i += 1 }
+    (scale, q)
+  })
+
   /** (argmax index, max cosine) as a struct column — fields `_1`, `_2`. */
   def nearestUdf(m: Array[Array[Double]]): UserDefinedFunction =
     udf((v: Array[Double]) => nearest(v, m))

@@ -979,7 +979,116 @@ object Relational2 {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Stream-static join through the real streaming engine: readStream over
+    * events joined to the static customer dimension, then a windowed
+    * aggregation per market segment. The static side is planned as a
+    * broadcast per micro-batch — the standard enrich-a-stream shape (the
+    * 100 TB analogue: a dimension that fits in executor memory joined to an
+    * unbounded fact stream with zero shuffle on the stream side). On a
+    * bounded source the result equals the batch join + aggregation, which
+    * is what the oracle computes. */
+  def q66StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val customers = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "30 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket"),
+        col("c_mktsegment"), col("n"), col("sum_value"))
+    val name = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out.orderBy(col("bucket"), col("c_mktsegment"))
+  }
+
+  val q66Sql: String =
+    """SELECT CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) AS bucket,
+      |  c_mktsegment,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY bucket, c_mktsegment""".stripMargin
+
+  /** CDC-style MERGE (upsert-apply): fold a change batch into a base table.
+    * Changes are the LATEST event per (shifted) customer key — latest-wins
+    * by (ts, event_id) — mapped to merge actions: an `error` event deletes
+    * the row, any other event upserts `value` into the account balance
+    * (update if the key exists, insert if new). The key shift is derived
+    * from the data (max custkey − half the user range) so every branch is
+    * non-vacuous at every scale factor: the lower half of the users lands
+    * on existing keys (updates), the upper half past the end (inserts),
+    * deletes hit both populations, the rest of the base is untouched.
+    *
+    * Spark has no MERGE INTO without a table format that supports it, so
+    * this is the portable relational encoding: dedup-changes → full outer
+    * join on the key → per-row action arbitration. At 100 TB both sides
+    * hash-partition on the key (full outer can't broadcast); that one
+    * shuffle is the price every CDC apply pays. The shift scalar is a
+    * broadcast one-row cross join, not a collect. */
+  def q67UpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("m_custkey").orderBy(col("ts").desc, col("event_id").desc)
+    val off = Tables.customer(spark, dir).agg(max(col("c_custkey")).as("maxc"))
+      .crossJoin(Tables.events(spark, dir).agg(max(col("user_id")).as("maxu")))
+      .select((col("maxc") - expr("maxu div 2")).as("off"))
+    val latest = Tables.events(spark, dir)
+      .crossJoin(broadcast(off))
+      .select((col("user_id") + col("off")).as("m_custkey"), col("ts"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "ts", "event_id")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .join(latest, col("c_custkey") === col("m_custkey"), "full_outer")
+      .filter(col("event_type").isNull || col("event_type") =!= "error")
+      .select(
+        coalesce(col("c_custkey"), col("m_custkey")).as("custkey"),
+        coalesce(col("c_name"),
+          concat(lit("cust#"), coalesce(col("c_custkey"), col("m_custkey")))).as("name"),
+        coalesce(col("value"), col("c_acctbal")).as("acctbal"),
+        when(col("event_type").isNull, lit("keep"))
+          .when(col("c_custkey").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"))
+      .orderBy(col("custkey"))
+  }
+
+  val q67Sql: String =
+    """WITH off AS (
+      |  SELECT (SELECT max(c_custkey) FROM customer)
+      |       - ((SELECT max(user_id) FROM events) // 2) AS off
+      |), latest AS (
+      |  SELECT m_custkey, event_type, value FROM (
+      |    SELECT user_id + (SELECT off FROM off) AS m_custkey, event_type, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id + (SELECT off FROM off)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1
+      |)
+      |SELECT
+      |  COALESCE(c_custkey, m_custkey) AS custkey,
+      |  COALESCE(c_name, 'cust#' || COALESCE(c_custkey, m_custkey)) AS name,
+      |  COALESCE(value, c_acctbal) AS acctbal,
+      |  CASE WHEN event_type IS NULL THEN 'keep'
+      |       WHEN c_custkey IS NULL THEN 'insert'
+      |       ELSE 'update' END AS op
+      |FROM customer FULL OUTER JOIN latest ON c_custkey = m_custkey
+      |WHERE event_type IS NULL OR event_type <> 'error'
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_stream_static_join" -> (q66StreamStaticJoin _),
+    "q67_upsert_merge"    -> (q67UpsertMerge _),
     "q57_map_roundtrip"   -> (q57MapRoundtrip _),
     "q58_value_windows"   -> (q58ValueWindows _),
     "q54_window_distribution" -> (q54WindowDistribution _),
@@ -1016,6 +1125,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_stream_static_join" -> q66Sql,
+    "q67_upsert_merge"    -> q67Sql,
     "q57_map_roundtrip"   -> q57Sql,
     "q58_value_windows"   -> q58Sql,
     "q54_window_distribution" -> q54Sql,

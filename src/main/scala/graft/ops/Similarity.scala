@@ -264,7 +264,35 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the compression
+    * step before an ANN index or a trainer ships vectors over the wire
+    * (4× smaller than float32). Per-row compiled kernel (one pass computes
+    * max|x|, scale, and the quantized array), so the corpus scan stays a
+    * narrow map with no shuffle at all; at 100 TB this is embarrassingly
+    * parallel and bounded by read bandwidth. floor-based so the result is
+    * bit-identical to the SQL oracle (round ties differ between engines). */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorKernels.quantizeInt8Udf(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q._1").as("scale"), col("q._2").as("qvec"))
+      .orderBy(col("vec_id"))
+
+  val quantizeInt8Sql: String =
+    """SELECT vec_id, scale,
+      |  list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qvec
+      |FROM (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN mab = 0 THEN 0.0 ELSE 127.0 / mab END AS scale
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mab
+      |    FROM embeddings))
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize"   -> (quantizeInt8 _),
     "sim_topk_brute" -> (bruteForceTopK _),
     "sim_topk_agg"   -> (aggTopK _),
     "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
@@ -278,6 +306,7 @@ object Similarity {
     * crossover, so the planner must return the exact plan's result —
     * the choice itself is what the gate checks. */
   val oracles: Map[String, String] = Map(
+    "emb_quantize"   -> quantizeInt8Sql,
     "sim_topk_brute" -> bruteForceTopKSql,
     "sim_topk_agg"   -> bruteForceTopKSql,
     "sim_topk_ann"   -> bruteForceTopKSql,
