@@ -12,9 +12,11 @@ import graft.Tables
   *
   * The IMAGE path is real end to end (mm_decode_real): actual PNG
   * encode/decode through the JDK's javax.imageio codec plus a
-  * deterministic nearest-neighbor resize — no fake steps. Audio/video
-  * have no JVM built-in codecs, so `decodeStub`/`splitFrames` remain
-  * clearly-marked deterministic fakes for those — but everything
+  * deterministic nearest-neighbor resize — no fake steps. The AUDIO path
+  * is real too (mm_audio_real): WAV encode/decode through the JDK's
+  * javax.sound.sampled codec, features computed on the decoded PCM.
+  * Video has no JVM built-in codec, so `decodeStub`/`splitFrames` remain
+  * clearly-marked deterministic fakes for that — but everything
   * Spark-side is real and load-bearing: the binary column representation,
   * the metadata struct schema, the `mapPartitions` batch shape (one
   * decoder init per partition, not per row — the same pattern as the
@@ -259,7 +261,105 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio path (JDK javax.sound.sampled WAV codec — no external libs)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic 16-bit PCM samples (pure integer function of
+    * (media_id, i) — the ground truth the round-trip spec and the DuckDB
+    * oracle both regenerate). */
+  private[graft] def syntheticPcm(id: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(i => (((id * 31 + i.toLong * 7919) % 65536) - 32768).toShort)
+
+  /** Encode samples as a REAL WAV (RIFF/PCM) via the JDK codec. */
+  private[graft] def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode WAV bytes back to samples with the JDK codec (PCM is lossless —
+    * the round-trip spec asserts sample-exact equality). */
+  private[graft] def decodeWav(bytes: Array[Byte]): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val buf = ais.readAllBytes()
+    val out = new Array[Short](buf.length / 2)
+    java.nio.ByteBuffer.wrap(buf)
+      .order(if (ais.getFormat.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().get(out)
+    out
+  }
+
+  /** The REAL audio pipeline, end to end on actual WAV bytes: per document,
+    * synthesize deterministic PCM, encode through the JDK's RIFF/WAV
+    * writer, decode back through the JDK's WAV reader, then compute
+    * features on the DECODED samples — RMS, peak, and the RMS of a 2:1
+    * decimation ("16 kHz → 8 kHz" downsample). Because the samples are a
+    * pure integer function of (id, i), the DuckDB oracle regenerates them
+    * and computes the same features — a hash match proves decode∘encode is
+    * the identity THROUGH the gate, which the PNG path (no DuckDB codec)
+    * can only prove in a spec. Same mapPartitions batch shape as the image
+    * path: codec init per partition, no shuffle, payload never leaves the
+    * task. Integer sums of squares stay < 2^40 (exact in doubles at any
+    * fold order) and sqrt is bit-stable across engines. */
+  def audioReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 900 + 100).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n) =>
+          val wav = encodeWav(syntheticPcm(id, n))
+          val s = decodeWav(wav)
+          var sq = 0L; var sqHalf = 0L; var peak = 0L; var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sq += v * v
+            if (i % 2 == 0) sqHalf += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          val nHalf = (s.length + 1) / 2
+          (id, s.length, wav.length,
+            math.sqrt(sq.toDouble / s.length),
+            peak,
+            math.sqrt(sqHalf.toDouble / nHalf))
+        }
+      }
+      .toDF("media_id", "n_samples", "wav_bytes", "rms", "peak", "rms_half")
+      .orderBy(col("media_id"))
+  }
+
+  val audioRealSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(doc_id % 900 + 100 AS INT) AS n FROM documents
+      |), v AS (
+      |  SELECT doc_id, n, i, (doc_id * 31 + i * 7919) % 65536 - 32768 AS s
+      |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM t)
+      |)
+      |SELECT doc_id AS media_id,
+      |  n AS n_samples,
+      |  44 + 2 * n AS wav_bytes,
+      |  sqrt(CAST(SUM(s * s) AS DOUBLE) / n) AS rms,
+      |  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+      |  sqrt(CAST(SUM(CASE WHEN i % 2 = 0 THEN s * s END) AS DOUBLE)
+      |       / ((n + 1) // 2)) AS rms_half
+      |FROM v
+      |GROUP BY doc_id, n
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_real" -> (audioReal _),
     "mm_meta"     -> (mediaMeta _),
     "mm_features" -> (extractFeatures _),
     "mm_frames"   -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
@@ -274,6 +374,7 @@ object Multimodal {
     * (integer sums are exact in doubles at any fold order; round vs
     * round_even chosen to match Spark's round vs math.rint). */
   val oracles: Map[String, String] = Map(
+    "mm_audio_real" -> audioRealSql,
     "mm_meta" -> mediaMetaSql,
     "mm_features" ->
       """SELECT doc_id AS media_id,

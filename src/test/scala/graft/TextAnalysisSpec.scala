@@ -87,6 +87,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 255.0)
   }
 
+  test("real WAV round-trip: decode(encode(x)) is sample-exact, header is 44 bytes") {
+    // the audio path uses the JDK's actual RIFF/WAV codec — PCM is
+    // lossless, so the decoded samples must equal the generated ones
+    for (id <- Seq(0L, 7L, 255L); n <- Seq(1, 100, 999)) {
+      val src = Multimodal.syntheticPcm(id, n)
+      val wav = Multimodal.encodeWav(src)
+      assert(wav.length == 44 + 2 * n, s"WAV container size for id=$id n=$n")
+      assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+      val back = Multimodal.decodeWav(wav)
+      assert(back.toSeq == src.toSeq, s"WAV round-trip not sample-exact id=$id n=$n")
+    }
+    // sample generator covers the full signed-16-bit range shape
+    val s = Multimodal.syntheticPcm(1L, 65536)
+    assert(s.min >= Short.MinValue && s.max <= Short.MaxValue)
+  }
+
   test("multimodal metadata scan does not read the payload column") {
     val plan = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
     // the parquet scan must prune to the columns the query needs; payload
