@@ -1019,6 +1019,50 @@ object Relational2 {
       |GROUP BY 1, 2
       |ORDER BY bucket, c_mktsegment""".stripMargin
 
+  /** The batch sliding window's streaming twin through the checkpointed
+    * parquet file sink: overlapping windows (30 min, sliding 15) mean every
+    * event updates TWO window states — the one streaming window type not
+    * previously inside the bitwise gate (tumbling q50, session q51). Append
+    * mode emits a window once the 10-minute watermark passes its end; the
+    * oracle expands each event into its two buckets (q41's unnest idiom)
+    * and applies the identical cutoff. */
+  def q68StreamSlidingSink(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+    val base = java.nio.file.Files.createTempDirectory("graft-q68").toString
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("long").as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$base/out").localCheckpoint()
+        .orderBy(col("bucket"), col("event_type"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q68Sql: String =
+    """SELECT * FROM (
+      |  SELECT bucket, event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM (
+      |    SELECT unnest([CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT),
+      |                   CAST(FLOOR(epoch(ts) / 900) * 900 - 900 AS BIGINT)]) AS bucket,
+      |      event_type, value
+      |    FROM events)
+      |  GROUP BY bucket, event_type)
+      |WHERE bucket + 1800 <= (SELECT epoch(max(ts)) - 600 FROM events)
+      |ORDER BY bucket, event_type""".stripMargin
+
   /** CDC-style MERGE (upsert-apply): fold a change batch into a base table.
     * Changes are the LATEST event per (shifted) customer key — latest-wins
     * by (ts, event_id) — mapped to merge actions: an `error` event deletes
@@ -1089,6 +1133,7 @@ object Relational2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_stream_static_join" -> (q66StreamStaticJoin _),
     "q67_upsert_merge"    -> (q67UpsertMerge _),
+    "q68_stream_sliding_sink" -> (q68StreamSlidingSink _),
     "q57_map_roundtrip"   -> (q57MapRoundtrip _),
     "q58_value_windows"   -> (q58ValueWindows _),
     "q54_window_distribution" -> (q54WindowDistribution _),
@@ -1127,6 +1172,7 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "q66_stream_static_join" -> q66Sql,
     "q67_upsert_merge"    -> q67Sql,
+    "q68_stream_sliding_sink" -> q68Sql,
     "q57_map_roundtrip"   -> q57Sql,
     "q58_value_windows"   -> q58Sql,
     "q54_window_distribution" -> q54Sql,
