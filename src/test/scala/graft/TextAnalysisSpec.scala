@@ -103,6 +103,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s.min >= Short.MinValue && s.max <= Short.MaxValue)
   }
 
+  test("real GIF container round-trip: demux returns every frame pixel-exact") {
+    for (id <- Seq(0L, 6L, 123L)) {
+      val nf = (id % 5 + 2).toInt
+      val gif = Multimodal.encodeGif(id, nf, 8, 8)
+      assert(new String(gif, 0, 6, "US-ASCII").startsWith("GIF8"))
+      val frames = Multimodal.decodeGifFrames(gif)
+      assert(frames.length == nf, s"container frame count for id=$id")
+      frames.zipWithIndex.foreach { case (img, f) =>
+        val want = Multimodal.syntheticFramePx(id, f, 8, 8)
+        val got = Array.tabulate(64)(i => img.getRGB(i % 8, i / 8) & 0xFF)
+        assert(got.toSeq == want.toSeq, s"frame $f of id=$id not pixel-exact")
+      }
+    }
+    // sampling: only even frame indices survive, count comes from the demux
+    val rows = Multimodal.videoReal(spark, "/root/testdata/sf0.001")
+      .filter("media_id = 4").collect() // id 4 → 6 frames → sampled 0,2,4
+    assert(rows.map(_.getInt(2)).toSeq == Seq(0, 2, 4))
+    assert(rows.forall(_.getInt(1) == 6))
+  }
+
   test("multimodal metadata scan does not read the payload column") {
     val plan = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
     // the parquet scan must prune to the columns the query needs; payload
