@@ -1019,6 +1019,62 @@ object Relational2 {
       |GROUP BY 1, 2
       |ORDER BY bucket, c_mktsegment""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS through the SQL frontend: customers
+    * with at least one big-ticket order but no failed ('F') order.
+    * Catalyst decorrelates both predicates into a semi join + anti join
+    * (RewritePredicateSubquery) — the point of the query is that the
+    * correlated form costs the same as the hand-written q5/q6 joins, which
+    * is what keeps it usable at 100 TB. */
+  def q69CorrelatedExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("g69_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("g69_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM g69_customer c
+        |WHERE EXISTS (SELECT 1 FROM g69_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 250000)
+        |  AND NOT EXISTS (SELECT 1 FROM g69_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q69Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 250000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** UNPIVOT (melt): per-priority aggregate metrics rotated from columns
+    * into (metric, value) rows — q32's pivot run in reverse. Narrow
+    * per-row fan-out after the aggregation, so the wide-to-long reshape
+    * adds no shuffle beyond the group-by. */
+  def q70Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("total_price")), "metric", "value")
+      .orderBy(col("o_orderpriority"), col("metric"))
+
+  val q70Sql: String =
+    """SELECT o_orderpriority, metric, value FROM (
+      |  SELECT o_orderpriority, 'n_orders' AS metric,
+      |    CAST(COUNT(*) AS DOUBLE) AS value
+      |  FROM orders GROUP BY o_orderpriority
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'total_price' AS metric,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |  FROM orders GROUP BY o_orderpriority)
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
   /** The batch sliding window's streaming twin through the checkpointed
     * parquet file sink: overlapping windows (30 min, sliding 15) mean every
     * event updates TWO window states — the one streaming window type not
@@ -1134,6 +1190,8 @@ object Relational2 {
     "q66_stream_static_join" -> (q66StreamStaticJoin _),
     "q67_upsert_merge"    -> (q67UpsertMerge _),
     "q68_stream_sliding_sink" -> (q68StreamSlidingSink _),
+    "q69_correlated_exists" -> (q69CorrelatedExists _),
+    "q70_unpivot"         -> (q70Unpivot _),
     "q57_map_roundtrip"   -> (q57MapRoundtrip _),
     "q58_value_windows"   -> (q58ValueWindows _),
     "q54_window_distribution" -> (q54WindowDistribution _),
@@ -1173,6 +1231,8 @@ object Relational2 {
     "q66_stream_static_join" -> q66Sql,
     "q67_upsert_merge"    -> q67Sql,
     "q68_stream_sliding_sink" -> q68Sql,
+    "q69_correlated_exists" -> q69Sql,
+    "q70_unpivot"         -> q70Sql,
     "q57_map_roundtrip"   -> q57Sql,
     "q58_value_windows"   -> q58Sql,
     "q54_window_distribution" -> q54Sql,

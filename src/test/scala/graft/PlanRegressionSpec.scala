@@ -79,4 +79,18 @@ class PlanRegressionSpec extends SparkSpec {
       "lang filter did not reach PartitionFilters — scan reads all partitions")
     graft.tools.TempDirs.deleteRecursively(base)
   }
+
+  test("q69: correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("q69_correlated_exists")
+    assert(p.contains("LeftSemi"), "EXISTS should decorrelate to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS should decorrelate to an anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q70: unpivot adds no shuffle beyond the aggregation") {
+    val p = plan("q70_unpivot")
+    // one exchange for the groupBy, one for the final deterministic sort -
+    // the wide-to-long expand itself must not repartition
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2)
+  }
 }
