@@ -195,9 +195,58 @@ object Corpus {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** The corpus-assembly steps composed end to end — the shape of a real
+    * "docs in, training shards out" job: length filter → exact dedup
+    * (min-id winner) → per-language balance → shard assignment → per-shard
+    * packing stats (how many `seqLen`-token sequences each shard yields).
+    * One narrow pipeline per stage; the only shuffles are the dedup
+    * group-by, the balance window, and the final per-shard rollup. */
+  def shardsPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 15)
+    val keep = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val balanced = base.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= 40)
+    balanced
+      .withColumn("shard", col("doc_id") % 4)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("n_seqs", expr("(total_tokens + 63) div 64"))
+      .orderBy(col("shard"))
+  }
+
+  val shardsPipelineSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text, len($tokensSql) AS n_tokens
+       |  FROM documents
+       |  WHERE len($tokensSql) >= 15
+       |), keep AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text
+       |), balanced AS (
+       |  SELECT doc_id, n_tokens FROM (
+       |    SELECT b.doc_id, b.n_tokens,
+       |      ROW_NUMBER() OVER (PARTITION BY b.lang
+       |        ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id) AS rk
+       |    FROM base b JOIN keep k USING (doc_id))
+       |  WHERE rk <= 40
+       |)
+       |SELECT doc_id % 4 AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  (CAST(SUM(n_tokens) AS BIGINT) + 63) // 64 AS n_seqs
+       |FROM balanced
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shards"    -> (shardsPipeline _),
     "corpus_pack"        -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "corpus_budget"      -> ((s: SparkSession, d: String) => budgetSelect(s, d)),
     "corpus_balance"     -> ((s: SparkSession, d: String) => balanceByLang(s, d)),
@@ -206,6 +255,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_shards"    -> shardsPipelineSql,
     "corpus_pack"        -> packSequencesSql,
     "corpus_budget"      -> budgetSelectSql,
     "corpus_balance"     -> balanceByLangSql,
