@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the near-duplicate document graph — the standard
+  * web-corpus quality signal: a document's PageRank in the similarity
+  * graph weights it for sampling/mixing decisions (highly-duplicated
+  * boilerplate clusters concentrate rank; unique documents keep the
+  * teleport floor).
+  *
+  * PageRank is THE canonical iterative Spark workload (join + aggregate
+  * per superstep), so it doubles as coverage proof for iterative plans.
+  * All arithmetic is FIXED-POINT INTEGER (rank in units of 1/SCALE of
+  * total mass, integer division everywhere): every superstep is exactly
+  * reproducible in ANSI SQL, which puts the whole 5-iteration computation
+  * under the bitwise DuckDB oracle — no float summation order to worry
+  * about (NOTES.md parity rules).
+  *
+  * Scale posture: each iteration is one equi-join (edges ⋈ ranks, both
+  * hash-partitioned on the join key) and one partial-then-final SUM —
+  * the same shuffle pattern at any corpus size. The edge list is built
+  * once (shared ArtifactCache key with dedup_groups_jaccard) and
+  * persisted; iteration count is fixed, so lineage stays shallow. The
+  * only driver-side value is COUNT(nodes), a single long used for the
+  * teleport constant.
+  */
+object Graph {
+
+  /** Total rank mass in fixed-point units: ranks are BIGINTs in units of
+    * 1/SCALE. Large enough that `rank div outdeg` truncation loses <1e-9
+    * of relative mass per step; small enough that 85 * rank cannot
+    * overflow a signed 64-bit (85 * 1e12 << 2^63). */
+  val Scale = 1000000000000L
+
+  /** Damping numerator/denominator: d = 85/100 as exact integers. */
+  private val DampNum = 85L
+  private val DampDen = 100L
+
+  /** PageRank with fixed iteration count on an explicit directed edge
+    * list. `nodes` must have column `node`; `edges` columns `src`,`dst`
+    * (an undirected graph is passed as both directions). Update rule,
+    * all in integer arithmetic (`div` = truncating division):
+    *
+    *   r0(v)   = Scale div n
+    *   r_t(v)  = (15 * (Scale div n)) div 100
+    *             + (85 * sum_{u->v} (r_{t-1}(u) div outdeg(u))) div 100
+    *
+    * Nodes with no inbound edges keep the teleport floor. Dangling mass
+    * (nodes with no OUTBOUND edges) is dropped, not redistributed — the
+    * standard simplification; total mass then decays slightly, which is
+    * harmless for ranking and keeps every superstep a single join+agg. */
+  def pagerankOnGraph(nodes: DataFrame, edges: DataFrame,
+                      iters: Int = 5): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(deg, Seq("src")).persist()
+    val n = nodes.count() // sizing constant only (KMeans k-row precedent)
+    val base = Scale / n
+    val teleport = (15L * base) / DampDen
+    var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($DampNum * coalesce(contrib, CAST(0 AS BIGINT))) div $DampDen"))
+            .as("rank"))
+    }
+    ranks
+  }
+
+  /** PageRank of every document in the n-gram-Jaccard near-dup graph
+    * (the ORACLED pair set of dedup_jaccard, cached under the same
+    * artifact key as dedup_groups_jaccard), undirected. Isolated
+    * documents surface with the teleport-floor rank. */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val pairs = graft.tools.ArtifactCache.parquet(spark, dir, "pairs_jaccard") {
+      p => Dedup.ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val nodes = Tables.documents(spark, dir).select(col("doc_id").as("node"))
+    pagerankOnGraph(nodes, edges, iters)
+      .select(col("node").as("doc_id"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: the jaccard pair graph as CTEs (same text as
+    * dedupGroupsJaccardSql), then the five supersteps UNROLLED as chained
+    * CTEs — fixed iteration count makes recursion unnecessary, and every
+    * step is the identical integer expression Spark evaluates. DuckDB
+    * SUM(BIGINT) is HUGEINT, so the per-step contribution sum is cast
+    * back (parity rule). */
+  val pagerankSql: String = {
+    val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+    def step(t: Int): String =
+      s"""r$t AS (
+         |  SELECT n.node,
+         |    (15 * ($Scale // (SELECT cnt FROM params))) // $DampDen
+         |      + ($DampNum * COALESCE(c.contrib, 0)) // $DampDen AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(SUM(r${t - 1}.rank // e.outdeg) AS BIGINT) AS contrib
+         |    FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+         |    GROUP BY e.dst) c USING (node))""".stripMargin
+    s"""WITH
+       |toks AS (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket, doc_id,
+       |         list_distinct($tokensSql) AS toks
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM toks a JOIN toks b
+       |    ON a.lang = b.lang AND a.source = b.source
+       |   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+       |n AS (SELECT doc_id AS node FROM documents),
+       |params AS (SELECT COUNT(*) AS cnt FROM documents),
+       |r0 AS (SELECT node, $Scale // (SELECT cnt FROM params) AS rank FROM n),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT node AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql
+  )
+}
