@@ -54,7 +54,11 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     val phases = scala.collection.mutable.Map[String, Double]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // (name, median, min): the median is the headline (absorbs one bad
+    // iteration); the min is recorded beside it because on a contended
+    // sandbox even the median inflates — min is the best witness of what
+    // the plan costs when the machine isn't fighting back.
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -67,8 +71,10 @@ object Bench {
           .map { case (k, v) => s"$name.$k" -> v }
         t
       }
-      name -> times.sorted.apply(times.size / 2)
+      (name, times.sorted.apply(times.size / 2), times.min)
     }
+    val results = timed.map { case (n, med, _) => n -> med }
+    val mins = timed.map { case (n, _, mn) => n -> mn }
     def jsonMap(m: Iterable[(String, Double)], fmt: Double => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def full(v: Double): String = v.toString
@@ -77,7 +83,7 @@ object Bench {
 
     // Full-detail artifact for the judge (all queries, full precision, phases).
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"phases":${jsonMap(phases.toSeq.sorted, full)},"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"iters":$iters,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))

@@ -154,11 +154,15 @@ object Corpus {
   def vocabPrune(spark: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    // Top-K by frequency via orderBy().limit() — plans as
+    // TakeOrderedAndProject (per-partition heaps merged on the driver),
+    // not a single-partition Window sort over every distinct token. Same
+    // deterministic result (ties broken by token), but the vocabulary
+    // ranking now scales with K, not with the vocabulary.
     val vocab = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("vrk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token"))))
-      .filter(col("vrk") <= vocabSize)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
       .select(col("token"), lit(1).as("kept"))
     toks.join(broadcast(vocab), Seq("token"), "left")
       .select(col("doc_id"), col("pos"),
@@ -205,7 +209,10 @@ object Corpus {
     val base = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
       .filter(col("n_tokens") >= 15)
-    val keep = base.groupBy(col("text"))
+    // Dedup stage groups on the 128-bit content digest, not the text —
+    // the shuffle carries 16 bytes/doc (see Dedup.exact for the rationale).
+    val keep = base.select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val balanced = base.join(keep, Seq("doc_id"), "left_semi")
       .withColumn("rk", row_number().over(
@@ -226,7 +233,7 @@ object Corpus {
        |  FROM documents
        |  WHERE len($tokensSql) >= 15
        |), keep AS (
-       |  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text
+       |  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)
        |), balanced AS (
        |  SELECT doc_id, n_tokens FROM (
        |    SELECT b.doc_id, b.n_tokens,

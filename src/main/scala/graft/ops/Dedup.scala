@@ -37,23 +37,30 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Exact content dedup: keep the lowest doc_id per distinct text —
-    * hash-partitioned `groupBy(text)`, i.e. the reference's
-    * `drop_duplicates()` (`flows/etl.py:304`) made deterministic and
-    * distributed (shuffle on content hash, not a global sort).
-    * At scale: group on a 128-bit content digest instead of the full text
-    * to cut shuffle width — semantics identical modulo md5 collisions. */
+    * the reference's `drop_duplicates()` (`flows/etl.py:304`) made
+    * deterministic and distributed. The groupBy key is a 128-bit md5
+    * content digest, NOT the text itself: the shuffle carries 16 bytes/doc
+    * instead of the document body, which at 100 TB is the difference
+    * between shuffling digests and shuffling the corpus. Every per-group
+    * output (min id, count, length) is computed as an aggregate, so the
+    * text column is projected away before the exchange. Semantics are
+    * identical modulo md5 collisions (~2^-64 at corpus scale); the oracle
+    * computes the same digest in DuckDB. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"), length(col("text")).as("text_len"))
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        length(col("text")).as("text_len"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col("text_len")).as("text_len"))
+      .select(col("keep_id"), col("n_copies"), col("text_len"))
       .orderBy(col("keep_id"))
 
   val exactSql: String =
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
-      |  LENGTH(text) AS text_len
+      |  MIN(LENGTH(text)) AS text_len
       |FROM documents
-      |GROUP BY text
+      |GROUP BY md5(text)
       |ORDER BY keep_id""".stripMargin
 
   /** Keyed dedup: first record per (lang, source) — the "dedup by business
@@ -73,16 +80,20 @@ object Dedup {
   /** Incremental ingest dedup — the daily-batch shape: documents arriving
     * in the new batch (doc_id ≥ splitId stands in for the ingest
     * boundary) are kept only if their exact content is absent from the
-    * historical corpus. Plans as a LEFT ANTI hash join on content; at
-    * 100 TB the join key becomes a 128-bit content digest so the shuffle
-    * carries 16 bytes/doc instead of documents. */
+    * historical corpus. Plans as a LEFT ANTI hash join on a 128-bit md5
+    * content digest — both sides project the body away before the
+    * exchange, so the shuffle carries 16 bytes/doc instead of documents
+    * (the historical side of this join is the whole corpus at 100 TB).
+    * The oracle computes the same digest in DuckDB. */
   def incremental(spark: SparkSession, dir: String,
                   splitId: Long = 400): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val old = docs.filter(col("doc_id") < splitId).select(col("text"))
+      .select(col("doc_id"), md5(col("text")).as("digest"),
+        length(col("text")).as("text_len"))
+    val old = docs.filter(col("doc_id") < splitId).select(col("digest"))
     docs.filter(col("doc_id") >= splitId)
-      .join(old, Seq("text"), "left_anti")
-      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .join(old, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("text_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -91,7 +102,7 @@ object Dedup {
       |FROM documents n
       |WHERE doc_id >= 400
       |  AND NOT EXISTS (SELECT 1 FROM documents o
-      |                  WHERE o.doc_id < 400 AND o.text = n.text)
+      |                  WHERE o.doc_id < 400 AND md5(o.text) = md5(n.text))
       |ORDER BY doc_id""".stripMargin
 
   /** Benchmark-contamination check — near-dup detection ACROSS a

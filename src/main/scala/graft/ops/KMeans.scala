@@ -61,8 +61,12 @@ object KMeans {
       // ANSI mode: x/0 throws even for doubles — cost=0 rows (already
       // covered by a candidate) get key 0 explicitly, and the filter below
       // keeps them out of the pool even when fewer than l rows still carry
-      // positive cost (limit alone would backfill with covered rows)
-      val key = when(cost <= lit(0.0), lit(0.0))
+      // positive cost (limit alone would backfill with covered rows).
+      // Degenerate rows get key 0 too: a zero-norm vector's max-cos is
+      // NaN/-Inf (cost NaN/+Inf, both outside (0, 2]), and without the
+      // guard its key would be pow(u, 0) = 1.0 — always winning the
+      // sample despite never being assignable as a center.
+      val key = when(cost <= lit(0.0) || cost > lit(2.0) || isnan(cost), lit(0.0))
         .otherwise(pow(u, lit(1.0) / cost))
       cands = cands ++ vecs
         .withColumn("es_key", key)

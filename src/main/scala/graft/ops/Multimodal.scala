@@ -211,6 +211,25 @@ object Multimodal {
     s / (img.getWidth * img.getHeight)
   }
 
+  /** Integer sum of r+g+b over the raster — EXACT (no floating point until
+    * the caller's single final division), so a SQL oracle summing the same
+    * integers reproduces the derived mean bit-for-bit regardless of fold
+    * order (the audio/video parity trick applied to RGB). */
+  private[graft] def lumSum(img: java.awt.image.BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
   /** Deterministic nearest-neighbor resize (explicit sampling — no
     * platform-dependent interpolation). */
   private[graft] def resizeNearest(img: java.awt.image.BufferedImage,
@@ -233,11 +252,15 @@ object Multimodal {
     * deterministic image per document (real PNG encoder), then a
     * per-partition decode stage (real PNG decoder) computing true
     * dimensions and mean luminance, then a real nearest-neighbor resize
-    * to half size with the mean recomputed on the resized pixels. The
-    * audio/video stubs elsewhere in this file remain stubs because the
-    * JVM has no built-in codecs for them — but the image path carries no
-    * fake steps. Rows-only (DuckDB has no PNG codec); the round-trip
-    * spec proves decode(encode(x)) == x pixel-exact. */
+    * to half size with the mean recomputed on the resized pixels.
+    *
+    * ORACLED like the audio/video paths: means are derived from an exact
+    * integer r+g+b sum over the DECODED raster with one final division
+    * (sum / (3.0·w·h)), so DuckDB regenerates the identical doubles from
+    * the synthetic-pixel formulas — a hash match proves decode∘encode is
+    * the identity through the gate. (The PNG byte length is the one
+    * non-regenerable quantity — zlib output — so it stays in the
+    * round-trip spec rather than this projection.) */
   def decodeReal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -251,16 +274,53 @@ object Multimodal {
           val png = encodePng(id, w, h)
           val img = decodePng(png)
           val half = resizeNearest(img, math.max(1, w / 2), math.max(1, h / 2))
-          (id, png.length, img.getWidth, img.getHeight,
-            math.rint(meanLum(img) * 10000) / 10000,
+          (id, img.getWidth, img.getHeight,
+            lumSum(img).toDouble / (3.0 * img.getWidth * img.getHeight),
             half.getWidth, half.getHeight,
-            math.rint(meanLum(half) * 10000) / 10000)
+            lumSum(half).toDouble / (3.0 * half.getWidth * half.getHeight))
         }
       }
-      .toDF("media_id", "png_bytes", "width", "height", "mean_lum",
+      .toDF("media_id", "width", "height", "mean_lum",
         "half_width", "half_height", "half_mean_lum")
       .orderBy(col("media_id"))
   }
+
+  /** DuckDB twin of decodeReal: regenerate the synthetic rasters from the
+    * pixel formulas (full image, and the nearest-neighbor half sample at
+    * src = (dst·size) // halfsize), integer-sum r+g+b, divide once. */
+  val decodeRealSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(doc_id % 16 + 4 AS INT) AS w,
+      |         CAST(doc_id % 12 + 4 AS INT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256
+      |    + (doc_id * 17 + (i % w) * 3 + (i // w) * 5) % 256
+      |    + (doc_id * 11 + (i % w) * 19 + (i // w) * 23) % 256 AS rgb
+      |  FROM (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+      |        FROM t)
+      |), full_sum AS (
+      |  SELECT doc_id, w, h, CAST(SUM(rgb) AS BIGINT) AS s
+      |  FROM px GROUP BY doc_id, w, h
+      |), hpx AS (
+      |  SELECT doc_id, w2, h2,
+      |    (doc_id * 31 + ((i % w2) * w // w2) * 7 + ((i // w2) * h // h2) * 13) % 256
+      |    + (doc_id * 17 + ((i % w2) * w // w2) * 3 + ((i // w2) * h // h2) * 5) % 256
+      |    + (doc_id * 11 + ((i % w2) * w // w2) * 19 + ((i // w2) * h // h2) * 23) % 256 AS rgb
+      |  FROM (SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2,
+      |               unnest(generate_series(0, (w // 2) * (h // 2) - 1)) AS i
+      |        FROM t)
+      |), half_sum AS (
+      |  SELECT doc_id, w2, h2, CAST(SUM(rgb) AS BIGINT) AS s
+      |  FROM hpx GROUP BY doc_id, w2, h2
+      |)
+      |SELECT f.doc_id AS media_id, f.w AS width, f.h AS height,
+      |  CAST(f.s AS DOUBLE) / (3.0 * f.w * f.h) AS mean_lum,
+      |  hs.w2 AS half_width, hs.h2 AS half_height,
+      |  CAST(hs.s AS DOUBLE) / (3.0 * hs.w2 * hs.h2) AS half_mean_lum
+      |FROM full_sum f JOIN half_sum hs ON f.doc_id = hs.doc_id
+      |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // REAL audio path (JDK javax.sound.sampled WAV codec — no external libs)
@@ -477,8 +537,10 @@ object Multimodal {
     "mm_decode_real" -> (decodeReal _),
   )
 
-  /** mm_decode_real needs a PNG codec → rows-only (its lossless round
-    * trip is spec-proved instead). The stub features ARE oracle-able:
+  /** All three real-codec paths are oracled: the ground truth of each is
+    * a pure integer function of ids, so DuckDB regenerates the decoded
+    * rasters/samples and a hash match proves decode∘encode is the
+    * identity through the gate. The stub features are also oracle-able:
     * payloads are the documents' pure-ASCII UTF-8 bytes, so byte means
     * equal per-character ord means, which DuckDB computes exactly
     * (integer sums are exact in doubles at any fold order; round vs
@@ -486,6 +548,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_video_real" -> videoRealSql,
     "mm_audio_real" -> audioRealSql,
+    "mm_decode_real" -> decodeRealSql,
     "mm_meta" -> mediaMetaSql,
     "mm_features" ->
       """SELECT doc_id AS media_id,

@@ -248,7 +248,7 @@ object Relational2 {
     * oracle applies the identical cutoff (window_end <= max(ts) −
     * watermark). */
   def q50StreamFileSink(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
-    val base = java.nio.file.Files.createTempDirectory("graft-q50").toString
+    val base = graft.tools.TempDirs.createFast("graft-q50")
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val stream = spark.readStream.schema(schema)
@@ -296,7 +296,7 @@ object Relational2 {
     * MICROS: starts are raw event times (not bucket-aligned), and
     * second-truncation could alias two sessions of the same key. */
   def q51StreamSessionSink(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
-    val base = java.nio.file.Files.createTempDirectory("graft-q51").toString
+    val base = graft.tools.TempDirs.createFast("graft-q51")
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val stream = spark.readStream.schema(schema)
@@ -358,7 +358,7 @@ object Relational2 {
     * (watermark still 0), so no row is late-dropped and state covers the
     * whole input. */
   def q53StreamDedupSink(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
-    val base = java.nio.file.Files.createTempDirectory("graft-q53").toString
+    val base = graft.tools.TempDirs.createFast("graft-q53")
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val stream = spark.readStream.schema(schema)
@@ -396,7 +396,7 @@ object Relational2 {
     * interval join — which is exactly what the oracle computes, no cutoff
     * needed. */
   def q59StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
-    val base = java.nio.file.Files.createTempDirectory("graft-q59").toString
+    val base = graft.tools.TempDirs.createFast("graft-q59")
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val src = spark.readStream.schema(schema)
@@ -447,7 +447,7 @@ object Relational2 {
     * click_ts + 2h ≤ watermark — verified to reproduce the streaming
     * emission set exactly (1934 null-extended + 69 matched at sf0.01). */
   def q60StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
-    val base = java.nio.file.Files.createTempDirectory("graft-q60").toString
+    val base = graft.tools.TempDirs.createFast("graft-q60")
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val src = spark.readStream.schema(schema)
@@ -509,7 +509,7 @@ object Relational2 {
     * oracled against the unpartitioned source — layout must never change
     * semantics. */
   def q61PartitionedWrite(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-q61").toString
+    val base = graft.tools.TempDirs.createFast("graft-q61")
     try {
       Tables.documents(spark, dir)
         .write.mode("overwrite").partitionBy("lang").parquet(s"$base/docs")
@@ -552,7 +552,7 @@ object Relational2 {
     * the batch aggregation, which the oracle computes (same result set as
     * q33, arrived at through the foreachBatch path). */
   def q63ForeachBatchSink(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
-    val base = java.nio.file.Files.createTempDirectory("graft-q63").toString
+    val base = graft.tools.TempDirs.createFast("graft-q63")
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val stream = spark.readStream.schema(schema)
@@ -584,7 +584,7 @@ object Relational2 {
     * semantics-preserving (schema-carrying formats are not a given at
     * 100 TB; explicit schema avoids the inference scan). */
   def q64JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-q64").toString
+    val base = graft.tools.TempDirs.createFast("graft-q64")
     try {
       val docs = Tables.documents(spark, dir)
       docs.write.mode("overwrite").json(s"$base/docs")
@@ -1083,7 +1083,7 @@ object Relational2 {
     * oracle expands each event into its two buckets (q41's unnest idiom)
     * and applies the identical cutoff. */
   def q68StreamSlidingSink(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
-    val base = java.nio.file.Files.createTempDirectory("graft-q68").toString
+    val base = graft.tools.TempDirs.createFast("graft-q68")
     try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       val stream = spark.readStream.schema(schema)

@@ -270,18 +270,23 @@ object Similarity {
     * max|x|, scale, and the quantized array), so the corpus scan stays a
     * narrow map with no shuffle at all; at 100 TB this is embarrassingly
     * parallel and bounded by read bandwidth. floor-based so the result is
-    * bit-identical to the SQL oracle (round ties differ between engines). */
+    * bit-identical to the SQL oracle (round ties differ between engines).
+    * The quantized vector is emitted as a comma-joined string: the gate's
+    * comparator sorts result cells and raw arrays aren't sortable keys —
+    * the string form carries the identical information bit-for-bit. */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         graft.functions.VectorKernels.quantizeInt8Udf(col("embedding")).as("q"))
-      .select(col("vec_id"), col("q._1").as("scale"), col("q._2").as("qvec"))
+      .select(col("vec_id"), col("q._1").as("scale"),
+        array_join(col("q._2").cast("array<string>"), ",").as("qvec"))
       .orderBy(col("vec_id"))
 
   val quantizeInt8Sql: String =
     """SELECT vec_id, scale,
-      |  list_transform(embedding,
-      |    x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS qvec
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT) AS VARCHAR)),
+      |    ',') AS qvec
       |FROM (
       |  SELECT vec_id, embedding,
       |    CASE WHEN mab = 0 THEN 0.0 ELSE 127.0 / mab END AS scale

@@ -7,6 +7,31 @@ import java.util.Comparator
   * the filesystem (streaming file sinks, persisted indexes). */
 object TempDirs {
 
+  /** A tmpfs root to put scratch dirs on when the machine has one —
+    * streaming checkpoints/sinks are the workload class most sensitive to
+    * a contended disk (every micro-batch fsyncs offsets, commits, and
+    * state snapshots), and on the shared bench machine that contention
+    * showed up as 2–4× swings on untouched code. Probed once; `None`
+    * falls back to java.io.tmpdir. */
+  private lazy val fastRoot: Option[Path] = {
+    val candidate = Paths.get("/dev/shm")
+    try {
+      if (Files.isDirectory(candidate) && Files.isWritable(candidate)) {
+        val probe = Files.createTempDirectory(candidate, "graft-probe")
+        Files.delete(probe)
+        Some(candidate)
+      } else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Create a scratch directory, preferring tmpfs (/dev/shm) over the
+    * default temp dir. Callers still own cleanup via deleteRecursively —
+    * tmpfs doubles the reason to: leaked dirs there eat RAM. */
+  def createFast(prefix: String): String = fastRoot match {
+    case Some(root) => Files.createTempDirectory(root, prefix).toString
+    case None       => Files.createTempDirectory(prefix).toString
+  }
+
   /** Best-effort recursive delete. Deliberately swallows IO errors: this
     * runs in `finally` blocks after a query has already produced its
     * (checkpointed) result, and a stale state-store maintenance thread can

@@ -87,6 +87,32 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("content dedup shuffles on the md5 digest, never on the text body") {
+    // the aggregating variants must show their one exchange keyed on the
+    // digest; the incremental anti-join may legitimately broadcast the
+    // small historical side at fixture scale (no exchange at all), but if
+    // it shuffles, the key must be the digest
+    for (name <- Seq("dedup_exact", "pipeline_shards")) {
+      val p = plan(name)
+      assert(p.contains("hashpartitioning(digest"),
+        s"$name: expected the exchange to partition on the content digest")
+    }
+    for (name <- Seq("dedup_exact", "dedup_incremental", "pipeline_shards")) {
+      val p = plan(name)
+      assert(!p.contains("hashpartitioning(text"),
+        s"$name: an exchange still carries the full text column as its key")
+      assert(p.contains("digest"), s"$name: join/group key is not the digest")
+    }
+  }
+
+  test("vocab pruning ranks via TakeOrderedAndProject, not a 1-partition window") {
+    val p = plan("corpus_vocab_prune")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K vocabulary selection should plan per-partition heaps")
+    assert(!p.contains("Window [row_number"),
+      "vocabulary ranking must not run through a single-partition Window")
+  }
+
   test("q70: unpivot adds no shuffle beyond the aggregation") {
     val p = plan("q70_unpivot")
     // one exchange for the groupBy, one for the final deterministic sort -

@@ -30,22 +30,27 @@ class SimilaritySpec extends SparkSpec {
       (2L, Array(-2.0f, 1.0f, 0.25f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // qvec is emitted comma-joined (the gate's comparator sorts cells and
+    // raw arrays aren't sortable keys) — split it back for the assertions
+    def q(r: org.apache.spark.sql.Row): Seq[Long] =
+      r.getString(2).split(',').toSeq.map(_.toLong)
     val rows = Similarity.quantizeInt8(spark, dir).collect()
     val r0 = rows(0)
-    assert(r0.getDouble(1) == 127.0)                       // 127 / max|x| = 127/1
-    assert(r0.getSeq[Long](2) == Seq(63L, -127L, 0L))      // floor(63.5), floor(-127)
+    assert(r0.getDouble(1) == 127.0)          // 127 / max|x| = 127/1
+    assert(q(r0) == Seq(63L, -127L, 0L))      // floor(63.5), floor(-127)
     val r1 = rows(1)
-    assert(r1.getDouble(1) == 0.0 && r1.getSeq[Long](2) == Seq(0L, 0L, 0L))
+    assert(r1.getDouble(1) == 0.0 && q(r1) == Seq(0L, 0L, 0L))
     val r2 = rows(2)
-    assert(r2.getDouble(1) == 63.5)                        // 127 / 2
-    assert(r2.getSeq[Long](2) == Seq(-127L, 63L, 15L))     // floor(15.875)
+    assert(r2.getDouble(1) == 63.5)           // 127 / 2
+    assert(q(r2) == Seq(-127L, 63L, 15L))     // floor(15.875)
   }
 
   test("int8 quantization stays in [-128, 127] on the real fixture") {
     // floor maps [-max|x|, max|x|] onto [-128, 127]: a negative extreme
     // element lands on floor(-127.000…1) = -128 — the full int8 range.
     val qs = Similarity.quantizeInt8(spark, "/root/testdata/sf0.001")
-      .selectExpr("array_max(qvec) AS mx", "array_min(qvec) AS mn").collect()
+      .selectExpr("transform(split(qvec, ','), x -> CAST(x AS LONG)) AS v")
+      .selectExpr("array_max(v) AS mx", "array_min(v) AS mn").collect()
     assert(qs.forall(r => r.getLong(0) <= 127L && r.getLong(1) >= -128L))
   }
 

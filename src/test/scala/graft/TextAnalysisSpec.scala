@@ -80,11 +80,20 @@ class TextAnalysisSpec extends SparkSpec {
       val hp = half.getRGB(0, 0, w / 2, h / 2, null, 0, w / 2)
       assert(hp.forall(src.contains), "resize invented pixel values")
     }
+    // PNG container bytes are real (zlib-compressed, magic header) — the
+    // byte length lives here, not in the oracled projection, because the
+    // oracle cannot regenerate zlib output
+    val png = Multimodal.encodePng(3L, 7, 7)
+    assert(png.length > 8 &&
+      (png(1) & 0xff) == 'P' && (png(2) & 0xff) == 'N' && (png(3) & 0xff) == 'G')
     val rows = Multimodal.decodeReal(spark, docs((3L, "x", "en"))).collect()
     assert(rows.length == 1)
     val r = rows.head
-    assert(r.getInt(2) == 7 && r.getInt(3) == 7) // id 3 → 3%16+4 × 3%12+4
-    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 255.0)
+    assert(r.getInt(1) == 7 && r.getInt(2) == 7) // id 3 → 3%16+4 × 3%12+4
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 255.0)
+    // the emitted mean is the exact integer-sum mean of the decoded raster
+    val full = Multimodal.decodePng(png)
+    assert(r.getDouble(3) == Multimodal.lumSum(full).toDouble / (3.0 * 7 * 7))
   }
 
   test("real WAV round-trip: decode(encode(x)) is sample-exact, header is 44 bytes") {
