@@ -142,6 +142,47 @@ object Corpus {
       |)
       |ORDER BY shard, pos""".stripMargin
 
+  /** Stratified train/val/test split with EXACT per-language proportions:
+    * within each language, documents are ranked by md5(doc_id) (a
+    * deterministic uniform shuffle, same trick as balanceByLang) and the
+    * first 80% become train, the next 10% val, the rest test. Unlike a
+    * bare hash-threshold split, small strata get their proportions
+    * exactly — the property an eval-set builder actually needs.
+    *
+    * Scale posture: one hash-partition shuffle on `lang`, then each
+    * stratum ranks independently inside its task; the per-stratum count
+    * rides the same window, so no second pass and no driver-side sizes. */
+  def splitTrainValTest(spark: SparkSession, dir: String,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("split",
+        when(col("rk") * 100 <= col("n") * trainPct, lit("train"))
+          .when(col("rk") * 100 <= col("n") * (trainPct + valPct), lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitTrainValTestSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN rk * 100 <= n * 80 THEN 'train'
+      |       WHEN rk * 100 <= n * 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   /** Vocabulary pruning: build the corpus vocabulary, keep the top
     * `vocabSize` tokens by frequency (ties broken by token), and rewrite
     * every document replacing out-of-vocabulary tokens with `<unk>` — the
@@ -259,6 +300,7 @@ object Corpus {
     "corpus_balance"     -> ((s: SparkSession, d: String) => balanceByLang(s, d)),
     "corpus_shard"       -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
     "corpus_vocab_prune" -> ((s: SparkSession, d: String) => vocabPrune(s, d)),
+    "corpus_split"       -> ((s: SparkSession, d: String) => splitTrainValTest(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,5 +310,6 @@ object Corpus {
     "corpus_balance"     -> balanceByLangSql,
     "corpus_shard"       -> shardShuffleSql,
     "corpus_vocab_prune" -> vocabPruneSql,
+    "corpus_split"       -> splitTrainValTestSql,
   )
 }

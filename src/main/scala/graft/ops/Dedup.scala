@@ -322,6 +322,45 @@ object Dedup {
        |      CAST(len(list_distinct(list_concat(a.a_toks, b.b_toks))) AS DOUBLE) >= 0.5
        |ORDER BY a.lang, a.source, a_id, b_id""".stripMargin
 
+  /** Fuzzy entity resolution (record-linkage dedup): customer records in
+    * the same block — (nation, market segment), the natural partition keys
+    * of the entity — whose NAMES are within `maxDist` Levenshtein edits
+    * are candidate duplicates (typo-level variants of the same entity).
+    * Same bucket-then-verify shape as every near-dup op here: the block
+    * join bounds the candidate set, and the O(len²) edit-distance verify
+    * runs only inside blocks on short key strings. Levenshtein is an
+    * integer metric with one standard definition, so the oracle matches
+    * bitwise. (Document bodies get token-level near-dup via
+    * jaccard/minhash/simhash — edit distance is the wrong tool above a
+    * few hundred chars, which is why this operator targets entity keys.) */
+  def fuzzy(spark: SparkSession, dir: String, maxDist: Int = 1): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey"), col("c_name"))
+    val a = cust.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"))
+    val b = cust.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("b_key"), col("c_name").as("b_name"))
+    a.join(b, Seq("c_nationkey", "c_mktsegment"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_key"), col("b_key"), col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  val fuzzySql: String =
+    """SELECT a.a_key, b.b_key,
+      |  CAST(levenshtein(a.a_name, b.b_name) AS INT) AS dist
+      |FROM (SELECT c_nationkey, c_mktsegment, c_custkey AS a_key,
+      |             c_name AS a_name FROM customer) a
+      |JOIN (SELECT c_nationkey, c_mktsegment, c_custkey AS b_key,
+      |             c_name AS b_name FROM customer) b
+      |  ON a.c_nationkey = b.c_nationkey
+      | AND a.c_mktsegment = b.c_mktsegment AND a.a_key < b.b_key
+      |WHERE levenshtein(a.a_name, b.b_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
   // ---------------------------------------------------------------------
   // Embedding-cosine near-dup (oracle-checkable; exact fold order)
   // ---------------------------------------------------------------------
@@ -562,6 +601,7 @@ object Dedup {
     "dedup_minhash"   -> ((s: SparkSession, d: String) => minhash(s, d)),
     "dedup_simhash"   -> ((s: SparkSession, d: String) => simhash(s, d)),
     "dedup_jaccard"   -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "dedup_fuzzy"     -> ((s: SparkSession, d: String) => fuzzy(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => embeddingLsh(s, d)),
   )
@@ -575,6 +615,7 @@ object Dedup {
     "dedup_exact"     -> exactSql,
     "dedup_keyed"     -> keyedSql,
     "dedup_jaccard"   -> ngramJaccardSql,
+    "dedup_fuzzy"     -> fuzzySql,
     "dedup_embedding" -> embeddingCosineSql,
   )
 }

@@ -1186,7 +1186,108 @@ object Relational2 {
       |WHERE event_type IS NULL OR event_type <> 'error'
       |ORDER BY custkey""".stripMargin
 
+  /** Truncated EWMA smoothing per user — the time-series feature every
+    * monitoring/training-signal pipeline computes. α = 1/2 and an 8-term
+    * horizon make every weight an exact power of two, so the double
+    * arithmetic is bit-identical in any engine: each product is an exact
+    * scaling, and the sum is written as the same left-associated chain in
+    * Spark and the oracle. (A recursive EWMA needs a sequential scan per
+    * key; the truncated form is 8 window lags — embarrassingly parallel
+    * per user partition, and the dropped tail is < 2⁻⁸ of the mass.)
+    * Missing history (the first rows of each user) contributes 0 via
+    * coalesce — the standard zero-padded warmup. */
+  def q71Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def l(k: Int) = coalesce(lag(col("value"), k).over(w), lit(0.0))
+    val ewma = (0 to 7).map(k => l(k) * lit(math.pow(0.5, k + 1)))
+      .reduceLeft(_ + _)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ewma", ewma)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"), col("ewma"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  val q71Sql: String = {
+    // powers of 1/2 print as exact finite decimals ("0.5" … "0.00390625"),
+    // so both engines parse the identical doubles
+    val terms = (0 to 7).map { k =>
+      s"COALESCE(lag(value, $k) OVER w, 0.0) * ${math.pow(0.5, k + 1)}"
+    }.mkString(" + ")
+    s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+       |  $terms AS ewma
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, ts_us, event_id""".stripMargin
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) interval derivation from a
+    * change log: each event opens a version effective until the next
+    * change for the same user — `lead()` per key gives the closing edge,
+    * the last version stays open (sentinel −1, flagged current). The
+    * warehouse-standard history-table build, as one window pass:
+    * hash-partition on the key, sort inside the partition, no joins. */
+  def q72Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("eff_from", unix_micros(col("ts")))
+      .withColumn("eff_to",
+        coalesce(unix_micros(lead(col("ts"), 1).over(w)), lit(-1L)))
+      .withColumn("is_current",
+        (col("eff_to") === -1L).cast("int"))
+      .select(col("user_id"), col("eff_from"), col("eff_to"),
+        col("is_current"), col("event_type"), col("value"), col("event_id"))
+      .orderBy(col("user_id"), col("eff_from"), col("event_id"))
+  }
+
+  val q72Sql: String =
+    """SELECT user_id, epoch_us(ts) AS eff_from,
+      |  COALESCE(epoch_us(lead(ts, 1) OVER w), -1) AS eff_to,
+      |  CAST(COALESCE(epoch_us(lead(ts, 1) OVER w), -1) = -1 AS INT) AS is_current,
+      |  event_type, value, event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, eff_from, event_id""".stripMargin
+
+  /** Equi-width histogram (feature binning) of the value column: 16
+    * buckets spanning [min, max], the profiling/binning primitive. The
+    * bucket edges derive from one broadcast scalar row (min/max), so the
+    * heavy side stays a narrow scan + hash-agg on a 16-value key — the
+    * same two-pass shape at any scale. Both engines compute
+    * floor((v−min)/step) on identical doubles → identical buckets. */
+  def q73Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Tables.events(spark, dir)
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    Tables.events(spark, dir)
+      .crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        least(floor((col("value") - col("vmin")) /
+          ((col("vmax") - col("vmin")) / lit(16.0))), lit(15L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val q73Sql: String =
+    """SELECT
+      |  LEAST(CAST(floor((value - (SELECT min(value) FROM events))
+      |    / (((SELECT max(value) FROM events) - (SELECT min(value) FROM events)) / 16.0))
+      |    AS BIGINT), 15) AS bucket,
+      |  COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+      |FROM events
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_ewma"            -> (q71Ewma _),
+    "q72_scd2"            -> (q72Scd2 _),
+    "q73_histogram"       -> (q73Histogram _),
     "q66_stream_static_join" -> (q66StreamStaticJoin _),
     "q67_upsert_merge"    -> (q67UpsertMerge _),
     "q68_stream_sliding_sink" -> (q68StreamSlidingSink _),
@@ -1228,6 +1329,9 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_ewma"            -> q71Sql,
+    "q72_scd2"            -> q72Sql,
+    "q73_histogram"       -> q73Sql,
     "q66_stream_static_join" -> q66Sql,
     "q67_upsert_merge"    -> q67Sql,
     "q68_stream_sliding_sink" -> q68Sql,

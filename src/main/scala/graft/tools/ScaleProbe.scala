@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 20× scale probe — empirical evidence that the operators' 100 TB design
+  * arguments hold beyond the fixture sizes. Builds a synthetic corpus
+  * `MULT`× the given scale-factor directory (default 20× sf0.1), then
+  * times the probed operators end to end on it at local[32].
+  *
+  * Corpus construction mirrors the round-3 probe so numbers stay
+  * comparable across rounds: each document is replicated MULT times —
+  * half as EXACT copies (stressing the dedup group/join paths with real
+  * duplicate mass) and half perturbed with a replica-unique suffix
+  * (stressing the distinct-key volume); doc_ids are remapped to stay
+  * unique. Events and customer are replicated with shifted ids (events
+  * keep their nanos-long ts representation so `Tables.events` reads the
+  * probe dir exactly like a fixture dir).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [mult] [outDir]
+  * Prints one `probe <name> <seconds>` line per operator plus a final
+  * JSON summary; results belong in NOTES.md's scale-probe table.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).flatMap(_.toIntOption).getOrElse(20)
+    val outDir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-scale").toString)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = spark.range(mult).withColumnRenamed("id", "rep")
+
+    // documents: MULT copies per doc; rep < MULT/2 exact, rest perturbed
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        when(col("rep") < mult / 2, col("text"))
+          .otherwise(concat(col("text"), lit(" zq"), col("rep"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // events: shifted ids/users, ts kept as NANOS LONG (fixture encoding)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val nEv = events.count()
+    val maxUser = events.agg(max("user_id")).head.getLong(0) + 1
+    events.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("rep") * nEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // customer: shifted keys (q67 merges events into customer)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val maxCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+    cust.crossJoin(broadcast(reps))
+      .select(
+        (col("c_custkey") + col("rep") * maxCust).as("c_custkey"),
+        concat(col("c_name"), lit("#"), col("rep")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    println(s"probe corpus at $outDir: ${nDocs * mult} docs, ${nEv * mult} events")
+
+    def time(name: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"probe $name%-22s $t%8.1f s  ($rows rows)")
+      (name, t, rows)
+    }
+
+    val results = Seq(
+      time("corpus_pack")       { graft.ops.Corpus.queries("corpus_pack")(spark, outDir).count() },
+      time("corpus_budget")     { graft.ops.Corpus.queries("corpus_budget")(spark, outDir).count() },
+      time("corpus_balance")    { graft.ops.Corpus.queries("corpus_balance")(spark, outDir).count() },
+      time("corpus_shard")      { graft.ops.Corpus.queries("corpus_shard")(spark, outDir).count() },
+      time("corpus_vocab_prune"){ graft.ops.Corpus.queries("corpus_vocab_prune")(spark, outDir).count() },
+      time("pipeline_shards")   { graft.ops.Corpus.queries("pipeline_shards")(spark, outDir).count() },
+      time("dedup_exact")       { graft.ops.Dedup.exact(spark, outDir).count() },
+      time("dedup_incremental") { graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count() },
+      time("graph_pagerank")    { graft.ops.Graph.pagerank(spark, outDir).count() },
+      time("q67_upsert_merge")  { graft.ops.Relational2.q67UpsertMerge(spark, outDir).count() },
+    )
+    val json = results.map { case (n, t, r) => s""""$n":{"sec":$t,"rows":$r}""" }
+      .mkString(",")
+    println(s"""probe-summary {"mult":$mult,"docs":${nDocs * mult},$json}""")
+    spark.stop()
+  }
+}

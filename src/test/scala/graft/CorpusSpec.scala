@@ -106,4 +106,36 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getString(1)).toSeq
     assert(out == Seq("a b <unk>", "<unk> b a"))
   }
+
+  test("splitTrainValTest: exact per-language proportions, deterministic") {
+    // 10 docs per language -> exactly 8 train / 1 val / 1 test each
+    val rows = (0L until 20L).map(i =>
+      (i, s"doc $i", if (i < 10) "en" else "fr", "s0"))
+    val dir = docs(rows: _*)
+    val out = Corpus.splitTrainValTest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == 20)
+    for (lang <- Seq("en", "fr")) {
+      val counts = out.filter(_._2 == lang).groupBy(_._3).view.mapValues(_.length).toMap
+      assert(counts == Map("train" -> 8, "val" -> 1, "test" -> 1),
+        s"$lang got $counts")
+    }
+    // deterministic: a second run assigns identically
+    val again = Corpus.splitTrainValTest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("splitTrainValTest: tiny strata round toward train") {
+    // 1 doc in a language: 1*100 <= 1*80 is false, <= 90 false -> test?
+    // rk=1, n=1: 100 <= 80 fails, 100 <= 90 fails -> test. A 2-doc
+    // stratum: rk=1 -> 50 <= 80 train; rk=2 -> 100 -> test.
+    val dir = docs((1L, "x", "solo", "s0"),
+      (2L, "y", "duo", "s0"), (3L, "z", "duo", "s0"))
+    val by = Corpus.splitTrainValTest(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toSeq
+    assert(by.count(_._1 == "duo") == 2)
+    assert(by.filter(_._1 == "duo").map(_._2).sorted == Seq("test", "train"))
+    assert(by.filter(_._1 == "solo").map(_._2) == Seq("test"))
+  }
 }

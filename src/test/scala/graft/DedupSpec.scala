@@ -206,4 +206,20 @@ class DedupSpec extends SparkSpec {
       (2L, 1L, 2L, 0),  // dropped duplicate
       (3L, 3L, 1L, 1))) // singleton keeps itself
   }
+
+  test("fuzzy entity match: typo-level name variants inside blocks only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    Seq(
+      (1L, "Customer#1", 1, "AUTO"),   // 1 edit from #2 -> match
+      (2L, "Customer#2", 1, "AUTO"),
+      (3L, "Customer#29", 1, "AUTO"),  // 2 edits from #1, 1 from #2 -> one match
+      (4L, "Customer#1", 2, "AUTO"),   // identical name, DIFFERENT block -> no pair
+      (5L, "Somebody#1", 1, "AUTO"))   // 8 edits -> no match
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Dedup.fuzzy(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 3L, 1)))
+  }
 }

@@ -148,4 +148,45 @@ class ExtensionsSpec extends SparkSpec {
     val viaAgg = graft.ops.Similarity.aggTopK(spark, sf).collect().toSeq
     assert(viaAgg.map(_.toSeq) == brute.map(_.toSeq))
   }
+
+  test("q71 EWMA: hand-checked warmup terms, power-of-two weights exact") {
+    val rows = graft.ops.Relational2.q71Ewma(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    // per user, the first row's ewma is value/2 exactly (no history);
+    // the second is v2/2 + v1/4 exactly (both scalings exact in IEEE754)
+    byUser.values.foreach { rs =>
+      val first = rs.head
+      assert(first.getDouble(4) == first.getDouble(3) * 0.5)
+      if (rs.length > 1) {
+        val second = rs(1)
+        assert(second.getDouble(4) ==
+          second.getDouble(3) * 0.5 + first.getDouble(3) * 0.25)
+      }
+    }
+  }
+
+  test("q72 SCD2: intervals chain per key, exactly one open version") {
+    val rows = graft.ops.Relational2.q72Scd2(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      // the closing edge of version k is the opening edge of version k+1
+      rs.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) == b.getLong(1))
+        case _           => ()
+      }
+      assert(rs.count(_.getInt(3) == 1) == 1, "one current version per key")
+      assert(rs.last.getLong(2) == -1L, "open interval carries the sentinel")
+    }
+  }
+
+  test("q73 histogram: buckets partition the value range, counts total") {
+    val rows = graft.ops.Relational2.q73Histogram(spark, sf).collect()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 15))
+    // bucket-local min/max must not overlap the neighbor's range
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2))
+      case _           => ()
+    }
+  }
 }
