@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics operators over the event stream — funnel conversion,
+  * cohort retention, and Bloom-prefiltered semi joins. These are the
+  * aggregation shapes every events warehouse runs daily; each is one or
+  * two hash-partition shuffles keyed on `user_id` (the natural analytics
+  * partition axis), so the plans hold at any event volume.
+  */
+object Analytics {
+
+  /** Funnel conversion: per user, the earliest time of each funnel step
+    * (view → click → purchase), then the count of users reaching each
+    * prefix of the funnel IN ORDER (a later step only counts if it
+    * happens strictly after the previous one). One groupBy(user) with
+    * conditional min aggregates — the whole funnel is a single shuffle,
+    * no joins, no per-step passes. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+    perUser.agg(
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_click"),
+      count(when(col("t_click") > col("t_view") &&
+        col("t_buy") > col("t_click"), lit(1))).as("n_view_click_buy"))
+  }
+
+  val funnelSql: String =
+    """SELECT COUNT(t_view) AS n_view,
+      |  COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+      |  COUNT(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END)
+      |    AS n_view_click_buy
+      |FROM (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      |  FROM events GROUP BY user_id
+      |)""".stripMargin
+
+  /** Cohort retention: users are cohorted by the DAY of their first event;
+    * each (cohort day, day offset) cell counts the distinct users of that
+    * cohort active `offset` days later — the retention triangle. Two
+    * shuffles: min-ts per user, then the cell aggregation; distinct-user
+    * counts stay exact because (cohort, offset, user) is deduped by the
+    * aggregation key, never by a global distinct. */
+  def cohort(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"))
+      .select(col("user_id"), to_date(col("t0")).as("cohort_day"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortSql: String =
+    """SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT user_id, CAST(ts AS DATE) AS day FROM events) e
+      |JOIN (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      |      FROM events GROUP BY user_id) f USING (user_id)
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Bloom-prefiltered semi join — the runtime-filter pattern for the
+    * "big fact ⋈ selective dimension" shape: build a Bloom filter over
+    * the dimension keys (distributed aggregate via Spark's public sketch
+    * API), broadcast it, and drop non-matching fact rows BEFORE the
+    * shuffle; the exact semi join then runs on the survivors. At 100 TB
+    * the win is shuffle volume: the fact side sheds (1−selectivity) of
+    * its rows for the cost of a scan-side bitmap test, and the false
+    * positives (≤1%) are caught by the exact join. The result is
+    * identical to the plain semi join — which is exactly what the oracle
+    * checks. */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    Tables.lineitem(spark, dir)
+      .filter(mightContain(col("l_orderkey")))     // cheap pre-shuffle prune
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomSemiJoinSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_bloom_semi_join" -> (bloomSemiJoin _),
+    "q75_funnel"          -> (funnel _),
+    "q76_cohort"          -> (cohort _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q74_bloom_semi_join" -> bloomSemiJoinSql,
+    "q75_funnel"          -> funnelSql,
+    "q76_cohort"          -> cohortSql,
+  )
+}

@@ -138,13 +138,59 @@ object Graph {
        |SELECT node AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
   }
 
+  /** Triangle enumeration over the near-dup graph — the clustering-
+    * coefficient / community-density primitive. Edges are stored
+    * canonically (a < b), so each triangle a<b<c is produced exactly once
+    * by the two equi-joins (wedge build + closing-edge check) — the
+    * standard distributed triangle plan; at scale the joins hash-partition
+    * on the wedge pivot and the canonical orientation caps the join fan-out
+    * by in-bucket degree (the classic Cohen/MapReduce trick; heavy-hitter
+    * nodes would additionally be degree-ordered, which canonical id order
+    * approximates on this id-uniform graph). Shares the cached pair
+    * artifact with pagerank/dedup_groups — the graph is built once. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.tools.ArtifactCache.parquet(spark, dir, "pairs_jaccard") {
+      p => Dedup.ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val e1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    val e2 = pairs.select(col("a_id").as("b"), col("b_id").as("c"))
+    val e3 = pairs.select(col("a_id").as("a"), col("b_id").as("c"))
+    e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
+  /** DuckDB twin: the same canonical pair set (CTE text shared with the
+    * pagerank oracle) closed with the same two joins. */
+  val trianglesSql: String = {
+    val tokensSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+    s"""WITH toks AS (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket, doc_id,
+       |         list_distinct($tokensSql) AS toks
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM toks a JOIN toks b
+       |    ON a.lang = b.lang AND a.source = b.source
+       |   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5)
+       |SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+       |FROM pairs e1 JOIN pairs e2 ON e1.b_id = e2.a_id
+       |JOIN pairs e3 ON e1.a_id = e3.a_id AND e2.b_id = e3.b_id
+       |ORDER BY a, b, c""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d))
+    "graph_pagerank"  -> ((s: SparkSession, d: String) => pagerank(s, d)),
+    "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankSql
+    "graph_pagerank"  -> pagerankSql,
+    "graph_triangles" -> trianglesSql,
   )
 }

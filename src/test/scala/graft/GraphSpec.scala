@@ -52,4 +52,22 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("triangle enumeration closes wedges exactly once, canonically ordered") {
+    val tris = Graph.triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tris.forall { case (a, b, c) => a < b && b < c },
+      "triangles must come out strictly increasing (each found once)")
+    assert(tris.distinct.length == tris.length)
+    // cross-check against a driver-side closure of the exact pair set
+    val pairs = graft.ops.Dedup.ngramJaccard(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.toSeq.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val brute = for {
+      a <- nodes; b <- nodes if a < b && pairs((a, b))
+      c <- nodes if b < c && pairs((b, c)) && pairs((a, c))
+    } yield (a, b, c)
+    assert(tris.toSet == brute.toSet)
+  }
 }
