@@ -110,17 +110,56 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * standing per-flag totals are NOT recomputed from scratch when a new
+    * batch lands — the base partials (sum, count) merge with the delta
+    * partials by addition, and only ratios (avg) are re-derived from the
+    * merged state. This is the partial-aggregate algebra Spark's own
+    * map-side combine uses, surfaced as an operator: at 100 TB the
+    * refresh touches the delta + a k-row state table, not the fact
+    * history. The oracle recomputes from the full table — equality IS
+    * the correctness claim (merge(partials) == recompute(whole)).
+    * The batch boundary derives from the data (orderkey mod 10) so both
+    * sides are non-empty at every scale factor. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+    val li = Tables.lineitem(spark, dir)
+    val base = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+    val delta = partial(li.filter(col("l_orderkey") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_qty").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .withColumn("avg_qty", col("sum_qty") / col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val incrementalAggSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_bloom_semi_join" -> (bloomSemiJoin _),
     "q75_funnel"          -> (funnel _),
     "q76_cohort"          -> (cohort _),
+    "q78_incr_agg"        -> (incrementalAgg _),
   )
 
   val oracles: Map[String, String] = Map(
     "q74_bloom_semi_join" -> bloomSemiJoinSql,
     "q75_funnel"          -> funnelSql,
     "q76_cohort"          -> cohortSql,
+    "q78_incr_agg"        -> incrementalAggSql,
   )
 }
