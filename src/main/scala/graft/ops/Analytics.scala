@@ -147,9 +147,33 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Count-Min heavy hitters over the token stream: one distributed CMS
+    * build (O(d·w) state per task, merged by addition), then the exact
+    * top-10 tokens with their sketch estimates beside the true counts.
+    * Rows-only in the gate (the sketch is hash-family-specific, like
+    * minhash/simhash); the spec pins the CMS guarantees — every estimate
+    * ≥ its true count, within εN, and two half-corpus sketches merged
+    * equal the one-pass sketch EXACTLY (merge is vector addition). */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+                      d: Int = 4, w: Int = 512): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = Tables.documents(spark, dir)
+      .select(explode(filter(split(col("text"), " "), t => t =!= lit(""))).as("token"))
+    val cms = udaf(new graft.functions.CountMinAggregator(d, w), Encoders.STRING)
+    // one-row scalar aggregate — driver-side by design (KMeans k-row precedent)
+    val sk = toks.agg(cms(col("token")).as("sk"))
+      .collect().head.getSeq[Long](0).toArray
+    val est = udf((s: String) => graft.functions.CountMin.estimate(sk, d, w, s))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(10)
+      .withColumn("est_n", est(col("token")))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_cms_topk"        -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
     "q74_bloom_semi_join" -> (bloomSemiJoin _),
     "q75_funnel"          -> (funnel _),
     "q76_cohort"          -> (cohort _),

@@ -54,13 +54,47 @@ object Layout {
        |FROM lineitem
        |ORDER BY zval, l_partkey, l_suppkey""".stripMargin
 
+  /** Small-file compaction — the lakehouse maintenance op every ingest
+    * pipeline needs: a fragmented layout (here: the documents table
+    * deliberately shattered into 64 tiny files) is rewritten into
+    * size-targeted files (total bytes / target, via one round-robin
+    * repartition), and the content survives byte-for-byte — which is
+    * what the oracle checks against the original table. File-count and
+    * size assertions live in the spec. At 100 TB compaction is the cure
+    * for open-file-handle and footer-overhead death by small files;
+    * the plan is scan → exchange → write, embarrassingly scalable. */
+  def compaction(spark: SparkSession, dir: String,
+                 targetBytes: Long = 256 * 1024): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q80")
+    try {
+      Tables.documents(spark, dir).repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      val frag = spark.read.parquet(s"$base/small")
+      val totalBytes = new java.io.File(s"$base/small").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      frag.repartition(nOut).write.mode("overwrite").parquet(s"$base/compact")
+      spark.read.parquet(s"$base/compact")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint() // materialize before the temp layout is deleted
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val compactionSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q77_zorder" -> (zorder _)
+    "q77_zorder"     -> (zorder _),
+    "q80_compaction" -> ((s: SparkSession, d: String) => compaction(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
-    "q77_zorder" -> zorderSql
+    "q77_zorder"     -> zorderSql,
+    "q80_compaction" -> compactionSql,
   )
 }

@@ -46,6 +46,35 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-02", 2, 1L))) // user 3 back two days after ITS cohort day
   }
 
+  test("count-min sketch: overestimates within eps*N, merge is exact") {
+    import graft.functions.{CountMin, CountMinAggregator}
+    val (d, w) = (4, 64)
+    val agg = new CountMinAggregator(d, w)
+    val keys = (1 to 500).map(i => s"k${i % 37}") // 37 distinct, skewed-ish
+    val sketch = keys.foldLeft(agg.zero)(agg.reduce)
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k, n) =>
+      val e = CountMin.estimate(sketch, d, w, k)
+      assert(e >= n, s"CMS must never underestimate ($k)")
+      assert(e <= n + math.ceil(math.E / w * keys.size).toLong * 2,
+        s"estimate for $k way over the eps*N bound")
+    }
+    // two half-stream sketches merged == the one-pass sketch, exactly
+    val (l, r) = keys.splitAt(250)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq == sketch.toSeq)
+  }
+
+  test("cms heavy hitters: estimates dominate exact counts on the fixture") {
+    val rows = Analytics.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"token ${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+  }
+
   test("bloom-prefiltered semi join returns exactly the plain semi join") {
     val viaBloom = Analytics.bloomSemiJoin(spark, sf).collect().map(_.toSeq)
     val urgent = Tables.orders(spark, sf)

@@ -48,6 +48,28 @@ class LayoutSpec extends SparkSpec {
     assert(ly > 255 * 0.7, s"linear sort should not localize y (got $ly)")
   }
 
+  test("compaction preserves content and actually reduces the file count") {
+    val out = Layout.compaction(spark, sf).collect()
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.toSeq).toSeq == src.map(_.toSeq).toSeq)
+    // the compacted layout must land far below the 64-way fragmentation
+    // (size-targeted: a handful of files for the sf0.001 table)
+    val base = graft.tools.TempDirs.createFast("graft-compact-count")
+    try {
+      Tables.documents(spark, sf).repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      val nSmall = new java.io.File(s"$base/small").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nSmall > 32, "fragmentation premise")
+      val totalBytes = new java.io.File(s"$base/small").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val nTarget = math.max(1, math.ceil(totalBytes / (256.0 * 1024)).toInt)
+      assert(nTarget < nSmall / 4, "compaction target must collapse the layout")
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   test("incremental aggregate merge equals recompute from scratch") {
     val merged = graft.ops.Analytics.incrementalAgg(spark, sf)
       .collect().map(_.toSeq)
