@@ -170,9 +170,45 @@ object Analytics {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** Data profiling — the one-pass table health report (row counts,
+    * null fractions, distinct cardinalities, ranges) every ingest job
+    * emits before anything downstream trusts the batch. All stats ride a
+    * single aggregation (count/countDistinct/min/max are algebraic or
+    * two-phase), so profiling costs one scan at any scale; outputs stay
+    * in their native types (no number→string casts, which render
+    * differently across engines). */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      sum(col("value").isNull.cast("long")).as("null_values"),
+      sum((col("props") === "{}").cast("long")).as("empty_props"),
+      min(unix_micros(col("ts"))).as("ts_min_us"),
+      max(unix_micros(col("ts"))).as("ts_max_us"),
+      min(col("value")).as("value_min"),
+      max(col("value")).as("value_max"),
+      min(col("event_type")).as("type_first"),
+      max(col("event_type")).as("type_last"))
+
+  val profileSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_values,
+      |  CAST(SUM(CASE WHEN props = '{}' THEN 1 ELSE 0 END) AS BIGINT) AS empty_props,
+      |  epoch_us(MIN(ts)) AS ts_min_us,
+      |  epoch_us(MAX(ts)) AS ts_max_us,
+      |  MIN(value) AS value_min,
+      |  MAX(value) AS value_max,
+      |  MIN(event_type) AS type_first,
+      |  MAX(event_type) AS type_last
+      |FROM events""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_profile"         -> (profile _),
     "q79_cms_topk"        -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
     "q74_bloom_semi_join" -> (bloomSemiJoin _),
     "q75_funnel"          -> (funnel _),
@@ -181,6 +217,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_profile"         -> profileSql,
     "q74_bloom_semi_join" -> bloomSemiJoinSql,
     "q75_funnel"          -> funnelSql,
     "q76_cohort"          -> cohortSql,

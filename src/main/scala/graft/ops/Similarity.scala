@@ -296,7 +296,51 @@ object Similarity {
       |    FROM embeddings))
       |ORDER BY vec_id""".stripMargin
 
+  /** The projection's Rademacher sign matrix (16×64), derived once from
+    * md5 so it is a CONSTANT of the library: both the Spark expression
+    * and the oracle SQL embed the same ±1 literals, so no engine needs a
+    * shared hash function at query time. */
+  private[ops] lazy val projSigns: Array[Array[Int]] = {
+    Array.tabulate(16, Dedup.Dim) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"proj:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** Random-projection dimensionality reduction (Achlioptas, JCSS 2003:
+    * ±1 entries preserve pairwise distances à la Johnson–Lindenstrauss):
+    * 64-dim float embeddings → 16-dim doubles by a fixed Rademacher
+    * matrix. This is the cheap pre-step that shrinks ANN candidate math
+    * 4× — and unlike learned projections it needs no training pass.
+    * Narrow map, no shuffle, codegen'd arithmetic; each output is the
+    * same left-folded 64-term chain in Spark and the oracle, so the
+    * doubles match bitwise. */
+  def project(spark: SparkSession, dir: String): DataFrame = {
+    val outCols = (0 until 16).map { j =>
+      projSigns(j).zipWithIndex.map { case (s, i) =>
+        col("embedding").getItem(i).cast("double") * lit(s.toDouble)
+      }.reduceLeft(_ + _).as(s"p$j")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: outCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val projectSql: String = {
+    val terms = (0 until 16).map { j =>
+      projSigns(j).zipWithIndex.map { case (s, i) =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ${s.toDouble}"
+      }.mkString("(", " + ", s") AS p$j")
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $terms
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_project"    -> (project _),
     "emb_quantize"   -> (quantizeInt8 _),
     "sim_topk_brute" -> (bruteForceTopK _),
     "sim_topk_agg"   -> (aggTopK _),
@@ -311,6 +355,7 @@ object Similarity {
     * crossover, so the planner must return the exact plan's result —
     * the choice itself is what the gate checks. */
   val oracles: Map[String, String] = Map(
+    "emb_project"    -> projectSql,
     "emb_quantize"   -> quantizeInt8Sql,
     "sim_topk_brute" -> bruteForceTopKSql,
     "sim_topk_agg"   -> bruteForceTopKSql,

@@ -389,7 +389,53 @@ object TextAnalysis {
       |GROUP BY lang, split
       |ORDER BY lang, split""".stripMargin
 
+  /** PII redaction — the scrub pass every training corpus runs before
+    * anything else sees the text. The fixture prose carries no PII, so
+    * the query deterministically PLANTS it (an email and a phone-shaped
+    * number derived from doc_id appended to the text), then removes it:
+    * emails first (they contain digits), then digit runs. Patterns stay
+    * inside the regex subset Java and RE2 interpret identically
+    * (character classes + quantifiers — no backrefs/lookarounds), which
+    * is also the subset that scales: RE2-safe patterns are linear-time,
+    * so the scrub is scan-bound at 100 TB. The redaction count comes
+    * from the same patterns, so over/under-matching fails the gate. */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+    val numPat = "[0-9]+"
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com tel 555-"),
+      (col("doc_id") % 10000).cast("string"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("raw"))
+      .withColumn("no_email", regexp_replace(col("raw"), emailPat, "<email>"))
+      .withColumn("redacted", regexp_replace(col("no_email"), numPat, "<num>"))
+      .withColumn("n_redactions",
+        (size(regexp_extract_all(col("raw"), lit(emailPat), lit(0))) +
+          size(regexp_extract_all(col("no_email"), lit(numPat), lit(0)))).cast("long"))
+      .select(col("doc_id"), col("redacted"), col("n_redactions"))
+      .orderBy(col("doc_id"))
+  }
+
+  val redactSql: String =
+    """SELECT doc_id, redacted,
+      |  CAST(len(regexp_extract_all(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))
+      |     + len(regexp_extract_all(no_email, '[0-9]+')) AS BIGINT) AS n_redactions
+      |FROM (
+      |  SELECT doc_id, raw, no_email,
+      |    regexp_replace(no_email, '[0-9]+', '<num>', 'g') AS redacted
+      |  FROM (
+      |    SELECT doc_id, raw,
+      |      regexp_replace(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<email>', 'g')
+      |        AS no_email
+      |    FROM (
+      |      SELECT doc_id,
+      |        text || ' contact user' || doc_id || '@example.com tel 555-'
+      |             || (doc_id % 10000) AS raw
+      |      FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact"      -> (redact _),
     "pipeline_pretrain" -> (pretrainPipeline _),
     "text_rep_ratio"   -> (repRatio _),
     "text_det_split"   -> (detSplit _),
@@ -404,6 +450,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_redact"      -> redactSql,
     "pipeline_pretrain" -> pretrainPipelineSql,
     "text_rep_ratio"   -> repRatioSql,
     "text_det_split"   -> detSplitSql,

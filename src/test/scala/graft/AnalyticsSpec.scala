@@ -75,6 +75,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("redaction leaves no live email or digit run behind") {
+    val rows = graft.ops.TextAnalysis.redact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getString(1)
+      assert(!t.matches(".*[0-9].*"), s"digits survived: $t")
+      assert(!t.contains("@example.com"), "planted email survived")
+      assert(t.contains("<email>") && t.contains("<num>"),
+        "planted PII should have been rewritten to placeholders")
+      assert(r.getLong(2) >= 2, "at least the planted email + number")
+    }
+  }
+
+  test("random projection approximately preserves pairwise distance ratios") {
+    // Johnson–Lindenstrauss sanity: for fixture vector pairs, the 16-dim
+    // distance correlates with the 64-dim distance (same ordering for a
+    // well-separated pair vs a close pair, scaled by dim ratio)
+    val proj = graft.ops.Similarity.project(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toArray).toMap
+    val orig = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(20)
+    val ratios = for (Seq(a, b) <- ids.combinations(2).toSeq.take(50))
+      yield d2(proj(a), proj(b)) / d2(orig(a), orig(b))
+    val mean = ratios.sum / ratios.size
+    // E[ratio] = 16 (sum of 16 ±1-combinations of 64 dims); huge slack
+    assert(mean > 16 * 0.5 && mean < 16 * 2.0, s"mean distance ratio $mean")
+  }
+
+  test("profile emits a coherent one-row health report") {
+    val r = graft.ops.Analytics.profile(spark, sf).collect().head
+    val n = Tables.events(spark, sf).count()
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) > 0 && r.getLong(1) <= n)  // users
+    assert(r.getLong(2) > 0 && r.getLong(2) <= 10) // event types
+    assert(r.getLong(5) <= r.getLong(6))           // ts range ordered
+    assert(r.getDouble(7) <= r.getDouble(8))       // value range ordered
+  }
+
   test("bloom-prefiltered semi join returns exactly the plain semi join") {
     val viaBloom = Analytics.bloomSemiJoin(spark, sf).collect().map(_.toSeq)
     val urgent = Tables.orders(spark, sf)
