@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.GraftShim
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Banded (Ukkonen) edit distance with early exit. */
+object StringKernels {
+
+  /** Levenshtein distance capped at `k`: returns the true distance when
+    * it is ≤ k, else k+1. The DP only fills the ±k diagonal band —
+    * O(k·n) time instead of O(n·m) — and bails out as soon as a whole
+    * row exceeds the budget. For a near-dup verify step with k ≈ 1–10
+    * over long keys this is the difference between a scan-bound filter
+    * and a quadratic one at 100 TB. Char-based (like the fixture keys);
+    * agrees with full Levenshtein on every pair it keeps. */
+  def boundedLev(sa: String, sb: String, k: Int): Int = {
+    val n = sa.length
+    val m = sb.length
+    if (math.abs(n - m) > k) return k + 1
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      cur(0) = if (i <= k) i else inf
+      var best = cur(0)
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      j = lo
+      while (j <= hi) {
+        val cost = if (sa.charAt(i - 1) == sb.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < best) best = v
+        j += 1
+      }
+      if (best >= inf) return inf // band exhausted — cannot recover below k
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
+
+  /** Entry point for generated code (UTF8String operands). */
+  def boundedLev(a: UTF8String, b: UTF8String, k: Int): Int =
+    boundedLev(a.toString, b.toString, k)
+}
+
+/** `bounded_lev(a, b, k)` as a native expression: `doGenCode` emits a
+  * direct static call — no UDF encoder/serialization per row, and the
+  * expression composes inside WholeStageCodegen like any built-in. The
+  * threshold is a plan-time constant, which is what lets the kernel band
+  * the DP (a generic `levenshtein(a, b)` must fill the full matrix). */
+case class BoundedLevenshtein(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  require(k >= 0, s"bounded_lev threshold must be >= 0, got $k")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bounded_lev expects two strings, got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(StringKernels.boundedLev(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.StringKernels.boundedLev($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BoundedLevenshtein {
+  /** Column-API entry point: `bounded_lev($"a", $"b", 4)`. */
+  def bounded_lev(a: Column, b: Column, k: Int): Column =
+    GraftShim.column(BoundedLevenshtein(
+      GraftShim.expression(a), GraftShim.expression(b), k))
+}

@@ -343,7 +343,12 @@ object Dedup {
       col("c_custkey").as("b_key"), col("c_name").as("b_name"))
     a.join(b, Seq("c_nationkey", "c_mktsegment"))
       .filter(col("a_key") < col("b_key"))
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      // banded-DP native expression: O(k·len) per pair instead of the
+      // built-in's full O(len²) matrix — the verify step's cost at scale.
+      // Agrees with full levenshtein on every pair the filter keeps, so
+      // the DuckDB oracle (full levenshtein) is unchanged.
+      .withColumn("dist", graft.functions.BoundedLevenshtein
+        .bounded_lev(col("a_name"), col("b_name"), maxDist))
       .filter(col("dist") <= maxDist)
       .select(col("a_key"), col("b_key"), col("dist"))
       .orderBy(col("a_key"), col("b_key"))

@@ -434,7 +434,36 @@ object TextAnalysis {
       |      FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  /** Inverted index build — the IR primitive behind every "which docs
+    * contain this token" lookup: per token, the document frequency and
+    * the first 20 postings (sorted doc_ids, comma-joined for the
+    * comparator). One explode + one hash aggregation, shuffling the
+    * distinct (token, doc) pairs once; postings truncate per group, so
+    * no group's state exceeds the cap — at 100 TB the full posting lists
+    * would go to per-token files, same plan shape. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(slice(array_sort(collect_list(col("doc_id"))), 1, 20),
+            x => x.cast("string")),
+          ",").as("postings"))
+      .orderBy(col("token"))
+
+  val invertedIndexSql: String =
+    s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       |  array_to_string(
+       |    list_transform((list(doc_id ORDER BY doc_id))[1:20],
+       |                   x -> CAST(x AS VARCHAR)), ',') AS postings
+       |FROM (SELECT DISTINCT doc_id, unnest(list_distinct($tokensSql)) AS token
+       |      FROM documents)
+       |GROUP BY token
+       |ORDER BY token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> (invertedIndex _),
     "text_redact"      -> (redact _),
     "pipeline_pretrain" -> (pretrainPipeline _),
     "text_rep_ratio"   -> (repRatio _),
@@ -450,6 +479,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" -> invertedIndexSql,
     "text_redact"      -> redactSql,
     "pipeline_pretrain" -> pretrainPipelineSql,
     "text_rep_ratio"   -> repRatioSql,

@@ -149,6 +149,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaAgg.map(_.toSeq) == brute.map(_.toSeq))
   }
 
+  test("bounded_lev equals min(levenshtein, k+1) on random pairs (codegen path)") {
+    import graft.functions.BoundedLevenshtein.bounded_lev
+    val rnd = new scala.util.Random(42)
+    def word() = (1 to (3 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val pairs = (1 to 200).map(_ => (word(), word()))
+    val df = pairs.toDF("a", "b")
+    for (k <- Seq(0, 1, 2, 5)) {
+      val got = df.select(levenshtein(col("a"), col("b")).as("full"),
+        bounded_lev(col("a"), col("b"), k).as("bounded")).collect()
+      got.foreach { r =>
+        assert(r.getInt(1) == math.min(r.getInt(0), k + 1),
+          s"k=$k full=${r.getInt(0)} bounded=${r.getInt(1)}")
+      }
+    }
+    // empty and identical strings
+    val edge = Seq(("", ""), ("", "abc"), ("same", "same")).toDF("a", "b")
+    val e = edge.select(bounded_lev(col("a"), col("b"), 2)).as[Int].collect()
+    assert(e.toSeq == Seq(0, 3, 0))
+  }
+
   test("q71 EWMA: hand-checked warmup terms, power-of-two weights exact") {
     val rows = graft.ops.Relational2.q71Ewma(spark, sf).collect()
     val byUser = rows.groupBy(_.getLong(0))
