@@ -323,30 +323,43 @@ object Dedup {
        |ORDER BY a.lang, a.source, a_id, b_id""".stripMargin
 
   /** Fuzzy entity resolution (record-linkage dedup): customer records in
-    * the same block — (nation, market segment), the natural partition keys
-    * of the entity — whose NAMES are within `maxDist` Levenshtein edits
-    * are candidate duplicates (typo-level variants of the same entity).
-    * Same bucket-then-verify shape as every near-dup op here: the block
-    * join bounds the candidate set, and the O(len²) edit-distance verify
-    * runs only inside blocks on short key strings. Levenshtein is an
-    * integer metric with one standard definition, so the oracle matches
-    * bitwise. (Document bodies get token-level near-dup via
-    * jaccard/minhash/simhash — edit distance is the wrong tool above a
-    * few hundred chars, which is why this operator targets entity keys.) */
+    * the same (nation, market segment) block whose NAMES are within one
+    * Levenshtein edit — typo-level variants of the same entity.
+    *
+    * Candidate generation is DELETION-NEIGHBORHOOD blocking (the FastSS
+    * family, Bocek et al. 2007): each name emits itself plus every
+    * single-character deletion as block keys; two names within edit
+    * distance 1 ALWAYS share a key (equal → the name itself;
+    * substitution at i → both drop position i; insert/delete → the
+    * longer one's deletion equals the shorter). So the candidate join is
+    * an equi-join on slim (block, key) rows — O(len) keys per record —
+    * and NEVER enumerates a block's O(n²) pairs, which is what makes the
+    * operator survive blocks of millions (the naive block self-join is
+    * the classic record-linkage scale trap). The verify step is the
+    * banded-DP native expression bounded_lev: O(k·len) per candidate,
+    * and it agrees with full Levenshtein on every kept pair, so the
+    * DuckDB oracle (plain levenshtein over block pairs) is unchanged.
+    * (Document bodies get token-level near-dup via jaccard/minhash —
+    * edit distance targets entity keys.) */
   def fuzzy(spark: SparkSession, dir: String, maxDist: Int = 1): DataFrame = {
-    val cust = Tables.customer(spark, dir)
+    require(maxDist == 1,
+      "deletion-neighborhood blocking is exact for maxDist = 1")
+    val keyed = Tables.customer(spark, dir)
       .select(col("c_nationkey"), col("c_mktsegment"),
         col("c_custkey"), col("c_name"))
-    val a = cust.select(col("c_nationkey"), col("c_mktsegment"),
+      .withColumn("bkey", explode(expr(
+        """array_union(array(c_name),
+          |  transform(sequence(1, length(c_name)),
+          |    i -> concat(substring(c_name, 1, i - 1),
+          |                substring(c_name, i + 1, length(c_name)))))""".stripMargin)))
+    val a = keyed.select(col("c_nationkey"), col("c_mktsegment"), col("bkey"),
       col("c_custkey").as("a_key"), col("c_name").as("a_name"))
-    val b = cust.select(col("c_nationkey"), col("c_mktsegment"),
+    val b = keyed.select(col("c_nationkey"), col("c_mktsegment"), col("bkey"),
       col("c_custkey").as("b_key"), col("c_name").as("b_name"))
-    a.join(b, Seq("c_nationkey", "c_mktsegment"))
+    a.join(b, Seq("c_nationkey", "c_mktsegment", "bkey"))
       .filter(col("a_key") < col("b_key"))
-      // banded-DP native expression: O(k·len) per pair instead of the
-      // built-in's full O(len²) matrix — the verify step's cost at scale.
-      // Agrees with full levenshtein on every pair the filter keeps, so
-      // the DuckDB oracle (full levenshtein) is unchanged.
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+      .distinct() // a pair can share several deletion keys
       .withColumn("dist", graft.functions.BoundedLevenshtein
         .bounded_lev(col("a_name"), col("b_name"), maxDist))
       .filter(col("dist") <= maxDist)

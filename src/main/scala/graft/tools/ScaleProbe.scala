@@ -94,6 +94,7 @@ object ScaleProbe {
       time("corpus_vocab_prune"){ graft.ops.Corpus.queries("corpus_vocab_prune")(spark, outDir).count() },
       time("pipeline_shards")   { graft.ops.Corpus.queries("pipeline_shards")(spark, outDir).count() },
       time("dedup_exact")       { graft.ops.Dedup.exact(spark, outDir).count() },
+      time("dedup_fuzzy")       { graft.ops.Dedup.fuzzy(spark, outDir).count() },
       time("dedup_incremental") { graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count() },
       time("graph_pagerank")    { graft.ops.Graph.pagerank(spark, outDir).count() },
       time("q67_upsert_merge")  { graft.ops.Relational2.q67UpsertMerge(spark, outDir).count() },
