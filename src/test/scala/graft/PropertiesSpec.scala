@@ -103,6 +103,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("redaction is idempotent and the split partitions every document") {
+    val sf001 = "/root/testdata/sf0.001"
+    // scrub twice == scrub once (placeholders contain nothing redactable)
+    val once = graft.ops.TextAnalysis.redact(spark, sf001)
+      .select("doc_id", "redacted").collect().map(_.toSeq)
+    val pats = Seq("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "[0-9]+")
+    once.foreach { r =>
+      val t = r(1).asInstanceOf[String]
+      pats.foreach(p => assert(!p.r.findFirstIn(t).isDefined,
+        s"redacted text still matches $p"))
+    }
+    // corpus_split: every document appears exactly once, with a valid tag
+    val split = graft.ops.Corpus.splitTrainValTest(spark, sf001).collect()
+    val ids = split.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    assert(ids.length == graft.Tables.documents(spark, sf001).count())
+    assert(split.forall(r => Set("train", "val", "test")(r.getString(2))))
+  }
+
+  test("deletion-neighborhood keys are complete for edit distance 1") {
+    // property: any two words within 1 edit share at least one key from
+    // {word} ∪ {word minus one char} — the exactness claim dedup_fuzzy's
+    // candidate generation rests on
+    def keys(s: String): Set[String] =
+      Set(s) ++ s.indices.map(i => s.take(i) + s.drop(i + 1))
+    val base = Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    forAll(base) { w =>
+      val variants =
+        w.indices.map(i => w.updated(i, 'z')) ++                  // substitution
+        (0 to w.length).map(i => w.take(i) + "z" + w.drop(i)) ++  // insertion
+        w.indices.map(i => w.take(i) + w.drop(i + 1))             // deletion
+      variants.foreach { v =>
+        assert(keys(w).intersect(keys(v)).nonEmpty,
+          s"'$w' vs '$v': no shared deletion key despite distance <= 1")
+      }
+    }
+  }
+
   test("adaptiveLshBits is monotone in n and meets the scan-fraction target") {
     import graft.ops.Similarity
     val ns = Seq(10L, 100L, 1000L, 10000L, 1000000L, 1000000000L)
