@@ -1284,7 +1284,58 @@ object Relational2 {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  /** Correlated LATERAL subquery — per-customer top-2 orders by price,
+    * written the way an analyst writes it (the decorrelated plan is the
+    * same WindowGroupLimit shape as a rank filter, so the SQL-frontend
+    * feature costs nothing over the DataFrame form). Inner-join
+    * semantics: order-less customers drop, identically in both engines. */
+  def q82Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(q82Sql)
+  }
+
+  val q82Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Recursive CTE calendar gap-fill — the time-series densification every
+    * reporting layer needs (missing days must surface as ZERO, not
+    * absence). The calendar spine is generated by a recursive CTE whose
+    * bounds ride along as CTE columns (no subquery inside the recursion),
+    * then the sparse daily counts LEFT JOIN onto it. The same SQL text
+    * runs in Spark 4's recursive-CTE frontend and DuckDB. The spine is
+    * O(days) — driver-light, executor-cheap — while the counts side
+    * stays a normal scan+agg at any event volume. */
+  def q83Recursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(q83Sql)
+  }
+
+  val q83Sql: String =
+    """WITH RECURSIVE cal AS (
+      |  SELECT CAST(MIN(ts) AS DATE) AS day, CAST(MAX(ts) AS DATE) AS last_day
+      |  FROM events
+      |  UNION ALL
+      |  SELECT CAST(day + INTERVAL 1 DAY AS DATE), last_day FROM cal
+      |  WHERE day < last_day
+      |)
+      |SELECT cal.day, COALESCE(e.n, 0) AS n_purchases
+      |FROM cal
+      |LEFT JOIN (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM events
+      |           WHERE event_type = 'purchase' AND value > 200.0
+      |           GROUP BY 1) e
+      |ON cal.day = e.day
+      |ORDER BY cal.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_lateral"         -> (q82Lateral _),
+    "q83_recursive"       -> (q83Recursive _),
     "q71_ewma"            -> (q71Ewma _),
     "q72_scd2"            -> (q72Scd2 _),
     "q73_histogram"       -> (q73Histogram _),
@@ -1329,6 +1380,8 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_lateral"         -> q82Sql,
+    "q83_recursive"       -> q83Sql,
     "q71_ewma"            -> q71Sql,
     "q72_scd2"            -> q72Sql,
     "q73_histogram"       -> q73Sql,
