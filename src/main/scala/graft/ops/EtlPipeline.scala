@@ -186,15 +186,13 @@ object EtlPipeline {
             lit(-58.0) - (col("c_custkey") % 100) / 100.0))
           .otherwise(lit("sin datos")).as("localizar"))
     val pagesDir = java.nio.file.Files.createTempDirectory("graft-pages").toString
+    // the DSv2 WRITE path: tasks stage pages, the driver commit renames
+    // them into the visible layout + `_count` sidecar — so the sink's
+    // two-phase commit protocol sits inside the hash gate along with the
+    // scan (no driver-side file shuffling here anymore)
     raw.repartition(4).write.mode("overwrite")
-      .option("delimiter", "\t").option("header", "true")
-      .csv(pagesDir)
-    // page files must carry the page- prefix the source lists
-    new java.io.File(pagesDir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
-      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-        f.renameTo(new java.io.File(pagesDir, s"page-$i.tsv"))
-      }
+      .format("graft.sources.PagedTableSource")
+      .option("path", pagesDir).save()
     spark.read.format("graft.sources.PagedTableSource")
       .option("decodeLocation", "localizar")
       .load(pagesDir)

@@ -6,9 +6,10 @@ import java.util.OptionalLong
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,6 +42,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .load(dir)` where `dir` holds `page-0.tsv, page-1.tsv, ...`.
   */
 class PagedTableSource extends TableProvider {
+
+  /** Writes supply their own schema (the target dir may not exist yet);
+    * reads without a user schema still discover from page 0's header. */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagedTableSource.discoverSchema(
@@ -107,15 +112,115 @@ object PagedTableSource {
 }
 
 class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"paged_table(${options.get("path")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(schema, options.get("path"),
       Option(options.get("skipColumns")).map(_.toInt).getOrElse(0),
       Option(options.get("decodeLocation")))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PagedWriteBuilder(options.get("path"), info.schema())
+}
+
+/** DSv2 WRITE path (§2.11 as an engine-native sink): the paged layout the
+  * scan reads is also a committable write target. The protocol is the
+  * standard two-phase commit every production sink needs (and the piece
+  * the reference's chunked `to_sql` lacks — a failed run there leaves a
+  * partial table):
+  *
+  *  - each task writes its page to a hidden per-job STAGING dir and
+  *    reports a `WriterCommitMessage`;
+  *  - the driver's `commit()` is the only point that mutates the visible
+  *    layout: staged pages rename to `page-<i>.tsv` (task-order
+  *    numbering), the `_count` sidecar is written from the summed
+  *    message row counts, and — for truncate/overwrite — the old pages
+  *    vanish inside the same step;
+  *  - `abort()` removes the staging dir; a failed job leaves the
+  *    previous layout byte-identical.
+  *
+  * Rename-as-commit assumes a filesystem with atomic rename (local FS
+  * here; on object stores this becomes a manifest swap — same protocol,
+  * different final hop). */
+class PagedWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  require(schema.fields.forall(_.dataType == StringType),
+    s"paged sink is all-string (like the layout it writes); cast first: $schema")
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new PagedBatchWrite(path, schema.fieldNames, truncateFirst)
+  }
+}
+
+case class PageCommit(stagedFile: String, rows: Long, partitionId: Int)
+  extends WriterCommitMessage
+
+class PagedBatchWrite(path: String, header: Array[String], truncateFirst: Boolean)
+    extends BatchWrite {
+  private val stageDir = new java.io.File(path, s".stage-${java.util.UUID.randomUUID()}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    stageDir.mkdirs()
+    PagedWriterFactory(stageDir.getAbsolutePath, header)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val pages = messages.collect { case m: PageCommit if m.rows > 0 => m }
+      .sortBy(_.partitionId)
+    if (truncateFirst) {
+      PagedTableSource.pageFiles(path).foreach(f => new java.io.File(f).delete())
+      new java.io.File(path, "_count").delete()
+    }
+    pages.zipWithIndex.foreach { case (m, i) =>
+      val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$i.tsv")
+      if (!new java.io.File(m.stagedFile).renameTo(dst))
+        throw new java.io.IOException(s"commit rename failed: ${m.stagedFile} -> $dst")
+    }
+    val count = new java.io.File(path, "_count")
+    java.nio.file.Files.writeString(count.toPath, pages.map(_.rows).sum.toString)
+    graft.tools.TempDirs.deleteRecursively(stageDir.getAbsolutePath)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    graft.tools.TempDirs.deleteRecursively(stageDir.getAbsolutePath)
+}
+
+case class PagedWriterFactory(stageDir: String, header: Array[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PagedDataWriter(stageDir, header, partitionId, taskId)
+}
+
+/** One page per task: rows buffer to a task+attempt-unique staging file at
+  * task commit (speculative duplicates can't collide, and a zombie
+  * attempt's file is simply never referenced by a commit message). */
+class PagedDataWriter(stageDir: String, header: Array[String],
+                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val lines = scala.collection.mutable.ArrayBuffer[String](header.mkString("\t"))
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val cells = header.indices.map { i =>
+      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    }
+    lines += cells.mkString("\t")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val f = new java.io.File(stageDir, s"part-$partitionId-$taskId")
+    java.nio.file.Files.writeString(f.toPath, lines.mkString("\n"))
+    PageCommit(f.getAbsolutePath, rows, partitionId)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 class PagedScanBuilder(fullSchema: StructType, path: String, skip: Int,

@@ -85,4 +85,52 @@ class PagedTableSourceSpec extends SparkSpec {
     assert(out.length == 3) // dup pages deduped
     assert(out.forall(r => r.getString(3) != PagedTableSource.NotAvailable))
   }
+
+  test("DSv2 write: commit publishes pages + _count; round trip is exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-write").toString
+    val df = Seq(("r1", "x"), ("r2", "y"), ("r3", ""), ("r4", "z"))
+      .toDF("a", "b").repartition(3)
+    df.write.mode("append").format("graft.sources.PagedTableSource")
+      .option("path", dir).save()
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("page-")) > 0)
+    assert(files.contains("_count"))
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "4")
+    assert(!files.exists(_.startsWith(".stage")), "staging dir must be cleaned")
+    val back = spark.read.format("graft.sources.PagedTableSource").load(dir)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("r1", "x"), ("r2", "y"), ("r3", ""), ("r4", "z")))
+  }
+
+  test("DSv2 write: overwrite truncates inside commit; failed job mutates nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-write2").toString
+    Seq(("old", "1")).toDF("a", "b").write.mode("append")
+      .format("graft.sources.PagedTableSource").option("path", dir).save()
+    // overwrite replaces the layout atomically at commit
+    Seq(("new", "2"), ("new2", "3")).toDF("a", "b")
+      .write.mode("overwrite")
+      .format("graft.sources.PagedTableSource").option("path", dir).save()
+    val back = spark.read.format("graft.sources.PagedTableSource").load(dir)
+    assert(back.collect().map(_.getString(0)).toSet == Set("new", "new2"))
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "2")
+    // a job that fails before commit leaves the committed layout untouched
+    val before = new java.io.File(dir).listFiles().map(f =>
+      f.getName -> f.length()).toMap
+    intercept[Exception] {
+      spark.range(4).select(
+          org.apache.spark.sql.functions.expr("CAST(1 div (id - 2) AS STRING)").as("a"),
+          org.apache.spark.sql.functions.lit("v").as("b"))
+        .repartition(2)
+        .write.mode("overwrite")
+        .format("graft.sources.PagedTableSource").option("path", dir).save()
+    }
+    val after = new java.io.File(dir).listFiles()
+      .filter(!_.getName.startsWith(".stage"))
+      .map(f => f.getName -> f.length()).toMap
+    assert(after == before, "failed write must not mutate the visible layout")
+    assert(spark.read.format("graft.sources.PagedTableSource").load(dir)
+      .collect().map(_.getString(0)).toSet == Set("new", "new2"))
+  }
 }

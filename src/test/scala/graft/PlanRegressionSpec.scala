@@ -113,6 +113,28 @@ class PlanRegressionSpec extends SparkSpec {
       "vocabulary ranking must not run through a single-partition Window")
   }
 
+  test("q82: lateral top-N decorrelates — group-limited window, no cartesian") {
+    val p = plan("q82_lateral")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlated LATERAL must decorrelate to an equi-join")
+    assert(p.contains("WindowGroupLimit"),
+      "per-group LIMIT should plan as a group-limited window, not a full rank")
+  }
+
+  test("q74: the bloom filter prunes the fact scan before the join") {
+    val p = plan("q74_bloom_semi_join")
+    val scanSide = p.linesIterator.dropWhile(!_.contains("LeftSemi")).toSeq
+    assert(scanSide.exists(l => l.contains("Filter") && l.contains("UDF")),
+      "bloom membership test must sit between the fact scan and the join")
+  }
+
+  test("q77: the Morton interleave runs inside whole-stage codegen") {
+    val p = graft.SparkEntry.queries("q77_zorder")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("shiftright"), "interleave should be shift/mask expressions")
+    assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"))
+  }
+
   test("q70: unpivot adds no shuffle beyond the aggregation") {
     val p = plan("q70_unpivot")
     // one exchange for the groupBy, one for the final deterministic sort -
