@@ -285,6 +285,46 @@ object Relational2 {
       |WHERE bucket + 1800 <= (SELECT epoch(max(ts)) - 600 FROM events)
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** The q50 aggregation through the ENGINE'S OWN DSv2 streaming sink
+    * (graft.sources.PagedTableSource, STREAMING_WRITE): per-epoch staged
+    * pages published by an idempotent epoch commit — the exactly-once
+    * sink protocol itself sits inside the bitwise gate, because any
+    * dropped/duplicated epoch changes the read-back counts. The sink is
+    * all-string (the paged layout), so the aggregate casts to string on
+    * the way out and back on the way in; same append-mode watermark
+    * cutoff as q50. */
+  def q84StreamPagedSink(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+    val base = graft.tools.TempDirs.createFast("graft-q84")
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").cast("long").cast("string").as("bucket"),
+          col("event_type"),
+          col("n").cast("string").as("n"),
+          col("sum_value").cast("string").as("sum_value"))
+      val q = stream.writeStream
+        .format("graft.sources.PagedTableSource")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.format("graft.sources.PagedTableSource").load(s"$base/out")
+        .select(col("bucket").cast("long").as("bucket"), col("event_type"),
+          col("n").cast("long").as("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .localCheckpoint()
+        .orderBy(col("bucket"), col("event_type"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** A stateful SESSION-window aggregation through the same checkpointed
     * parquet file sink as q50 — puts the streaming session-merge state
     * path (merging session state store, append-mode finalization) inside
@@ -1336,6 +1376,7 @@ object Relational2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_lateral"         -> (q82Lateral _),
     "q83_recursive"       -> (q83Recursive _),
+    "q84_stream_paged_sink" -> (q84StreamPagedSink _),
     "q71_ewma"            -> (q71Ewma _),
     "q72_scd2"            -> (q72Scd2 _),
     "q73_histogram"       -> (q73Histogram _),
@@ -1382,6 +1423,7 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "q82_lateral"         -> q82Sql,
     "q83_recursive"       -> q83Sql,
+    "q84_stream_paged_sink" -> q50Sql, // same aggregation, same cutoff — through the DSv2 sink
     "q71_ewma"            -> q71Sql,
     "q72_scd2"            -> q72Sql,
     "q73_histogram"       -> q73Sql,

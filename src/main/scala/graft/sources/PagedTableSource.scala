@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -117,7 +118,7 @@ class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(schema, options.get("path"),
       Option(options.get("skipColumns")).map(_.toInt).getOrElse(0),
@@ -154,7 +155,53 @@ class PagedWriteBuilder(path: String, schema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new PagedBatchWrite(path, schema.fieldNames, truncateFirst)
+    override def toStreaming: StreamingWrite =
+      new PagedStreamingWrite(path, schema.fieldNames)
   }
+}
+
+/** STREAMING_WRITE: the same staged-pages protocol, per epoch. Each
+  * micro-batch's tasks stage pages; `commit(epochId, _)` publishes them
+  * as `page-<epoch>-<i>.tsv`, bumps the `_count` sidecar, and drops an
+  * `.epoch-<id>` marker FIRST-THING so a replayed epoch (restart from
+  * checkpoint re-running the last batch) is recognized and skipped —
+  * epoch idempotence is what turns the at-least-once engine contract
+  * into exactly-once output for this sink. */
+class PagedStreamingWrite(path: String, header: Array[String])
+    extends StreamingWrite {
+  private val stageDir = new java.io.File(path, s".stage-stream-${java.util.UUID.randomUUID()}")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    stageDir.mkdirs()
+    PagedStreamingWriterFactory(stageDir.getAbsolutePath, header)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val marker = new java.io.File(path, s".epoch-$epochId")
+    if (!marker.createNewFile()) return // replayed epoch: already published
+    val pages = messages.collect { case m: PageCommit if m.rows > 0 => m }
+      .sortBy(_.partitionId)
+    pages.zipWithIndex.foreach { case (m, i) =>
+      val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$epochId-$i.tsv")
+      if (!new java.io.File(m.stagedFile).renameTo(dst))
+        throw new java.io.IOException(s"epoch commit rename failed: ${m.stagedFile}")
+    }
+    val count = new java.io.File(path, "_count")
+    val prior = if (count.exists())
+      PagedTableSource.readLines(count.getAbsolutePath).mkString.trim.replace(".", "").toLong
+    else 0L
+    java.nio.file.Files.writeString(count.toPath, (prior + pages.map(_.rows).sum).toString)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    graft.tools.TempDirs.deleteRecursively(stageDir.getAbsolutePath)
+}
+
+case class PagedStreamingWriterFactory(stageDir: String, header: Array[String])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new PagedDataWriter(stageDir, header, partitionId, taskId + epochId * 100003L)
 }
 
 case class PageCommit(stagedFile: String, rows: Long, partitionId: Int)
