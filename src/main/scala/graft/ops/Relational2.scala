@@ -325,6 +325,55 @@ object Relational2 {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** The other half of the DSv2 streaming story: a streaming READ from
+    * the engine's own paged source — the Spark-first re-expression of the
+    * reference's S5 change-detection wait (poll the page until new rows
+    * appear, `flows/etl.py:119-127`). The paged dir is written in two
+    * waves through the DSv2 batch writer (append mode — K2 chunked
+    * append); the MicroBatchStream's file-set offsets pick up exactly
+    * the newly published pages on each poll, so the read-back equals the
+    * full table iff change detection neither missed nor re-read a page.
+    * Values ship as decimal strings (the paged layout is all-string);
+    * the read-back casts them back before aggregating. */
+  def q85StreamPagedSource(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+    val base = graft.tools.TempDirs.createFast("graft-q85")
+    try {
+      val paged = s"$base/pages"
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast(DecimalType(18, 2)).cast("string").as("value"))
+      def wave(rem: Int): Unit = ev
+        .filter(pmod(col("event_id"), lit(2)) === rem)
+        .select(col("event_type"), col("value"))
+        .write.format("graft.sources.PagedTableSource").mode("append").save(paged)
+      wave(0)
+      val q = spark.readStream.format("graft.sources.PagedTableSource").load(paged)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable() // drain wave 0 ...
+        wave(1)                 // ... then new pages appear ...
+        q.processAllAvailable() // ... and the next poll must catch them
+      } finally q.stop()
+      spark.read.parquet(s"$base/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .localCheckpoint()
+        .orderBy(col("event_type"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q85Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   /** A stateful SESSION-window aggregation through the same checkpointed
     * parquet file sink as q50 — puts the streaming session-merge state
     * path (merging session state store, append-mode finalization) inside
@@ -1377,6 +1426,7 @@ object Relational2 {
     "q82_lateral"         -> (q82Lateral _),
     "q83_recursive"       -> (q83Recursive _),
     "q84_stream_paged_sink" -> (q84StreamPagedSink _),
+    "q85_stream_paged_source" -> (q85StreamPagedSource _),
     "q71_ewma"            -> (q71Ewma _),
     "q72_scd2"            -> (q72Scd2 _),
     "q73_histogram"       -> (q73Histogram _),
@@ -1424,6 +1474,7 @@ object Relational2 {
     "q82_lateral"         -> q82Sql,
     "q83_recursive"       -> q83Sql,
     "q84_stream_paged_sink" -> q50Sql, // same aggregation, same cutoff — through the DSv2 sink
+    "q85_stream_paged_source" -> q85Sql,
     "q71_ewma"            -> q71Sql,
     "q72_scd2"            -> q72Sql,
     "q73_histogram"       -> q73Sql,

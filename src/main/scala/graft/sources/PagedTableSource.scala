@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -89,6 +90,14 @@ object PagedTableSource {
       .map(h => StructField(h, StringType, nullable = true)))
   }
 
+  /** S4's `_count` sidecar (thousands-separator tolerated, flows/etl.py:135). */
+  def readCount(dir: String): Long = {
+    val f = new java.io.File(dir, "_count")
+    if (f.exists())
+      readLines(f.getAbsolutePath).mkString.trim.replace(".", "").toLong
+    else 0L
+  }
+
   /** S3's lat/lng decode: raw onclick text → "lat,lng" | sentinel. */
   def decodeLocation(raw: String): String = raw match {
     case LatLng(lat, lng) => s"$lat,$lng"
@@ -118,7 +127,8 @@ class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(schema, options.get("path"),
       Option(options.get("skipColumns")).map(_.toInt).getOrElse(0),
@@ -186,11 +196,9 @@ class PagedStreamingWrite(path: String, header: Array[String])
       if (!new java.io.File(m.stagedFile).renameTo(dst))
         throw new java.io.IOException(s"epoch commit rename failed: ${m.stagedFile}")
     }
-    val count = new java.io.File(path, "_count")
-    val prior = if (count.exists())
-      PagedTableSource.readLines(count.getAbsolutePath).mkString.trim.replace(".", "").toLong
-    else 0L
-    java.nio.file.Files.writeString(count.toPath, (prior + pages.map(_.rows).sum).toString)
+    val prior = PagedTableSource.readCount(path)
+    java.nio.file.Files.writeString(new java.io.File(path, "_count").toPath,
+      (prior + pages.map(_.rows).sum).toString)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -223,13 +231,22 @@ class PagedBatchWrite(path: String, header: Array[String], truncateFirst: Boolea
       PagedTableSource.pageFiles(path).foreach(f => new java.io.File(f).delete())
       new java.io.File(path, "_count").delete()
     }
-    pages.zipWithIndex.foreach { case (m, i) =>
-      val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$i.tsv")
+    // K2 chunked APPEND: numbering continues past whatever pages already
+    // exist, so a second write lands new pages instead of clobbering
+    // page-0..N — and the `_count` sidecar accumulates.
+    val used = scala.collection.mutable.Set[String](
+      PagedTableSource.pageFiles(path).map(f => new java.io.File(f).getName): _*)
+    var next = 0
+    pages.foreach { m =>
+      while (used(s"${PagedTableSource.PagePrefix}$next.tsv")) next += 1
+      val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$next.tsv")
       if (!new java.io.File(m.stagedFile).renameTo(dst))
         throw new java.io.IOException(s"commit rename failed: ${m.stagedFile} -> $dst")
+      used += dst.getName
     }
-    val count = new java.io.File(path, "_count")
-    java.nio.file.Files.writeString(count.toPath, pages.map(_.rows).sum.toString)
+    val prior = PagedTableSource.readCount(path)
+    java.nio.file.Files.writeString(new java.io.File(path, "_count").toPath,
+      (prior + pages.map(_.rows).sum).toString)
     graft.tools.TempDirs.deleteRecursively(stageDir.getAbsolutePath)
   }
 
@@ -286,6 +303,16 @@ class PagedScan(fullSchema: StructType, required: StructType, path: String,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** S5/S6 change-detection wait, Spark-first: where the reference polls
+    * the page in a browser loop until new rows render
+    * (`flows/etl.py:119-127`), the streaming read expresses the SAME
+    * capability as a micro-batch source — each `latestOffset()` poll
+    * lists the directory, and only pages that appeared since the last
+    * committed offset are planned into the next batch. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedMicroBatchStream(path, fullSchema.fieldNames, required.fieldNames,
+      skip, decodeCol)
+
   override def planInputPartitions(): Array[InputPartition] =
     PagedTableSource.pageFiles(path).map(PagePartition.apply).toArray
 
@@ -305,6 +332,55 @@ class PagedScan(fullSchema: StructType, required: StructType, path: String,
       else OptionalLong.empty()
     }
   }
+}
+
+/** A streaming offset is the SET OF PAGE FILES already ingested (name
+  * set, not a count: page-10 sorts between page-1 and page-2, so a
+  * count-prefix over a sorted listing would mis-slice). The name set is
+  * tiny relative to the data — one short string per published page — and
+  * lives in the checkpoint offset log; at real scale this becomes a
+  * compacted seen-file log exactly like Spark's own FileStreamSource. */
+case class PagedSourceOffset(names: Seq[String]) extends Offset {
+  override def json(): String =
+    if (names.isEmpty) "[]"
+    else names.sorted.mkString("[\"", "\",\"", "\"]")
+}
+
+object PagedSourceOffset {
+  def fromJson(j: String): PagedSourceOffset =
+    if (j.trim == "[]") PagedSourceOffset(Nil)
+    else PagedSourceOffset(
+      j.trim.stripPrefix("[\"").stripSuffix("\"]").split("\",\"").toSeq)
+}
+
+/** MICRO_BATCH_READ: poll the directory, ingest newly appeared pages.
+  * Exactly-once composes from the pieces: the batch/streaming WRITERS
+  * publish a page atomically (rename-as-commit), `latestOffset` only
+  * ever sees whole pages, and the offset log replays a batch as the same
+  * file set. `commit(end)` is a no-op — pages stay on disk; the offset
+  * set is the cursor (same contract as Spark's FileStreamSource). */
+class PagedMicroBatchStream(path: String, fullCols: Array[String],
+                            requiredCols: Array[String], skip: Int,
+                            decodeCol: Option[String])
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = PagedSourceOffset(Nil)
+  override def latestOffset(): Offset =
+    PagedSourceOffset(PagedTableSource.pageFiles(path)
+      .map(f => new java.io.File(f).getName))
+  override def deserializeOffset(json: String): Offset =
+    PagedSourceOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[PagedSourceOffset].names.toSet
+    end.asInstanceOf[PagedSourceOffset].names.filterNot(seen)
+      .map(n => PagePartition(new java.io.File(path, n).getAbsolutePath))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(fullCols, requiredCols, skip, decodeCol)
 }
 
 case class PagePartition(file: String) extends InputPartition

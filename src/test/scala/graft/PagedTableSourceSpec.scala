@@ -103,6 +103,55 @@ class PagedTableSourceSpec extends SparkSpec {
       Set(("r1", "x"), ("r2", "y"), ("r3", ""), ("r4", "z")))
   }
 
+  test("DSv2 write: a second append continues numbering and accumulates _count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-append").toString
+    Seq(("w1a", "1"), ("w1b", "2")).toDF("a", "b").coalesce(1)
+      .write.mode("append").format("graft.sources.PagedTableSource")
+      .option("path", dir).save()
+    Seq(("w2a", "3")).toDF("a", "b").coalesce(1)
+      .write.mode("append").format("graft.sources.PagedTableSource")
+      .option("path", dir).save()
+    val pages = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("page-")).sorted.toSeq
+    assert(pages == Seq("page-0.tsv", "page-1.tsv"), s"got $pages")
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "3")
+    val back = spark.read.format("graft.sources.PagedTableSource").load(dir)
+    assert(back.collect().map(_.getString(0)).toSet == Set("w1a", "w1b", "w2a"))
+  }
+
+  test("S5 streaming read: new pages are detected; ingested pages are not re-read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-streamread").toString
+    val out = Files.createTempDirectory("graft-streamread-out").toString
+    Seq(("a", "1"), ("b", "2")).toDF("k", "v").coalesce(1)
+      .write.mode("append").format("graft.sources.PagedTableSource")
+      .option("path", dir).save()
+    val q = spark.readStream.format("graft.sources.PagedTableSource").load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$out/data").count() == 2)
+      Seq(("c", "3")).toDF("k", "v").coalesce(1)
+        .write.mode("append").format("graft.sources.PagedTableSource")
+        .option("path", dir).save()
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 3, "each page ingested exactly once")
+    assert(rows.toSet == Set(("a", "1"), ("b", "2"), ("c", "3")))
+  }
+
+  test("streaming offset json round-trips the file-name set") {
+    import graft.sources.PagedSourceOffset
+    val off = PagedSourceOffset(Seq("page-2.tsv", "page-0.tsv", "page-10.tsv"))
+    assert(PagedSourceOffset.fromJson(off.json()).names.sorted == off.names.sorted)
+    assert(PagedSourceOffset.fromJson(PagedSourceOffset(Nil).json()).names.isEmpty)
+  }
+
   test("DSv2 write: overwrite truncates inside commit; failed job mutates nothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-write2").toString
