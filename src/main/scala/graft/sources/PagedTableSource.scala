@@ -172,11 +172,26 @@ class PagedWriteBuilder(path: String, schema: StructType)
 
 /** STREAMING_WRITE: the same staged-pages protocol, per epoch. Each
   * micro-batch's tasks stage pages; `commit(epochId, _)` publishes them
-  * as `page-<epoch>-<i>.tsv`, bumps the `_count` sidecar, and drops an
-  * `.epoch-<id>` marker FIRST-THING so a replayed epoch (restart from
-  * checkpoint re-running the last batch) is recognized and skipped —
-  * epoch idempotence is what turns the at-least-once engine contract
-  * into exactly-once output for this sink. */
+  * as `page-<epoch>-<i>.tsv` and then — LAST, after every rename has
+  * succeeded — drops an `.epoch-<id>` marker holding the epoch's row
+  * count. The marker is the single commit point:
+  *
+  *  - marker absent ⇒ the epoch is uncommitted; a replayed commit
+  *    (restart from checkpoint re-running the last batch) redoes the
+  *    publication, and because page names are DETERMINISTIC
+  *    (`page-<epoch>-<i>` in partition order over the same replayed
+  *    batch), its renames are idempotent overwrites of any pages a
+  *    half-finished first attempt already placed;
+  *  - marker present ⇒ the epoch is fully published; the replay only
+  *    discards its re-staged files and leaves the layout alone.
+  *
+  * The `_count` sidecar is DERIVED (pre-stream base snapshot + the sum
+  * of all epoch-marker counts), never incremented, so no crash point can
+  * double-add or drop rows — it is refreshed after the marker lands and
+  * repaired in the replay branch in case the first attempt died between
+  * marker and sidecar. (Batch appends interleaved with an ACTIVE stream
+  * on the same dir would stale the base snapshot — unsupported, as with
+  * any two uncoordinated writers sharing a sink dir.) */
 class PagedStreamingWrite(path: String, header: Array[String])
     extends StreamingWrite {
   private val stageDir = new java.io.File(path, s".stage-stream-${java.util.UUID.randomUUID()}")
@@ -188,17 +203,60 @@ class PagedStreamingWrite(path: String, header: Array[String])
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = new java.io.File(path, s".epoch-$epochId")
-    if (!marker.createNewFile()) return // replayed epoch: already published
     val pages = messages.collect { case m: PageCommit if m.rows > 0 => m }
       .sortBy(_.partitionId)
+    if (marker.exists()) {
+      // Replayed, fully committed epoch: drop the replay's staged files
+      // (they'd otherwise leak — on tmpfs that's RAM) and repair _count,
+      // which a crash between marker and sidecar could have left stale.
+      pages.foreach(m => new java.io.File(m.stagedFile).delete())
+      refreshCount()
+      stageDir.delete() // non-recursive: removes only if empty
+      return
+    }
+    // Snapshot the pre-stream page count once (idempotent: CREATE_NEW).
+    val baseFile = new java.io.File(path, ".base-count")
+    if (!baseFile.exists()) {
+      try java.nio.file.Files.writeString(baseFile.toPath,
+        PagedTableSource.readCount(path).toString,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
     pages.zipWithIndex.foreach { case (m, i) =>
       val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$epochId-$i.tsv")
-      if (!new java.io.File(m.stagedFile).renameTo(dst))
-        throw new java.io.IOException(s"epoch commit rename failed: ${m.stagedFile}")
+      java.nio.file.Files.move(new java.io.File(m.stagedFile).toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    val prior = PagedTableSource.readCount(path)
+    // Marker LAST — a failure anywhere above leaves no marker, so the
+    // engine's retried/replayed commit publishes again instead of
+    // silently dropping the epoch.
+    try java.nio.file.Files.writeString(marker.toPath,
+      pages.map(_.rows).sum.toString,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    refreshCount()
+    // All staged files were moved out by the renames; drop the (empty)
+    // staging dir so a finished query leaves nothing hidden in the sink.
+    // Writers mkdirs it back if another epoch follows.
+    stageDir.delete()
+  }
+
+  /** `_count` = base snapshot + Σ epoch-marker counts: recomputed, never
+    * incremented, so commit replay cannot double-add. */
+  private def refreshCount(): Unit = {
+    val base = {
+      val f = new java.io.File(path, ".base-count")
+      if (f.exists())
+        PagedTableSource.readLines(f.getAbsolutePath).mkString.trim.toLongOption.getOrElse(0L)
+      else 0L
+    }
+    val epochs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\.epoch-\\d+"))
+      .map(f => PagedTableSource.readLines(f.getAbsolutePath)
+        .mkString.trim.toLongOption.getOrElse(0L))
+      .sum
     java.nio.file.Files.writeString(new java.io.File(path, "_count").toPath,
-      (prior + pages.map(_.rows).sum).toString)
+      (base + epochs).toString)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -278,6 +336,8 @@ class PagedDataWriter(stageDir: String, header: Array[String],
   }
 
   override def commit(): WriterCommitMessage = {
+    new java.io.File(stageDir).mkdirs() // the stream's commit may have
+    // dropped the emptied staging dir after the previous epoch
     val f = new java.io.File(stageDir, s"part-$partitionId-$taskId")
     java.nio.file.Files.writeString(f.toPath, lines.mkString("\n"))
     PageCommit(f.getAbsolutePath, rows, partitionId)

@@ -145,6 +145,54 @@ class PagedTableSourceSpec extends SparkSpec {
     assert(rows.toSet == Set(("a", "1"), ("b", "2"), ("c", "3")))
   }
 
+  test("streaming sink exactly-once: marker is the LAST step; replays are idempotent") {
+    import graft.sources.{PagedStreamingWrite, PageCommit}
+    val dir = Files.createTempDirectory("graft-epoch").toString
+    val stage = Files.createTempDirectory("graft-epoch-stage").toString
+    def staged(name: String, rows: Seq[String]): PageCommit = {
+      val f = java.nio.file.Path.of(stage, name)
+      Files.writeString(f, ("k\tv" +: rows).mkString("\n"))
+      PageCommit(f.toString, rows.size.toLong, name.last - '0')
+    }
+    def pages() = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("page-")).sorted.toSeq
+    val w = new PagedStreamingWrite(dir, Array("k", "v"))
+
+    // epoch 0 commits cleanly: pages published, marker holds the row count
+    w.commit(0L, Array(staged("p0", Seq("a\t1", "b\t2")), staged("p1", Seq("c\t3"))))
+    assert(pages() == Seq("page-0-0.tsv", "page-0-1.tsv"))
+    assert(Files.readString(java.nio.file.Path.of(dir, ".epoch-0")) == "3")
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "3")
+
+    // full replay of committed epoch 0: layout untouched, re-staged files dropped
+    val replay = staged("p0", Seq("a\t1", "b\t2"))
+    w.commit(0L, Array(replay, staged("p1", Seq("c\t3"))))
+    assert(pages() == Seq("page-0-0.tsv", "page-0-1.tsv"))
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "3")
+    assert(!new java.io.File(replay.stagedFile).exists(),
+      "replayed epoch's staged files must not leak")
+
+    // epoch 1 crashes AFTER publishing its page but BEFORE the marker:
+    // simulate the half-finished first attempt by hand
+    Files.writeString(java.nio.file.Path.of(dir, "page-1-0.tsv"),
+      Seq("k\tv", "d\t4").mkString("\n"))
+    assert(!new java.io.File(dir, ".epoch-1").exists())
+    // the replayed commit must RE-PUBLISH (idempotent overwrite), not skip
+    w.commit(1L, Array(staged("p0", Seq("d\t4"))))
+    assert(pages() == Seq("page-0-0.tsv", "page-0-1.tsv", "page-1-0.tsv"))
+    assert(Files.readString(java.nio.file.Path.of(dir, ".epoch-1")) == "1")
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "4")
+
+    // a crash BETWEEN marker and _count refresh: replay repairs the sidecar
+    Files.writeString(java.nio.file.Path.of(dir, "_count"), "999")
+    w.commit(1L, Array(staged("p0", Seq("d\t4"))))
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "4")
+
+    // the published layout reads back exactly once per row
+    val back = spark.read.format("graft.sources.PagedTableSource").load(dir)
+    assert(back.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c", "d"))
+  }
+
   test("streaming offset json round-trips the file-name set") {
     import graft.sources.PagedSourceOffset
     val off = PagedSourceOffset(Seq("page-2.tsv", "page-0.tsv", "page-10.tsv"))
