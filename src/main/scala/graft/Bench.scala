@@ -82,8 +82,11 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // Full-detail artifact for the judge (all queries, full precision, phases).
+    // The resolved scratch root distinguishes "tmpfs engaged, still slow"
+    // from "silent fallback to a contended disk" for the streaming sinks.
+    val scratch = graft.tools.TempDirs.resolvedRoot
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -102,7 +105,7 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
     def line(slow: Seq[(String, Double)]): String = {
       val qs = jsonMap(fams ++ slow.sortBy(_._1), short)
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"full":"$outPath","iters":$iters,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"full":"$outPath","iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     }
     var k = 0
     while (k < bySlowest.size && line(bySlowest.take(k + 1)).length <= maxLine) k += 1

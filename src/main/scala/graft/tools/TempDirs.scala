@@ -32,6 +32,13 @@ object TempDirs {
     case None       => Files.createTempDirectory(prefix).toString
   }
 
+  /** The root createFast actually resolved to — surfaced in the bench
+    * output so a "streaming sink slow on machine X" number can be told
+    * apart from "tmpfs probe failed, scratch silently fell back to disk"
+    * (the r5 q63 ambiguity). */
+  def resolvedRoot: String =
+    fastRoot.map(_.toString).getOrElse(System.getProperty("java.io.tmpdir"))
+
   /** Best-effort recursive delete. Deliberately swallows IO errors: this
     * runs in `finally` blocks after a query has already produced its
     * (checkpointed) result, and a stale state-store maintenance thread can
