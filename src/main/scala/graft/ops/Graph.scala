@@ -55,7 +55,15 @@ object Graph {
   def pagerankOnGraph(nodes: DataFrame, edges: DataFrame,
                       iters: Int = 5): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(deg, Seq("src")).persist()
+    pagerankOnDegreedEdges(nodes, edges.join(deg, Seq("src")), iters)
+  }
+
+  /** Superstep core over a pre-degreed edge list (`src`,`dst`,`outdeg`) —
+    * split out so the degree frame can come from a train-once artifact
+    * (pagerank below) instead of being rebuilt on every invocation. */
+  def pagerankOnDegreedEdges(nodes: DataFrame, degreedEdges: DataFrame,
+                             iters: Int = 5): DataFrame = {
+    val withDeg = degreedEdges.persist()
     val n = nodes.count() // sizing constant only (KMeans k-row precedent)
     val base = Scale / n
     val teleport = (15L * base) / DampDen
@@ -74,7 +82,10 @@ object Graph {
     // Materialize the final ranks before releasing the edge cache: the
     // returned frame's lineage still references withDeg, and repeated
     // invocations (bench warmup + iterations) must not accumulate cached
-    // partitions across calls.
+    // partitions across calls. localCheckpoint stores NON-REPLICATED
+    // executor-local blocks — fine in single-JVM local mode (the sandbox
+    // contract); a multi-executor cluster run would use reliable
+    // checkpoint() (or tolerate recompute-on-loss) instead.
     val out = ranks.localCheckpoint()
     withDeg.unpersist()
     out
@@ -83,17 +94,32 @@ object Graph {
   /** PageRank of every document in the n-gram-Jaccard near-dup graph
     * (the ORACLED pair set of dedup_jaccard, cached under the same
     * artifact key as dedup_groups_jaccard), undirected. Isolated
-    * documents surface with the teleport-floor rank. */
+    * documents surface with the teleport-floor rank.
+    *
+    * The degree-joined edge list is itself a train-once artifact
+    * (`pagerank_edges`, built from the cached pair graph): repeated
+    * invocations — bench iterations, downstream reuse — pay one parquet
+    * read, not a per-call group-by + join rebuild. Phase timings split
+    * edge setup from the supersteps so the bench shows which term
+    * dominates. */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val pairs = graft.tools.ArtifactCache.parquet(spark, dir, "pairs_jaccard") {
-      p => Dedup.ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
-        .write.mode("overwrite").parquet(p)
+    val t0 = System.nanoTime()
+    val withDeg = graft.tools.ArtifactCache.parquet(spark, dir, "pagerank_edges") { p =>
+      val pairs = graft.tools.ArtifactCache.parquet(spark, dir, "pairs_jaccard") {
+        q => Dedup.ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+          .write.mode("overwrite").parquet(q)
+      }
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      edges.join(deg, Seq("src")).write.mode("overwrite").parquet(p)
     }
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val nodes = Tables.documents(spark, dir).select(col("doc_id").as("node"))
-    pagerankOnGraph(nodes, edges, iters)
-      .select(col("node").as("doc_id"), col("rank"))
+    graft.tools.PhaseTiming.record("edge_setup", (System.nanoTime() - t0) / 1e9)
+    val t1 = System.nanoTime()
+    val ranks = pagerankOnDegreedEdges(nodes, withDeg, iters)
+    graft.tools.PhaseTiming.record("supersteps", (System.nanoTime() - t1) / 1e9)
+    ranks.select(col("node").as("doc_id"), col("rank"))
       .orderBy(col("doc_id"))
   }
 
