@@ -15,11 +15,16 @@ object StringKernels {
     * O(k·n) time instead of O(n·m) — and bails out as soon as a whole
     * row exceeds the budget. For a near-dup verify step with k ≈ 1–10
     * over long keys this is the difference between a scan-bound filter
-    * and a quadratic one at 100 TB. Char-based (like the fixture keys);
-    * agrees with full Levenshtein on every pair it keeps. */
+    * and a quadratic one at 100 TB. Operates on Unicode CODE POINTS —
+    * the unit Spark's `levenshtein` and DuckDB's count — so a
+    * supplementary character (surrogate pair in UTF-16) is one edit,
+    * not two, and oracle parity holds beyond the BMP; agrees with full
+    * Levenshtein on every pair it keeps. */
   def boundedLev(sa: String, sb: String, k: Int): Int = {
-    val n = sa.length
-    val m = sb.length
+    val a = sa.codePoints().toArray
+    val b = sb.codePoints().toArray
+    val n = a.length
+    val m = b.length
     if (math.abs(n - m) > k) return k + 1
     val inf = k + 1
     var prev = new Array[Int](m + 1)
@@ -36,7 +41,7 @@ object StringKernels {
       val hi = math.min(m, i + k)
       j = lo
       while (j <= hi) {
-        val cost = if (sa.charAt(i - 1) == sb.charAt(j - 1)) 0 else 1
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
         var v = prev(j - 1) + cost
         if (prev(j) + 1 < v) v = prev(j) + 1
         if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1

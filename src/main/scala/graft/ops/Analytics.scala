@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,38 +14,55 @@ import graft.Tables
   */
 object Analytics {
 
-  /** Funnel conversion: per user, the earliest time of each funnel step
-    * (view → click → purchase), then the count of users reaching each
-    * prefix of the funnel IN ORDER (a later step only counts if it
-    * happens strictly after the previous one). One groupBy(user) with
-    * conditional min aggregates — the whole funnel is a single shuffle,
-    * no joins, no per-step passes. */
+  /** Funnel conversion: per user, the earliest VIEW, then the earliest
+    * click STRICTLY AFTER that view, then the earliest purchase strictly
+    * after that click — true sequential matching, not the min-time
+    * approximation (which misclassifies a user who clicks both before
+    * and after their first view). Three window passes over the same
+    * `user_id` hash partitioning — each step's anchor time is a plain
+    * column by the time the next window consumes it — so the whole
+    * funnel is still ONE shuffle, no joins, no per-step scans. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
     val perUser = Tables.events(spark, dir)
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(w))
+      .withColumn("t_buy",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(w))
       .groupBy(col("user_id"))
-      .agg(
-        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
-        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
+        max(col("t_buy")).as("t_buy"))
     perUser.agg(
       count(col("t_view")).as("n_view"),
-      count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_click"),
-      count(when(col("t_click") > col("t_view") &&
-        col("t_buy") > col("t_click"), lit(1))).as("n_view_click_buy"))
+      count(col("t_click")).as("n_view_click"),
+      count(col("t_buy")).as("n_view_click_buy"))
   }
 
   val funnelSql: String =
     """SELECT COUNT(t_view) AS n_view,
-      |  COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
-      |  COUNT(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END)
-      |    AS n_view_click_buy
+      |  COUNT(t_click) AS n_view_click,
+      |  COUNT(t_buy) AS n_view_click_buy
       |FROM (
-      |  SELECT user_id,
-      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
-      |  FROM events GROUP BY user_id
-      |)""".stripMargin
+      |  SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+      |    MAX(t_buy) AS t_buy
+      |  FROM (
+      |    SELECT user_id, t_view, t_click,
+      |      MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |        OVER (PARTITION BY user_id) AS t_buy
+      |    FROM (
+      |      SELECT user_id, event_type, ts, t_view,
+      |        MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |          OVER (PARTITION BY user_id) AS t_click
+      |      FROM (
+      |        SELECT user_id, event_type, ts,
+      |          MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |            OVER (PARTITION BY user_id) AS t_view
+      |        FROM events)))
+      |  GROUP BY user_id)""".stripMargin
 
   /** Cohort retention: users are cohorted by the DAY of their first event;
     * each (cohort day, day offset) cell counts the distinct users of that

@@ -662,6 +662,11 @@ object Relational2 {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      // localCheckpoint stores NON-REPLICATED executor-local blocks —
+      // correct in single-JVM local mode (the sandbox contract); a
+      // multi-executor cluster would lose blocks on executor failure, so
+      // there this would be a reliable checkpoint() or a copy-out before
+      // the temp sink dir is deleted.
       spark.read.parquet(s"$base/out").localCheckpoint()
         .orderBy(col("bucket"), col("event_type"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
@@ -1354,9 +1359,14 @@ object Relational2 {
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     Tables.events(spark, dir)
       .crossJoin(broadcast(mm))
+      // Degenerate guard: a constant column makes the step 0 and the
+      // division ANSI-throws (or NaN-disagrees with DuckDB) — land all
+      // rows in bucket 0 instead. CaseWhen short-circuits, so the
+      // division is never evaluated when vmax == vmin.
       .withColumn("bucket",
-        least(floor((col("value") - col("vmin")) /
-          ((col("vmax") - col("vmin")) / lit(16.0))), lit(15L)))
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(floor((col("value") - col("vmin")) /
+            ((col("vmax") - col("vmin")) / lit(16.0))), lit(15L))))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"))
@@ -1365,9 +1375,11 @@ object Relational2 {
 
   val q73Sql: String =
     """SELECT
-      |  LEAST(CAST(floor((value - (SELECT min(value) FROM events))
-      |    / (((SELECT max(value) FROM events) - (SELECT min(value) FROM events)) / 16.0))
-      |    AS BIGINT), 15) AS bucket,
+      |  CASE WHEN (SELECT max(value) FROM events) = (SELECT min(value) FROM events)
+      |       THEN 0
+      |       ELSE LEAST(CAST(floor((value - (SELECT min(value) FROM events))
+      |         / (((SELECT max(value) FROM events) - (SELECT min(value) FROM events)) / 16.0))
+      |         AS BIGINT), 15) END AS bucket,
       |  COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
       |FROM events
       |GROUP BY bucket
