@@ -232,11 +232,14 @@ object Similarity {
     * candidate fraction and wins asymptotically. The crossover
     * (~10·tables·probeCount rows) is derived from the scan-fraction
     * model in adaptiveLshBits and asserted in SimilaritySpec. */
-  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+  def annTopK(spark: SparkSession, dir: String,
+              lshWins: Long => Boolean = lshWinsAt): DataFrame = {
     val n = corpusDf(spark, dir).count()
     // pass the derived bits down — lshTopK would otherwise re-count the
-    // corpus (a second full metadata scan) to derive the same number
-    if (lshWinsAt(n)) lshTopK(spark, dir, adaptiveLshBits(n))
+    // corpus (a second full metadata scan) to derive the same number.
+    // `lshWins` is injectable so the spec can force EACH branch on the
+    // same corpus and assert they agree where LSH recall is 1.0.
+    if (lshWins(n)) lshTopK(spark, dir, adaptiveLshBits(n))
     else bruteForceTopK(spark, dir)
   }
 
@@ -346,7 +349,7 @@ object Similarity {
     "sim_topk_agg"   -> (aggTopK _),
     "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_topk_lsh"   -> ((s: SparkSession, d: String) => lshTopK(s, d)),
-    "sim_topk_ann"   -> (annTopK _),
+    "sim_topk_ann"   -> ((s: SparkSession, d: String) => annTopK(s, d)),
   )
 
   /** Brute force + aggregator variants are exact math → oracled; IVF/LSH

@@ -135,6 +135,36 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("CodegenFallback"))
   }
 
+  test("minhash/simhash band shuffles are slim: no band exchange carries arrays") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // The candidate-generation (band-keyed) shuffles must carry only
+    // (doc_id, band, band key): the wide shingle/signature arrays rejoin
+    // after banding, for survivors only. Mirrors the digest assertion
+    // above — the claim is in the Scaladoc, so it is pinned here.
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case o                        => o.children
+      }
+      (p match { case e: ShuffleExchangeLike => Seq(e); case _ => Nil }) ++
+        kids.flatMap(exchanges)
+    }
+    val wide = Set("sig", "shingles", "a_sh", "b_sh", "toks")
+    for (name <- Seq("dedup_minhash", "dedup_simhash")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val banded = exchanges(plan)
+        .filter(_.outputPartitioning.toString.contains("band"))
+      assert(banded.nonEmpty, s"$name: expected a band-keyed exchange")
+      val offenders = banded
+        .flatMap(_.output.map(_.name).filter(wide.contains)).distinct
+      assert(offenders.isEmpty,
+        s"$name: band exchange carries wide array columns: $offenders")
+    }
+  }
+
   test("q70: unpivot adds no shuffle beyond the aggregation") {
     val p = plan("q70_unpivot")
     // one exchange for the groupBy, one for the final deterministic sort -

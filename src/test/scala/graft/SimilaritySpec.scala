@@ -133,6 +133,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ann == brute, "below the crossover annTopK must return the exact plan's result")
   }
 
+  test("annTopK: LSH branch equals brute-force branch where LSH recall is 1.0") {
+    // Both planner branches, same corpus: the clustered corpus is the
+    // regime where LSH recall is exactly 1.0, so the LSH branch must
+    // reproduce the exact result bit-for-bit (same cosine expression,
+    // ties broken by n_id in both plans). This closes the r5 caveat that
+    // the planner's above-crossover branch was only spec-checked in
+    // isolation, never against the exact answer.
+    val dir = clusteredDir()
+    val brute = Similarity.annTopK(spark, dir, _ => false).collect().map(_.toSeq).toSeq
+    val lsh = Similarity.annTopK(spark, dir, _ => true).collect().map(_.toSeq).toSeq
+    assert(lsh == brute,
+      "annTopK LSH branch diverged from the exact plan on a recall-1.0 corpus")
+  }
+
   test("IVF recall >= 0.9 at 20% scan fraction on a CLUSTERED corpus") {
     // The sf fixture is isotropic random data, where any ANN method's
     // recall ≈ scan fraction (no structure to exploit). Real embedding
