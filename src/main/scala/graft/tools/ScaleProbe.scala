@@ -86,7 +86,80 @@ object ScaleProbe {
       (name, t, rows)
     }
 
-    val results = Seq(
+    // ---- DSv2 paged source/sink streaming probe (round-6 VERDICT ask):
+    // many pages, multiple epochs, a FORCED engine-level epoch replay, and
+    // a read-back fingerprint against the batch aggregate. This is the
+    // stream-in/stream-out shape of q84/q85 at ~500+ pages instead of 5.
+    val pagedResults = {
+      import graft.sources.PagedTableSource
+      val src = s"$outDir/paged_src"
+      val dst = s"$outDir/paged_dst"
+      val ck = s"$outDir/paged_ck"
+      val waves = 5
+      val pagesPerWave = 125
+      val ev = spark.read.parquet(s"$outDir/events.parquet")
+        .select(col("event_id").cast("string").as("event_id"),
+          col("user_id").cast("string").as("user_id"),
+          col("event_type"),
+          col("value").cast("string").as("value"))
+      def startStream() =
+        spark.readStream.format("graft.sources.PagedTableSource").load(src)
+          .writeStream.format("graft.sources.PagedTableSource")
+          .option("path", dst).option("checkpointLocation", ck)
+          .outputMode("append").start()
+      def fingerprint(df: DataFrame): (Long, Long) = {
+        // mod-prime before summing: ANSI long-sum of raw 64-bit hashes
+        // overflows; the modular sum still catches any lost/duplicated row
+        // (unlike XOR, where a duplicated row cancels itself out)
+        val r = df.agg(count(lit(1)),
+          sum(pmod(xxhash64(col("event_id"), col("user_id"), col("event_type"),
+            col("value")), lit(1000000007L)))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      val wavesRes = time("paged_stream_waves") {
+        (0 until waves).foreach { w =>
+          ev.filter(pmod(col("event_id").cast("long"), lit(waves)) === w)
+            .repartition(pagesPerWave)
+            .write.mode("append").format("graft.sources.PagedTableSource")
+            .option("path", src).save()
+          if (w == 0) q = startStream() // schema discovery needs page 0
+          q.processAllAvailable() // ≥1 epoch per wave
+        }
+        q.stop()
+        PagedTableSource.pageFiles(dst).size.toLong
+      }
+      val replayRes = time("paged_epoch_replay") {
+        // Drop the engine's LAST commit-log entry: on restart the engine
+        // re-runs that batch and re-calls the sink's commit with the SAME
+        // epoch id — the published-epoch marker must make it a no-op.
+        val commits = new java.io.File(s"$ck/commits").listFiles()
+          .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+        require(commits.nonEmpty, "no commits to replay")
+        require(commits.last.delete(), "could not drop last commit entry")
+        val q2 = startStream()
+        q2.processAllAvailable()
+        q2.stop()
+        PagedTableSource.pageFiles(dst).size.toLong
+      }
+      val verifyRes = time("paged_readback_verify") {
+        val srcFp = fingerprint(
+          spark.read.format("graft.sources.PagedTableSource").load(src))
+        val dstFp = fingerprint(
+          spark.read.format("graft.sources.PagedTableSource").load(dst))
+        require(srcFp == dstFp,
+          s"exactly-once violated after replay: src=$srcFp dst=$dstFp")
+        val sidecar = PagedTableSource.readCount(dst)
+        require(sidecar == dstFp._1,
+          s"_count sidecar $sidecar != actual rows ${dstFp._1}")
+        dstFp._1
+      }
+      println(s"probe paged: ${PagedTableSource.pageFiles(src).size} src pages → " +
+        s"${PagedTableSource.pageFiles(dst).size} dst pages, replay idempotent")
+      Seq(wavesRes, replayRes, verifyRes)
+    }
+
+    val results = pagedResults ++ Seq(
       time("corpus_pack")       { graft.ops.Corpus.queries("corpus_pack")(spark, outDir).count() },
       time("corpus_budget")     { graft.ops.Corpus.queries("corpus_budget")(spark, outDir).count() },
       time("corpus_balance")    { graft.ops.Corpus.queries("corpus_balance")(spark, outDir).count() },
