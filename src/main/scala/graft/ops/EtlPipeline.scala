@@ -208,14 +208,53 @@ object EtlPipeline {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY direccion, localidad, rubro, localizar""".stripMargin
 
+  /** K1/K2 through the HASH GATE: the chunked JDBC load (schema DDL +
+    * batched parallel append — writeJdbc, the reference's `to_sql` shape)
+    * against a real embedded Derby database, read back through Spark's
+    * JDBC source. Deterministic end to end, so the DDL type mapping, the
+    * batched inserts over `numPartitions` connections, and the read-back
+    * row set all sit inside the bitwise oracle compare. Derby uppercases
+    * unquoted identifiers, so read-back columns re-alias to lowercase
+    * (resolution is case-insensitive; the gate comparator is not).
+    * Embedded Derby is reachable from executors only because local mode
+    * is single-JVM — production points the same code at a server URL. */
+  def jdbcSinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val df = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    writeJdbc(df, url, "orders_sink", batchSize = 500, numPartitions = 4)
+    val back = spark.read.jdbc(url, "orders_sink", new java.util.Properties)
+      .select(col("o_orderkey").as("o_orderkey"),
+        col("o_custkey").as("o_custkey"),
+        col("o_orderstatus").as("o_orderstatus"),
+        col("o_totalprice").as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .localCheckpoint() // materialize before the db dir is torn down
+    // clean shutdown (Derby signals success via SQLException), then delete
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/db;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+    graft.tools.TempDirs.deleteRecursively(dbDir)
+    back
+  }
+
+  val jdbcSinkRoundTripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_etl"    -> (pipelineQuery _),
     "etl_source_scan" -> (sourceRoundTrip _),
+    "etl_jdbc_sink"   -> (jdbcSinkRoundTrip _),
   )
 
   /** pipeline_etl's nondeterministic-marked UDF ⇒ rows-only; the source
-    * round-trip is fully deterministic ⇒ oracled. */
+    * round-trip and the JDBC sink round-trip are fully deterministic ⇒
+    * oracled. */
   val oracles: Map[String, String] = Map(
     "etl_source_scan" -> sourceRoundTripSql,
+    "etl_jdbc_sink"   -> jdbcSinkRoundTripSql,
   )
 }

@@ -136,7 +136,11 @@ object ScaleProbe {
         val commits = new java.io.File(s"$ck/commits").listFiles()
           .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
         require(commits.nonEmpty, "no commits to replay")
-        require(commits.last.delete(), "could not drop last commit entry")
+        val lastCommit = commits.last
+        require(lastCommit.delete(), "could not drop last commit entry")
+        // drop the local-FS checksum sidecar too, or the replayed
+        // metadata-log rename collides with the stale .N.crc
+        new java.io.File(lastCommit.getParentFile, s".${lastCommit.getName}.crc").delete()
         val q2 = startStream()
         q2.processAllAvailable()
         q2.stop()
