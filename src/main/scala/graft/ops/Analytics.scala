@@ -223,6 +223,32 @@ object Analytics {
       |  MAX(event_type) AS type_last
       |FROM events""".stripMargin
 
+  /** Approximate quantiles per group (Spark's GK-based percentile_approx
+    * beside the exact percentile for the same cuts). The sketch is
+    * MERGEABLE state: partial summaries combine across partitions — and
+    * could be persisted and re-merged across days — so at 100 TB the
+    * quantile costs one narrow pass where the exact percentile must
+    * shuffle-sort each group. DuckDB's approx sketch is a different
+    * implementation, so this is rows-only by the §5.5 contract; the
+    * error bound vs exact is asserted in AnalyticsSpec (both columns
+    * ride in the output precisely so the spec and a human can see the
+    * sketch's error directly). */
+  def q88ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = array(lit(0.5), lit(0.95), lit(0.99))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), cuts, lit(10000)).as("approx"),
+        expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("exact"))
+      .select(col("event_type"),
+        element_at(col("approx"), 1).as("p50_approx"),
+        element_at(col("exact"), 1).as("p50_exact"),
+        element_at(col("approx"), 2).as("p95_approx"),
+        element_at(col("exact"), 2).as("p95_exact"),
+        element_at(col("approx"), 3).as("p99_approx"),
+        element_at(col("exact"), 3).as("p99_exact"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,6 +258,7 @@ object Analytics {
     "q75_funnel"          -> (funnel _),
     "q76_cohort"          -> (cohort _),
     "q78_incr_agg"        -> (incrementalAgg _),
+    "q88_approx_quantile" -> (q88ApproxQuantile _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -419,6 +419,49 @@ object Multimodal {
       |GROUP BY doc_id, n
       |ORDER BY media_id""".stripMargin
 
+  /** Frame-level audio features — the shape every speech pipeline needs
+    * (per-window energy for VAD/segmentation): decode the real WAV, then
+    * emit one row per 400-sample window (25 ms at 16 kHz) with its RMS.
+    * Same per-task codec pattern as audioReal, but with EXPLODED output —
+    * a doc fans out to its windows inside the task, so the operator's
+    * output cardinality grows with media duration while the shuffle
+    * stays one narrow (media_id, win, rms) row per window. Oracle
+    * regenerates the PCM and groups by i // 400. */
+  def audioWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 900 + 100).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, n) =>
+          val s = decodeWav(encodeWav(syntheticPcm(id, n)))
+          s.grouped(400).zipWithIndex.map { case (w, wi) =>
+            var sq = 0L
+            var i = 0
+            while (i < w.length) { val v = w(i).toLong; sq += v * v; i += 1 }
+            (id, wi, w.length.toLong, math.sqrt(sq.toDouble / w.length))
+          }
+        }
+      }
+      .toDF("media_id", "win", "n_in_win", "rms")
+      .orderBy(col("media_id"), col("win"))
+  }
+
+  val audioWindowsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(doc_id % 900 + 100 AS INT) AS n FROM documents
+      |), v AS (
+      |  SELECT doc_id, i, (doc_id * 31 + i * 7919) % 65536 - 32768 AS s
+      |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM t)
+      |)
+      |SELECT doc_id AS media_id, CAST(i // 400 AS INT) AS win,
+      |  COUNT(*) AS n_in_win,
+      |  sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+      |FROM v
+      |GROUP BY doc_id, i // 400
+      |ORDER BY media_id, win""".stripMargin
+
   // ---------------------------------------------------------------------
   // REAL video path (JDK animated-GIF container — a true multi-frame
   // demux through javax.imageio, no external codecs)
@@ -530,6 +573,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_video_real" -> (videoReal _),
     "mm_audio_real" -> (audioReal _),
+    "mm_audio_windows" -> (audioWindows _),
     "mm_meta"     -> (mediaMeta _),
     "mm_features" -> (extractFeatures _),
     "mm_frames"   -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
@@ -548,6 +592,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_video_real" -> videoRealSql,
     "mm_audio_real" -> audioRealSql,
+    "mm_audio_windows" -> audioWindowsSql,
     "mm_decode_real" -> decodeRealSql,
     "mm_meta" -> mediaMetaSql,
     "mm_features" ->

@@ -32,6 +32,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(2) == 1)  // only user 1 purchased after clicking
   }
 
+  test("funnel sequential matching: clicks both before AND after the view count") {
+    // the min-time approximation (min(click) < min(view) => not converted)
+    // would misclassify user 5, whose first click precedes the view but
+    // who clicks again after it — true sequential matching counts them
+    val dir = events(
+      (5L, 0L, "click"), (5L, 1L, "view"), (5L, 2L, "click"), (5L, 3L, "purchase"),
+      (6L, 0L, "click"), (6L, 1L, "view"))                     // no click after view
+    val r = Analytics.funnel(spark, dir).collect().head
+    assert(r.getLong(0) == 2)  // both users viewed
+    assert(r.getLong(1) == 1)  // only user 5 clicked AFTER the view
+    assert(r.getLong(2) == 1)  // and purchased after that click
+  }
+
+  test("approx quantile lands inside the exact q±0.01 rank envelope") {
+    // percentile_approx returns an actual data value while percentile
+    // interpolates between ranks, so VALUE-space comparison misleads in
+    // sparse tails — the sketch's guarantee is on RANK, and that is what
+    // is asserted: each approx cut must lie within the exact quantile
+    // envelope one rank-percent either side.
+    val bounds = graft.Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D, 0.98D, 1.0D))")
+        .as("b"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val rows = Analytics.q88ApproxQuantile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = bounds(r.getString(0))
+      for ((col, lo, hi) <- Seq((1, b(0), b(1)), (3, b(2), b(3)), (5, b(4), b(5)))) {
+        val approx = r.getDouble(col)
+        assert(approx >= lo && approx <= hi,
+          s"${r.getString(0)} quantile col $col: $approx outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("cohort cells count distinct users at exact day offsets") {
     val dir = events(
       (1L, 0L, "view"), (1L, 25L, "view"), (1L, 26L, "view"), // day0 + two day1 events
