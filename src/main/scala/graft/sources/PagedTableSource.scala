@@ -347,21 +347,58 @@ class PagedDataWriter(stageDir: String, header: Array[String],
   override def close(): Unit = ()
 }
 
+/** P1 + P2 at the source: column pruning AND filter pushdown. Pushed
+  * string predicates evaluate inside the reader on the post-trim,
+  * post-decode cell values — i.e. on exactly what the scan would output —
+  * so accepted filters are dropped from the residual (no re-evaluation
+  * above the scan). A filter column pruned from the projection still
+  * evaluates (the reader resolves it against the FULL header row), which
+  * is what makes `select(a).filter(b = x)` a single pruned+filtered
+  * scan. At 100 TB this is the difference between shipping every page's
+  * rows into the plan and shipping only survivors. */
 class PagedScanBuilder(fullSchema: StructType, path: String, skip: Int,
                        decodeCol: Option[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, _: String)                            => true
+    case IsNotNull(_) | IsNull(_)                         => true
+    case _: StringStartsWith | _: StringEndsWith          => true
+    case _: StringContains                                => true
+    case In(_, vs) => vs.forall(v => v == null || v.isInstanceOf[String])
+    case _                                                => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(supported)
+    pushed = sup
+    unsup // residual: only what the reader cannot evaluate exactly
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new PagedScan(fullSchema, required, path, skip, decodeCol)
+    new PagedScan(fullSchema, required, path, skip, decodeCol, pushed)
 }
 
 class PagedScan(fullSchema: StructType, required: StructType, path: String,
-                skip: Int, decodeCol: Option[String])
+                skip: Int, decodeCol: Option[String],
+                filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Surfaces pruning + pushdown in EXPLAIN output (the same audit line
+    * FileScan prints), so plan-shape specs can pin them. */
+  override def description(): String =
+    s"PagedScan($path) PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
   /** S5/S6 change-detection wait, Spark-first: where the reference polls
     * the page in a browser loop until new rows render
@@ -378,7 +415,7 @@ class PagedScan(fullSchema: StructType, required: StructType, path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(fullSchema.fieldNames, required.fieldNames,
-      skip, decodeCol)
+      skip, decodeCol, filters)
 
   /** S4: the `_count` sidecar is the "total rows" probe. */
   override def estimateStatistics(): Statistics = new Statistics {
@@ -446,11 +483,13 @@ class PagedMicroBatchStream(path: String, fullCols: Array[String],
 case class PagePartition(file: String) extends InputPartition
 
 class PagedReaderFactory(fullCols: Array[String], requiredCols: Array[String],
-                         skip: Int, decodeCol: Option[String])
+                         skip: Int, decodeCol: Option[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[PagePartition].file
     new PartitionReader[InternalRow] {
+      import org.apache.spark.sql.sources._
       // S1: the "session open" with retry/backoff. The page is read
       // EAGERLY inside the retry: Source.getLines is lazy, so a lazy
       // iterator here would surface I/O failures later in next(), outside
@@ -464,18 +503,55 @@ class PagedReaderFactory(fullCols: Array[String], requiredCols: Array[String],
       private val decodeIdx = decodeCol.map(c => requiredCols.indexOf(c)).getOrElse(-1)
       private var row: InternalRow = _
 
+      /** Pushed-filter attribute names arrive backtick-quoted when the
+        * identifier is not "simple" (e.g. accented header names):
+        * strip the quoting (and unescape doubled backticks) before
+        * resolving against the header. */
+      private def unquote(name: String): String =
+        if (name.length >= 2 && name.head == '`' && name.last == '`')
+          name.substring(1, name.length - 1).replace("``", "`")
+        else name
+
+      /** Resolve a column against the FULL header (a pushed filter may
+        * reference a column pruned from the projection), applying the
+        * same trim + decode the output path applies — pushed predicates
+        * see exactly the values the scan would emit. */
+      private def colValue(cells: Array[String], rawName: String): String = {
+        val name = unquote(rawName)
+        val src = fullCols.indexOf(name) + skip
+        val raw = if (src >= skip && src < cells.length) cells(src).trim else null
+        if (raw != null && decodeCol.contains(name))
+          PagedTableSource.decodeLocation(raw)
+        else raw
+      }
+
+      private def eval(f: Filter, cells: Array[String]): Boolean = f match {
+        case EqualTo(a, v: String)     => colValue(cells, a) == v
+        case IsNotNull(a)              => colValue(cells, a) != null
+        case IsNull(a)                 => colValue(cells, a) == null
+        case StringStartsWith(a, p)    => val v = colValue(cells, a); v != null && v.startsWith(p)
+        case StringEndsWith(a, s)      => val v = colValue(cells, a); v != null && v.endsWith(s)
+        case StringContains(a, s)      => val v = colValue(cells, a); v != null && v.contains(s)
+        case In(a, vs)                 => val v = colValue(cells, a); vs.contains(v)
+        case _                         => true // unreachable: unsupported stay residual
+      }
+
       override def next(): Boolean = {
-        if (!lines.hasNext) return false
-        val cells = lines.next().split("\t", -1)
-        val vals: Array[Any] = colIdx.zipWithIndex.map { case (src, out) =>
-          val raw = if (src < cells.length) cells(src).trim else null // F3 trim
-          val v = if (out == decodeIdx && raw != null)
-            PagedTableSource.decodeLocation(raw)
-          else raw
-          if (v == null) null else UTF8String.fromString(v)
+        while (lines.hasNext) {
+          val cells = lines.next().split("\t", -1)
+          if (filters.forall(eval(_, cells))) {
+            val vals: Array[Any] = colIdx.zipWithIndex.map { case (src, out) =>
+              val raw = if (src < cells.length) cells(src).trim else null // F3 trim
+              val v = if (out == decodeIdx && raw != null)
+                PagedTableSource.decodeLocation(raw)
+              else raw
+              if (v == null) null else UTF8String.fromString(v)
+            }
+            row = InternalRow.fromSeq(vals.toSeq)
+            return true
+          }
         }
-        row = InternalRow.fromSeq(vals.toSeq)
-        true
+        false
       }
       override def get(): InternalRow = row
       override def close(): Unit = ()

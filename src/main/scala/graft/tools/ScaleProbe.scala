@@ -173,8 +173,16 @@ object ScaleProbe {
       time("dedup_exact")       { graft.ops.Dedup.exact(spark, outDir).count() },
       time("dedup_fuzzy")       { graft.ops.Dedup.fuzzy(spark, outDir).count() },
       time("dedup_incremental") { graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count() },
+      time("dedup_minhash")     { graft.ops.Dedup.minhash(spark, outDir).count() },
+      time("dedup_simhash")     { graft.ops.Dedup.simhash(spark, outDir).count() },
+      time("text_tfidf")        { graft.ops.TextAnalysis.queries("text_tfidf")(spark, outDir).count() },
+      time("text_inverted_index") { graft.ops.TextAnalysis.queries("text_inverted_index")(spark, outDir).count() },
+      time("text_langid")       { graft.ops.TextAnalysis.queries("text_langid")(spark, outDir).count() },
+      time("mm_decode_real")    { graft.ops.Multimodal.queries("mm_decode_real")(spark, outDir).count() },
+      time("mm_audio_windows")  { graft.ops.Multimodal.queries("mm_audio_windows")(spark, outDir).count() },
       time("graph_pagerank")    { graft.ops.Graph.pagerank(spark, outDir).count() },
       time("q67_upsert_merge")  { graft.ops.Relational2.q67UpsertMerge(spark, outDir).count() },
+      time("q87_stream_upsert") { graft.ops.Relational2.q87StreamUpsert(spark, outDir).count() },
     )
     val json = results.map { case (n, t, r) => s""""$n":{"sec":$t,"rows":$r}""" }
       .mkString(",")

@@ -64,6 +64,27 @@ class PagedTableSourceSpec extends SparkSpec {
     assert(scan.contains("Localidad") && !scan.contains("Rubro"))
   }
 
+  test("P2 filter pushdown: pushed predicates prune rows inside the reader") {
+    import org.apache.spark.sql.functions.col
+    val dir = writePages()
+    val df = read(dir).filter(col("Localidad") === "Quilmes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(Localidad,Quilmes)"),
+      "equality predicate should reach the source as a pushed filter")
+    assert(!plan.contains("Filter ("),
+      "pushed filters must not be re-evaluated above the scan")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("Mitre 55"))
+    // a filter column PRUNED from the projection still evaluates
+    val proj = read(dir).filter(col("Localidad") === "Quilmes").select("Rubro")
+    assert(proj.collect().map(_.getString(0)).toSeq == Seq("hogar"))
+    // a pushed filter on the decoded column sees the DECODED value
+    val dec = read(dir).filter(col("Localizar") === PagedTableSource.NotAvailable)
+    assert(dec.collect().map(_.getString(1)).toSeq == Seq("La Plata"))
+    // contains/prefix forms push too
+    assert(read(dir).filter(col("Dirección").startsWith("Av.")).count() == 1)
+    assert(read(dir).filter(col("Dirección").contains("1234")).count() == 1)
+  }
+
   test("S4 statistics: row count probe from the _count sidecar") {
     // 1.234 with thousands separator stripped → 1234 (flows/etl.py:135)
     val dir = writePages()
