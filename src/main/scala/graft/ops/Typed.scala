@@ -53,4 +53,55 @@ object Typed {
         FlagStats(flag, n, math.rint(qty * 100) / 100, maxPrice)
       }
   }
+
+  /** Typed COGROUP through the hash gate: customers and their orders
+    * grouped by key, reconciled in one function that sees BOTH sides'
+    * iterators — the typed API for per-key merge logic too imperative
+    * for a join (mismatch classification, per-key validation). Plans as
+    * one shuffle per side on the key, identical to the equivalent outer
+    * join. Monetary values reduce as exact CENTS (round(v·100) longs):
+    * a Scala fold over doubles would be iteration-order-dependent, but
+    * integer sums commute — so the imperative per-key function is still
+    * bitwise-reproducible by the oracle's LEFT JOIN aggregate. Orders
+    * referencing no customer are dropped (inner-on-left semantics),
+    * mirrored by the oracle's join direction. */
+  def q89Cogroup(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .as[(Long, Double)]
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+    cust.groupByKey(_._1).cogroup(orders.groupByKey(_._1)) { (k, cs, os) =>
+      val bal = cs.map(_._2).toArray
+      if (bal.isEmpty) Iterator.empty // order rows with no customer row
+      else {
+        var n = 0L
+        var cents = 0L
+        os.foreach { o => n += 1; cents += math.round(o._2 * 100) }
+        Iterator((k, math.round(bal.head * 100), n, cents))
+      }
+    }
+      .toDF("custkey", "acctbal_cents", "n_orders", "sum_price_cents")
+      .orderBy(col("custkey"))
+  }
+
+  val q89Sql: String =
+    """SELECT c_custkey AS custkey,
+      |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      |  COUNT(o_custkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+      |           0) AS sum_price_cents
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_acctbal
+      |ORDER BY custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q89_cogroup" -> (q89Cogroup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q89_cogroup" -> q89Sql,
+  )
 }
