@@ -54,12 +54,20 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     val phases = scala.collection.mutable.Map[String, Double]()
+    // Per-query shuffle-bytes evidence: the collector aggregates each
+    // action's shuffle writes; the per-iteration average lands in the
+    // bench JSON so "the dedup shuffle carries digests, not documents"
+    // is a measured number, not only a plan assertion.
+    val collector = graft.tools.MetricsCollector.attach(spark)
+    val shuffles = scala.collection.mutable.Map[String, Double]()
     // (name, median, min): the median is the headline (absorbs one bad
     // iteration); the min is recorded beside it because on a contended
     // sandbox even the median inflates — min is the best witness of what
     // the plan costs when the machine isn't fighting back.
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
+      org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
+      collector.clear()
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -71,6 +79,8 @@ object Bench {
           .map { case (k, v) => s"$name.$k" -> v }
         t
       }
+      org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
+      shuffles(name) = collector.all.map(_.shuffleBytesWritten).sum.toDouble / iters
       (name, times.sorted.apply(times.size / 2), times.min)
     }
     val results = timed.map { case (n, med, _) => n -> med }
@@ -86,7 +96,7 @@ object Bench {
     // from "silent fallback to a contended disk" for the streaming sinks.
     val scratch = graft.tools.TempDirs.resolvedRoot
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))

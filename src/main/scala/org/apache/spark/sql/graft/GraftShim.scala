@@ -23,6 +23,12 @@ object GraftShim {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Drain the listener bus (private[spark]): QueryExecutionListener
+    * callbacks are asynchronous, so metric collectors must flush before
+    * their per-query readings are attributed. */
+  def waitListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a function builder on a live session's FunctionRegistry
     * (sessionState is private[sql]; config-time registration goes through
     * graft.GraftExtensions instead). */
