@@ -1520,10 +1520,81 @@ object Relational2 {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** CSV source round-trip with explicit schema: documents written as
+    * quoted CSV (texts contain commas/quotes in the general case), read
+    * back with the schema declared — never inferred: at 100 TB schema
+    * inference is a full extra scan — then aggregated on integer-exact
+    * measures (counts and lengths survive any text serialization
+    * bit-exactly; doubles through CSV would not be guaranteed to). The
+    * oracle computes the same aggregate from the parquet fixture, so the
+    * whole quote/escape/parse cycle sits inside the hash check. */
+  def q90CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q90")
+    try {
+      val docs = Tables.documents(spark, dir)
+      docs.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .csv(s"$base/docs")
+      spark.read.schema(docs.schema)
+        .option("header", "true")
+        .csv(s"$base/docs")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy(col("lang"), col("source"))
+        .localCheckpoint()
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q90Sql: String =
+    """SELECT lang, source, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  /** Schema-evolution read: two parquet batches written with DIFFERENT
+    * schemas (the second gains a column), merged by `mergeSchema` — the
+    * standard reality of long-lived datasets where producers add fields.
+    * Rows from the old batch surface the new column as NULL; the
+    * aggregate counts both generations. The oracle reproduces the split
+    * with the same modulus predicate on the fixture. */
+  def q91SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q91")
+    try {
+      val ev = Tables.events(spark, dir)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$base/data/gen=0")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$base/data/gen=1")
+      spark.read.option("mergeSchema", "true").parquet(s"$base/data")
+        .groupBy(coalesce(col("event_type"), lit("_pre_schema")).as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+        .localCheckpoint()
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q91Sql: String =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN '_pre_schema' ELSE event_type END
+      |    AS event_type,
+      |  COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_lateral"         -> (q82Lateral _),
     "q83_recursive"       -> (q83Recursive _),
     "q87_stream_upsert"   -> (q87StreamUpsert _),
+    "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
+    "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q84_stream_paged_sink" -> (q84StreamPagedSink _),
     "q85_stream_paged_source" -> (q85StreamPagedSource _),
     "q71_ewma"            -> (q71Ewma _),
@@ -1573,6 +1644,8 @@ object Relational2 {
     "q82_lateral"         -> q82Sql,
     "q83_recursive"       -> q83Sql,
     "q87_stream_upsert"   -> q87Sql,
+    "q90_csv_roundtrip"   -> q90Sql,
+    "q91_schema_evolution" -> q91Sql,
     "q84_stream_paged_sink" -> q50Sql, // same aggregation, same cutoff — through the DSv2 sink
     "q85_stream_paged_source" -> q85Sql,
     "q71_ewma"            -> q71Sql,

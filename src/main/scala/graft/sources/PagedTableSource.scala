@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -132,7 +132,8 @@ class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(schema, options.get("path"),
       Option(options.get("skipColumns")).map(_.toInt).getOrElse(0),
-      Option(options.get("decodeLocation")))
+      Option(options.get("decodeLocation")),
+      Option(options.get("maxPagesPerTrigger")).map(_.toInt).getOrElse(0))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PagedWriteBuilder(options.get("path"), info.schema())
 }
@@ -195,6 +196,11 @@ class PagedWriteBuilder(path: String, schema: StructType)
 class PagedStreamingWrite(path: String, header: Array[String])
     extends StreamingWrite {
   private val stageDir = new java.io.File(path, s".stage-stream-${java.util.UUID.randomUUID()}")
+  // Running Σ epoch-marker counts, seeded from one directory scan and
+  // advanced per commit: steady-state commits are O(1), not O(epochs)
+  // (a long-lived stream would otherwise pay a growing listing on every
+  // epoch). The replay/repair branch still rescans — replays are rare.
+  private var epochTotal: Option[Long] = None
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     stageDir.mkdirs()
@@ -210,6 +216,7 @@ class PagedStreamingWrite(path: String, header: Array[String])
       // (they'd otherwise leak — on tmpfs that's RAM) and repair _count,
       // which a crash between marker and sidecar could have left stale.
       pages.foreach(m => new java.io.File(m.stagedFile).delete())
+      epochTotal = None // in-memory sum may predate the marker: rescan
       refreshCount()
       stageDir.delete() // non-recursive: removes only if empty
       return
@@ -230,10 +237,15 @@ class PagedStreamingWrite(path: String, header: Array[String])
     // Marker LAST — a failure anywhere above leaves no marker, so the
     // engine's retried/replayed commit publishes again instead of
     // silently dropping the epoch.
+    val epochRows = pages.map(_.rows).sum
     try java.nio.file.Files.writeString(marker.toPath,
-      pages.map(_.rows).sum.toString,
+      epochRows.toString,
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // advance the cached marker sum by the epoch just written (a rescan
+    // inside refreshCount would already see the new marker, so only a
+    // SEEDED cache needs the delta)
+    epochTotal = epochTotal.map(_ + epochRows)
     refreshCount()
     // All staged files were moved out by the renames; drop the (empty)
     // staging dir so a finished query leaves nothing hidden in the sink.
@@ -241,8 +253,11 @@ class PagedStreamingWrite(path: String, header: Array[String])
     stageDir.delete()
   }
 
-  /** `_count` = base snapshot + Σ epoch-marker counts: recomputed, never
-    * incremented, so commit replay cannot double-add. */
+  /** `_count` = base snapshot + Σ epoch-marker counts: DERIVED from the
+    * markers, never incremented from the old sidecar value, so commit
+    * replay cannot double-add. The marker sum is cached in memory after
+    * the first scan and advanced by the marker just written; any doubt
+    * (replay, fresh instance) clears the cache and rescans. */
   private def refreshCount(): Unit = {
     val base = {
       val f = new java.io.File(path, ".base-count")
@@ -250,11 +265,14 @@ class PagedStreamingWrite(path: String, header: Array[String])
         PagedTableSource.readLines(f.getAbsolutePath).mkString.trim.toLongOption.getOrElse(0L)
       else 0L
     }
-    val epochs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("\\.epoch-\\d+"))
-      .map(f => PagedTableSource.readLines(f.getAbsolutePath)
-        .mkString.trim.toLongOption.getOrElse(0L))
-      .sum
+    val epochs = epochTotal.getOrElse {
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("\\.epoch-\\d+"))
+        .map(f => PagedTableSource.readLines(f.getAbsolutePath)
+          .mkString.trim.toLongOption.getOrElse(0L))
+        .sum
+    }
+    epochTotal = Some(epochs)
     java.nio.file.Files.writeString(new java.io.File(path, "_count").toPath,
       (base + epochs).toString)
   }
@@ -357,7 +375,7 @@ class PagedDataWriter(stageDir: String, header: Array[String],
   * scan. At 100 TB this is the difference between shipping every page's
   * rows into the plan and shipping only survivors. */
 class PagedScanBuilder(fullSchema: StructType, path: String, skip: Int,
-                       decodeCol: Option[String])
+                       decodeCol: Option[String], maxPagesPerTrigger: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -384,12 +402,14 @@ class PagedScanBuilder(fullSchema: StructType, path: String, skip: Int,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new PagedScan(fullSchema, required, path, skip, decodeCol, pushed)
+    new PagedScan(fullSchema, required, path, skip, decodeCol, pushed,
+      maxPagesPerTrigger)
 }
 
 class PagedScan(fullSchema: StructType, required: StructType, path: String,
                 skip: Int, decodeCol: Option[String],
-                filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                maxPagesPerTrigger: Int = 0)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -408,7 +428,7 @@ class PagedScan(fullSchema: StructType, required: StructType, path: String,
     * committed offset are planned into the next batch. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedMicroBatchStream(path, fullSchema.fieldNames, required.fieldNames,
-      skip, decodeCol)
+      skip, decodeCol, maxPagesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] =
     PagedTableSource.pageFiles(path).map(PagePartition.apply).toArray
@@ -455,15 +475,44 @@ object PagedSourceOffset {
   * publish a page atomically (rename-as-commit), `latestOffset` only
   * ever sees whole pages, and the offset log replays a batch as the same
   * file set. `commit(end)` is a no-op — pages stay on disk; the offset
-  * set is the cursor (same contract as Spark's FileStreamSource). */
+  * set is the cursor (same contract as Spark's FileStreamSource).
+  *
+  * ADMISSION CONTROL: `maxPagesPerTrigger` bounds how many new pages one
+  * micro-batch admits (name order, so progress is deterministic) — the
+  * backpressure knob that keeps a burst of published pages from becoming
+  * one unbounded batch; 0 = ingest all available. */
 class PagedMicroBatchStream(path: String, fullCols: Array[String],
                             requiredCols: Array[String], skip: Int,
-                            decodeCol: Option[String])
-    extends MicroBatchStream {
+                            decodeCol: Option[String],
+                            maxPagesPerTrigger: Int = 0)
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = PagedSourceOffset(Nil)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPagesPerTrigger > 0) ReadLimit.maxFiles(maxPagesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** With SupportsAdmissionControl the engine calls the two-arg form. */
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[PagedSourceOffset].names.toSet
+    val fresh = PagedTableSource.pageFiles(path)
+      .map(f => new java.io.File(f).getName)
+      .filterNot(seen).sorted
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _               => fresh
+    }
+    PagedSourceOffset((seen ++ admitted).toSeq)
+  }
+
+  override def reportLatestOffset(): Offset =
     PagedSourceOffset(PagedTableSource.pageFiles(path)
       .map(f => new java.io.File(f).getName))
+
   override def deserializeOffset(json: String): Offset =
     PagedSourceOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()

@@ -214,6 +214,30 @@ class PagedTableSourceSpec extends SparkSpec {
     assert(back.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c", "d"))
   }
 
+  test("S5 admission control: maxPagesPerTrigger bounds pages per micro-batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-admission").toString
+    val out = Files.createTempDirectory("graft-admission-out").toString
+    (0 until 4).foreach { i =>
+      Seq((s"k$i", i.toString)).toDF("k", "v").coalesce(1)
+        .write.mode("append").format("graft.sources.PagedTableSource")
+        .option("path", dir).save()
+    }
+    val q = spark.readStream.format("graft.sources.PagedTableSource")
+      .option("maxPagesPerTrigger", 1).load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$out/data").count() == 4)
+    // the offset log must show one page admitted per batch: 1, 2, 3, 4
+    val admitted = new java.io.File(s"$out/ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      .map(f => Files.readString(f.toPath).linesIterator.toSeq.last)
+      .map(j => graft.sources.PagedSourceOffset.fromJson(j).names.size)
+    assert(admitted.toSeq == Seq(1, 2, 3, 4), s"got ${admitted.toSeq}")
+  }
+
   test("streaming offset json round-trips the file-name set") {
     import graft.sources.PagedSourceOffset
     val off = PagedSourceOffset(Seq("page-2.tsv", "page-0.tsv", "page-10.tsv"))
