@@ -426,9 +426,13 @@ class PagedScan(fullSchema: StructType, required: StructType, path: String,
     * capability as a micro-batch source — each `latestOffset()` poll
     * lists the directory, and only pages that appeared since the last
     * committed offset are planned into the next batch. */
+  // The batch-pushed filters ride into the streaming reader too: string
+  // predicates are idempotent, so even when the engine keeps its own
+  // Filter above the streaming scan, in-reader evaluation only prunes
+  // earlier — never differently.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedMicroBatchStream(path, fullSchema.fieldNames, required.fieldNames,
-      skip, decodeCol, maxPagesPerTrigger)
+      skip, decodeCol, maxPagesPerTrigger, filters)
 
   override def planInputPartitions(): Array[InputPartition] =
     PagedTableSource.pageFiles(path).map(PagePartition.apply).toArray
@@ -484,7 +488,8 @@ object PagedSourceOffset {
 class PagedMicroBatchStream(path: String, fullCols: Array[String],
                             requiredCols: Array[String], skip: Int,
                             decodeCol: Option[String],
-                            maxPagesPerTrigger: Int = 0)
+                            maxPagesPerTrigger: Int = 0,
+                            filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = PagedSourceOffset(Nil)
 
@@ -526,7 +531,7 @@ class PagedMicroBatchStream(path: String, fullCols: Array[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(fullCols, requiredCols, skip, decodeCol)
+    new PagedReaderFactory(fullCols, requiredCols, skip, decodeCol, filters)
 }
 
 case class PagePartition(file: String) extends InputPartition

@@ -238,6 +238,23 @@ class PagedTableSourceSpec extends SparkSpec {
     assert(admitted.toSeq == Seq(1, 2, 3, 4), s"got ${admitted.toSeq}")
   }
 
+  test("S5 streaming read honors row predicates (filters ride into the reader)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sfilter").toString
+    val out = Files.createTempDirectory("graft-sfilter-out").toString
+    Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("k", "v").coalesce(1)
+      .write.mode("append").format("graft.sources.PagedTableSource")
+      .option("path", dir).save()
+    val q = spark.readStream.format("graft.sources.PagedTableSource").load(dir)
+      .filter(org.apache.spark.sql.functions.col("k") === "b")
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$out/data").collect().map(_.getString(0)).toSeq
+      == Seq("b"))
+  }
+
   test("streaming offset json round-trips the file-name set") {
     import graft.sources.PagedSourceOffset
     val off = PagedSourceOffset(Seq("page-2.tsv", "page-0.tsv", "page-10.tsv"))
