@@ -21,11 +21,14 @@ object StringKernels {
     * not two, and oracle parity holds beyond the BMP; agrees with full
     * Levenshtein on every pair it keeps. */
   def boundedLev(sa: String, sb: String, k: Int): Int = {
+    // Bail on the length gap BEFORE allocating: most candidate pairs in
+    // a near-dup verify die here, and codePointCount is an O(n) scan
+    // with zero allocation.
+    val n = sa.codePointCount(0, sa.length)
+    val m = sb.codePointCount(0, sb.length)
+    if (math.abs(n - m) > k) return k + 1
     val a = sa.codePoints().toArray
     val b = sb.codePoints().toArray
-    val n = a.length
-    val m = b.length
-    if (math.abs(n - m) > k) return k + 1
     val inf = k + 1
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)

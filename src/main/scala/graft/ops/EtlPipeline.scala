@@ -219,7 +219,7 @@ object EtlPipeline {
     * Embedded Derby is reachable from executors only because local mode
     * is single-JVM — production points the same code at a server URL. */
   def jdbcSinkRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val dbDir = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+    val dbDir = graft.tools.TempDirs.createFast("graft-jdbc")
     val url = s"jdbc:derby:$dbDir/db;create=true"
     val df = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

@@ -1451,8 +1451,10 @@ object Relational2 {
     * keyed state table from a change stream when the sink has no native
     * streaming writer: each micro-batch reduces to one delta row per key
     * (count + latest event via a single struct-max aggregate), then
-    * full-outer merges into the persistent state table (read → merge →
-    * overwrite). The bounded input is re-laid into 4 files and streamed
+    * full-outer merges into the persistent state table (read immutable
+    * v(N-1) → merge → write vN — versioned, so foreachBatch's
+    * at-least-once replay is idempotent). The bounded input is re-laid
+    * into 4 files and streamed
     * with maxFilesPerTrigger=1, so the state provably accumulates across
     * FOUR epochs — the final table equals the batch latest-per-key
     * aggregate, which the oracle computes. Per epoch the work is one
@@ -1473,8 +1475,18 @@ object Relational2 {
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sp = batch.sparkSession
+          // VERSIONED state: batch N reads v(N-1) — immutable — and
+          // overwrites vN. foreachBatch is AT-LEAST-ONCE: a crash after
+          // the write but before the engine commits the batch re-runs
+          // it, and the replay rewrites vN from the same unchanged
+          // inputs — idempotent, where an in-place merge would
+          // double-apply the delta. The version is the epoch namespace;
+          // older versions are GC'd two behind (the engine only ever
+          // replays the LAST uncommitted batch).
+          val cur = s"$statePath/v$batchId"
+          val prev = s"$statePath/v${batchId - 1}"
           // one delta row per key: event count + the (ts, event_id)-max
           // struct = deterministic latest-wins (event_id breaks ts ties)
           val delta = batch.groupBy(col("user_id")).agg(
@@ -1482,8 +1494,8 @@ object Relational2 {
             max(struct(col("ts"), col("event_id"), col("event_type"),
               col("value"))).as("d_last"))
           val merged =
-            if (new java.io.File(statePath).exists()) {
-              sp.read.parquet(statePath)
+            if (new java.io.File(prev).exists()) {
+              sp.read.parquet(prev)
                 .join(delta, Seq("user_id"), "full_outer")
                 .select(col("user_id"),
                   (coalesce(col("n_events"), lit(0L)) +
@@ -1493,12 +1505,16 @@ object Relational2 {
                   greatest(col("last"), col("d_last")).as("last"))
             } else delta.select(col("user_id"), col("d_n").as("n_events"),
               col("d_last").as("last"))
-          // materialize before overwriting the path it was read from
-          merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+          merged.write.mode("overwrite").parquet(cur)
+          graft.tools.TempDirs.deleteRecursively(s"$statePath/v${batchId - 2}")
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.read.parquet(statePath)
+      val latestState = Option(new java.io.File(statePath).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.matches("v\\d+"))
+        .maxBy(_.getName.drop(1).toLong)
+      spark.read.parquet(latestState.getAbsolutePath)
         .select(col("user_id"), col("n_events"),
           unix_micros(col("last.ts")).as("last_us"),
           col("last.event_type").as("last_type"),
@@ -1537,6 +1553,11 @@ object Relational2 {
         .csv(s"$base/docs")
       spark.read.schema(docs.schema)
         .option("header", "true")
+        // multiLine: quoted fields may span record separators; without
+        // it the reader splits on raw newlines before parsing quotes.
+        // Costs per-file (not per-split) read parallelism — the write
+        // above produced multiple files, so parallelism survives.
+        .option("multiLine", "true")
         .csv(s"$base/docs")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n"),

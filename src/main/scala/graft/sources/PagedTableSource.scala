@@ -135,7 +135,7 @@ class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
       Option(options.get("decodeLocation")),
       Option(options.get("maxPagesPerTrigger")).map(_.toInt).getOrElse(0))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new PagedWriteBuilder(options.get("path"), info.schema())
+    new PagedWriteBuilder(options.get("path"), info.schema(), info.queryId())
 }
 
 /** DSv2 WRITE path (§2.11 as an engine-native sink): the paged layout the
@@ -157,7 +157,8 @@ class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
   * Rename-as-commit assumes a filesystem with atomic rename (local FS
   * here; on object stores this becomes a manifest swap — same protocol,
   * different final hop). */
-class PagedWriteBuilder(path: String, schema: StructType)
+class PagedWriteBuilder(path: String, schema: StructType,
+                        queryId: String = "q")
     extends WriteBuilder with SupportsTruncate {
   require(schema.fields.forall(_.dataType == StringType),
     s"paged sink is all-string (like the layout it writes); cast first: $schema")
@@ -167,15 +168,16 @@ class PagedWriteBuilder(path: String, schema: StructType)
     override def toBatch: BatchWrite =
       new PagedBatchWrite(path, schema.fieldNames, truncateFirst)
     override def toStreaming: StreamingWrite =
-      new PagedStreamingWrite(path, schema.fieldNames)
+      new PagedStreamingWrite(path, schema.fieldNames, queryId)
   }
 }
 
 /** STREAMING_WRITE: the same staged-pages protocol, per epoch. Each
   * micro-batch's tasks stage pages; `commit(epochId, _)` publishes them
-  * as `page-<epoch>-<i>.tsv` and then — LAST, after every rename has
-  * succeeded — drops an `.epoch-<id>` marker holding the epoch's row
-  * count. The marker is the single commit point:
+  * as `page-<queryId>-<epoch>-<i>.tsv` and then — LAST, after every
+  * rename has succeeded — drops an `.epoch-<queryId>-<id>` marker
+  * holding the epoch's row count. The marker is the single commit
+  * point:
   *
   *  - marker absent ⇒ the epoch is uncommitted; a replayed commit
   *    (restart from checkpoint re-running the last batch) redoes the
@@ -193,9 +195,21 @@ class PagedWriteBuilder(path: String, schema: StructType)
   * marker and sidecar. (Batch appends interleaved with an ACTIVE stream
   * on the same dir would stale the base snapshot — unsupported, as with
   * any two uncoordinated writers sharing a sink dir.) */
-class PagedStreamingWrite(path: String, header: Array[String])
+class PagedStreamingWrite(path: String, header: Array[String],
+                          queryId: String = "q")
     extends StreamingWrite {
   private val stageDir = new java.io.File(path, s".stage-stream-${java.util.UUID.randomUUID()}")
+  // Epoch markers, page names, and the base snapshot are NAMESPACED by
+  // the STREAMING QUERY ID (stable across checkpoint restarts, fresh
+  // for a new query): a new query writing into a previously-used sink
+  // dir must not mistake the old run's `.epoch-N` markers for its own
+  // committed epochs — that would silently drop its first batches.
+  // Restarts of the SAME query (same checkpoint => same id) still
+  // recognize their own markers, which is what epoch idempotence needs.
+  private val qid = Option(queryId).getOrElse("q").replaceAll("[^A-Za-z0-9]", "").take(8) match {
+    case "" => "q"
+    case s  => s
+  }
   // Running Σ epoch-marker counts, seeded from one directory scan and
   // advanced per commit: steady-state commits are O(1), not O(epochs)
   // (a long-lived stream would otherwise pay a growing listing on every
@@ -208,7 +222,7 @@ class PagedStreamingWrite(path: String, header: Array[String])
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val marker = new java.io.File(path, s".epoch-$epochId")
+    val marker = new java.io.File(path, s".epoch-$qid-$epochId")
     val pages = messages.collect { case m: PageCommit if m.rows > 0 => m }
       .sortBy(_.partitionId)
     if (marker.exists()) {
@@ -222,7 +236,7 @@ class PagedStreamingWrite(path: String, header: Array[String])
       return
     }
     // Snapshot the pre-stream page count once (idempotent: CREATE_NEW).
-    val baseFile = new java.io.File(path, ".base-count")
+    val baseFile = new java.io.File(path, s".base-count-$qid")
     if (!baseFile.exists()) {
       try java.nio.file.Files.writeString(baseFile.toPath,
         PagedTableSource.readCount(path).toString,
@@ -230,7 +244,7 @@ class PagedStreamingWrite(path: String, header: Array[String])
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     pages.zipWithIndex.foreach { case (m, i) =>
-      val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$epochId-$i.tsv")
+      val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$qid-$epochId-$i.tsv")
       java.nio.file.Files.move(new java.io.File(m.stagedFile).toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -260,14 +274,14 @@ class PagedStreamingWrite(path: String, header: Array[String])
     * (replay, fresh instance) clears the cache and rescans. */
   private def refreshCount(): Unit = {
     val base = {
-      val f = new java.io.File(path, ".base-count")
+      val f = new java.io.File(path, s".base-count-$qid")
       if (f.exists())
         PagedTableSource.readLines(f.getAbsolutePath).mkString.trim.toLongOption.getOrElse(0L)
       else 0L
     }
     val epochs = epochTotal.getOrElse {
       Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("\\.epoch-\\d+"))
+        .filter(_.getName.matches(s"\\.epoch-$qid-\\d+"))
         .map(f => PagedTableSource.readLines(f.getAbsolutePath)
           .mkString.trim.toLongOption.getOrElse(0L))
         .sum
@@ -354,6 +368,10 @@ class PagedDataWriter(stageDir: String, header: Array[String],
   }
 
   override def commit(): WriterCommitMessage = {
+    // Zero-row partitions stage NOTHING: the driver commits only pages
+    // with rows, so a header-only staged file would never be moved and
+    // would pin the staging dir (and its tmpfs bytes) forever.
+    if (rows == 0) return PageCommit("", 0, partitionId)
     new java.io.File(stageDir).mkdirs() // the stream's commit may have
     // dropped the emptied staging dir after the previous epoch
     val f = new java.io.File(stageDir, s"part-$partitionId-$taskId")
@@ -586,7 +604,9 @@ class PagedReaderFactory(fullCols: Array[String], requiredCols: Array[String],
         case StringStartsWith(a, p)    => val v = colValue(cells, a); v != null && v.startsWith(p)
         case StringEndsWith(a, s)      => val v = colValue(cells, a); v != null && v.endsWith(s)
         case StringContains(a, s)      => val v = colValue(cells, a); v != null && v.contains(s)
-        case In(a, vs)                 => val v = colValue(cells, a); vs.contains(v)
+        // SQL semantics: NULL IN (...) is NULL => row dropped; and a
+        // null in the value list never matches anything by equality
+        case In(a, vs)                 => val v = colValue(cells, a); v != null && vs.contains(v)
         case _                         => true // unreachable: unsupported stay residual
       }
 

@@ -25,9 +25,12 @@ object GraftShim {
 
   /** Drain the listener bus (private[spark]): QueryExecutionListener
     * callbacks are asynchronous, so metric collectors must flush before
-    * their per-query readings are attributed. */
+    * their per-query readings are attributed. waitUntilEmpty throws
+    * TimeoutException after its internal 10 s budget — a backlogged bus
+    * must degrade the metric, never abort the caller's run. */
   def waitListeners(spark: SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 
   /** Register a function builder on a live session's FunctionRegistry
     * (sessionState is private[sql]; config-time registration goes through
