@@ -83,7 +83,9 @@ object EtlPipeline {
       val h = address.hashCode.toLong & 0x7fffffffL
       val lat = -38.0 + (h % 4000) / 1000.0        // [-38, -34)
       val lng = -63.0 + ((h / 4000) % 5000) / 1000.0 // [-63, -58)
-      Some(f"$lat%.3f,$lng%.3f")
+      // Locale.ROOT: the oracle's printf always uses '.', so the mock
+      // must not follow the JVM default locale's decimal separator
+      Some("%.3f,%.3f".formatLocal(java.util.Locale.ROOT, lat, lng))
     }
   }
 
@@ -143,7 +145,14 @@ object EtlPipeline {
     * location that is present for even keys and NotAvailable otherwise —
     * mirroring the reference's half-filled Localizar column), then runs
     * combine+enrich with the deterministic mock geocoder.
-    * Non-SQL-expressible (nondeterministic-marked UDF) → rows-only check. */
+    *
+    * ORACLED since round 6: the UDF's nondeterminism MARK is an
+    * optimizer fence (never duplicate/reorder the external call), but
+    * the mock itself is a pure function of the address, and Java's
+    * `String.hashCode` is expressible in DuckDB as a `list_reduce` with
+    * explicit 32-bit wraparound — so the whole E1 enrichment branch
+    * (guard, address assembly, hash, formatting) sits inside the
+    * bitwise hash gate. */
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)),
@@ -250,10 +259,54 @@ object EtlPipeline {
     "etl_jdbc_sink"   -> (jdbcSinkRoundTrip _),
   )
 
-  /** pipeline_etl's nondeterministic-marked UDF ⇒ rows-only; the source
-    * round-trip and the JDBC sink round-trip are fully deterministic ⇒
-    * oracled. */
+  /** DuckDB twin of the full pipeline: sources → union → DISTINCT →
+    * conditional enrichment, with `String.hashCode` reproduced as a
+    * list_reduce over ASCII codes with explicit signed-32-bit
+    * wraparound (the addresses are ASCII, so UTF-16 units = code
+    * points = ord()). */
+  val pipelineSql: String =
+    """WITH base AS (
+      |  SELECT c_name AS direccion, n_name AS localidad,
+      |    c_mktsegment AS rubro,
+      |    CASE WHEN c_custkey % 2 = 0 THEN
+      |      concat_ws(',',
+      |        CAST(round(-34.0 - (c_custkey % 100) / 100.0, 3) AS VARCHAR),
+      |        CAST(round(-58.0 - (c_custkey % 100) / 100.0, 3) AS VARCHAR))
+      |    ELSE 'No disponible' END AS localizar,
+      |    c_custkey
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |), combined AS (
+      |  SELECT DISTINCT direccion, localidad, rubro, localizar FROM (
+      |    SELECT direccion, localidad, rubro, localizar
+      |    FROM base WHERE c_custkey % 3 <> 0
+      |    UNION ALL
+      |    SELECT direccion, localidad, rubro, localizar
+      |    FROM base WHERE c_custkey % 2 = 0)
+      |), hashed AS (
+      |  SELECT direccion, localidad, rubro, localizar,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(
+      |          string_split(concat_ws(', ', direccion, localidad, 'ARGENTINA'), ''),
+      |          c -> CAST(ord(c) AS BIGINT))),
+      |      (a, b) -> ((31 * a + b + 2147483648) % 4294967296) - 2147483648
+      |    ) AS h
+      |  FROM combined
+      |)
+      |SELECT direccion, localidad, rubro,
+      |  CASE WHEN localizar = 'No disponible' THEN
+      |    printf('%.3f,%.3f',
+      |      -38.0 + ((h & 2147483647) % 4000) / 1000.0,
+      |      -63.0 + (((h & 2147483647) // 4000) % 5000) / 1000.0)
+      |  ELSE localizar END AS localizar
+      |FROM hashed
+      |ORDER BY direccion, localidad, rubro, localizar""".stripMargin
+
+  /** All three ETL entries are deterministic end to end ⇒ oracled (the
+    * enrichment UDF's nondeterministic MARK is an optimizer fence, not
+    * actual nondeterminism). */
   val oracles: Map[String, String] = Map(
+    "pipeline_etl"    -> pipelineSql,
     "etl_source_scan" -> sourceRoundTripSql,
     "etl_jdbc_sink"   -> jdbcSinkRoundTripSql,
   )
