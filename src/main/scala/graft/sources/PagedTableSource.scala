@@ -206,9 +206,9 @@ class PagedStreamingWrite(path: String, header: Array[String],
   // committed epochs — that would silently drop its first batches.
   // Restarts of the SAME query (same checkpoint => same id) still
   // recognize their own markers, which is what epoch idempotence needs.
-  private val qid = Option(queryId).getOrElse("q").replaceAll("[^A-Za-z0-9]", "").take(8) match {
+  private val qid = Option(queryId).getOrElse("q").replaceAll("[^A-Za-z0-9]", "") match {
     case "" => "q"
-    case s  => s
+    case s  => s // FULL id — truncating would reintroduce collision-drops
   }
   // Running Σ epoch-marker counts, seeded from one directory scan and
   // advanced per commit: steady-state commits are O(1), not O(epochs)
@@ -235,8 +235,12 @@ class PagedStreamingWrite(path: String, header: Array[String],
       stageDir.delete() // non-recursive: removes only if empty
       return
     }
-    // Snapshot the pre-stream page count once (idempotent: CREATE_NEW).
-    val baseFile = new java.io.File(path, s".base-count-$qid")
+    // Snapshot the batch-written row count once for the DIR's lifetime
+    // (idempotent: CREATE_NEW; SHARED across query generations — a
+    // per-query base would erase earlier generations' streamed rows from
+    // the sidecar whenever an older query's replay recomputed it). The
+    // batch writer keeps this base current for appends between streams.
+    val baseFile = new java.io.File(path, ".base-count")
     if (!baseFile.exists()) {
       try java.nio.file.Files.writeString(baseFile.toPath,
         PagedTableSource.readCount(path).toString,
@@ -267,21 +271,25 @@ class PagedStreamingWrite(path: String, header: Array[String],
     stageDir.delete()
   }
 
-  /** `_count` = base snapshot + Σ epoch-marker counts: DERIVED from the
-    * markers, never incremented from the old sidecar value, so commit
-    * replay cannot double-add. The marker sum is cached in memory after
-    * the first scan and advanced by the marker just written; any doubt
-    * (replay, fresh instance) clears the cache and rescans. */
+  /** `_count` = shared base snapshot + Σ epoch-marker counts across ALL
+    * query generations: DERIVED, never incremented from the old sidecar
+    * value, so commit replay cannot double-add — and an older query's
+    * replay cannot erase a newer query's rows (generations compose
+    * because the base is shared and every generation's markers count).
+    * The marker sum is cached in memory after the first scan and
+    * advanced by the marker just written (no other generation can be
+    * writing concurrently — single active writer); any doubt (replay,
+    * fresh instance) clears the cache and rescans. */
   private def refreshCount(): Unit = {
     val base = {
-      val f = new java.io.File(path, s".base-count-$qid")
+      val f = new java.io.File(path, ".base-count")
       if (f.exists())
         PagedTableSource.readLines(f.getAbsolutePath).mkString.trim.toLongOption.getOrElse(0L)
       else 0L
     }
     val epochs = epochTotal.getOrElse {
       Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches(s"\\.epoch-$qid-\\d+"))
+        .filter(_.getName.matches("\\.epoch-.+-\\d+"))
         .map(f => PagedTableSource.readLines(f.getAbsolutePath)
           .mkString.trim.toLongOption.getOrElse(0L))
         .sum
@@ -320,6 +328,11 @@ class PagedBatchWrite(path: String, header: Array[String], truncateFirst: Boolea
     if (truncateFirst) {
       PagedTableSource.pageFiles(path).foreach(f => new java.io.File(f).delete())
       new java.io.File(path, "_count").delete()
+      // a truncated dir restarts counting: stale epoch markers / base
+      // snapshots from earlier streams must not resurrect into _count
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(".epoch-") || f.getName == ".base-count")
+        .foreach(_.delete())
     }
     // K2 chunked APPEND: numbering continues past whatever pages already
     // exist, so a second write lands new pages instead of clobbering
@@ -334,9 +347,19 @@ class PagedBatchWrite(path: String, header: Array[String], truncateFirst: Boolea
         throw new java.io.IOException(s"commit rename failed: ${m.stagedFile} -> $dst")
       used += dst.getName
     }
+    val written = pages.map(_.rows).sum
     val prior = PagedTableSource.readCount(path)
     java.nio.file.Files.writeString(new java.io.File(path, "_count").toPath,
-      (prior + pages.map(_.rows).sum).toString)
+      (prior + written).toString)
+    // keep the streaming base snapshot consistent: batch-appended rows
+    // belong to the BASE term of the streamed `_count` derivation, so a
+    // later stream's refresh does not erase them
+    val baseFile = new java.io.File(path, ".base-count")
+    if (baseFile.exists()) {
+      val base = PagedTableSource.readLines(baseFile.getAbsolutePath)
+        .mkString.trim.toLongOption.getOrElse(0L)
+      java.nio.file.Files.writeString(baseFile.toPath, (base + written).toString)
+    }
     graft.tools.TempDirs.deleteRecursively(stageDir.getAbsolutePath)
   }
 
@@ -444,13 +467,15 @@ class PagedScan(fullSchema: StructType, required: StructType, path: String,
     * capability as a micro-batch source — each `latestOffset()` poll
     * lists the directory, and only pages that appeared since the last
     * committed offset are planned into the next batch. */
-  // The batch-pushed filters ride into the streaming reader too: string
-  // predicates are idempotent, so even when the engine keeps its own
-  // Filter above the streaming scan, in-reader evaluation only prunes
-  // earlier — never differently.
+  // Filter pushdown is BATCH-ONLY by engine design: Spark builds
+  // streaming scans from a bare newScanBuilder without ever calling
+  // pushFilters (only the batch V2ScanRelationPushDown rule does), so
+  // streaming predicates stay in the plan's own Filter node — correct,
+  // just not reader-pruned. Don't thread `filters` through here: it
+  // would always be empty, dead weight posing as a feature.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedMicroBatchStream(path, fullSchema.fieldNames, required.fieldNames,
-      skip, decodeCol, maxPagesPerTrigger, filters)
+      skip, decodeCol, maxPagesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] =
     PagedTableSource.pageFiles(path).map(PagePartition.apply).toArray
@@ -506,8 +531,7 @@ object PagedSourceOffset {
 class PagedMicroBatchStream(path: String, fullCols: Array[String],
                             requiredCols: Array[String], skip: Int,
                             decodeCol: Option[String],
-                            maxPagesPerTrigger: Int = 0,
-                            filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                            maxPagesPerTrigger: Int = 0)
     extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = PagedSourceOffset(Nil)
 
@@ -522,9 +546,9 @@ class PagedMicroBatchStream(path: String, fullCols: Array[String],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[PagedSourceOffset].names.toSet
-    val fresh = PagedTableSource.pageFiles(path)
+    val fresh = PagedTableSource.pageFiles(path) // already name-sorted
       .map(f => new java.io.File(f).getName)
-      .filterNot(seen).sorted
+      .filterNot(seen)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _               => fresh
@@ -549,7 +573,7 @@ class PagedMicroBatchStream(path: String, fullCols: Array[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(fullCols, requiredCols, skip, decodeCol, filters)
+    new PagedReaderFactory(fullCols, requiredCols, skip, decodeCol)
 }
 
 case class PagePartition(file: String) extends InputPartition

@@ -181,28 +181,28 @@ class PagedTableSourceSpec extends SparkSpec {
 
     // epoch 0 commits cleanly: pages published, marker holds the row count
     w.commit(0L, Array(staged("p0", Seq("a\t1", "b\t2")), staged("p1", Seq("c\t3"))))
-    assert(pages() == Seq("page-deadbeef-0-0.tsv", "page-deadbeef-0-1.tsv"))
-    assert(Files.readString(java.nio.file.Path.of(dir, ".epoch-deadbeef-0")) == "3")
+    assert(pages() == Seq("page-deadbeefcafe-0-0.tsv", "page-deadbeefcafe-0-1.tsv"))
+    assert(Files.readString(java.nio.file.Path.of(dir, ".epoch-deadbeefcafe-0")) == "3")
     assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "3")
 
     // full replay of committed epoch 0: layout untouched, re-staged files dropped
     val replay = staged("p0", Seq("a\t1", "b\t2"))
     w.commit(0L, Array(replay, staged("p1", Seq("c\t3"))))
-    assert(pages() == Seq("page-deadbeef-0-0.tsv", "page-deadbeef-0-1.tsv"))
+    assert(pages() == Seq("page-deadbeefcafe-0-0.tsv", "page-deadbeefcafe-0-1.tsv"))
     assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "3")
     assert(!new java.io.File(replay.stagedFile).exists(),
       "replayed epoch's staged files must not leak")
 
     // epoch 1 crashes AFTER publishing its page but BEFORE the marker:
     // simulate the half-finished first attempt by hand
-    Files.writeString(java.nio.file.Path.of(dir, "page-deadbeef-1-0.tsv"),
+    Files.writeString(java.nio.file.Path.of(dir, "page-deadbeefcafe-1-0.tsv"),
       Seq("k\tv", "d\t4").mkString("\n"))
-    assert(!new java.io.File(dir, ".epoch-deadbeef-1").exists())
+    assert(!new java.io.File(dir, ".epoch-deadbeefcafe-1").exists())
     // the replayed commit must RE-PUBLISH (idempotent overwrite), not skip
     w.commit(1L, Array(staged("p0", Seq("d\t4"))))
-    assert(pages() == Seq("page-deadbeef-0-0.tsv", "page-deadbeef-0-1.tsv",
-      "page-deadbeef-1-0.tsv"))
-    assert(Files.readString(java.nio.file.Path.of(dir, ".epoch-deadbeef-1")) == "1")
+    assert(pages() == Seq("page-deadbeefcafe-0-0.tsv", "page-deadbeefcafe-0-1.tsv",
+      "page-deadbeefcafe-1-0.tsv"))
+    assert(Files.readString(java.nio.file.Path.of(dir, ".epoch-deadbeefcafe-1")) == "1")
     assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "4")
 
     // a crash BETWEEN marker and _count refresh: replay repairs the sidecar
@@ -218,7 +218,7 @@ class PagedTableSourceSpec extends SparkSpec {
     // dir must NOT mistake the old run's markers for its own epochs
     val w2 = new PagedStreamingWrite(dir, Array("k", "v"), "0123456789")
     w2.commit(0L, Array(staged("p0", Seq("e\t5"))))
-    assert(pages().contains("page-01234567-0-0.tsv"),
+    assert(pages().contains("page-0123456789-0-0.tsv"),
       "second query's epoch 0 must publish despite the first query's .epoch-*-0")
     assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "5")
     val back2 = spark.read.format("graft.sources.PagedTableSource").load(dir)
@@ -250,7 +250,7 @@ class PagedTableSourceSpec extends SparkSpec {
     assert(admitted.toSeq == Seq(1, 2, 3, 4), s"got ${admitted.toSeq}")
   }
 
-  test("S5 streaming read honors row predicates (filters ride into the reader)") {
+  test("S5 streaming read honors row predicates (engine-applied Filter above the scan)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sfilter").toString
     val out = Files.createTempDirectory("graft-sfilter-out").toString
