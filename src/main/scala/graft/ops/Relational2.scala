@@ -1576,6 +1576,36 @@ object Relational2 {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** ORC round-trip: the other columnar format large estates actually
+    * hold (Hive-era lakes are ORC). Unlike CSV, ORC is typed and
+    * self-describing, so doubles survive bit-exactly — the aggregate
+    * includes a decimal-cast value sum to prove it, not just integer
+    * measures. Oracle recomputes from the parquet fixture: format
+    * conversion must be a no-op on content. */
+  def q92OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q92")
+    try {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(s"$base/events")
+      spark.read.orc(s"$base/events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint()
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q92Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Schema-evolution read: two parquet batches written with DIFFERENT
     * schemas (the second gains a column), merged by `mergeSchema` — the
     * standard reality of long-lived datasets where producers add fields.
@@ -1616,6 +1646,7 @@ object Relational2 {
     "q87_stream_upsert"   -> (q87StreamUpsert _),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
+    "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),
     "q84_stream_paged_sink" -> (q84StreamPagedSink _),
     "q85_stream_paged_source" -> (q85StreamPagedSource _),
     "q71_ewma"            -> (q71Ewma _),
@@ -1667,6 +1698,7 @@ object Relational2 {
     "q87_stream_upsert"   -> q87Sql,
     "q90_csv_roundtrip"   -> q90Sql,
     "q91_schema_evolution" -> q91Sql,
+    "q92_orc_roundtrip"   -> q92Sql,
     "q84_stream_paged_sink" -> q50Sql, // same aggregation, same cutoff — through the DSv2 sink
     "q85_stream_paged_source" -> q85Sql,
     "q71_ewma"            -> q71Sql,
