@@ -58,8 +58,13 @@ object Bench {
     // action's shuffle writes; the per-iteration average lands in the
     // bench JSON so "the dedup shuffle carries digests, not documents"
     // is a measured number, not only a plan assertion.
+    // r7 (advice): shuffleBytesWritten and sink bytesWritten are collected
+    // SEPARATELY — file/JDBC output no longer inflates the shuffle number.
+    // The per-iteration average still includes any first-iteration
+    // artifact-cache build (documented: steady state is the min column).
     val collector = graft.tools.MetricsCollector.attach(spark)
     val shuffles = scala.collection.mutable.Map[String, Double]()
+    val sinks = scala.collection.mutable.Map[String, Double]()
     // (name, median, min): the median is the headline (absorbs one bad
     // iteration); the min is recorded beside it because on a contended
     // sandbox even the median inflates — min is the best witness of what
@@ -81,6 +86,7 @@ object Bench {
       }
       org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
       shuffles(name) = collector.all.map(_.shuffleBytesWritten).sum.toDouble / iters
+      sinks(name) = collector.all.map(_.sinkBytesWritten).sum.toDouble / iters
       (name, times.sorted.apply(times.size / 2), times.min)
     }
     val results = timed.map { case (n, med, _) => n -> med }
@@ -96,7 +102,7 @@ object Bench {
     // from "silent fallback to a contended disk" for the streaming sinks.
     val scratch = graft.tools.TempDirs.resolvedRoot
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))

@@ -101,8 +101,35 @@ object TextKernels {
     }
   }
 
+  /** MinHash signature directly over a token SET (for operators whose
+    * similarity unit is the distinct-token set rather than shingles, e.g.
+    * the ngram-Jaccard big-block escape path). Same family construction as
+    * minhashSignature. Null (→ filtered) on an empty set. */
+  def minhashTokens(toks: Array[String], numHashes: Int): Array[Long] = {
+    if (toks == null || toks.isEmpty) null
+    else {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < toks.length) {
+        val h1 = hashString(toks(i), Seed)
+        var s = 0
+        while (s < numHashes) {
+          val hs = hashLong(h1, s)
+          if (hs < sig(s)) sig(s) = hs
+          s += 1
+        }
+        i += 1
+      }
+      sig
+    }
+  }
+
   val shingleUdf: UserDefinedFunction =
     udf((text: String, n: Int) => shingles(text, n))
+
+  val minhashTokensUdf: UserDefinedFunction =
+    udf((toks: Seq[String], numHashes: Int) =>
+      minhashTokens(if (toks == null) null else toks.toArray, numHashes))
 
   val minhashUdf: UserDefinedFunction =
     udf((text: String, n: Int, numHashes: Int) => minhashSignature(text, n, numHashes))

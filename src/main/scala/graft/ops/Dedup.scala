@@ -158,6 +158,9 @@ object Dedup {
   val NumHashes = 64
   val Bands     = 16  // 16 bands × 4 rows: catches Jaccard ≳ 0.5 w.h.p.
   val RowsPerBand = NumHashes / Bands
+  /** LSH band-bucket skew cap (see minhash Scaladoc: drop, don't salt —
+    * a bucket this big means the band carries no selectivity). */
+  val MinhashMaxBucket = 200
 
   val ShingleN = 3
 
@@ -195,7 +198,8 @@ object Dedup {
     * standard LSH salt-or-drop tradeoff, here: drop, since a bucket that
     * big means the band carries no selectivity). */
   def minhash(spark: SparkSession, dir: String,
-              jaccardThreshold: Double = 0.5, maxBucket: Int = 200): DataFrame = {
+              jaccardThreshold: Double = 0.5,
+              maxBucket: Int = MinhashMaxBucket): DataFrame = {
     val sigs = signatures(spark, dir)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -280,26 +284,112 @@ object Dedup {
   // Exact n-gram Jaccard within buckets (oracle-checkable)
   // ---------------------------------------------------------------------
 
+  /** Block-size guard for ngramJaccard's within-block self-join: blocks up
+    * to this many docs pair exactly (O(block²) bounded by the cap²); larger
+    * blocks ROUTE TO THE MINHASH PATH — within-block LSH banding over the
+    * token sets generates candidates sub-quadratically, and the same exact
+    * Jaccard verify runs on the survivors. Every fixture block is ≤32 docs
+    * (sf0.1), so the gate result is byte-identical to the unguarded oracle;
+    * the escape path is exercised by DedupSpec and the forced-hot-block
+    * scale probe. Minhash recall at 16×4 bands is ~certain for
+    * Jaccard ≥ 0.5 — the documented LSH trade on pathological blocks. */
+  val MaxBlockExact = 1024
+
   /** Token-set Jaccard similarity pairs within (lang, source, length)
     * blocks. The block key bounds the self-join (equi-join, never a global
     * cross product) — same bucket-then-verify shape as LSH but with a
     * semantic block, which makes it SQL-expressible for the oracle. The
     * `n_chars DIV 100` length band is the standard blocking trick: near-dup
     * texts have near-equal lengths, and pair count drops quadratically with
-    * block granularity. */
+    * block granularity. Blocks beyond [[MaxBlockExact]] escape to minhash
+    * candidate generation (see ngramJaccardOf). */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("lang"), col("source"),
-        (col("n_chars") / 100).cast("long").as("len_bucket"),
-        col("doc_id"),
-        array_distinct(tokens(col("text"))).as("toks"))
-    val a = docs.select(col("lang"), col("source"), col("len_bucket"),
+                   threshold: Double = 0.5,
+                   maxBlockExact: Int = MaxBlockExact): DataFrame =
+    ngramJaccardOf(
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("long").as("len_bucket"),
+          col("doc_id"),
+          array_distinct(tokens(col("text"))).as("toks")),
+      threshold, maxBlockExact)
+
+  /** Scale-probe helper: ngramJaccard with EVERY document forced into a
+    * single (lang, source, len_bucket) block — the pathological shape the
+    * block-size guard exists for. Bounded wall time here is the guard's
+    * empirical evidence (ScaleProbe `dedup_jaccard_hotblock`). */
+  private[graft] def ngramJaccardHotBlock(spark: SparkSession, dir: String,
+                                          threshold: Double = 0.5): DataFrame =
+    ngramJaccardOf(
+      Tables.documents(spark, dir)
+        .select(lit("xx").as("lang"), lit("hot").as("source"),
+          lit(0L).as("len_bucket"), col("doc_id"),
+          array_distinct(tokens(col("text"))).as("toks")),
+      threshold, MaxBlockExact)
+
+  /** Core of ngramJaccard over a prepared (lang, source, len_bucket,
+    * doc_id, toks) frame — split out so tests/probes can feed a forced
+    * pathological block. */
+  private[graft] def ngramJaccardOf(docs0: DataFrame, threshold: Double,
+                                    maxBlockExact: Int): DataFrame = {
+    val blockKeys = Seq("lang", "source", "len_bucket")
+    // one window pass tags each doc with its block size; both routes
+    // consume the tagged frame, so persist (the minhash-op pattern)
+    val docs = docs0.withColumn("block_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(blockKeys.map(col): _*)))
+      .persist()
+    val small = docs.filter(col("block_n") <= maxBlockExact)
+    val big = docs.filter(col("block_n") > maxBlockExact)
+
+    // exact route: block-keyed self-join, the oracle twin
+    val aS = small.select(col("lang"), col("source"), col("len_bucket"),
       col("doc_id").as("a_id"), col("toks").as("a_toks"))
-    val b = docs.select(col("lang"), col("source"), col("len_bucket"),
+    val bS = small.select(col("lang"), col("source"), col("len_bucket"),
       col("doc_id").as("b_id"), col("toks").as("b_toks"))
-    a.join(b, Seq("lang", "source", "len_bucket"))
+    val exactPairs = aS.join(bS, blockKeys)
       .filter(col("a_id") < col("b_id"))
+
+    // escape route for oversized blocks: minhash-LSH banding over the
+    // token sets WITHIN the block (slim shuffle — doc_id + band key only,
+    // the arrays rejoin for survivors), then the same exact verify. The
+    // band bucket is additionally capped like the minhash op so a
+    // degenerate band value can't rebuild the quadratic we just avoided.
+    val sigs = big
+      .select(col("lang"), col("source"), col("len_bucket"), col("doc_id"),
+        graft.functions.TextKernels.minhashTokensUdf(col("toks"), lit(NumHashes)).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(expr(s"slice(sig, ${b * RowsPerBand + 1}, $RowsPerBand)"))
+          .as("band_sig"))
+    }
+    val banded = sigs
+      .select(col("lang"), col("source"), col("len_bucket"), col("doc_id"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("doc_id"),
+        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((blockKeys :+ "band" :+ "band_sig").map(col): _*)))
+      .filter(col("bucket_n") <= MinhashMaxBucket)
+    val bandJoinKeys = blockKeys :+ "band" :+ "band_sig"
+    val candidates = banded
+      .select((bandJoinKeys.map(col) :+ col("doc_id").as("a_id")): _*)
+      .join(banded.select(
+          (bandJoinKeys.map(col) :+ col("doc_id").as("b_id")): _*),
+        bandJoinKeys)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val bigToks = big.select(col("doc_id"), col("toks"))
+    val escapePairs = candidates
+      .join(bigToks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+      .join(bigToks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
+
+    exactPairs.unionByName(escapePairs
+        .select(exactPairs.columns.toIndexedSeq.map(col): _*))
       .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
       .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
       // two token-less docs give 0/0 — ANSI mode throws even on doubles;

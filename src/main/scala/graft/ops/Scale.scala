@@ -22,14 +22,79 @@ object Scale {
     * cases adaptively; explicit salting also covers hash joins and fixed
     * partitioning, and composes with bucketing.
     */
+  /** Join types under which right-side replication is result-transparent:
+    * an unmatched RIGHT row would be emitted once per salt under
+    * right/full-outer, so those are rejected rather than silently wrong. */
+  private val saltSafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "leftsemi", "left_semi",
+      "leftanti", "left_anti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(saltSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin replicates every right row $saltFactor times; " +
+        s"'$joinType' would emit unmatched right rows once per salt — " +
+        "only inner/left-family join types are salt-safe")
     val salted = left.withColumn("_salt",
       pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Hot keys of `left` on `key`: keys whose estimated row count exceeds
+    * `hotRowThreshold`, detected from a seeded sample (fraction 1.0 = exact
+    * count — the deterministic choice for gates/tests; a 100 TB caller
+    * samples ~1e-4). The result is small BY CONSTRUCTION: a key needs
+    * ≥ threshold·fraction sampled rows to qualify, so at most
+    * |sample| / (threshold·fraction) = |left| / threshold keys survive —
+    * broadcastable whenever the threshold is meaningfully skew-sized.
+    * localCheckpoint materializes the set once so the four semi/anti
+    * consumers in targetedSaltedJoin don't recompute the aggregation. */
+  private[graft] def detectHotKeys(left: DataFrame, key: String,
+                                   hotRowThreshold: Long,
+                                   sampleFraction: Double = 1.0): DataFrame = {
+    require(hotRowThreshold > 0 && sampleFraction > 0 && sampleFraction <= 1.0)
+    val sampled =
+      if (sampleFraction >= 1.0) left.select(col(key))
+      else left.select(col(key))
+        .sample(withReplacement = false, sampleFraction, seed = 42L)
+    sampled.groupBy(col(key)).count()
+      .filter(col("count") >= math.max(1L,
+        math.ceil(hotRowThreshold * sampleFraction).toLong))
+      .select(col(key))
+      .localCheckpoint()
+  }
+
+  /** TARGETED skew salting: salt ONLY the keys that are actually hot.
+    *
+    * The blanket form above replicates the whole right side saltFactor× —
+    * at 100 TB with a non-tiny dimension that 8× blow-up is paid for every
+    * key, hot or not. This variant samples the left side, detects keys
+    * above a row-count threshold, routes ONLY those through the salted
+    * join, and unions with a plain join of the cold keys — so the
+    * replication cost scales with the hot set (a handful of keys), not the
+    * dimension. The hot-key set is broadcast into semi/anti splits of both
+    * sides (never an IN-literal list — plan size stays O(1) in hot-key
+    * count). Same join-type constraint as saltedJoin; the cold branch is a
+    * plain join, so AQE still handles residual mild skew there.
+    */
+  def targetedSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                         saltFactor: Int, hotRowThreshold: Long,
+                         sampleFraction: Double = 1.0,
+                         joinType: String = "inner"): DataFrame = {
+    require(saltSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"targetedSaltedJoin: '$joinType' is not salt-safe (see saltedJoin)")
+    val hot = broadcast(
+      detectHotKeys(left, key, hotRowThreshold, sampleFraction))
+    val hotJoin = saltedJoin(
+      left.join(hot, Seq(key), "left_semi"),
+      right.join(hot, Seq(key), "left_semi"),
+      key, saltFactor, joinType)
+    val coldJoin = left.join(hot, Seq(key), "left_anti")
+      .join(right.join(hot, Seq(key), "left_anti"), Seq(key), joinType)
+    hotJoin.unionByName(coldJoin)
   }
 
   /** Write both sides bucketed+sorted by the join key, then join the
@@ -38,9 +103,26 @@ object Scale {
     * biggest recurring fact-fact shuffle into a one-time layout cost that
     * every subsequent join amortizes. Returns the joined plan; callers
     * assert on `.queryExecution` (see ScaleSpec). */
+  /** Drop a managed table AND its on-disk location: with the in-memory
+    * session catalog, a warehouse dir that outlives the session (e.g. a
+    * fresh Verify run over the same cwd) still holds the previous run's
+    * table directory, which saveAsTable refuses to adopt
+    * (LOCATION_ALREADY_EXISTS) — the catalog forgot it, the filesystem
+    * didn't. Overwrite semantics here must mean both. */
+  private def resetManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(wh, name.toLowerCase(java.util.Locale.ROOT))
+    if (loc.exists())
+      graft.tools.TempDirs.deleteRecursively(loc.getAbsolutePath)
+  }
+
   def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
                    key: String, buckets: Int,
                    leftName: String, rightName: String): DataFrame = {
+    resetManagedTable(spark, leftName)
+    resetManagedTable(spark, rightName)
     left.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(leftName)
     right.write.mode("overwrite")
@@ -77,11 +159,64 @@ object Scale {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** The TARGETED salted join through the HASH GATE, against the same
+    * plain-join oracle as q86: hotRowThreshold=7 marks exactly the orders
+    * with the maximum lineitem count as hot (a real, deterministic subset
+    * at every SF — TPC-H caps lineitems per order at 7), so the salted
+    * branch, the cold plain branch, AND the union seam are all exercised,
+    * and the gate proves the routing is result-transparent. ScaleSpec
+    * separately proves only hot keys pay the replication. */
+  def q93TargetedSalt(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    targetedSaltedJoin(li, ord, "l_orderkey", saltFactor = 8,
+        hotRowThreshold = 7L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The BUCKETED-TABLE round trip through the HASH GATE: both sides are
+    * written bucketed+sorted on the join key, read back from the catalog,
+    * joined, and aggregated — against the same plain-join oracle as q86,
+    * so the gate proves the bucketed layout is content-transparent
+    * end-to-end (write → catalog read → co-located join). ScaleSpec
+    * separately plan-asserts the join runs with NO Exchange on either
+    * side — the one-time layout cost that every subsequent fact-fact
+    * join amortizes at 100 TB. Phase timings split the layout write from
+    * the join so the bench shows the amortizable term. */
+  def q94BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val t0 = System.nanoTime()
+    val joined = bucketedJoin(spark, li, ord, "l_orderkey", buckets = 8,
+      "graft_q94_lineitem", "graft_q94_orders")
+    graft.tools.PhaseTiming.record("layout_write", (System.nanoTime() - t0) / 1e9)
+    joined
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q86_salted_join" -> (q86SaltedJoin _),
+    "q86_salted_join"   -> (q86SaltedJoin _),
+    "q93_targeted_salt" -> (q93TargetedSalt _),
+    "q94_bucketed_join" -> (q94BucketedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
-    "q86_salted_join" -> q86Sql,
+    "q86_salted_join"   -> q86Sql,
+    "q93_targeted_salt" -> q86Sql,
+    "q94_bucketed_join" -> q86Sql,
   )
 }

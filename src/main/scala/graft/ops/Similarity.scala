@@ -350,6 +350,12 @@ object Similarity {
     "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_topk_lsh"   -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "sim_topk_ann"   -> ((s: SparkSession, d: String) => annTopK(s, d)),
+    // The planner's ABOVE-crossover regime, driver-visible: force the LSH
+    // branch via the injectable predicate so the second regime shows up in
+    // the correctness artifact (rows-only — LSH recall on the small fixture
+    // is approximation-structure-specific; SimilaritySpec separately proves
+    // the two branches bitwise-equal on a recall-1.0 corpus).
+    "sim_topk_ann_lsh" -> ((s: SparkSession, d: String) => annTopK(s, d, _ => true)),
   )
 
   /** Brute force + aggregator variants are exact math → oracled; IVF/LSH

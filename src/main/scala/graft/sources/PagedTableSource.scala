@@ -247,6 +247,19 @@ class PagedStreamingWrite(path: String, header: Array[String],
         java.nio.file.StandardOpenOption.CREATE_NEW)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
+    // TRUE epoch overwrite, not a prefix overwrite: a crashed first
+    // attempt may have published pages at indices (or for partitions)
+    // this replay doesn't produce — e.g. row-to-partition assignment
+    // differed across attempts. Renaming over indices 0..n-1 alone would
+    // leave those higher-index pages as silent duplicates, so every
+    // pre-existing page of THIS (queryId, epoch) is removed first. The
+    // marker is still absent at this point, so a crash mid-delete just
+    // means another full republish.
+    val epochPagePrefix = s"${PagedTableSource.PagePrefix}$qid-$epochId-"
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(epochPagePrefix) &&
+        f.getName.endsWith(".tsv"))
+      .foreach(_.delete())
     pages.zipWithIndex.foreach { case (m, i) =>
       val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$qid-$epochId-$i.tsv")
       java.nio.file.Files.move(new java.io.File(m.stagedFile).toPath, dst.toPath,

@@ -16,6 +16,7 @@ class MetricsCollector extends QueryExecutionListener {
 
   case class QueryMetrics(action: String, durationNs: Long,
                           rowsRead: Long, shuffleBytesWritten: Long,
+                          sinkBytesWritten: Long,
                           diskSpillBytes: Long, failed: Boolean)
 
   private val buf = mutable.ArrayBuffer.empty[QueryMetrics]
@@ -41,19 +42,24 @@ class MetricsCollector extends QueryExecutionListener {
 
   private def collect(qe: QueryExecution, action: String, ns: Long,
                       failed: Boolean): Unit = {
-    var rows = 0L; var shuffle = 0L; var spill = 0L
+    var rows = 0L; var shuffle = 0L; var sink = 0L; var spill = 0L
     walk(qe.executedPlan) { node =>
       node.metrics.foreach { case (name, m) =>
         name match {
           case "numOutputRows" if node.children.isEmpty &&
             node.nodeName.contains("Scan") => rows += m.value
-          case "shuffleBytesWritten" | "bytesWritten" => shuffle += m.value
-          case "spillSize" | "diskBytesSpilled"       => spill += m.value
+          // shuffle and sink output are DIFFERENT claims: folding file/
+          // JDBC writes into "shuffle" would inflate the slim-shuffle
+          // evidence for write-heavy queries, so they are tracked apart
+          case "shuffleBytesWritten"            => shuffle += m.value
+          case "bytesWritten"                   => sink += m.value
+          case "spillSize" | "diskBytesSpilled" => spill += m.value
           case _ =>
         }
       }
     }
-    buf.synchronized(buf += QueryMetrics(action, ns, rows, shuffle, spill, failed))
+    buf.synchronized(
+      buf += QueryMetrics(action, ns, rows, shuffle, sink, spill, failed))
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

@@ -27,6 +27,12 @@ object ScaleProbe {
     val mult = args.lift(1).flatMap(_.toIntOption).getOrElse(20)
     val outDir = args.lift(2).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-scale").toString)
+    // optional 4th arg: comma-separated probe names to run ("paged" gates
+    // the streaming block). Empty/absent = run everything. A 100× run of
+    // just the superlinear-risk pipelines doesn't need the full battery.
+    val only = args.lift(3).map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def want(n: String) = only.isEmpty || only.contains(n)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -90,7 +96,7 @@ object ScaleProbe {
     // many pages, multiple epochs, a FORCED engine-level epoch replay, and
     // a read-back fingerprint against the batch aggregate. This is the
     // stream-in/stream-out shape of q84/q85 at ~500+ pages instead of 5.
-    val pagedResults = {
+    val pagedResults = if (!want("paged")) Seq.empty else {
       import graft.sources.PagedTableSource
       val src = s"$outDir/paged_src"
       val dst = s"$outDir/paged_dst"
@@ -163,30 +169,45 @@ object ScaleProbe {
       Seq(wavesRes, replayRes, verifyRes)
     }
 
-    val results = pagedResults ++ Seq(
-      time("corpus_pack")       { graft.ops.Corpus.queries("corpus_pack")(spark, outDir).count() },
-      time("corpus_budget")     { graft.ops.Corpus.queries("corpus_budget")(spark, outDir).count() },
-      time("corpus_balance")    { graft.ops.Corpus.queries("corpus_balance")(spark, outDir).count() },
-      time("corpus_shard")      { graft.ops.Corpus.queries("corpus_shard")(spark, outDir).count() },
-      time("corpus_vocab_prune"){ graft.ops.Corpus.queries("corpus_vocab_prune")(spark, outDir).count() },
-      time("pipeline_shards")   { graft.ops.Corpus.queries("pipeline_shards")(spark, outDir).count() },
-      time("dedup_exact")       { graft.ops.Dedup.exact(spark, outDir).count() },
-      time("dedup_fuzzy")       { graft.ops.Dedup.fuzzy(spark, outDir).count() },
-      time("dedup_incremental") { graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count() },
-      time("dedup_minhash")     { graft.ops.Dedup.minhash(spark, outDir).count() },
-      time("dedup_simhash")     { graft.ops.Dedup.simhash(spark, outDir).count() },
-      time("text_tfidf")        { graft.ops.TextAnalysis.queries("text_tfidf")(spark, outDir).count() },
-      time("text_inverted_index") { graft.ops.TextAnalysis.queries("text_inverted_index")(spark, outDir).count() },
-      time("text_langid")       { graft.ops.TextAnalysis.queries("text_langid")(spark, outDir).count() },
-      time("mm_decode_real")    { graft.ops.Multimodal.queries("mm_decode_real")(spark, outDir).count() },
-      time("mm_audio_windows")  { graft.ops.Multimodal.queries("mm_audio_windows")(spark, outDir).count() },
-      time("graph_pagerank")    { graft.ops.Graph.pagerank(spark, outDir).count() },
-      time("q67_upsert_merge")  { graft.ops.Relational2.q67UpsertMerge(spark, outDir).count() },
-      time("q87_stream_upsert") { graft.ops.Relational2.q87StreamUpsert(spark, outDir).count() },
+    val battery: Seq[(String, () => Long)] = Seq(
+      "corpus_pack"        -> (() => graft.ops.Corpus.queries("corpus_pack")(spark, outDir).count()),
+      "corpus_budget"      -> (() => graft.ops.Corpus.queries("corpus_budget")(spark, outDir).count()),
+      "corpus_balance"     -> (() => graft.ops.Corpus.queries("corpus_balance")(spark, outDir).count()),
+      "corpus_shard"       -> (() => graft.ops.Corpus.queries("corpus_shard")(spark, outDir).count()),
+      "corpus_vocab_prune" -> (() => graft.ops.Corpus.queries("corpus_vocab_prune")(spark, outDir).count()),
+      "pipeline_shards"    -> (() => graft.ops.Corpus.queries("pipeline_shards")(spark, outDir).count()),
+      "dedup_exact"        -> (() => graft.ops.Dedup.exact(spark, outDir).count()),
+      "dedup_fuzzy"        -> (() => graft.ops.Dedup.fuzzy(spark, outDir).count()),
+      "dedup_incremental"  -> (() => graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count()),
+      "dedup_minhash"      -> (() => graft.ops.Dedup.minhash(spark, outDir).count()),
+      "dedup_simhash"      -> (() => graft.ops.Dedup.simhash(spark, outDir).count()),
+      // forced pathological block: EVERY probe document lands in one
+      // (lang, source, len_bucket) block — the shape that would hang the
+      // unguarded O(block²) self-join; bounded time here IS the guard's
+      // evidence (oversized blocks route to the minhash escape path)
+      "dedup_jaccard_hotblock" -> (() =>
+        graft.ops.Dedup.ngramJaccardHotBlock(spark, outDir).count()),
+      "text_tfidf"         -> (() => graft.ops.TextAnalysis.queries("text_tfidf")(spark, outDir).count()),
+      "text_inverted_index"-> (() => graft.ops.TextAnalysis.queries("text_inverted_index")(spark, outDir).count()),
+      "text_langid"        -> (() => graft.ops.TextAnalysis.queries("text_langid")(spark, outDir).count()),
+      "mm_decode_real"     -> (() => graft.ops.Multimodal.queries("mm_decode_real")(spark, outDir).count()),
+      "mm_audio_windows"   -> (() => graft.ops.Multimodal.queries("mm_audio_windows")(spark, outDir).count()),
+      "graph_pagerank"     -> (() => graft.ops.Graph.pagerank(spark, outDir).count()),
+      "q67_upsert_merge"   -> (() => graft.ops.Relational2.q67UpsertMerge(spark, outDir).count()),
+      "q87_stream_upsert"  -> (() => graft.ops.Relational2.q87StreamUpsert(spark, outDir).count()),
     )
+    val results = pagedResults ++
+      battery.filter(p => want(p._1)).map { case (n, f) => time(n)(f()) }
+    // peak heap across all pools: the "no cliff" claim needs a memory
+    // number next to the wall times (collected AFTER the probes so every
+    // pool's high-water mark is final)
+    val peakHeapMb = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans).asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
     val json = results.map { case (n, t, r) => s""""$n":{"sec":$t,"rows":$r}""" }
       .mkString(",")
-    println(s"""probe-summary {"mult":$mult,"docs":${nDocs * mult},$json}""")
+    println(s"""probe-summary {"mult":$mult,"docs":${nDocs * mult},"peak_heap_mb":$peakHeapMb,$json}""")
     spark.stop()
   }
 }

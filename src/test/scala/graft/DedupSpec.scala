@@ -207,6 +207,27 @@ class DedupSpec extends SparkSpec {
       (3L, 3L, 1L, 1))) // singleton keeps itself
   }
 
+  test("ngramJaccard oversized blocks route to minhash with the same pairs") {
+    // ONE pathological block (same lang/source/len_bucket) of 60 docs:
+    // 30 planted near-dup pairs (Jaccard 19/20 = 0.95) on disjoint token
+    // vocabularies. Guarded run (cap 20 → whole block escapes to the
+    // within-block minhash route) must return exactly the exact-route
+    // pairs — at s=0.95 the 16×4 band miss probability is ~2e-12, and the
+    // hashes are deterministic, so equality is a stable assertion.
+    val docs = (0 until 30).flatMap { p =>
+      val vocab = (0 until 20).map(t => s"w${p}_$t")
+      Seq((2L * p, vocab), (2L * p + 1, vocab.drop(1)))
+    }.map { case (id, toks) => ("en", "s", 0L, id, toks) }
+      .toDF("lang", "source", "len_bucket", "doc_id", "toks")
+    def run(cap: Int) =
+      ops.Dedup.ngramJaccardOf(docs, 0.5, maxBlockExact = cap)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val exact = run(10000)
+    val guarded = run(20)
+    assert(exact.size == 30)
+    assert(guarded == exact)
+  }
+
   test("fuzzy entity match: typo-level name variants inside blocks only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString

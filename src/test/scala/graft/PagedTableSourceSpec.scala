@@ -226,6 +226,83 @@ class PagedTableSourceSpec extends SparkSpec {
       Seq("a", "b", "c", "d", "e"))
   }
 
+  test("uncommitted-epoch replay removes orphan pages of the crashed attempt") {
+    import graft.sources.{PagedStreamingWrite, PageCommit}
+    // A crashed FIRST attempt published pages at indices 0 and 1 (marker
+    // never landed); the replay's row-to-partition assignment produced
+    // only ONE non-empty partition. The commit must be a true epoch
+    // overwrite: the index-1 orphan would otherwise survive as silent
+    // duplicate rows AND contradict the marker-derived _count.
+    val dir = Files.createTempDirectory("graft-orphan").toString
+    val stage = Files.createTempDirectory("graft-orphan-stage").toString
+    Files.writeString(java.nio.file.Path.of(dir, "page-feed-0-0.tsv"),
+      Seq("k\tv", "x\t1").mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(dir, "page-feed-0-1.tsv"),
+      Seq("k\tv", "y\t2").mkString("\n"))
+    val f = java.nio.file.Path.of(stage, "p0")
+    Files.writeString(f, Seq("k\tv", "x\t1", "y\t2").mkString("\n"))
+    val w = new PagedStreamingWrite(dir, Array("k", "v"), "feed")
+    w.commit(0L, Array(PageCommit(f.toString, 2L, 0)))
+    val pages = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("page-")).sorted.toSeq
+    assert(pages == Seq("page-feed-0-0.tsv"),
+      s"orphan page of the crashed attempt must be removed, got $pages")
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "2")
+    val back = spark.read.format("graft.sources.PagedTableSource").load(dir)
+    assert(back.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+  }
+
+  test("writer task killed on first attempt: layout + _count equal the clean run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, udf}
+    import spark.implicits._
+    // q84-style staging with REAL task-level failure injection: every
+    // write-stage task's first attempt dies mid-write (TaskContext
+    // attemptNumber 0), the engine retries (local[4, 2]), and the final
+    // published layout must be byte-identical to a run with no failures —
+    // page set (modulo the per-run query id), page contents, and _count.
+    def run(inject: Boolean): (Seq[String], Seq[String], String) = {
+      val base = Files.createTempDirectory("graft-taskfail").toString
+      implicit val sql = spark.sqlContext
+      val ms = MemoryStream[(Int, String)]
+      val boom = udf((s: String) => {
+        val tc = org.apache.spark.TaskContext.get()
+        if (inject && tc != null && tc.attemptNumber() == 0)
+          throw new RuntimeException("injected task failure (attempt 0)")
+        s
+      })
+      val df = ms.toDF().toDF("k", "v")
+        .repartition(2, col("k"))
+        .select(boom(col("k").cast("string")).as("k"), col("v").cast("string").as("v"))
+      val q = df.writeStream
+        .format("graft.sources.PagedTableSource")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try {
+        ms.addData((1, "a"), (2, "b"), (3, "c"))
+        q.processAllAvailable()
+        ms.addData((4, "d"), (5, "e"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val files = new java.io.File(s"$base/out").listFiles()
+        .filter(_.getName.startsWith("page-")).sortBy(_.getName)
+      // page-<qid>-<epoch>-<i>.tsv — qid is the per-run streaming id, so
+      // compare the (epoch, index) layout, not the raw names
+      val layout = files.map(_.getName.split("-").takeRight(2).mkString("-")).toSeq.sorted
+      val rows = files.flatMap(f => Files.readString(f.toPath).linesIterator.drop(1))
+        .toSeq.sorted
+      val count = Files.readString(java.nio.file.Path.of(s"$base/out", "_count"))
+      (layout, rows, count)
+    }
+    val clean = run(inject = false)
+    val failed = run(inject = true)
+    assert(failed == clean,
+      s"retried run diverged from clean run:\n  clean=$clean\n  failed=$failed")
+    assert(clean._3 == "5")
+  }
+
   test("S5 admission control: maxPagesPerTrigger bounds pages per micro-batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-admission").toString

@@ -8,7 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, 2 task attempts — task-level retry is ON
+      // so the failure-injection specs can prove the write protocols
+      // survive a killed first attempt (local[4] makes any task throw
+      // fatal, which would leave the retry paths untestable).
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
