@@ -57,25 +57,8 @@ object TextKernels {
     * Family trick: hash each shingle string once, then derive member s via
     * a long re-hash — identical structure to the expression version, just
     * compiled. Returns null (→ filtered) when there are no shingles. */
-  def minhashSignature(text: String, n: Int, numHashes: Int): Array[Long] = {
-    val sh = shingles(text, n)
-    if (sh.isEmpty) null
-    else {
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      while (i < sh.length) {
-        val h1 = hashString(sh(i), Seed)
-        var s = 0
-        while (s < numHashes) {
-          val hs = hashLong(h1, s)
-          if (hs < sig(s)) sig(s) = hs
-          s += 1
-        }
-        i += 1
-      }
-      sig
-    }
-  }
+  def minhashSignature(text: String, n: Int, numHashes: Int): Array[Long] =
+    minhashTokens(shingles(text, n), numHashes)
 
   /** 64-bit SimHash: every token occurrence votes ±1 per bit of its
     * xxhash64; the sign vector is the fingerprint. Null on empty docs. */
@@ -101,10 +84,10 @@ object TextKernels {
     }
   }
 
-  /** MinHash signature directly over a token SET (for operators whose
-    * similarity unit is the distinct-token set rather than shingles, e.g.
-    * the ngram-Jaccard big-block escape path). Same family construction as
-    * minhashSignature. Null (→ filtered) on an empty set. */
+  /** MinHash signature over a set of strings — the single family kernel:
+    * minhashSignature feeds it shingles, the ngram-Jaccard big-block
+    * escape path feeds it distinct tokens. Null (→ filtered) on an empty
+    * set. */
   def minhashTokens(toks: Array[String], numHashes: Int): Array[Long] = {
     if (toks == null || toks.isEmpty) null
     else {
@@ -124,8 +107,37 @@ object TextKernels {
     }
   }
 
+  /** Exact Jaccard of two DISTINCT string sets — the compiled replacement
+    * for `size(array_intersect)/size(array_union)`, whose string-array
+    * forms evaluate INTERPRETED (SQLOpenHashSet nullSafeEval) and were
+    * measured dominating the near-dup verify stages at the 100× probe
+    * (straggler tasks pinned in ArrayUnion.eval). Inputs are already
+    * distinct (array_distinct / the shingle kernel's LinkedHashSet), so
+    * |union| = |a|+|b|−|a∩b| and the double ratio is bit-identical to the
+    * SQL form — the DuckDB oracles are unchanged. Null (→ dropped at the
+    * threshold filter) on a null side or an empty union, matching
+    * `when(uni > 0, inter/uni)`. */
+  def jaccardDistinct(a: Array[String], b: Array[String]): java.lang.Double = {
+    if (a == null || b == null) null
+    else {
+      val set = new java.util.HashSet[String](math.max(4, a.length * 2))
+      var i = 0
+      while (i < a.length) { set.add(a(i)); i += 1 }
+      var inter = 0
+      var j = 0
+      while (j < b.length) { if (set.contains(b(j))) inter += 1; j += 1 }
+      val uni = a.length + b.length - inter
+      if (uni == 0) null else java.lang.Double.valueOf(inter.toDouble / uni)
+    }
+  }
+
   val shingleUdf: UserDefinedFunction =
     udf((text: String, n: Int) => shingles(text, n))
+
+  val jaccardUdf: UserDefinedFunction =
+    udf((a: Seq[String], b: Seq[String]) => jaccardDistinct(
+      if (a == null) null else a.toArray,
+      if (b == null) null else b.toArray))
 
   val minhashTokensUdf: UserDefinedFunction =
     udf((toks: Seq[String], numHashes: Int) =>

@@ -125,14 +125,11 @@ object Dedup {
       .select(col("lang"), col("source"), col("len_bucket"),
         col("doc_id").as("eval_id"), col("toks").as("eval_toks"))
     eval_.join(train, Seq("lang", "source", "len_bucket"))
-      .withColumn("inter",
-        size(array_intersect(col("eval_toks"), col("train_toks"))).cast("double"))
-      .withColumn("uni",
-        size(array_union(col("eval_toks"), col("train_toks"))).cast("double"))
-      // two token-less docs give 0/0 — ANSI mode throws even on doubles;
-      // null jaccard drops at the threshold filter, matching the oracle
-      .withColumn("jaccard",
-        when(col("uni") > 0, col("inter") / col("uni")))
+      // compiled jaccard kernel: null on 0/0 drops at the filter, and the
+      // interpreted array_intersect/array_union pair never runs (oracle
+      // value identical — integer counts, exact division)
+      .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
+        col("eval_toks"), col("train_toks")))
       .filter(col("jaccard") >= threshold)
       .select(col("eval_id"), col("train_id"), col("jaccard"))
       .orderBy(col("eval_id"), col("train_id"))
@@ -231,9 +228,11 @@ object Dedup {
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
-      .withColumn("uni", size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+      // compiled jaccard kernel (shingle sets are nonempty, so the ratio
+      // is always defined): the interpreted array_intersect/array_union
+      // pair was the 100×-probe verify bottleneck
+      .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
+        col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
@@ -333,14 +332,21 @@ object Dedup {
   private[graft] def ngramJaccardOf(docs0: DataFrame, threshold: Double,
                                     maxBlockExact: Int): DataFrame = {
     val blockKeys = Seq("lang", "source", "len_bucket")
-    // one window pass tags each doc with its block size; both routes
-    // consume the tagged frame, so persist (the minhash-op pattern)
-    val docs = docs0.withColumn("block_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(blockKeys.map(col): _*)))
-      .persist()
-    val small = docs.filter(col("block_n") <= maxBlockExact)
-    val big = docs.filter(col("block_n") > maxBlockExact)
+    // Route selection must not itself concentrate the data: block sizes
+    // come from a SLIM aggregation (block keys only — partial map-side
+    // combine, never the token arrays), and the oversized-block key set —
+    // tiny by construction (block cardinality ≪ docs) — broadcasts into
+    // semi/anti splits, so the documents frame is tagged map-side and
+    // never shuffles just to learn its block size. No persist: each
+    // consumer re-runs the codegen'd scan+tokenize, which at scale beats
+    // pinning a tokenized copy of the corpus in executor storage.
+    val hotBlocks = broadcast(docs0
+      .groupBy(blockKeys.map(col): _*).count()
+      .filter(col("count") > maxBlockExact)
+      .select(blockKeys.map(col): _*)
+      .localCheckpoint())
+    val small = docs0.join(hotBlocks, blockKeys, "left_anti")
+    val big = docs0.join(hotBlocks, blockKeys, "left_semi")
 
     // exact route: block-keyed self-join, the oracle twin
     val aS = small.select(col("lang"), col("source"), col("len_bucket"),
@@ -390,12 +396,12 @@ object Dedup {
 
     exactPairs.unionByName(escapePairs
         .select(exactPairs.columns.toIndexedSeq.map(col): _*))
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
-      .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))).cast("double"))
-      // two token-less docs give 0/0 — ANSI mode throws even on doubles;
-      // null jaccard drops at the threshold filter, matching the oracle
-      .withColumn("jaccard",
-        when(col("uni") > 0, col("inter") / col("uni")))
+      // compiled jaccard kernel: two token-less docs give 0/0 → kernel
+      // returns null → dropped at the filter, matching the oracle; the
+      // interpreted array_intersect/array_union pair (the 100×-probe
+      // verify bottleneck) never runs
+      .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
+        col("a_toks"), col("b_toks")))
       .filter(col("jaccard") >= threshold)
       .select(col("lang"), col("source"), col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("lang"), col("source"), col("a_id"), col("b_id"))

@@ -215,6 +215,12 @@ class PagedStreamingWrite(path: String, header: Array[String],
   // (a long-lived stream would otherwise pay a growing listing on every
   // epoch). The replay/repair branch still rescans — replays are rare.
   private var epochTotal: Option[Long] = None
+  // Orphan pages from a CRASHED attempt can only pre-exist on this
+  // instance's FIRST marker-absent commit (the epoch in flight at the
+  // crash): within one instance, every later epoch's page names are
+  // fresh and this instance is the single writer. Gating the sweep on
+  // this flag keeps steady-state commits free of directory listings.
+  private var sweptReplayOrphans = false
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     stageDir.mkdirs()
@@ -254,12 +260,20 @@ class PagedStreamingWrite(path: String, header: Array[String],
     // leave those higher-index pages as silent duplicates, so every
     // pre-existing page of THIS (queryId, epoch) is removed first. The
     // marker is still absent at this point, so a crash mid-delete just
-    // means another full republish.
-    val epochPagePrefix = s"${PagedTableSource.PagePrefix}$qid-$epochId-"
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(epochPagePrefix) &&
-        f.getName.endsWith(".tsv"))
-      .foreach(_.delete())
+    // means another full republish. Only the first marker-absent commit
+    // per instance can meet orphans (see sweptReplayOrphans) — later
+    // epochs skip the listing. Contract note: pages of an UNCOMMITTED
+    // epoch (marker absent) are not stable — a reader that admits them
+    // mid-replay may see them deleted/rewritten; readers must treat a
+    // sink dir as consistent only at marker granularity (the engine's
+    // own read path lists pages after commit, which satisfies this).
+    if (!sweptReplayOrphans) {
+      val epochPagePrefix = s"${PagedTableSource.PagePrefix}$qid-$epochId-"
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(epochPagePrefix) &&
+          f.getName.endsWith(".tsv"))
+        .foreach(_.delete())
+    }
     pages.zipWithIndex.foreach { case (m, i) =>
       val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$qid-$epochId-$i.tsv")
       java.nio.file.Files.move(new java.io.File(m.stagedFile).toPath, dst.toPath,
@@ -275,7 +289,9 @@ class PagedStreamingWrite(path: String, header: Array[String],
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     // advance the cached marker sum by the epoch just written (a rescan
     // inside refreshCount would already see the new marker, so only a
-    // SEEDED cache needs the delta)
+    // SEEDED cache needs the delta). The orphan sweep retires only once a
+    // commit fully lands — an exception above leaves it armed.
+    sweptReplayOrphans = true
     epochTotal = epochTotal.map(_ + epochRows)
     refreshCount()
     // All staged files were moved out by the renames; drop the (empty)

@@ -45,9 +45,17 @@ object ScaleProbe {
 
     val reps = spark.range(mult).withColumnRenamed("id", "rep")
 
+    // The synthetic corpus is a deterministic function of (sfDir, mult):
+    // when the outDir already holds a finished build (customer is written
+    // last), reuse it — repeated probe invocations then measure only the
+    // operators, not the corpus write.
+    val corpusReady = new java.io.File(s"$outDir/customer.parquet/_SUCCESS").exists()
+    if (corpusReady) println(s"probe corpus reused at $outDir")
+
     // documents: MULT copies per doc; rep < MULT/2 exact, rest perturbed
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
+    if (!corpusReady) {
     docs.crossJoin(broadcast(reps))
       .select(
         (col("doc_id") + col("rep") * nDocs).as("doc_id"),
@@ -56,11 +64,13 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
     // events: shifted ids/users, ts kept as NANOS LONG (fixture encoding)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val nEv = events.count()
+    if (!corpusReady) {
     val maxUser = events.agg(max("user_id")).head.getLong(0) + 1
     events.crossJoin(broadcast(reps))
       .select(
@@ -81,14 +91,21 @@ object ScaleProbe {
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    }
 
     println(s"probe corpus at $outDir: ${nDocs * mult} docs, ${nEv * mult} events")
 
     def time(name: String)(f: => Long): (String, Double, Long) = {
+      PhaseTiming.drain() // drop leftovers from the prior probe
       val t0 = System.nanoTime()
       val rows = f
       val t = (System.nanoTime() - t0) / 1e9
       println(f"probe $name%-22s $t%8.1f s  ($rows rows)")
+      // operators that record phases (artifact builds, supersteps) show
+      // the split here — which term dominates IS the probe's finding
+      PhaseTiming.drain().toSeq.sortBy(_._1).foreach { case (k, v) =>
+        println(f"probe   phase $k%-20s $v%8.1f s")
+      }
       (name, t, rows)
     }
 
