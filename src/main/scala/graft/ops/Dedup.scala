@@ -196,7 +196,8 @@ object Dedup {
     * big means the band carries no selectivity). */
   def minhash(spark: SparkSession, dir: String,
               jaccardThreshold: Double = 0.5,
-              maxBucket: Int = MinhashMaxBucket): DataFrame = {
+              maxBucket: Int = MinhashMaxBucket,
+              sorted: Boolean = true): DataFrame = {
     val sigs = signatures(spark, dir)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -225,7 +226,7 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
     // exact-verify: fetch shingle sets for candidates only
     val sh = shingleSets(spark, dir)
-    candidates
+    val verified = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
       // compiled jaccard kernel (shingle sets are nonempty, so the ratio
@@ -235,7 +236,9 @@ object Dedup {
         col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+    // the global sort is dump-determinism only; artifact consumers skip
+    // it — its RangePartitioner sampling pass re-runs the pair pipeline
+    if (sorted) verified.orderBy(col("a_id"), col("b_id")) else verified
   }
 
   // ---------------------------------------------------------------------
@@ -329,8 +332,25 @@ object Dedup {
   /** Core of ngramJaccard over a prepared (lang, source, len_bucket,
     * doc_id, toks) frame — split out so tests/probes can feed a forced
     * pathological block. */
+  /** Unsorted pair set for graph/group consumers (pagerank, triangles,
+    * dedup groups): the gate query's trailing global ORDER BY exists only
+    * for deterministic dump output, but a global sort's RangePartitioner
+    * first runs a SAMPLING job that re-executes the entire
+    * un-materialized pair pipeline — candidate generation AND the verify
+    * UDF — before the real pass. Measured dominating the 100× pagerank
+    * edge build; the artifact writes don't need order, so they skip it. */
+  private[graft] def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("long").as("len_bucket"),
+          col("doc_id"),
+          array_distinct(tokens(col("text"))).as("toks")),
+      0.5, MaxBlockExact, sorted = false)
+
   private[graft] def ngramJaccardOf(docs0: DataFrame, threshold: Double,
-                                    maxBlockExact: Int): DataFrame = {
+                                    maxBlockExact: Int,
+                                    sorted: Boolean = true): DataFrame = {
     val blockKeys = Seq("lang", "source", "len_bucket")
     // Route selection must not itself concentrate the data: block sizes
     // come from a SLIM aggregation (block keys only — partial map-side
@@ -361,25 +381,50 @@ object Dedup {
     // the arrays rejoin for survivors), then the same exact verify. The
     // band bucket is additionally capped like the minhash op so a
     // degenerate band value can't rebuild the quadratic we just avoided.
+    //
+    // Band geometry is 8 bands × 8 rows — NOT the shingle op's 16×4.
+    // TOKEN-level minhash members are dominated by each block's common
+    // tokens (the min over a doc's tokens is often a stopword's hash), so
+    // 4-row band sigs collide for swaths of UNRELATED same-language docs:
+    // at the 100× probe those junk buckets sat just under the skew cap
+    // and flooded the verify with ~100× the true near-dup candidates.
+    // An 8-row band needs 8 simultaneous common mins — junk buckets
+    // vanish — while a real dup pair at token-Jaccard s collides on ≥1 of
+    // the 8 bands w.p. 1−(1−s⁸)⁸ (s=0.95 → ~1−1.6e-4). The trade: pairs
+    // BARELY at the 0.5 threshold have reduced recall inside OVERSIZED
+    // blocks only — the documented LSH compromise for pathological data;
+    // every block under the cap still pairs exactly.
+    val EscapeBands = 8
+    val EscapeRows = NumHashes / EscapeBands
     val sigs = big
       .select(col("lang"), col("source"), col("len_bucket"), col("doc_id"),
         graft.functions.TextKernels.minhashTokensUdf(col("toks"), lit(NumHashes)).as("sig"))
       .filter(col("sig").isNotNull)
-    val bandStructs = (0 until Bands).map { b =>
+    val bandStructs = (0 until EscapeBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(expr(s"slice(sig, ${b * RowsPerBand + 1}, $RowsPerBand)"))
+        xxhash64(expr(s"slice(sig, ${b * EscapeRows + 1}, $EscapeRows)"))
           .as("band_sig"))
     }
+    val bandJoinKeys = blockKeys :+ "band" :+ "band_sig"
+    // The explicit repartition pins the band self-join's parallelism:
+    // the banded frame is SLIM (~24 B/row), so AQE's byte-based
+    // coalescing would shrink it to a couple of partitions — and the
+    // C(bucket, 2) pair fan-out below then runs on 2 cores (observed as
+    // a 2-task multi-minute tail at the 100× probe). An explicit count
+    // is exempt from AQE coalescing; the window below reuses the same
+    // hash partitioning, so this adds no extra exchange.
+    val fanoutParts = docs0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val banded = sigs
       .select(col("lang"), col("source"), col("len_bucket"), col("doc_id"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("lang"), col("source"), col("len_bucket"), col("doc_id"),
         col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .repartition(fanoutParts, bandJoinKeys.map(col): _*)
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy((blockKeys :+ "band" :+ "band_sig").map(col): _*)))
+          .partitionBy(bandJoinKeys.map(col): _*)))
       .filter(col("bucket_n") <= MinhashMaxBucket)
-    val bandJoinKeys = blockKeys :+ "band" :+ "band_sig"
     val candidates = banded
       .select((bandJoinKeys.map(col) :+ col("doc_id").as("a_id")): _*)
       .join(banded.select(
@@ -394,7 +439,7 @@ object Dedup {
       .join(bigToks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
       .join(bigToks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
 
-    exactPairs.unionByName(escapePairs
+    val verified = exactPairs.unionByName(escapePairs
         .select(exactPairs.columns.toIndexedSeq.map(col): _*))
       // compiled jaccard kernel: two token-less docs give 0/0 → kernel
       // returns null → dropped at the filter, matching the oracle; the
@@ -404,7 +449,8 @@ object Dedup {
         col("a_toks"), col("b_toks")))
       .filter(col("jaccard") >= threshold)
       .select(col("lang"), col("source"), col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("lang"), col("source"), col("a_id"), col("b_id"))
+    if (sorted) verified.orderBy(col("lang"), col("source"), col("a_id"), col("b_id"))
+    else verified
   }
 
   val ngramJaccardSql: String =
@@ -648,7 +694,8 @@ object Dedup {
     * mapped to its group representative (the component's min doc_id), plus
     * group size — singletons included with themselves as keeper. */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = cachedPairs(spark, dir, "minhash")(minhash(spark, dir))
+    val pairs = cachedPairs(spark, dir, "minhash")(
+      minhash(spark, dir, sorted = false))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val labels = components(pairs, ids)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
@@ -665,7 +712,7 @@ object Dedup {
     * WITH RECURSIVE, so the component logic itself is hash-checked, not
     * just spec-checked. */
   def dedupGroupsJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = cachedPairs(spark, dir, "jaccard")(ngramJaccard(spark, dir))
+    val pairs = cachedPairs(spark, dir, "jaccard")(ngramJaccardPairs(spark, dir))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
     val labels = components(pairs, ids)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))

@@ -106,7 +106,7 @@ object Graph {
     val t0 = System.nanoTime()
     val withDeg = graft.tools.ArtifactCache.parquet(spark, dir, "pagerank_edges") { p =>
       val pairs = graft.tools.ArtifactCache.parquet(spark, dir, "pairs_jaccard") {
-        q => Dedup.ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+        q => Dedup.ngramJaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
           .write.mode("overwrite").parquet(q)
       }
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -176,7 +176,7 @@ object Graph {
     * artifact with pagerank/dedup_groups — the graph is built once. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.tools.ArtifactCache.parquet(spark, dir, "pairs_jaccard") {
-      p => Dedup.ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+      p => Dedup.ngramJaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
         .write.mode("overwrite").parquet(p)
     }
     val e1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
