@@ -293,8 +293,9 @@ object Dedup {
     * Jaccard verify runs on the survivors. Every fixture block is ≤32 docs
     * (sf0.1), so the gate result is byte-identical to the unguarded oracle;
     * the escape path is exercised by DedupSpec and the forced-hot-block
-    * scale probe. Minhash recall at 16×4 bands is ~certain for
-    * Jaccard ≥ 0.5 — the documented LSH trade on pathological blocks. */
+    * scale probe. Escape recall is tuned for HIGH-similarity dups
+    * (8×8 bands — see the geometry comment in ngramJaccardOf for the
+    * per-similarity collision table and the sizing knobs). */
   val MaxBlockExact = 1024
 
   /** Token-set Jaccard similarity pairs within (lang, source, length)
@@ -307,14 +308,15 @@ object Dedup {
     * candidate generation (see ngramJaccardOf). */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.5,
-                   maxBlockExact: Int = MaxBlockExact): DataFrame =
+                   maxBlockExact: Int = MaxBlockExact,
+                   sorted: Boolean = true): DataFrame =
     ngramJaccardOf(
       Tables.documents(spark, dir)
         .select(col("lang"), col("source"),
           (col("n_chars") / 100).cast("long").as("len_bucket"),
           col("doc_id"),
           array_distinct(tokens(col("text"))).as("toks")),
-      threshold, maxBlockExact)
+      threshold, maxBlockExact, sorted)
 
   /** Scale-probe helper: ngramJaccard with EVERY document forced into a
     * single (lang, source, len_bucket) block — the pathological shape the
@@ -329,9 +331,6 @@ object Dedup {
           array_distinct(tokens(col("text"))).as("toks")),
       threshold, MaxBlockExact)
 
-  /** Core of ngramJaccard over a prepared (lang, source, len_bucket,
-    * doc_id, toks) frame — split out so tests/probes can feed a forced
-    * pathological block. */
   /** Unsorted pair set for graph/group consumers (pagerank, triangles,
     * dedup groups): the gate query's trailing global ORDER BY exists only
     * for deterministic dump output, but a global sort's RangePartitioner
@@ -340,14 +339,11 @@ object Dedup {
     * UDF — before the real pass. Measured dominating the 100× pagerank
     * edge build; the artifact writes don't need order, so they skip it. */
   private[graft] def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardOf(
-      Tables.documents(spark, dir)
-        .select(col("lang"), col("source"),
-          (col("n_chars") / 100).cast("long").as("len_bucket"),
-          col("doc_id"),
-          array_distinct(tokens(col("text"))).as("toks")),
-      0.5, MaxBlockExact, sorted = false)
+    ngramJaccard(spark, dir, sorted = false)
 
+  /** Core of ngramJaccard over a prepared (lang, source, len_bucket,
+    * doc_id, toks) frame — split out so tests/probes can feed a forced
+    * pathological block. */
   private[graft] def ngramJaccardOf(docs0: DataFrame, threshold: Double,
                                     maxBlockExact: Int,
                                     sorted: Boolean = true): DataFrame = {
@@ -387,13 +383,19 @@ object Dedup {
     // tokens (the min over a doc's tokens is often a stopword's hash), so
     // 4-row band sigs collide for swaths of UNRELATED same-language docs:
     // at the 100× probe those junk buckets sat just under the skew cap
-    // and flooded the verify with ~100× the true near-dup candidates.
-    // An 8-row band needs 8 simultaneous common mins — junk buckets
-    // vanish — while a real dup pair at token-Jaccard s collides on ≥1 of
-    // the 8 bands w.p. 1−(1−s⁸)⁸ (s=0.95 → ~1−1.6e-4). The trade: pairs
-    // BARELY at the 0.5 threshold have reduced recall inside OVERSIZED
-    // blocks only — the documented LSH compromise for pathological data;
-    // every block under the cap still pairs exactly.
+    // and flooded the verify with ~100× the true near-dup candidates
+    // (and where they EXCEEDED the cap, they were dropped and silently
+    // cost real pairs — the 20× hot-block probe found 2.48 M pairs at
+    // 16×4 vs 5.07 M at 8×8). An 8-row band needs 8 simultaneous common
+    // mins, so junk buckets vanish. The honest recall cost, collide-on-
+    // ≥1-band = 1−(1−s⁸)⁸ by token-Jaccard s, INSIDE OVERSIZED BLOCKS
+    // ONLY (every block under the cap pairs exactly):
+    //   s=0.95 → ~1.0   s=0.8 → 0.77   s=0.7 → 0.37   s=0.6 → 0.13
+    //   s=0.5 → 0.03
+    // i.e. the escape path is a HIGH-SIMILARITY dup catcher; a corpus
+    // whose >MaxBlockExact blocks carry load-bearing MID-similarity
+    // pairs should raise MaxBlockExact (exact is then O(block²)) or
+    // widen EscapeBands — sizing knobs, both deliberate.
     val EscapeBands = 8
     val EscapeRows = NumHashes / EscapeBands
     val sigs = big

@@ -46,11 +46,16 @@ object ScaleProbe {
     val reps = spark.range(mult).withColumnRenamed("id", "rep")
 
     // The synthetic corpus is a deterministic function of (sfDir, mult):
-    // when the outDir already holds a finished build (customer is written
-    // last), reuse it — repeated probe invocations then measure only the
-    // operators, not the corpus write.
-    val corpusReady = new java.io.File(s"$outDir/customer.parquet/_SUCCESS").exists()
-    if (corpusReady) println(s"probe corpus reused at $outDir")
+    // when the outDir already holds a finished build OF THE SAME ARGS,
+    // reuse it — repeated probe invocations then measure only the
+    // operators, not the corpus write. The sentinel records the args: a
+    // bare _SUCCESS check would happily reuse a 20× corpus for a run
+    // labeled 100× and silently mislabel every number.
+    val sentinel = new java.io.File(outDir, ".corpus-args")
+    val wantArgs = s"$sfDir|$mult"
+    val corpusReady = sentinel.exists() &&
+      java.nio.file.Files.readString(sentinel.toPath).trim == wantArgs
+    if (corpusReady) println(s"probe corpus reused at $outDir ($wantArgs)")
 
     // documents: MULT copies per doc; rep < MULT/2 exact, rest perturbed
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -91,6 +96,8 @@ object ScaleProbe {
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    // args sentinel LAST — a crashed partial build never matches
+    java.nio.file.Files.writeString(sentinel.toPath, wantArgs)
     }
 
     println(s"probe corpus at $outDir: ${nDocs * mult} docs, ${nEv * mult} events")

@@ -212,8 +212,12 @@ class DedupSpec extends SparkSpec {
     // 30 planted near-dup pairs (Jaccard 19/20 = 0.95) on disjoint token
     // vocabularies. Guarded run (cap 20 → whole block escapes to the
     // within-block minhash route) must return exactly the exact-route
-    // pairs — at s=0.95 the 16×4 band miss probability is ~2e-12, and the
-    // hashes are deterministic, so equality is a stable assertion.
+    // pairs. At s=0.95 the 8×8 escape-band per-pair miss probability is
+    // (1−0.95⁸)⁸ ≈ 1.6e-4 (~0.5% chance of ≥1 miss over a fresh hash
+    // family at 30 pairs) — but the hashes here are FIXED, so the
+    // assertion is deterministic; if a vocab/seed/band-geometry change
+    // ever flips a pair out, raise the planted similarity rather than
+    // weakening the equality.
     val docs = (0 until 30).flatMap { p =>
       val vocab = (0 until 20).map(t => s"w${p}_$t")
       Seq((2L * p, vocab), (2L * p + 1, vocab.drop(1)))
