@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Kernel preconditions (e.g. jaccardDistinct's distinct-input contract)
+// are verified per call in the test JVM only — the bench/verify hot path
+// compiles the checks out.
+Test / javaOptions += "-Dgraft.debug.checks=true"

@@ -69,8 +69,15 @@ object Bench {
     // iteration); the min is recorded beside it because on a contended
     // sandbox even the median inflates — min is the best witness of what
     // the plan costs when the machine isn't fighting back.
+    // Routing-guard counters (oversized blocks rerouted, docs routed, band
+    // buckets capped): the one place the engine can return fewer rows than
+    // a naive oracle, surfaced in the artifact (VERDICT r7 item 4). Only
+    // the final iteration's counters are kept per query (identical across
+    // iterations — routing is deterministic per corpus).
+    val routing = scala.collection.mutable.Map[String, Long]()
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
+      graft.tools.RoutingMetrics.drain()
       org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
       collector.clear()
       val times = (1 to iters).map { _ =>
@@ -81,6 +88,8 @@ object Bench {
         // phases come from the final iteration, while train-once artifact
         // builds (*.build fires only on the first call per corpus) survive
         phases ++= graft.tools.PhaseTiming.drain()
+          .map { case (k, v) => s"$name.$k" -> v }
+        routing ++= graft.tools.RoutingMetrics.drain()
           .map { case (k, v) => s"$name.$k" -> v }
         t
       }
@@ -102,7 +111,7 @@ object Bench {
     // from "silent fallback to a contended disk" for the streaming sinks.
     val scratch = graft.tools.TempDirs.resolvedRoot
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))

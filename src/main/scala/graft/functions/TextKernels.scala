@@ -116,13 +116,32 @@ object TextKernels {
     * |union| = |a|+|b|−|a∩b| and the double ratio is bit-identical to the
     * SQL form — the DuckDB oracles are unchanged. Null (→ dropped at the
     * threshold filter) on a null side or an empty union, matching
-    * `when(uni > 0, inter/uni)`. */
+    * `when(uni > 0, inter/uni)`.
+    *
+    * The DISTINCT-input precondition is part of the name; under
+    * `-Dgraft.debug.checks=true` (on in the test JVM) it is VERIFIED per
+    * call — a duplicated input over-counts the intersection and
+    * misestimates |union|, and that must fail loudly at the violating call
+    * site rather than silently skew similarity scores (ADVICE r7). The
+    * check costs one extra HashSet insert pass and is compiled out of the
+    * hot path when the flag is unset (static final field). */
+  private val DebugChecks = java.lang.Boolean.getBoolean("graft.debug.checks")
+
   def jaccardDistinct(a: Array[String], b: Array[String]): java.lang.Double = {
     if (a == null || b == null) null
     else {
       val set = new java.util.HashSet[String](math.max(4, a.length * 2))
       var i = 0
       while (i < a.length) { set.add(a(i)); i += 1 }
+      if (DebugChecks) {
+        require(set.size == a.length,
+          s"jaccardDistinct: left input has ${a.length - set.size} duplicate tokens")
+        val bs = new java.util.HashSet[String](math.max(4, b.length * 2))
+        var k = 0
+        while (k < b.length) { bs.add(b(k)); k += 1 }
+        require(bs.size == b.length,
+          s"jaccardDistinct: right input has ${b.length - bs.size} duplicate tokens")
+      }
       var inter = 0
       var j = 0
       while (j < b.length) { if (set.contains(b(j))) inter += 1; j += 1 }

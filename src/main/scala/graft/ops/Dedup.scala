@@ -164,21 +164,33 @@ object Dedup {
   /** documents → (doc_id, shingles) — the verification-side lookup.
     * Compiled kernel (see TextKernels): the HOF-lambda equivalent is
     * CodegenFallback-interpreted and ~100× slower per row. */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.rebalanced(Tables.documents(spark, dir))
-      .select(col("doc_id"),
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         graft.functions.TextKernels.shingleUdf(col("text"), lit(ShingleN)).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** documents → (doc_id, sig: array[64 minhash longs]), one compiled pass
     * per document (each shingle string hashes once; the 64 family members
     * re-hash that fixed-width long). */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.rebalanced(Tables.documents(spark, dir))
-      .select(col("doc_id"),
+  private def signaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         graft.functions.TextKernels
           .minhashUdf(col("text"), lit(ShingleN), lit(NumHashes)).as("sig"))
       .filter(col("sig").isNotNull)
+
+  /** (doc_id, sig) → the slim LSH band INDEX rows (doc_id, band,
+    * band_sig): 16 rows per doc, ~24 B each — the shape the band shuffle
+    * carries, and the shape the persisted incremental index stores. */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(expr(s"slice(sig, ${b * RowsPerBand + 1}, $RowsPerBand)"))
+          .as("band_sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"),
+        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
 
   /** MinHash-LSH near-dup candidate pairs, exact-Jaccard verified.
     *
@@ -197,22 +209,23 @@ object Dedup {
   def minhash(spark: SparkSession, dir: String,
               jaccardThreshold: Double = 0.5,
               maxBucket: Int = MinhashMaxBucket,
-              sorted: Boolean = true): DataFrame = {
-    val sigs = signatures(spark, dir)
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(expr(s"slice(sig, ${b * RowsPerBand + 1}, $RowsPerBand)"))
-          .as("band_sig"))
-    }
+              sorted: Boolean = true): DataFrame =
+    minhashOf(Tables.rebalanced(Tables.documents(spark, dir)),
+      jaccardThreshold, maxBucket, sorted)
+
+  /** minhash over an injectable documents frame (doc_id, text, …) — the
+    * incremental and streaming paths run it over corpus slices. */
+  private[graft] def minhashOf(docs: DataFrame,
+                               jaccardThreshold: Double,
+                               maxBucket: Int,
+                               sorted: Boolean): DataFrame = {
+    val sigs = signaturesOf(docs)
     // Banding runs on a SLIM frame (doc_id + 16 band keys): the wide
     // shingle arrays must not ride through the band shuffle — they rejoin
     // only for the (few) surviving candidate pairs below. The slim frame
     // is persisted because the bucket filter and both self-join sides
     // consume it (without it Spark recomputes the signatures per branch).
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"),
-        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val banded = bandRows(sigs)
       .persist()
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1))
@@ -225,7 +238,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     // exact-verify: fetch shingle sets for candidates only
-    val sh = shingleSets(spark, dir)
+    val sh = shingleSetsOf(docs)
     val verified = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
@@ -343,7 +356,17 @@ object Dedup {
 
   /** Core of ngramJaccard over a prepared (lang, source, len_bucket,
     * doc_id, toks) frame — split out so tests/probes can feed a forced
-    * pathological block. */
+    * pathological block.
+    *
+    * NOTE (deliberate eagerness): CONSTRUCTING this frame runs the
+    * block-size aggregation immediately — the `localCheckpoint()` below is
+    * eager, and the routing counters ([[graft.tools.RoutingMetrics]]) are
+    * read off the materialized hot-block frame at build time. Route
+    * selection (which blocks escape) and its observability are build-time
+    * facts by design: a consumer composing this frame lazily would
+    * otherwise not learn a block was silently rerouted until (unless) the
+    * plan executed. Callers that only want EXPLAIN output pay one slim
+    * keys-only aggregation. */
   private[graft] def ngramJaccardOf(docs0: DataFrame, threshold: Double,
                                     maxBlockExact: Int,
                                     sorted: Boolean = true): DataFrame = {
@@ -356,11 +379,20 @@ object Dedup {
     // never shuffles just to learn its block size. No persist: each
     // consumer re-runs the codegen'd scan+tokenize, which at scale beats
     // pinning a tokenized copy of the corpus in executor storage.
-    val hotBlocks = broadcast(docs0
+    val hotAgg = docs0
       .groupBy(blockKeys.map(col): _*).count()
       .filter(col("count") > maxBlockExact)
-      .select(blockKeys.map(col): _*)
-      .localCheckpoint())
+      .localCheckpoint()
+    // Routing observability: the guard's decisions are recorded as
+    // counters (drained per query by Bench into bench_full.json). The
+    // counts come from the ALREADY-materialized hot-block frame — a
+    // driver-side fold over ≤|oversized blocks| rows, no extra scan.
+    val hotRows = hotAgg.collect()
+    graft.tools.RoutingMetrics.add("jaccard_oversized_blocks", hotRows.length)
+    graft.tools.RoutingMetrics.add("jaccard_docs_routed",
+      hotRows.map(_.getAs[Long]("count")).sum)
+    val escapeActive = hotRows.nonEmpty
+    val hotBlocks = broadcast(hotAgg.select(blockKeys.map(col): _*))
     val small = docs0.join(hotBlocks, blockKeys, "left_anti")
     val big = docs0.join(hotBlocks, blockKeys, "left_semi")
 
@@ -417,7 +449,7 @@ object Dedup {
     // hash partitioning, so this adds no extra exchange.
     val fanoutParts = docs0.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val banded = sigs
+    val bandedAll0 = sigs
       .select(col("lang"), col("source"), col("len_bucket"), col("doc_id"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("lang"), col("source"), col("len_bucket"), col("doc_id"),
@@ -426,7 +458,21 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(bandJoinKeys.map(col): _*)))
-      .filter(col("bucket_n") <= MinhashMaxBucket)
+    // When the escape route is live, materialize the slim banded frame
+    // once (doc_id + band key + count, ~32 B/row): the skew-cap counter
+    // below AND both self-join sides read it without re-running the
+    // signature pass. When no block is oversized the escape side of the
+    // union is empty — leave it lazy (an eager checkpoint here would add
+    // a full tokenize pass to every guarded query on a healthy corpus)
+    // and record the cap counter as zero directly.
+    val bandedAll =
+      if (escapeActive) bandedAll0.localCheckpoint() else bandedAll0
+    graft.tools.RoutingMetrics.add("jaccard_capped_band_buckets",
+      if (escapeActive)
+        bandedAll.filter(col("bucket_n") > MinhashMaxBucket)
+          .select(bandJoinKeys.map(col): _*).distinct().count()
+      else 0L)
+    val banded = bandedAll.filter(col("bucket_n") <= MinhashMaxBucket)
     val candidates = banded
       .select((bandJoinKeys.map(col) :+ col("doc_id").as("a_id")): _*)
       .join(banded.select(
@@ -465,6 +511,374 @@ object Dedup {
        |WHERE CAST(len(list_filter(a.a_toks, t -> list_contains(b.b_toks, t))) AS DOUBLE) /
        |      CAST(len(list_distinct(list_concat(a.a_toks, b.b_toks))) AS DOUBLE) >= 0.5
        |ORDER BY a.lang, a.source, a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Block-guard escape path, driver-visible (VERDICT r7 "next round" #1)
+  // ---------------------------------------------------------------------
+
+  /** Injectable cap for the guarded gate entry — low enough that the
+    * planted block (480 docs) routes to the escape path while every
+    * natural fixture block (≤32 docs at sf0.1) stays on the exact route,
+    * so ONE query exercises BOTH routes against one oracle. */
+  val GuardedCap = 64
+  val PlantedBlockDocs = 60
+  val PlantedVariants = 8
+
+  /** The block-guard ESCAPE path through the bitwise driver gate: the
+    * fixture corpus augmented with ONE planted oversized block — every doc
+    * with doc_id < [[PlantedBlockDocs]] contributes [[PlantedVariants]]
+    * variant rows with IDENTICAL token sets (ids 10000 + doc_id·V + i),
+    * all forced into a single ('xx','hot',0) block of 480 docs >
+    * [[GuardedCap]], so the routing, within-block banding, skew cap and
+    * exact verify all run and produce CORRECTNESS rows (previously the
+    * escape route's equivalence lived only in DedupSpec and the hot-block
+    * probe — the `sim_topk_ann_lsh` precedent).
+    *
+    * Threshold 1.0 makes the escape recall PROVABLY exact rather than
+    * probabilistically near-1 (ADVICE r7: the 8×8 banding's recall < 1 at
+    * mid similarity would silently diverge from the oracle): a pair
+    * qualifies iff its token SETS are identical, identical sets hash to
+    * identical minhash signatures, identical signatures collide on every
+    * band, and the planted buckets stay ≤ 2·V = 16 ≪ the 200-bucket skew
+    * cap (max identical-set cluster among the planted docs is 2 at every
+    * SF — measured), so no qualifying pair can be capped away. The
+    * equality with the naive O(block²) oracle is therefore deterministic
+    * BY CONSTRUCTION at any scale factor, not an empirical coincidence of
+    * one hash family. Mid-similarity recall inside oversized blocks
+    * remains the documented sizing knob (see ngramJaccardOf); this entry
+    * pins the high-similarity contract the escape path is designed for. */
+  def ngramJaccardGuarded(spark: SparkSession, dir: String,
+                          maxBlockExact: Int = GuardedCap): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val natural = docs.select(col("lang"), col("source"),
+      (col("n_chars") / 100).cast("long").as("len_bucket"),
+      col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val planted = docs
+      .filter(col("doc_id") < PlantedBlockDocs)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"),
+        explode(sequence(lit(0), lit(PlantedVariants - 1))).as("i"))
+      .select(lit("xx").as("lang"), lit("hot").as("source"),
+        lit(0L).as("len_bucket"),
+        (lit(10000L) + col("doc_id") * PlantedVariants + col("i")).as("doc_id"),
+        col("toks"))
+    ngramJaccardOf(natural.unionByName(planted), threshold = 1.0,
+      maxBlockExact = maxBlockExact)
+  }
+
+  /** DuckDB twin of ngramJaccardGuarded: the same corpus construction
+    * (natural blocks ∪ planted variant block) pairs naively within blocks
+    * — the oracle has no routing, so the hash match IS the escape-path
+    * equivalence claim. */
+  val ngramJaccardGuardedSql: String =
+    s"""WITH corpus AS (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket, doc_id,
+       |         list_distinct($tokensSql) AS toks
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'xx', 'hot', CAST(0 AS BIGINT),
+       |         10000 + doc_id * $PlantedVariants + v.i,
+       |         list_distinct($tokensSql)
+       |  FROM documents, range($PlantedVariants) v(i)
+       |  WHERE doc_id < $PlantedBlockDocs)
+       |SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
+       |  CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+       |FROM corpus a JOIN corpus b
+       |  ON a.lang = b.lang AND a.source = b.source
+       | AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 1.0
+       |ORDER BY a.lang, a.source, a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Incremental band-index maintenance (VERDICT r7 "next round" #2)
+  // ---------------------------------------------------------------------
+
+  /** Incremental n-gram-Jaccard near-dup maintenance — the
+    * dedup_incremental anti-join pattern lifted to the blocked pair graph:
+    * the historical pair set (docs with doc_id < splitId) is a persisted
+    * build-once artifact; a new batch pairs ONLY against the blocks it
+    * touches (historical side pruned by a broadcast semi-join on the
+    * delta's block keys) plus itself. Since block membership is semantic
+    * (lang, source, length band) and every pair either lies wholly in the
+    * history (artifact) or touches a new doc (delta join), artifact ∪
+    * delta EQUALS the full recompute — and the oracle IS the full
+    * recompute, so the equality is hash-checked bitwise, the q78_incr_agg
+    * shape. Delta cost ∝ |delta| × touched-block width, never corpus
+    * size; a delta landing in an oversized block pays |block|·|delta∩block|
+    * (linear in block size — the quadratic guard applies to the historical
+    * build, which routes through ngramJaccardOf's escape path). */
+  def ngramJaccardIncremental(spark: SparkSession, dir: String,
+                              splitId: Long = 400,
+                              threshold: Double = 0.5): DataFrame = {
+    val blockKeys = Seq("lang", "source", "len_bucket")
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        (col("n_chars") / 100).cast("long").as("len_bucket"),
+        col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val newDocs = docs.filter(col("doc_id") >= splitId)
+    // build-once historical artifact (pairs among pre-split docs)
+    val histPairs = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"pairs_jaccard_lt$splitId") { p =>
+      ngramJaccardOf(docs.filter(col("doc_id") < splitId), threshold,
+        MaxBlockExact, sorted = false)
+        .write.mode("overwrite").parquet(p)
+    }
+    // delta: historical side restricted to touched blocks before the pair
+    // join — the block-key set of a batch is tiny, so it broadcasts and
+    // the corpus is pruned map-side (cost ∝ delta, not history)
+    val touched = broadcast(
+      newDocs.select(blockKeys.map(col): _*).distinct().localCheckpoint())
+    val aSide = docs.join(touched, blockKeys, "left_semi")
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("doc_id").as("a_id"), col("toks").as("a_toks"))
+    val bSide = newDocs
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("doc_id").as("b_id"), col("toks").as("b_toks"))
+    val deltaPairs = aSide.join(bSide, blockKeys)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
+        col("a_toks"), col("b_toks")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("lang"), col("source"), col("a_id"), col("b_id"), col("jaccard"))
+    histPairs.unionByName(deltaPairs)
+      .orderBy(col("lang"), col("source"), col("a_id"), col("b_id"))
+  }
+
+  /** Incremental MINHASH band-index maintenance — the LSH analogue of
+    * ngramJaccardIncremental, motivated by the 100× probes: the one-time
+    * pair-graph build dominates (pagerank: 307 s build vs 50 s supersteps),
+    * so a refresh must not rebuild the band index from scratch. The
+    * historical corpus persists TWO build-once artifacts: the slim band
+    * index (doc_id, band, band_sig — 16 rows/doc, ~24 B each) and its
+    * verified pair set. A new batch then: (1) signs and bands ONLY its own
+    * docs; (2) prunes the historical index to the band keys the delta
+    * touches via a broadcast semi-join (delta keys ≪ index); (3) applies
+    * the skew cap on the COMBINED bucket size (hist + delta counts per
+    * key, so capping matches what a full rebuild would decide); (4) joins
+    * delta×hist + delta×delta candidates and exact-verifies survivors.
+    * Delta cost ∝ |delta| + |touched index slice|, never corpus size —
+    * probe-measured (ScaleProbe `dedup_incr_minhash`).
+    *
+    * Honest caveat (documented, fixture-safe): a bucket whose size crosses
+    * the cap only AFTER a delta arrives keeps the pairs the historical
+    * build already emitted — full-rebuild would drop them. Retracting
+    * would need pair→band provenance in the artifact; at a real refresh
+    * cadence the right response is re-verifying the (rare) crossing
+    * buckets, not a rebuild. DedupSpec pins incremental == full rebuild on
+    * the fixture, where no bucket crosses. */
+  def minhashIncremental(spark: SparkSession, dir: String,
+                         splitId: Long = 400,
+                         jaccardThreshold: Double = 0.5,
+                         maxBucket: Int = MinhashMaxBucket): DataFrame = {
+    val all = Tables.rebalanced(Tables.documents(spark, dir))
+    val oldDocs = all.filter(col("doc_id") < splitId)
+    val newDocs = all.filter(col("doc_id") >= splitId)
+    val bandCols = Seq("band", "band_sig")
+    val histIndex = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"band_index_lt$splitId") { p =>
+      bandRows(signaturesOf(oldDocs)).write.mode("overwrite").parquet(p)
+    }
+    val histPairs = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"pairs_minhash_lt$splitId") { p =>
+      minhashOf(oldDocs, jaccardThreshold, maxBucket, sorted = false)
+        .write.mode("overwrite").parquet(p)
+    }
+    // delta band rows, materialized once: key counts, the key broadcast,
+    // and both candidate joins all read them (a batch is small by
+    // definition — a corpus-sized "delta" is a rebuild, not a refresh)
+    val deltaIndex = bandRows(signaturesOf(newDocs)).localCheckpoint()
+    val deltaCounts = deltaIndex.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("d_n"))
+    // historical index pruned to touched keys FIRST — the only part of
+    // the (corpus-sized) index the refresh ever reads
+    val touchedHist = histIndex
+      .join(broadcast(deltaCounts.select(bandCols.map(col): _*)),
+        bandCols, "left_semi")
+      .localCheckpoint()
+    val histCounts = touchedHist.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("h_n"))
+    // skew cap on the COMBINED bucket size — the capping decision a full
+    // rebuild would make for every key the delta touches
+    val okKeys = broadcast(deltaCounts
+      .join(histCounts, bandCols, "left_outer")
+      .filter(coalesce(col("h_n"), lit(0L)) + col("d_n") <= maxBucket)
+      .select(bandCols.map(col): _*).localCheckpoint())
+    val dOk = deltaIndex.join(okKeys, bandCols, "left_semi")
+    val hOk = touchedHist.join(okKeys, bandCols, "left_semi")
+    val crossCand = hOk.select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
+      .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols)
+    val selfCand = dOk.select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
+      .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols)
+    val candidates = crossCand.unionByName(selfCand)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .localCheckpoint()
+    // Verify-side pruning: tokenize ONLY candidate docs, not the corpus —
+    // the candidate id set is ∝ delta × bucket width, so it broadcasts and
+    // the corpus pays a column scan, never a full re-shingle, per refresh.
+    val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
+      .unionByName(candidates.select(col("b_id").as("doc_id")))
+      .distinct().localCheckpoint())
+    val sh = shingleSetsOf(all.join(candIds, Seq("doc_id"), "left_semi"))
+    val deltaPairs = candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
+        col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    histPairs.unionByName(deltaPairs)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming near-dup dedup (VERDICT r7 "next round" #3)
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch of streaming MinHash dedup against the persistent
+    * band index — extracted from the foreachBatch closure so the
+    * crash-replay spec can drive it directly. Reads the IMMUTABLE
+    * v(batchId−1) state (band index + survivor set), writes v(batchId):
+    * foreachBatch is at-least-once, and a replay recomputes vN from the
+    * same unchanged inputs — idempotent, the q87 versioned-state protocol.
+    *
+    * Per batch: (1) arriving docs sign and band (cost ∝ batch); (2) the
+    * historical index is pruned to the band keys the batch touches via a
+    * broadcast semi-join BEFORE anything else reads it; (3) the skew cap
+    * applies to the combined (index + batch) bucket size; (4) candidates =
+    * batch×index ∪ batch×batch, exact-verified against shingle sets read
+    * from the corpus store (the lake holds the documents; the state holds
+    * only ids and 24-byte band rows). A doc is a duplicate iff a verified
+    * near-dup with a SMALLER doc_id exists — arrival order is id order, so
+    * the final survivor set equals the batch rule "keep doc d iff no
+    * verified pair (a, d) with a < d", which the spec recomputes from the
+    * batch minhash operator. ALL arrivals enter the index (a dropped dup
+    * still witnesses later dups — same pair semantics as the batch op). */
+  private[graft] def minhashStreamApplyBatch(dir: String, batch: DataFrame,
+                                             batchId: Long, statePath: String,
+                                             jaccardThreshold: Double,
+                                             maxBucket: Int): Unit = {
+    val sp = batch.sparkSession
+    val bandCols = Seq("band", "band_sig")
+    val cur = s"$statePath/v$batchId"
+    val prev = s"$statePath/v${batchId - 1}"
+    val arriving = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val newBands = bandRows(signaturesOf(arriving)).localCheckpoint()
+    val havePrev = new java.io.File(s"$prev/index").exists()
+    val histIndex =
+      if (havePrev) sp.read.parquet(s"$prev/index") else newBands.limit(0)
+    val histSurvivors =
+      if (havePrev) sp.read.parquet(s"$prev/survivors")
+      else arriving.select(col("doc_id")).limit(0)
+    val batchCounts = newBands.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("d_n"))
+    val touchedHist = histIndex
+      .join(broadcast(batchCounts.select(bandCols.map(col): _*)),
+        bandCols, "left_semi")
+      .localCheckpoint()
+    val histCounts = touchedHist.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("h_n"))
+    val okKeys = broadcast(batchCounts
+      .join(histCounts, bandCols, "left_outer")
+      .filter(coalesce(col("h_n"), lit(0L)) + col("d_n") <= maxBucket)
+      .select(bandCols.map(col): _*).localCheckpoint())
+    val dOk = newBands.join(okKeys, bandCols, "left_semi")
+    val hOk = touchedHist.join(okKeys, bandCols, "left_semi")
+    val candidates = hOk
+      .select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
+      .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols)
+      .unionByName(dOk
+        .select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
+        .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val sh = shingleSetsOf(Tables.documents(sp, dir))
+    val dupIds = candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
+      .filter(graft.functions.TextKernels.jaccardUdf(
+        col("a_sh"), col("b_sh")) >= jaccardThreshold)
+      .select(col("b_id").as("doc_id"))
+      .distinct()
+    val batchSurvivors = arriving.select(col("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left_anti")
+    histSurvivors.unionByName(batchSurvivors)
+      .write.mode("overwrite").parquet(s"$cur/survivors")
+    histIndex.unionByName(newBands)
+      .write.mode("overwrite").parquet(s"$cur/index")
+    graft.tools.TempDirs.deleteRecursively(s"$statePath/v${batchId - 2}")
+  }
+
+  /** Streaming near-dup dedup end to end: the documents table streamed in
+    * id-ordered chunks (maxFilesPerTrigger=1 → one chunk per micro-batch,
+    * chunk files stamped with increasing mtimes so the file source admits
+    * them in id order), each batch probing and extending the persistent
+    * band index via [[minhashStreamApplyBatch]]. Returns the final
+    * survivor set — equal to batch minhash dedup over the full corpus
+    * ("keep d iff no verified near-dup with a smaller id"), which
+    * DedupSpec recomputes from the batch operator; the driver gate records
+    * the rows-only check (pairs are hash-family-specific, §5.5).
+    *
+    * Per-epoch the full survivor set and index rewrite (the documented
+    * non-Delta trade, as q87): state cost ∝ corpus-so-far, probe cost ∝
+    * batch × touched index slice. The per-batch corpus-store shingle scan
+    * is candidate-pruned by the join; a production lake would store the
+    * shingle/sig column beside the documents. */
+  def minhashStream(spark: SparkSession, dir: String,
+                    jaccardThreshold: Double = 0.5,
+                    maxBucket: Int = MinhashMaxBucket,
+                    chunks: Int = 4): DataFrame = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val base = graft.tools.TempDirs.createFast("graft-dedup-stream")
+    try {
+      val statePath = s"$base/state"
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val span = maxId / chunks + 1
+      val now = System.currentTimeMillis()
+      (0 until chunks).foreach { k =>
+        val tmp = s"$base/tmp-$k"
+        docs.filter(col("doc_id") >= k * span && col("doc_id") < (k + 1) * span)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dest = new java.io.File(s"$base/in/chunk-$k.parquet")
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        // admission order = mtime order (ties broken by path): stamp
+        // strictly increasing mtimes so chunk k is batch k
+        dest.setLastModified(now - (chunks - k) * 60000L)
+        graft.tools.TempDirs.deleteRecursively(tmp)
+      }
+      val schema = docs.schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          minhashStreamApplyBatch(dir, batch, batchId, statePath,
+            jaccardThreshold, maxBucket)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val latest = Option(new java.io.File(statePath).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.matches("v\\d+"))
+        .maxBy(_.getName.drop(1).toLong)
+      spark.read.parquet(s"${latest.getAbsolutePath}/survivors")
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally {
+      graft.tools.TempDirs.deleteRecursively(base)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
 
   /** Fuzzy entity resolution (record-linkage dedup): customer records in
     * the same (nation, market segment) block whose NAMES are within one
@@ -764,6 +1178,10 @@ object Dedup {
     "dedup_minhash"   -> ((s: SparkSession, d: String) => minhash(s, d)),
     "dedup_simhash"   -> ((s: SparkSession, d: String) => simhash(s, d)),
     "dedup_jaccard"   -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "dedup_jaccard_guarded" -> ((s: SparkSession, d: String) => ngramJaccardGuarded(s, d)),
+    "dedup_incr_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardIncremental(s, d)),
+    "dedup_incr_minhash" -> ((s: SparkSession, d: String) => minhashIncremental(s, d)),
+    "dedup_stream_minhash" -> ((s: SparkSession, d: String) => minhashStream(s, d)),
     "dedup_fuzzy"     -> ((s: SparkSession, d: String) => fuzzy(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => embeddingLsh(s, d)),
@@ -778,6 +1196,9 @@ object Dedup {
     "dedup_exact"     -> exactSql,
     "dedup_keyed"     -> keyedSql,
     "dedup_jaccard"   -> ngramJaccardSql,
+    "dedup_jaccard_guarded" -> ngramJaccardGuardedSql,
+    // the oracle IS the full recompute — equality is the incremental claim
+    "dedup_incr_jaccard" -> ngramJaccardSql,
     "dedup_fuzzy"     -> fuzzySql,
     "dedup_embedding" -> embeddingCosineSql,
   )

@@ -43,8 +43,11 @@ object Scale {
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
-  /** Hot keys of `left` on `key`: keys whose estimated row count exceeds
-    * `hotRowThreshold`, detected from a seeded sample (fraction 1.0 = exact
+  /** Hot keys of `left` on `key`: keys whose estimated row count is AT
+    * LEAST `hotRowThreshold` (the `>=` is load-bearing — q93's gate
+    * threshold of 7 must catch orders with exactly 7 lineitems; do not
+    * "fix" it to a strict inequality), detected from a seeded sample
+    * (fraction 1.0 = exact
     * count — the deterministic choice for gates/tests; a 100 TB caller
     * samples ~1e-4). The result is small BY CONSTRUCTION: a key needs
     * ≥ threshold·fraction sampled rows to qualify, so at most

@@ -269,10 +269,36 @@ class PagedStreamingWrite(path: String, header: Array[String],
     // own read path lists pages after commit, which satisfies this).
     if (!sweptReplayOrphans) {
       val epochPagePrefix = s"${PagedTableSource.PagePrefix}$qid-$epochId-"
-      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      val listing = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      listing
         .filter(f => f.getName.startsWith(epochPagePrefix) &&
           f.getName.endsWith(".tsv"))
         .foreach(_.delete())
+      // Foreign-GENERATION orphans (ADVICE r7): a crashed run of a
+      // DIFFERENT query generation (different checkpoint ⇒ different qid)
+      // can leave pages whose `.epoch-<qid>-<epoch>` marker never landed.
+      // Those pages were never committed — no reader should trust them —
+      // yet the page-* listing admits them and the marker-derived _count
+      // never reflects them. Sweep them here, on this generation's first
+      // marker-absent commit (the one place that already pays a dir
+      // listing); committed foreign pages (marker present) are real data
+      // from an earlier generation and stay. Concurrent ACTIVE writers on
+      // one sink dir are outside the contract (see class doc), so a
+      // marker-less foreign page is always a crash leftover, never a
+      // publish in flight.
+      val streamPage =
+        s"^${PagedTableSource.PagePrefix}([A-Za-z0-9]+)-(\\d+)-(\\d+)\\.tsv$$".r
+      listing.foreach { f =>
+        f.getName match {
+          case streamPage(fqid, fepoch, _) if fqid != qid &&
+              !new java.io.File(path, s".epoch-$fqid-$fepoch").exists() =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"paged sink: removing uncommitted orphan page ${f.getName} " +
+                s"of crashed query generation $fqid (no .epoch-$fqid-$fepoch marker)")
+            f.delete()
+          case _ => ()
+        }
+      }
     }
     pages.zipWithIndex.foreach { case (m, i) =>
       val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$qid-$epochId-$i.tsv")

@@ -232,6 +232,116 @@ class DedupSpec extends SparkSpec {
     assert(guarded == exact)
   }
 
+  test("guarded gate entry: escape route equals all-exact, routing metrics fire") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    graft.tools.RoutingMetrics.drain()
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // default cap 64: the planted 480-doc block routes to the escape path
+    val guarded = collect(Dedup.ngramJaccardGuarded(spark, dir))
+    val m = graft.tools.RoutingMetrics.drain()
+    assert(m("jaccard_oversized_blocks") == 1L)
+    assert(m("jaccard_docs_routed") ==
+      Dedup.PlantedBlockDocs.toLong * Dedup.PlantedVariants)
+    assert(m("jaccard_capped_band_buckets") == 0L)
+    // cap high enough that the same corpus pairs entirely on the exact
+    // route — byte-identical output is the escape-path equivalence claim
+    val exact = collect(Dedup.ngramJaccardGuarded(spark, dir,
+      maxBlockExact = 1000000))
+    assert(graft.tools.RoutingMetrics.drain()("jaccard_oversized_blocks") == 0L)
+    assert(guarded == exact)
+    assert(guarded.count(_._1 == "xx") > 1000) // the planted block really pairs
+    assert(guarded.exists(_._1 != "xx"))       // and the exact route contributes
+  }
+
+  test("fixture blocks stay under MaxBlockExact — the unguarded jaccard " +
+      "oracle only ever sees the exact route") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val maxBlock = Tables.documents(spark, s"/root/testdata/$sf")
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("long").as("len_bucket"))
+        .count().agg(max("count")).head().getLong(0)
+      assert(maxBlock <= Dedup.MaxBlockExact,
+        s"$sf max block $maxBlock > ${Dedup.MaxBlockExact}: dedup_jaccard's " +
+          "oracle would diverge from the escape route — raise MaxBlockExact " +
+          "or give the fixture its own guarded entry")
+    }
+  }
+
+  test("incremental jaccard (artifact + delta) equals the full recompute") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val incr = Dedup.ngramJaccardIncremental(spark, dir).collect().map(key).toSeq
+    val full = Dedup.ngramJaccard(spark, dir).collect().map(key).toSeq
+    assert(incr == full)
+    // both terms are live: history pairs (both ids < 400) and delta pairs
+    assert(incr.exists(p => p._3 < 400 && p._4 < 400))
+    assert(incr.exists(_._4 >= 400))
+  }
+
+  test("incremental minhash band-index delta equals the full rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val incr = Dedup.minhashIncremental(spark, dir).collect().map(key).toSeq
+    val full = Dedup.minhash(spark, dir).collect().map(key).toSeq
+    assert(incr == full)
+    assert(incr.exists(p => p._1 < 400 && p._2 < 400)) // artifact term live
+    assert(incr.exists(_._2 >= 400))                   // delta term live
+  }
+
+  test("streaming minhash dedup: survivors equal the batch " +
+      "no-earlier-near-dup rule") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val survivors = Dedup.minhashStream(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val dupIds = Dedup.minhash(spark, dir, sorted = false)
+      .select(col("b_id").as("doc_id")).distinct()
+    val expect = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == expect)
+    assert(survivors.nonEmpty && survivors.size <
+      Tables.documents(spark, dir).count()) // some dup was actually dropped
+  }
+
+  test("streaming minhash batch apply is idempotent under replay " +
+      "(versioned state)") {
+    import org.apache.spark.sql.functions.col
+    val dir = corpus((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " extra words here"))
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-stream-state").toString + "/state"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    Dedup.minhashStreamApplyBatch(dir, docs.filter(col("doc_id") <= 2), 0L,
+      statePath, 0.5, 200)
+    val b1 = docs.filter(col("doc_id") > 2)
+    Dedup.minhashStreamApplyBatch(dir, b1, 1L, statePath, 0.5, 200)
+    def snap() = (
+      spark.read.parquet(s"$statePath/v1/survivors")
+        .collect().map(_.getLong(0)).toSet,
+      spark.read.parquet(s"$statePath/v1/index")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    val first = snap()
+    // foreachBatch is at-least-once: a crash after the v1 write re-runs
+    // batch 1; the replay must rewrite v1 from the unchanged v0, not
+    // double-apply (the q87 versioned-state protocol)
+    Dedup.minhashStreamApplyBatch(dir, b1, 1L, statePath, 0.5, 200)
+    assert(snap() == first)
+    // survivors follow the batch rule (computed, not hash-hardcoded)
+    val dupIds = Dedup.minhash(spark, dir, sorted = false)
+      .select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(first._1 == Set(1L, 2L, 3L, 4L) -- dupIds)
+    assert(dupIds.contains(2L)) // the planted near-dup really dropped
+    // the index holds band rows for ALL arrivals, dropped dups included
+    assert(first._2.map(_._1) == Set(1L, 2L, 3L, 4L))
+  }
+
   test("fuzzy entity match: typo-level name variants inside blocks only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
