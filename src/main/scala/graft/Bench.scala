@@ -42,6 +42,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep saveAsTable catalog dirs (q94's bucketed tables) out of the
+      // repo root — ./spark-warehouse is the default otherwise
+      .config("spark.sql.warehouse.dir",
+        graft.tools.TempDirs.createFast("graft-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/session warmup

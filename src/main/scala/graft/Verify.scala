@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep saveAsTable catalog dirs (q94's bucketed tables) out of the
+      // repo root — ./spark-warehouse is the default otherwise
+      .config("spark.sql.warehouse.dir",
+        graft.tools.TempDirs.createFast("graft-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -133,6 +133,14 @@ object EtlPipeline {
     * idempotent via a run-id column + delete-before-append. */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 batchSize: Int = 500, numPartitions: Int = 4): Unit = {
+    // Embedded Derby writes derby.log to the CWD of whatever JVM first
+    // boots the engine — for the Verify/Bench mains that is the repo
+    // root. Point it at scratch BEFORE the first connection (the
+    // property is read once at engine boot; a no-op for non-Derby URLs
+    // and for JVMs where the engine is already up).
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        s"${graft.tools.TempDirs.resolvedRoot}/graft-derby.log")
     val w = (d: DataFrame) => d.write
       .option("batchsize", batchSize)
       .option("numPartitions", numPartitions)

@@ -1461,14 +1461,15 @@ object Relational2 {
     * narrow per-key shuffle of the delta plus a keyed merge against
     * state — the CDC cost model at any scale (state size, not history
     * size, prices each apply). */
-  def q87StreamUpsert(spark: SparkSession, dir: String): DataFrame = withStreamScopedConf(spark) {
+  def q87StreamUpsert(spark: SparkSession, dir: String,
+                      chunks: Int = 4): DataFrame = withStreamScopedConf(spark) {
     val base = graft.tools.TempDirs.createFast("graft-q87")
     try {
       val statePath = s"$base/state"
       Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
-        .repartition(4).write.mode("overwrite").parquet(s"$base/in")
+        .repartition(chunks).write.mode("overwrite").parquet(s"$base/in")
       val schema = spark.read.parquet(s"$base/in").schema
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
@@ -1476,6 +1477,7 @@ object Relational2 {
         .outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val t0 = System.nanoTime()
           val sp = batch.sparkSession
           // VERSIONED state: batch N reads v(N-1) — immutable — and
           // overwrites vN. foreachBatch is AT-LEAST-ONCE: a crash after
@@ -1507,6 +1509,11 @@ object Relational2 {
               col("d_last").as("last"))
           merged.write.mode("overwrite").parquet(cur)
           graft.tools.TempDirs.deleteRecursively(s"$statePath/v${batchId - 2}")
+          // per-epoch cost is THE scaling question for this operator
+          // (each epoch rewrites the full state): recorded as a phase so
+          // probes/bench show the growth curve, not just the total
+          graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
+            (System.nanoTime() - t0) / 1e9)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -1643,7 +1650,7 @@ object Relational2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_lateral"         -> (q82Lateral _),
     "q83_recursive"       -> (q83Recursive _),
-    "q87_stream_upsert"   -> (q87StreamUpsert _),
+    "q87_stream_upsert"   -> ((s: SparkSession, d: String) => q87StreamUpsert(s, d)),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),

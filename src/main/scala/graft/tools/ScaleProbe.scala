@@ -40,6 +40,8 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
+      .config("spark.sql.warehouse.dir",
+        TempDirs.createFast("graft-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -204,6 +206,15 @@ object ScaleProbe {
       "dedup_fuzzy"        -> (() => graft.ops.Dedup.fuzzy(spark, outDir).count()),
       "dedup_incremental"  -> (() => graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count()),
       "dedup_minhash"      -> (() => graft.ops.Dedup.minhash(spark, outDir).count()),
+      // Incremental band-index maintenance: the one-time historical build
+      // shows up as *.build phases; the REMAINDER is the recurring delta
+      // ingest. Two delta sizes (5% and 10% of the corpus) — the delta
+      // terms' ~1:2 ratio, both ≪ dedup_minhash's full-rebuild time, is
+      // the "delta cost ∝ delta size, not corpus size" evidence.
+      "dedup_incr_minhash" -> (() => graft.ops.Dedup.minhashIncremental(
+        spark, outDir, splitId = (nDocs * mult * 95) / 100).count()),
+      "dedup_incr_minhash10" -> (() => graft.ops.Dedup.minhashIncremental(
+        spark, outDir, splitId = (nDocs * mult * 90) / 100).count()),
       "dedup_simhash"      -> (() => graft.ops.Dedup.simhash(spark, outDir).count()),
       // forced pathological block: EVERY probe document lands in one
       // (lang, source, len_bucket) block — the shape that would hang the
@@ -218,7 +229,11 @@ object ScaleProbe {
       "mm_audio_windows"   -> (() => graft.ops.Multimodal.queries("mm_audio_windows")(spark, outDir).count()),
       "graph_pagerank"     -> (() => graft.ops.Graph.pagerank(spark, outDir).count()),
       "q67_upsert_merge"   -> (() => graft.ops.Relational2.q67UpsertMerge(spark, outDir).count()),
-      "q87_stream_upsert"  -> (() => graft.ops.Relational2.q87StreamUpsert(spark, outDir).count()),
+      // 16 epochs instead of the gate's 4: the per-epoch phases expose the
+      // cost CURVE as state accumulates — the full-state-rewrite trade's
+      // growth term, and where a partitioned state table becomes mandatory
+      "q87_stream_upsert"  -> (() => graft.ops.Relational2.q87StreamUpsert(
+        spark, outDir, chunks = 16).count()),
     )
     val results = pagedResults ++
       battery.filter(p => want(p._1)).map { case (n, f) => time(n)(f()) }

@@ -252,6 +252,39 @@ class PagedTableSourceSpec extends SparkSpec {
     assert(back.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
   }
 
+  test("foreign-generation orphans: marker-less pages of a crashed prior " +
+      "query are swept, committed ones stay") {
+    import graft.sources.{PagedStreamingWrite, PageCommit}
+    // Two leftovers from EARLIER query generations share the sink dir:
+    // "dead"'s page has no .epoch marker (its run crashed mid-publish —
+    // never committed, no reader may trust it) while "done"'s page is
+    // marker-committed real data. The new generation's first commit pays
+    // the one dir listing and must sweep exactly the former.
+    val dir = Files.createTempDirectory("graft-foreign").toString
+    val stage = Files.createTempDirectory("graft-foreign-stage").toString
+    Files.writeString(java.nio.file.Path.of(dir, "page-dead-0-0.tsv"),
+      Seq("k\tv", "x\t1").mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(dir, "page-done-0-0.tsv"),
+      Seq("k\tv", "y\t2").mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(dir, ".epoch-done-0"), "1")
+    // the leftover sidecars exactly as done's run maintained them:
+    // base 0 (no batch rows predated it) + its one marker row
+    Files.writeString(java.nio.file.Path.of(dir, ".base-count"), "0")
+    Files.writeString(java.nio.file.Path.of(dir, "_count"), "1")
+    val f = java.nio.file.Path.of(stage, "p0")
+    Files.writeString(f, Seq("k\tv", "z\t3").mkString("\n"))
+    val w = new PagedStreamingWrite(dir, Array("k", "v"), "fresh")
+    w.commit(0L, Array(PageCommit(f.toString, 1L, 0)))
+    val pages = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("page-")).sorted.toSeq
+    assert(pages == Seq("page-done-0-0.tsv", "page-fresh-0-0.tsv"),
+      s"only the marker-less foreign page may be swept, got $pages")
+    // _count reflects committed rows only: done's 1 + fresh's 1
+    assert(Files.readString(java.nio.file.Path.of(dir, "_count")) == "2")
+    val back = spark.read.format("graft.sources.PagedTableSource").load(dir)
+    assert(back.collect().map(_.getString(0)).sorted.toSeq == Seq("y", "z"))
+  }
+
   test("writer task killed on first attempt: layout + _count equal the clean run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, udf}
