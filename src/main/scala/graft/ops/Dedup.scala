@@ -667,10 +667,17 @@ object Dedup {
     * cadence the right response is re-verifying the (rare) crossing
     * buckets, not a rebuild. DedupSpec pins incremental == full rebuild on
     * the fixture, where no bucket crosses. */
+  /** `deltaOnly = true` returns JUST the new pairs (unsorted) — the shape
+    * a production refresh appends to the stored pair set. The default
+    * (gate) form re-emits history ∪ delta sorted, which costs a
+    * corpus-proportional union + global sort that is RESULT EMISSION, not
+    * refresh work; probes measure the deltaOnly form so the recurring
+    * term isn't buried under it. */
   def minhashIncremental(spark: SparkSession, dir: String,
                          splitId: Long = 400,
                          jaccardThreshold: Double = 0.5,
-                         maxBucket: Int = MinhashMaxBucket): DataFrame = {
+                         maxBucket: Int = MinhashMaxBucket,
+                         deltaOnly: Boolean = false): DataFrame = {
     val all = Tables.rebalanced(Tables.documents(spark, dir))
     val oldDocs = all.filter(col("doc_id") < splitId)
     val newDocs = all.filter(col("doc_id") >= splitId)
@@ -729,7 +736,8 @@ object Dedup {
         col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-    histPairs.unionByName(deltaPairs)
+    if (deltaOnly) deltaPairs
+    else histPairs.unionByName(deltaPairs)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -795,7 +803,15 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val sh = shingleSetsOf(Tables.documents(sp, dir))
+      .localCheckpoint()
+    // verify-side pruning as in minhashIncremental: semi-join the corpus
+    // store on the candidate ids BEFORE shingling, so the per-batch scan
+    // pays the shingle UDF only for candidate docs, not the whole corpus
+    val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
+      .unionByName(candidates.select(col("b_id").as("doc_id")))
+      .distinct().localCheckpoint())
+    val sh = shingleSetsOf(
+      Tables.documents(sp, dir).join(candIds, Seq("doc_id"), "left_semi"))
     val dupIds = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))

@@ -208,13 +208,23 @@ object ScaleProbe {
       "dedup_minhash"      -> (() => graft.ops.Dedup.minhash(spark, outDir).count()),
       // Incremental band-index maintenance: the one-time historical build
       // shows up as *.build phases; the REMAINDER is the recurring delta
-      // ingest. Two delta sizes (5% and 10% of the corpus) — the delta
-      // terms' ~1:2 ratio, both ≪ dedup_minhash's full-rebuild time, is
-      // the "delta cost ∝ delta size, not corpus size" evidence.
+      // ingest. Delta choice matters in THIS corpus: ids group by replica
+      // (id = base + rep·nDocs), so a whole-replica delta would touch
+      // every near-dup cluster and the verify side would pay full-corpus
+      // mass — a refresh-shaped delta is a TAIL of the last replica,
+      // touching only that fraction of clusters. Two sizes (5% and 10% of
+      // clusters): the delta terms' ~1:2 ratio, both ≪ dedup_minhash's
+      // full-rebuild time, is the "delta cost ∝ delta (touched-cluster)
+      // size, not corpus size" evidence.
+      // deltaOnly: the probe measures the RECURRING term (new pairs), not
+      // the corpus-proportional re-emission of history ∪ delta the gate
+      // form pays for its deterministic full-result oracle.
       "dedup_incr_minhash" -> (() => graft.ops.Dedup.minhashIncremental(
-        spark, outDir, splitId = (nDocs * mult * 95) / 100).count()),
+        spark, outDir, splitId = nDocs * mult - nDocs / 20,
+        deltaOnly = true).count()),
       "dedup_incr_minhash10" -> (() => graft.ops.Dedup.minhashIncremental(
-        spark, outDir, splitId = (nDocs * mult * 90) / 100).count()),
+        spark, outDir, splitId = nDocs * mult - nDocs / 10,
+        deltaOnly = true).count()),
       "dedup_simhash"      -> (() => graft.ops.Dedup.simhash(spark, outDir).count()),
       // forced pathological block: EVERY probe document lands in one
       // (lang, source, len_bucket) block — the shape that would hang the
@@ -234,6 +244,11 @@ object ScaleProbe {
       // growth term, and where a partitioned state table becomes mandatory
       "q87_stream_upsert"  -> (() => graft.ops.Relational2.q87StreamUpsert(
         spark, outDir, chunks = 16).count()),
+      // 64 small batches: |batch| shrinks toward |state|, so the epoch
+      // curve exposes the full-state-rewrite growth term — the measured
+      // approach to the point where a partitioned state table is mandatory
+      "q87_stream_upsert64" -> (() => graft.ops.Relational2.q87StreamUpsert(
+        spark, outDir, chunks = 64).count()),
     )
     val results = pagedResults ++
       battery.filter(p => want(p._1)).map { case (n, f) => time(n)(f()) }
