@@ -107,6 +107,8 @@ object TextKernels {
     }
   }
 
+  private val DebugChecks = java.lang.Boolean.getBoolean("graft.debug.checks")
+
   /** Exact Jaccard of two DISTINCT string sets — the compiled replacement
     * for `size(array_intersect)/size(array_union)`, whose string-array
     * forms evaluate INTERPRETED (SQLOpenHashSet nullSafeEval) and were
@@ -125,8 +127,6 @@ object TextKernels {
     * site rather than silently skew similarity scores (ADVICE r7). The
     * check costs one extra HashSet insert pass and is compiled out of the
     * hot path when the flag is unset (static final field). */
-  private val DebugChecks = java.lang.Boolean.getBoolean("graft.debug.checks")
-
   def jaccardDistinct(a: Array[String], b: Array[String]): java.lang.Double = {
     if (a == null || b == null) null
     else {

@@ -527,7 +527,8 @@ object Dedup {
   /** The block-guard ESCAPE path through the bitwise driver gate: the
     * fixture corpus augmented with ONE planted oversized block — every doc
     * with doc_id < [[PlantedBlockDocs]] contributes [[PlantedVariants]]
-    * variant rows with IDENTICAL token sets (ids 10000 + doc_id·V + i),
+    * variant rows with IDENTICAL token sets (ids max(doc_id)+1 + doc_id·V
+    * + i — above every natural id at any SF),
     * all forced into a single ('xx','hot',0) block of 480 docs >
     * [[GuardedCap]], so the routing, within-block banding, skew cap and
     * exact verify all run and produce CORRECTNESS rows (previously the
@@ -550,6 +551,10 @@ object Dedup {
   def ngramJaccardGuarded(spark: SparkSession, dir: String,
                           maxBlockExact: Int = GuardedCap): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // Planted ids start ABOVE the natural max: the escape path (and the
+    // whole pair pipeline) assumes corpus-unique doc_ids — a fixed base
+    // would collide on any corpus with more documents than it.
+    val idBase = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val natural = docs.select(col("lang"), col("source"),
       (col("n_chars") / 100).cast("long").as("len_bucket"),
       col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
@@ -559,7 +564,7 @@ object Dedup {
         explode(sequence(lit(0), lit(PlantedVariants - 1))).as("i"))
       .select(lit("xx").as("lang"), lit("hot").as("source"),
         lit(0L).as("len_bucket"),
-        (lit(10000L) + col("doc_id") * PlantedVariants + col("i")).as("doc_id"),
+        (lit(idBase) + col("doc_id") * PlantedVariants + col("i")).as("doc_id"),
         col("toks"))
     ngramJaccardOf(natural.unionByName(planted), threshold = 1.0,
       maxBlockExact = maxBlockExact)
@@ -576,7 +581,8 @@ object Dedup {
        |  FROM documents
        |  UNION ALL
        |  SELECT 'xx', 'hot', CAST(0 AS BIGINT),
-       |         10000 + doc_id * $PlantedVariants + v.i,
+       |         (SELECT max(doc_id) + 1 FROM documents)
+       |           + doc_id * $PlantedVariants + v.i,
        |         list_distinct($tokensSql)
        |  FROM documents, range($PlantedVariants) v(i)
        |  WHERE doc_id < $PlantedBlockDocs)
@@ -617,9 +623,11 @@ object Dedup {
         (col("n_chars") / 100).cast("long").as("len_bucket"),
         col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val newDocs = docs.filter(col("doc_id") >= splitId)
-    // build-once historical artifact (pairs among pre-split docs)
+    // build-once historical artifact (pairs among pre-split docs) —
+    // keyed by the threshold the pair set depends on, so a same-JVM call
+    // at a different threshold never reads a stale artifact
     val histPairs = graft.tools.ArtifactCache.parquet(spark, dir,
-      s"pairs_jaccard_lt$splitId") { p =>
+      s"pairs_jaccard_lt${splitId}_t$threshold") { p =>
       ngramJaccardOf(docs.filter(col("doc_id") < splitId), threshold,
         MaxBlockExact, sorted = false)
         .write.mode("overwrite").parquet(p)
@@ -681,64 +689,82 @@ object Dedup {
     val all = Tables.rebalanced(Tables.documents(spark, dir))
     val oldDocs = all.filter(col("doc_id") < splitId)
     val newDocs = all.filter(col("doc_id") >= splitId)
-    val bandCols = Seq("band", "band_sig")
     val histIndex = graft.tools.ArtifactCache.parquet(spark, dir,
       s"band_index_lt$splitId") { p =>
       bandRows(signaturesOf(oldDocs)).write.mode("overwrite").parquet(p)
-    }
-    val histPairs = graft.tools.ArtifactCache.parquet(spark, dir,
-      s"pairs_minhash_lt$splitId") { p =>
-      minhashOf(oldDocs, jaccardThreshold, maxBucket, sorted = false)
-        .write.mode("overwrite").parquet(p)
     }
     // delta band rows, materialized once: key counts, the key broadcast,
     // and both candidate joins all read them (a batch is small by
     // definition — a corpus-sized "delta" is a rebuild, not a refresh)
     val deltaIndex = bandRows(signaturesOf(newDocs)).localCheckpoint()
+    val deltaPairs =
+      deltaVerifiedPairs(histIndex, deltaIndex, all, jaccardThreshold, maxBucket)
+    if (deltaOnly) deltaPairs
+    else {
+      // build-once historical pair artifact — keyed by every parameter
+      // the pair set depends on, so a same-JVM call at a different
+      // threshold/cap can never read a stale artifact
+      val histPairs = graft.tools.ArtifactCache.parquet(spark, dir,
+        s"pairs_minhash_lt${splitId}_t${jaccardThreshold}_b$maxBucket") { p =>
+        minhashOf(oldDocs, jaccardThreshold, maxBucket, sorted = false)
+          .write.mode("overwrite").parquet(p)
+      }
+      histPairs.unionByName(deltaPairs)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  }
+
+  /** Shared core of the incremental and streaming refresh paths: verified
+    * near-dup pairs between a delta's band rows and the historical band
+    * index, plus delta×delta. The historical index is pruned to the band
+    * keys the delta touches via a broadcast semi-join BEFORE anything
+    * else reads it (the only part of the corpus-sized index a refresh
+    * reads); the skew cap applies to the COMBINED (hist + delta) bucket
+    * size, matching the decision a full rebuild would make for every
+    * touched key; and the verify tokenizes CANDIDATE docs only — the
+    * candidate id set is ∝ delta × bucket width, so it broadcasts and the
+    * corpus store pays a column scan, never a full re-shingle, per
+    * refresh. `corpus` must hold (doc_id, text) for every doc either side
+    * can reference. Returns (a_id, b_id, jaccard), unsorted. */
+  private def deltaVerifiedPairs(histIndex: DataFrame, deltaIndex: DataFrame,
+                                 corpus: DataFrame, jaccardThreshold: Double,
+                                 maxBucket: Int): DataFrame = {
+    val bandCols = Seq("band", "band_sig")
     val deltaCounts = deltaIndex.groupBy(bandCols.map(col): _*)
       .agg(count(lit(1)).as("d_n"))
-    // historical index pruned to touched keys FIRST — the only part of
-    // the (corpus-sized) index the refresh ever reads
     val touchedHist = histIndex
       .join(broadcast(deltaCounts.select(bandCols.map(col): _*)),
         bandCols, "left_semi")
       .localCheckpoint()
     val histCounts = touchedHist.groupBy(bandCols.map(col): _*)
       .agg(count(lit(1)).as("h_n"))
-    // skew cap on the COMBINED bucket size — the capping decision a full
-    // rebuild would make for every key the delta touches
     val okKeys = broadcast(deltaCounts
       .join(histCounts, bandCols, "left_outer")
       .filter(coalesce(col("h_n"), lit(0L)) + col("d_n") <= maxBucket)
       .select(bandCols.map(col): _*).localCheckpoint())
     val dOk = deltaIndex.join(okKeys, bandCols, "left_semi")
     val hOk = touchedHist.join(okKeys, bandCols, "left_semi")
-    val crossCand = hOk.select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
+    val candidates = hOk
+      .select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
       .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols)
-    val selfCand = dOk.select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
-      .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols)
-    val candidates = crossCand.unionByName(selfCand)
+      .unionByName(dOk
+        .select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
+        .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .localCheckpoint()
-    // Verify-side pruning: tokenize ONLY candidate docs, not the corpus —
-    // the candidate id set is ∝ delta × bucket width, so it broadcasts and
-    // the corpus pays a column scan, never a full re-shingle, per refresh.
     val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
       .unionByName(candidates.select(col("b_id").as("doc_id")))
       .distinct().localCheckpoint())
-    val sh = shingleSetsOf(all.join(candIds, Seq("doc_id"), "left_semi"))
-    val deltaPairs = candidates
+    val sh = shingleSetsOf(corpus.join(candIds, Seq("doc_id"), "left_semi"))
+    candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
         col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-    if (deltaOnly) deltaPairs
-    else histPairs.unionByName(deltaPairs)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ---------------------------------------------------------------------
@@ -769,7 +795,6 @@ object Dedup {
                                              jaccardThreshold: Double,
                                              maxBucket: Int): Unit = {
     val sp = batch.sparkSession
-    val bandCols = Seq("band", "band_sig")
     val cur = s"$statePath/v$batchId"
     val prev = s"$statePath/v${batchId - 1}"
     val arriving = batch.select(col("doc_id"), col("text")).localCheckpoint()
@@ -780,43 +805,13 @@ object Dedup {
     val histSurvivors =
       if (havePrev) sp.read.parquet(s"$prev/survivors")
       else arriving.select(col("doc_id")).limit(0)
-    val batchCounts = newBands.groupBy(bandCols.map(col): _*)
-      .agg(count(lit(1)).as("d_n"))
-    val touchedHist = histIndex
-      .join(broadcast(batchCounts.select(bandCols.map(col): _*)),
-        bandCols, "left_semi")
-      .localCheckpoint()
-    val histCounts = touchedHist.groupBy(bandCols.map(col): _*)
-      .agg(count(lit(1)).as("h_n"))
-    val okKeys = broadcast(batchCounts
-      .join(histCounts, bandCols, "left_outer")
-      .filter(coalesce(col("h_n"), lit(0L)) + col("d_n") <= maxBucket)
-      .select(bandCols.map(col): _*).localCheckpoint())
-    val dOk = newBands.join(okKeys, bandCols, "left_semi")
-    val hOk = touchedHist.join(okKeys, bandCols, "left_semi")
-    val candidates = hOk
-      .select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
-      .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols)
-      .unionByName(dOk
-        .select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
-        .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .localCheckpoint()
-    // verify-side pruning as in minhashIncremental: semi-join the corpus
-    // store on the candidate ids BEFORE shingling, so the per-batch scan
-    // pays the shingle UDF only for candidate docs, not the whole corpus
-    val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
-      .unionByName(candidates.select(col("b_id").as("doc_id")))
-      .distinct().localCheckpoint())
-    val sh = shingleSetsOf(
-      Tables.documents(sp, dir).join(candIds, Seq("doc_id"), "left_semi"))
-    val dupIds = candidates
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
-      .filter(graft.functions.TextKernels.jaccardUdf(
-        col("a_sh"), col("b_sh")) >= jaccardThreshold)
+    // the shared refresh core: batch×index ∪ batch×batch candidates,
+    // combined-bucket skew cap, candidate-pruned exact verify. A doc is a
+    // duplicate iff it is the LATER side (b_id) of a verified pair —
+    // arrival order is id order, so this is the batch "no earlier
+    // near-dup" rule.
+    val dupIds = deltaVerifiedPairs(histIndex, newBands,
+      Tables.documents(sp, dir), jaccardThreshold, maxBucket)
       .select(col("b_id").as("doc_id"))
       .distinct()
     val batchSurvivors = arriving.select(col("doc_id"))
@@ -867,8 +862,12 @@ object Dedup {
         dest.getParentFile.mkdirs()
         java.nio.file.Files.move(part.toPath, dest.toPath)
         // admission order = mtime order (ties broken by path): stamp
-        // strictly increasing mtimes so chunk k is batch k
-        dest.setLastModified(now - (chunks - k) * 60000L)
+        // strictly increasing mtimes so chunk k is batch k. The survivor
+        // rule ("no verified near-dup with a SMALLER id") depends on this
+        // ordering, so a filesystem that rejects mtime changes must fail
+        // loudly here, not silently reorder the batches.
+        require(dest.setLastModified(now - (chunks - k) * 60000L),
+          s"could not stamp mtime on $dest — chunk admission order would be undefined")
         graft.tools.TempDirs.deleteRecursively(tmp)
       }
       val schema = docs.schema
