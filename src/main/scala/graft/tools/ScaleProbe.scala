@@ -225,6 +225,11 @@ object ScaleProbe {
       "dedup_incr_minhash10" -> (() => graft.ops.Dedup.minhashIncremental(
         spark, outDir, splitId = nDocs * mult - nDocs / 10,
         deltaOnly = true).count()),
+      // streaming near-dup dedup end to end: 8 micro-batches, each
+      // probing and extending the persistent band index — the ingest-time
+      // shape; per-batch cost should track batch size + touched slice
+      "dedup_stream_minhash" -> (() => graft.ops.Dedup.minhashStream(
+        spark, outDir, chunks = 8).count()),
       "dedup_simhash"      -> (() => graft.ops.Dedup.simhash(spark, outDir).count()),
       // forced pathological block: EVERY probe document lands in one
       // (lang, source, len_bucket) block — the shape that would hang the
