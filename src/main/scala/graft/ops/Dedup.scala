@@ -668,13 +668,15 @@ object Dedup {
     * Delta cost ∝ |delta| + |touched index slice|, never corpus size —
     * probe-measured (ScaleProbe `dedup_incr_minhash`).
     *
-    * Honest caveat (documented, fixture-safe): a bucket whose size crosses
-    * the cap only AFTER a delta arrives keeps the pairs the historical
-    * build already emitted — full-rebuild would drop them. Retracting
-    * would need pair→band provenance in the artifact; at a real refresh
-    * cadence the right response is re-verifying the (rare) crossing
-    * buckets, not a rebuild. DedupSpec pins incremental == full rebuild on
-    * the fixture, where no bucket crosses. */
+    * Cap-crossing buckets (a bucket legal at build time that the delta
+    * pushes over the cap) are handled, not just documented: the merged
+    * form retracts every historical pair whose ONLY witnessing buckets
+    * crossed, recomputed from the persisted index rather than pair→band
+    * provenance ([[retractCrossedPairs]]) — so incremental == full
+    * rebuild unconditionally, spec-pinned both on the fixture (no
+    * crossing) and on a forced-crossing corpus. The `deltaOnly` additions
+    * feed cannot express retractions; a production append-only consumer
+    * must also consume the crossing-key feed or use the merged form. */
   /** `deltaOnly = true` returns JUST the new pairs (unsorted) — the shape
     * a production refresh appends to the stored pair set. The default
     * (gate) form re-emits history ∪ delta sorted, which costs a
@@ -697,9 +699,12 @@ object Dedup {
     // and both candidate joins all read them (a batch is small by
     // definition — a corpus-sized "delta" is a rebuild, not a refresh)
     val deltaIndex = bandRows(signaturesOf(newDocs)).localCheckpoint()
-    val deltaPairs =
+    val delta =
       deltaVerifiedPairs(histIndex, deltaIndex, all, jaccardThreshold, maxBucket)
-    if (deltaOnly) deltaPairs
+    // deltaOnly is the ADDITIONS feed (what a refresh appends); the
+    // merged form below also applies cap-crossing RETRACTIONS, which an
+    // append-only consumer cannot express
+    if (deltaOnly) delta.pairs
     else {
       // build-once historical pair artifact — keyed by every parameter
       // the pair set depends on, so a same-JVM call at a different
@@ -709,7 +714,9 @@ object Dedup {
         minhashOf(oldDocs, jaccardThreshold, maxBucket, sorted = false)
           .write.mode("overwrite").parquet(p)
       }
-      histPairs.unionByName(deltaPairs)
+      retractCrossedPairs(histPairs, histIndex, deltaIndex,
+        delta.crossingKeys, maxBucket)
+        .unionByName(delta.pairs)
         .orderBy(col("a_id"), col("b_id"))
     }
   }
@@ -728,7 +735,7 @@ object Dedup {
     * can reference. Returns (a_id, b_id, jaccard), unsorted. */
   private def deltaVerifiedPairs(histIndex: DataFrame, deltaIndex: DataFrame,
                                  corpus: DataFrame, jaccardThreshold: Double,
-                                 maxBucket: Int): DataFrame = {
+                                 maxBucket: Int): DeltaPairs = {
     val bandCols = Seq("band", "band_sig")
     val deltaCounts = deltaIndex.groupBy(bandCols.map(col): _*)
       .agg(count(lit(1)).as("d_n"))
@@ -738,10 +745,21 @@ object Dedup {
       .localCheckpoint()
     val histCounts = touchedHist.groupBy(bandCols.map(col): _*)
       .agg(count(lit(1)).as("h_n"))
-    val okKeys = broadcast(deltaCounts
+    val keyCounts = deltaCounts
       .join(histCounts, bandCols, "left_outer")
-      .filter(coalesce(col("h_n"), lit(0L)) + col("d_n") <= maxBucket)
-      .select(bandCols.map(col): _*).localCheckpoint())
+      .withColumn("h_n", coalesce(col("h_n"), lit(0L)))
+      .localCheckpoint()
+    val okKeys = broadcast(keyCounts
+      .filter(col("h_n") + col("d_n") <= maxBucket)
+      .select(bandCols.map(col): _*))
+    // CROSSING keys: historically legal (h_n ≤ cap, so the hist build
+    // paired inside them) but over the cap once the delta lands — the
+    // keys whose historical pairs a full rebuild would refuse to form.
+    // Returned so the caller can retract; tiny by construction.
+    val crossingKeys = keyCounts
+      .filter(col("h_n") <= maxBucket &&
+        col("h_n") + col("d_n") > maxBucket)
+      .select(bandCols.map(col): _*)
     val dOk = deltaIndex.join(okKeys, bandCols, "left_semi")
     val hOk = touchedHist.join(okKeys, bandCols, "left_semi")
     val candidates = hOk
@@ -758,13 +776,69 @@ object Dedup {
       .unionByName(candidates.select(col("b_id").as("doc_id")))
       .distinct().localCheckpoint())
     val sh = shingleSetsOf(corpus.join(candIds, Seq("doc_id"), "left_semi"))
-    candidates
+    val pairs = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
       .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
         col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    DeltaPairs(pairs, crossingKeys)
+  }
+
+  /** Result of [[deltaVerifiedPairs]]: the verified new pairs plus the
+    * (tiny) set of band keys the delta pushed over the skew cap —
+    * historical pairs witnessed ONLY by those keys must be retracted to
+    * equal a full rebuild (see [[retractCrossedPairs]]). */
+  private final case class DeltaPairs(pairs: DataFrame, crossingKeys: DataFrame)
+
+  /** Historical pairs a full rebuild would NOT form after the delta: a
+    * rebuild pairs (a, b) iff SOME shared band key has combined (hist +
+    * delta) bucket size ≤ cap, so a hist pair is retracted iff every one
+    * of its shared keys is now over the cap. Suspects are limited to
+    * pairs with BOTH endpoints inside a crossing bucket (a pair with an
+    * endpoint outside shares no crossing key, so its witnesses are
+    * untouched); for those few docs the index slice, combined key counts,
+    * and witness join are all ∝ crossing-bucket mass, not corpus size.
+    * Runs only when a crossing key exists — the common refresh pays one
+    * small isEmpty job on an already-materialized counts frame. */
+  private def retractCrossedPairs(histPairs: DataFrame, histIndex: DataFrame,
+                                  deltaIndex: DataFrame,
+                                  crossingKeys: DataFrame,
+                                  maxBucket: Int): DataFrame = {
+    if (crossingKeys.isEmpty) return histPairs
+    val bandCols = Seq("band", "band_sig")
+    val crossDocs = broadcast(histIndex
+      .join(broadcast(crossingKeys), bandCols, "left_semi")
+      .select(col("doc_id")).distinct().localCheckpoint())
+    val suspects = histPairs
+      .join(crossDocs.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(crossDocs.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+      .localCheckpoint()
+    // every band key a suspect doc sits in, and that key's combined size
+    val suspectIdx = histIndex
+      .join(crossDocs, Seq("doc_id"), "left_semi").localCheckpoint()
+    val suspectKeys = broadcast(
+      suspectIdx.select(bandCols.map(col): _*).distinct().localCheckpoint())
+    val combined = histIndex.join(suspectKeys, bandCols, "left_semi")
+      .groupBy(bandCols.map(col): _*).agg(count(lit(1)).as("h_n"))
+      .join(deltaIndex.join(suspectKeys, bandCols, "left_semi")
+          .groupBy(bandCols.map(col): _*).agg(count(lit(1)).as("d_n")),
+        bandCols, "left_outer")
+    val validKeys = broadcast(combined
+      .filter(col("h_n") + coalesce(col("d_n"), lit(0L)) <= maxBucket)
+      .select(bandCols.map(col): _*).localCheckpoint())
+    val retained = suspects
+      .join(suspectIdx.select(col("doc_id").as("a_id"), col("band"), col("band_sig")),
+        Seq("a_id"))
+      .join(suspectIdx.select(col("doc_id").as("b_id"), col("band"), col("band_sig")),
+        Seq("b_id", "band", "band_sig"))
+      .join(validKeys, bandCols, "left_semi")
+      .select(col("a_id"), col("b_id")).distinct()
+    val retract = broadcast(
+      suspects.select(col("a_id"), col("b_id"))
+        .join(retained, Seq("a_id", "b_id"), "left_anti").localCheckpoint())
+    histPairs.join(retract, Seq("a_id", "b_id"), "left_anti")
   }
 
   // ---------------------------------------------------------------------
@@ -813,6 +887,7 @@ object Dedup {
     // near-dup" rule.
     val dupIds = deltaVerifiedPairs(histIndex, newBands,
       Tables.documents(sp, dir), jaccardThreshold, maxBucket)
+      .pairs
       .select(col("b_id").as("doc_id"))
       .distinct()
     val batchSurvivors = arriving.select(col("doc_id"))

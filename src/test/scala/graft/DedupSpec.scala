@@ -294,6 +294,31 @@ class DedupSpec extends SparkSpec {
     assert(incr.exists(_._2 >= 400))                   // delta term live
   }
 
+  test("incremental minhash retracts historical pairs when the delta " +
+      "crosses the bucket cap") {
+    // Identical docs 1–6 share EVERY band key. History = {1..4}: bucket
+    // size 4 ≤ cap 4, so the historical build pairs all C(4,2)=6. The
+    // delta {5,6} pushes every one of those buckets to 6 > 4 — a full
+    // rebuild at cap 4 refuses to pair inside them at all, so the
+    // incremental form must RETRACT all six historical pairs. The stable
+    // near-dup cluster {7,8} spans the split and must still come through
+    // as a delta pair. Equality with the rebuild is the whole assertion.
+    val dir = corpus((1L, base), (2L, base), (3L, base), (4L, base),
+      (5L, base), (6L, base),
+      (7L, unrelated), (8L, unrelated.replace("now", "today")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val incr = Dedup.minhashIncremental(spark, dir, splitId = 5,
+      maxBucket = 4).collect().map(key).toSeq
+    val full = Dedup.minhash(spark, dir, maxBucket = 4).collect()
+      .map(key).toSeq
+    assert(incr == full)
+    assert(!incr.exists(p => p._1 <= 6 && p._2 <= 6),
+      s"capped-cluster pairs must be retracted, got $incr")
+    assert(incr.map(p => (p._1, p._2)) == Seq((7L, 8L)),
+      s"the uncrossed near-dup pair must survive, got $incr")
+  }
+
   test("streaming minhash dedup: survivors equal the batch " +
       "no-earlier-near-dup rule") {
     import org.apache.spark.sql.functions.col
