@@ -863,7 +863,16 @@ object Dedup {
     * the final survivor set equals the batch rule "keep doc d iff no
     * verified pair (a, d) with a < d", which the spec recomputes from the
     * batch minhash operator. ALL arrivals enter the index (a dropped dup
-    * still witnesses later dups — same pair semantics as the batch op). */
+    * still witnesses later dups — same pair semantics as the batch op).
+    *
+    * Cap semantics are INGEST-TIME: each batch caps on the combined
+    * (index-so-far + batch) bucket size, so a bucket that crosses the cap
+    * only in a LATER batch keeps the survivor decisions already published
+    * — unlike [[minhashIncremental]], which retracts, a stream cannot
+    * un-publish. On a corpus whose buckets cross mid-stream the final
+    * survivor set is therefore the ingest-ordered decision sequence, not
+    * the batch operator's final-count capping; equality with the batch
+    * rule holds whenever no bucket crosses during the run. */
   private[graft] def minhashStreamApplyBatch(dir: String, batch: DataFrame,
                                              batchId: Long, statePath: String,
                                              jaccardThreshold: Double,
