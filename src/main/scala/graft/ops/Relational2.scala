@@ -1543,6 +1543,138 @@ object Relational2 {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Reads the merge-on-read state as of batch `upTo` (inclusive): the
+    * newest base at or below `upTo` plus every delta after it, folded to
+    * one row per key. The fold is exactly the per-batch delta aggregate —
+    * count is summed, `last` is a struct max — so deltas compose in any
+    * grouping: the merge is a commutative monoid, which is what lets the
+    * write path skip read-modify-write entirely. Returns None before the
+    * first delta lands. */
+  private[graft] def morStateAsOf(sp: SparkSession, statePath: String,
+                                  upTo: Long): Option[DataFrame] = {
+    def versions(kind: String): Seq[Long] =
+      Option(new java.io.File(s"$statePath/$kind").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toLong)
+        .filter(_ <= upTo).sorted.toSeq
+    val base = versions("base").lastOption
+    val deltas = versions("delta").filter(v => base.forall(_ < v))
+    val paths = base.map(v => s"$statePath/base/v$v").toSeq ++
+      deltas.map(v => s"$statePath/delta/v$v")
+    if (paths.isEmpty) None
+    else Some(sp.read.parquet(paths: _*)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last")))
+  }
+
+  /** One micro-batch of the merge-on-read CDC loop — extracted from the
+    * foreachBatch closure so the replay spec can drive it directly.
+    *
+    * Steady-state epochs write ONLY the delta (one row per key present in
+    * the batch) — no state read, no merge: because the merge operator is a
+    * commutative monoid (see [[morStateAsOf]]), correctness moves to read
+    * time and the write path is O(batch) regardless of state size. Every
+    * `compactEvery`-th batch folds base + accumulated deltas into a new
+    * base (the amortized O(state/compactEvery) term, recorded as its own
+    * phase so it can't masquerade as steady-state cost).
+    *
+    * Replay protocol (foreachBatch is at-least-once): every write is an
+    * overwrite keyed by batchId and derives only from the engine-replayed
+    * batch plus state strictly older than batchId, so a crashed batch
+    * re-runs bitwise-identically. GC deletes only state below the newest
+    * base at or below batchId−1 — exactly what no replay can ever read
+    * again (the engine replays at most the LAST uncommitted batch). */
+  private[graft] def q95MorApplyBatch(batch: DataFrame, batchId: Long,
+                                      statePath: String,
+                                      compactEvery: Int): Unit = {
+    val sp = batch.sparkSession
+    val t0 = System.nanoTime()
+    val delta = batch.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+    delta.write.mode("overwrite").parquet(s"$statePath/delta/v$batchId")
+    graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
+      (System.nanoTime() - t0) / 1e9)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val tc = System.nanoTime()
+      morStateAsOf(sp, statePath, batchId).get
+        .write.mode("overwrite").parquet(s"$statePath/base/v$batchId")
+      graft.tools.PhaseTiming.record(f"compact$batchId%03d",
+        (System.nanoTime() - tc) / 1e9)
+    }
+    // GC: state below the newest base ≤ batchId−1 is unreadable by any
+    // replay (deferred one batch — the base written THIS batch does not
+    // license deletion until the batch commits)
+    Option(new java.io.File(s"$statePath/base").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong)
+      .filter(_ <= batchId - 1).sorted.lastOption.foreach { b =>
+        def sweep(kind: String, cut: Long => Boolean): Unit =
+          Option(new java.io.File(s"$statePath/$kind").listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.getName.matches("v\\d+") &&
+              cut(f.getName.drop(1).toLong))
+            .foreach(f => graft.tools.TempDirs.deleteRecursively(f.getPath))
+        sweep("base", _ < b)
+        sweep("delta", _ <= b)
+      }
+  }
+
+  /** Streaming CDC upsert, MERGE-ON-READ form — the log-structured answer
+    * to q87's documented trade (each q87 epoch rewrites the FULL state
+    * table, ~32× cumulative write amplification measured at 64 epochs).
+    * Same change stream, same final table, same oracle; only the state
+    * maintenance protocol differs:
+    *
+    *   - epoch N appends one immutable delta file (one row per key in the
+    *     batch) — write cost ∝ batch, FLAT in state size;
+    *   - every `compactEvery` epochs, base + deltas fold into a new base
+    *     (the q80 compaction pattern applied to CDC state) — amortized
+    *     cost state/compactEvery per epoch;
+    *   - readers merge base + ≤ compactEvery delta files through the same
+    *     monoid the deltas were built with.
+    *
+    * This is the LSM/copy-on-write-log trade (O'Neil et al., Acta
+    * Informatica 1996) as used by every lakehouse table format:
+    * write-optimized ingest, read pays a bounded merge fan-in. q87 is the
+    * read-optimized pole (always exactly one file per key); this is the
+    * write-optimized pole; `compactEvery` is the dial between them. At
+    * 100 TB the delta/base layout additionally partitions by key range so
+    * compaction touches only partitions with pending deltas. */
+  def q95MorUpsert(spark: SparkSession, dir: String, chunks: Int = 8,
+                   compactEvery: Int = 4): DataFrame = withStreamScopedConf(spark) {
+    val base = graft.tools.TempDirs.createFast("graft-q95")
+    try {
+      val statePath = s"$base/state"
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(chunks).write.mode("overwrite").parquet(s"$base/in")
+      val schema = spark.read.parquet(s"$base/in").schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          q95MorApplyBatch(batch, batchId, statePath, compactEvery)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      morStateAsOf(spark, statePath, Long.MaxValue)
+        .getOrElse(sys.error(s"q95: no state under $statePath"))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("last.ts")).as("last_us"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .localCheckpoint()
+        .orderBy(col("user_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** CSV source round-trip with explicit schema: documents written as
     * quoted CSV (texts contain commas/quotes in the general case), read
     * back with the schema declared — never inferred: at 100 TB schema
@@ -1651,6 +1783,7 @@ object Relational2 {
     "q82_lateral"         -> (q82Lateral _),
     "q83_recursive"       -> (q83Recursive _),
     "q87_stream_upsert"   -> ((s: SparkSession, d: String) => q87StreamUpsert(s, d)),
+    "q95_mor_upsert"      -> ((s: SparkSession, d: String) => q95MorUpsert(s, d)),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),
@@ -1703,6 +1836,7 @@ object Relational2 {
     "q82_lateral"         -> q82Sql,
     "q83_recursive"       -> q83Sql,
     "q87_stream_upsert"   -> q87Sql,
+    "q95_mor_upsert"      -> q87Sql, // same final table — only the state protocol differs
     "q90_csv_roundtrip"   -> q90Sql,
     "q91_schema_evolution" -> q91Sql,
     "q92_orc_roundtrip"   -> q92Sql,
