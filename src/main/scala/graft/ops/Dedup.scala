@@ -876,19 +876,25 @@ object Dedup {
   private[graft] def minhashStreamApplyBatch(dir: String, batch: DataFrame,
                                              batchId: Long, statePath: String,
                                              jaccardThreshold: Double,
-                                             maxBucket: Int): Unit = {
+                                             maxBucket: Int,
+                                             compactEvery: Int = 8): Unit = {
     val sp = batch.sparkSession
     val t0 = System.nanoTime()
-    val cur = s"$statePath/v$batchId"
-    val prev = s"$statePath/v${batchId - 1}"
+    val indexRoot = s"$statePath/index"
+    val survRoot = s"$statePath/survivors"
     val arriving = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val newBands = bandRows(signaturesOf(arriving)).localCheckpoint()
-    val havePrev = new java.io.File(s"$prev/index").exists()
+    // both state tables are APPEND-ONLY (the index accretes band rows, a
+    // survivor never un-survives), so the log-structured layout's fold is
+    // a plain union: epoch N writes ONLY the batch's band rows and the
+    // batch's survivors — O(batch), flat in index size — where the v1
+    // protocol rewrote the full index and survivor set every epoch
+    // (write cost ∝ corpus-so-far). Readers union the newest base plus
+    // the ≤ compactEvery deltas after it (LogState.pathsAsOf).
+    val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
     val histIndex =
-      if (havePrev) sp.read.parquet(s"$prev/index") else newBands.limit(0)
-    val histSurvivors =
-      if (havePrev) sp.read.parquet(s"$prev/survivors")
-      else arriving.select(col("doc_id")).limit(0)
+      if (histPaths.nonEmpty) sp.read.parquet(histPaths: _*)
+      else newBands.limit(0)
     // the shared refresh core: batch×index ∪ batch×batch candidates,
     // combined-bucket skew cap, candidate-pruned exact verify. A doc is a
     // duplicate iff it is the LATER side (b_id) of a verified pair —
@@ -901,15 +907,26 @@ object Dedup {
       .distinct()
     val batchSurvivors = arriving.select(col("doc_id"))
       .join(dupIds, Seq("doc_id"), "left_anti")
-    histSurvivors.unionByName(batchSurvivors)
-      .write.mode("overwrite").parquet(s"$cur/survivors")
-    histIndex.unionByName(newBands)
-      .write.mode("overwrite").parquet(s"$cur/index")
-    graft.tools.TempDirs.deleteRecursively(s"$statePath/v${batchId - 2}")
+    // replay contract (LogState Scaladoc): both writes are overwrites
+    // keyed by batchId, derived from the replayed batch + state < batchId
+    newBands.write.mode("overwrite").parquet(s"$indexRoot/delta/v$batchId")
+    batchSurvivors.write.mode("overwrite")
+      .parquet(s"$survRoot/delta/v$batchId")
     // per-batch cost vs index growth is the operator's scaling curve —
     // recorded as a phase so probes/bench expose it per micro-batch
     graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
       (System.nanoTime() - t0) / 1e9)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val tc = System.nanoTime()
+      Seq(indexRoot, survRoot).foreach { root =>
+        sp.read
+          .parquet(graft.tools.LogState.compactionInputs(root, batchId): _*)
+          .write.mode("overwrite").parquet(s"$root/base/v$batchId")
+      }
+      graft.tools.PhaseTiming.record(f"compact$batchId%03d",
+        (System.nanoTime() - tc) / 1e9)
+    }
+    Seq(indexRoot, survRoot).foreach(graft.tools.LogState.gc(_, batchId))
   }
 
   /** Streaming near-dup dedup end to end: the documents table streamed in
@@ -922,8 +939,11 @@ object Dedup {
     * DedupSpec recomputes from the batch operator; the driver gate records
     * the rows-only check (pairs are hash-family-specific, §5.5).
     *
-    * Per-epoch the full survivor set and index rewrite (the documented
-    * non-Delta trade, as q87): state cost ∝ corpus-so-far, probe cost ∝
+    * State is LOG-STRUCTURED (the q95 merge-on-read protocol via
+    * [[graft.tools.LogState]], with a plain-union fold since both tables
+    * are append-only): each epoch writes only the batch's band rows and
+    * survivors — O(batch), flat in index size — compacting every
+    * `compactEvery` epochs to bound reader fan-in. Probe cost stays ∝
     * batch × touched index slice. The per-batch corpus-store shingle scan
     * is candidate-pruned by the join; a production lake would store the
     * shingle/sig column beside the documents. */
@@ -977,11 +997,10 @@ object Dedup {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val latest = Option(new java.io.File(statePath).listFiles())
-        .getOrElse(Array.empty)
-        .filter(_.getName.matches("v\\d+"))
-        .maxBy(_.getName.drop(1).toLong)
-      spark.read.parquet(s"${latest.getAbsolutePath}/survivors")
+      val survPaths =
+        graft.tools.LogState.pathsAsOf(s"$statePath/survivors", Long.MaxValue)
+      require(survPaths.nonEmpty, s"no survivor state under $statePath")
+      spark.read.parquet(survPaths: _*)
         .localCheckpoint()
         .orderBy(col("doc_id"))
     } finally {

@@ -1552,16 +1552,7 @@ object Relational2 {
     * first delta lands. */
   private[graft] def morStateAsOf(sp: SparkSession, statePath: String,
                                   upTo: Long): Option[DataFrame] = {
-    def versions(kind: String): Seq[Long] =
-      Option(new java.io.File(s"$statePath/$kind").listFiles())
-        .getOrElse(Array.empty)
-        .filter(_.getName.matches("v\\d+"))
-        .map(_.getName.drop(1).toLong)
-        .filter(_ <= upTo).sorted.toSeq
-    val base = versions("base").lastOption
-    val deltas = versions("delta").filter(v => base.forall(_ < v))
-    val paths = base.map(v => s"$statePath/base/v$v").toSeq ++
-      deltas.map(v => s"$statePath/delta/v$v")
+    val paths = graft.tools.LogState.pathsAsOf(statePath, upTo)
     if (paths.isEmpty) None
     else Some(sp.read.parquet(paths: _*)
       .groupBy(col("user_id"))
@@ -1599,28 +1590,17 @@ object Relational2 {
       (System.nanoTime() - t0) / 1e9)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       val tc = System.nanoTime()
-      morStateAsOf(sp, statePath, batchId).get
+      // fold via compactionInputs, not morStateAsOf(batchId): a replayed
+      // compaction must not read the stale base it is overwriting
+      sp.read
+        .parquet(graft.tools.LogState.compactionInputs(statePath, batchId): _*)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
         .write.mode("overwrite").parquet(s"$statePath/base/v$batchId")
       graft.tools.PhaseTiming.record(f"compact$batchId%03d",
         (System.nanoTime() - tc) / 1e9)
     }
-    // GC: state below the newest base ≤ batchId−1 is unreadable by any
-    // replay (deferred one batch — the base written THIS batch does not
-    // license deletion until the batch commits)
-    Option(new java.io.File(s"$statePath/base").listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong)
-      .filter(_ <= batchId - 1).sorted.lastOption.foreach { b =>
-        def sweep(kind: String, cut: Long => Boolean): Unit =
-          Option(new java.io.File(s"$statePath/$kind").listFiles())
-            .getOrElse(Array.empty)
-            .filter(f => f.getName.matches("v\\d+") &&
-              cut(f.getName.drop(1).toLong))
-            .foreach(f => graft.tools.TempDirs.deleteRecursively(f.getPath))
-        sweep("base", _ < b)
-        sweep("delta", _ <= b)
-      }
+    graft.tools.LogState.gc(statePath, batchId)
   }
 
   /** Streaming CDC upsert, MERGE-ON-READ form — the log-structured answer

@@ -254,6 +254,13 @@ object ScaleProbe {
       // approach to the point where a partitioned state table is mandatory
       "q87_stream_upsert64" -> (() => graft.ops.Relational2.q87StreamUpsert(
         spark, outDir, chunks = 64).count()),
+      // merge-on-read form of the same 64-epoch loop: per-epoch writes
+      // are delta-only, so the q87 write-amplification term (≈32× state
+      // rewritten cumulatively) collapses to deltas + 64/compactEvery
+      // compaction folds; epoch phases should sit at the per-batch
+      // aggregation floor regardless of state size
+      "q95_mor_upsert64" -> (() => graft.ops.Relational2.q95MorUpsert(
+        spark, outDir, chunks = 64, compactEvery = 8).count()),
     )
     val results = pagedResults ++
       battery.filter(p => want(p._1)).map { case (n, f) => time(n)(f()) }

@@ -343,21 +343,31 @@ class DedupSpec extends SparkSpec {
     val statePath =
       java.nio.file.Files.createTempDirectory("graft-stream-state").toString + "/state"
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // compactEvery=2 so batch 1 also exercises the compaction + GC path
     Dedup.minhashStreamApplyBatch(dir, docs.filter(col("doc_id") <= 2), 0L,
-      statePath, 0.5, 200)
+      statePath, 0.5, 200, compactEvery = 2)
     val b1 = docs.filter(col("doc_id") > 2)
-    Dedup.minhashStreamApplyBatch(dir, b1, 1L, statePath, 0.5, 200)
+    Dedup.minhashStreamApplyBatch(dir, b1, 1L, statePath, 0.5, 200,
+      compactEvery = 2)
+    def read(root: String) = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$statePath/$root", 1L): _*)
     def snap() = (
-      spark.read.parquet(s"$statePath/v1/survivors")
-        .collect().map(_.getLong(0)).toSet,
-      spark.read.parquet(s"$statePath/v1/index")
+      read("survivors").collect().map(_.getLong(0)).toSet,
+      read("index")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
     val first = snap()
-    // foreachBatch is at-least-once: a crash after the v1 write re-runs
-    // batch 1; the replay must rewrite v1 from the unchanged v0, not
-    // double-apply (the q87 versioned-state protocol)
-    Dedup.minhashStreamApplyBatch(dir, b1, 1L, statePath, 0.5, 200)
+    // foreachBatch is at-least-once: a crash after batch 1's writes
+    // re-runs batch 1; the replay must rewrite the v1 delta (and the v1
+    // compaction base) from state < 1, not double-apply (the q95
+    // log-structured protocol)
+    Dedup.minhashStreamApplyBatch(dir, b1, 1L, statePath, 0.5, 200,
+      compactEvery = 2)
     assert(snap() == first)
+    // the delta really is O(batch): batch 1's index delta carries band
+    // rows for ONLY its two docs, not the corpus-so-far
+    assert(spark.read.parquet(s"$statePath/index/delta/v1")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
     // survivors follow the batch rule (computed, not hash-hardcoded)
     val dupIds = Dedup.minhash(spark, dir, sorted = false)
       .select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
