@@ -879,9 +879,11 @@ object Dedup {
                                              maxBucket: Int,
                                              compactEvery: Int = 8): Unit = {
     val sp = batch.sparkSession
-    val t0 = System.nanoTime()
     val indexRoot = s"$statePath/index"
     val survRoot = s"$statePath/survivors"
+    Seq(indexRoot, survRoot)
+      .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
+    val t0 = System.nanoTime()
     val arriving = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val newBands = bandRows(signaturesOf(arriving)).localCheckpoint()
     // both state tables are APPEND-ONLY (the index accretes band rows, a
@@ -916,17 +918,10 @@ object Dedup {
     // recorded as a phase so probes/bench expose it per micro-batch
     graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
       (System.nanoTime() - t0) / 1e9)
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      val tc = System.nanoTime()
-      Seq(indexRoot, survRoot).foreach { root =>
-        sp.read
-          .parquet(graft.tools.LogState.compactionInputs(root, batchId): _*)
-          .write.mode("overwrite").parquet(s"$root/base/v$batchId")
-      }
-      graft.tools.PhaseTiming.record(f"compact$batchId%03d",
-        (System.nanoTime() - tc) / 1e9)
-    }
-    Seq(indexRoot, survRoot).foreach(graft.tools.LogState.gc(_, batchId))
+    // identity fold: both tables are append-only, compaction is pure
+    // file-count control for reader fan-in
+    graft.tools.LogState.maintain(sp, Seq(indexRoot, survRoot), batchId,
+      compactEvery)(identity)
   }
 
   /** Streaming near-dup dedup end to end: the documents table streamed in

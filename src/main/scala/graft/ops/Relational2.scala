@@ -1550,13 +1550,20 @@ object Relational2 {
     * grouping: the merge is a commutative monoid, which is what lets the
     * write path skip read-modify-write entirely. Returns None before the
     * first delta lands. */
+  /** The merge monoid all three MOR folds share (read-time merge,
+    * compaction, delta-over-delta grouping): count-sum + struct-max.
+    * One definition so the folds cannot drift apart — schedule
+    * invariance (MorUpsertSpec) depends on every site folding
+    * identically. */
+  private def morFold(state: DataFrame): DataFrame =
+    state.groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
+
   private[graft] def morStateAsOf(sp: SparkSession, statePath: String,
                                   upTo: Long): Option[DataFrame] = {
     val paths = graft.tools.LogState.pathsAsOf(statePath, upTo)
     if (paths.isEmpty) None
-    else Some(sp.read.parquet(paths: _*)
-      .groupBy(col("user_id"))
-      .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last")))
+    else Some(morFold(sp.read.parquet(paths: _*)))
   }
 
   /** One micro-batch of the merge-on-read CDC loop — extracted from the
@@ -1580,7 +1587,10 @@ object Relational2 {
                                       statePath: String,
                                       compactEvery: Int): Unit = {
     val sp = batch.sparkSession
+    graft.tools.LogState.requireNoFuture(statePath, batchId)
     val t0 = System.nanoTime()
+    // one row per key in the batch: count + struct-max over the RAW
+    // events lands in exactly the state schema morFold merges
     val delta = batch.groupBy(col("user_id")).agg(
       count(lit(1)).as("n_events"),
       max(struct(col("ts"), col("event_id"), col("event_type"),
@@ -1588,19 +1598,8 @@ object Relational2 {
     delta.write.mode("overwrite").parquet(s"$statePath/delta/v$batchId")
     graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
       (System.nanoTime() - t0) / 1e9)
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      val tc = System.nanoTime()
-      // fold via compactionInputs, not morStateAsOf(batchId): a replayed
-      // compaction must not read the stale base it is overwriting
-      sp.read
-        .parquet(graft.tools.LogState.compactionInputs(statePath, batchId): _*)
-        .groupBy(col("user_id"))
-        .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
-        .write.mode("overwrite").parquet(s"$statePath/base/v$batchId")
-      graft.tools.PhaseTiming.record(f"compact$batchId%03d",
-        (System.nanoTime() - tc) / 1e9)
-    }
-    graft.tools.LogState.gc(statePath, batchId)
+    graft.tools.LogState.maintain(sp, Seq(statePath), batchId,
+      compactEvery)(morFold)
   }
 
   /** Streaming CDC upsert, MERGE-ON-READ form — the log-structured answer

@@ -1,5 +1,7 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Versioned base/delta file layout for log-structured operator state —
   * the shared mechanics under the merge-on-read CDC upsert (q95) and the
   * streaming minhash dedup's band-index state.
@@ -36,12 +38,62 @@ object LogState {
 
   /** Parquet paths reconstructing the state as of batch `upTo`: the
     * newest base ≤ `upTo` plus every delta after it. Empty before the
-    * first delta lands. */
+    * first delta lands. Throws if `upTo` predates the GC floor (state
+    * exists but none of it is ≤ `upTo`): [[gc]] only deletes what no
+    * replay of the CURRENT stream can read, so an as-of point below the
+    * floor means a contract violation — e.g. a wiped checkpoint reusing
+    * an old statePath, replaying batch 0 against GC'd history — and must
+    * fail loudly, not read as "no state yet" and silently publish
+    * results computed against empty history. */
   def pathsAsOf(root: String, upTo: Long): Seq[String] = {
     val base = versions(root, "base", upTo).lastOption
     val deltas = versions(root, "delta", upTo).filter(v => base.forall(_ < v))
-    base.map(v => s"$root/base/v$v").toSeq ++
+    val paths = base.map(v => s"$root/base/v$v").toSeq ++
       deltas.map(v => s"$root/delta/v$v")
+    // upTo < 0 is the legitimate "before any batch" read an apply-time
+    // replay of batch 0 makes while its own crashed-attempt delta v0
+    // still sits on disk — only a NON-negative as-of point that resolves
+    // to nothing while state exists is below the floor
+    require(upTo < 0 || paths.nonEmpty ||
+      (versions(root, "base").isEmpty && versions(root, "delta").isEmpty),
+      s"state under $root exists but none of it is at or below batch " +
+        s"$upTo — the as-of point predates the GC floor (stale statePath " +
+        "with a fresh checkpoint?)")
+    paths
+  }
+
+  /** Apply-time guard: state NEWER than the batch being applied means the
+    * stream went backwards — a wiped checkpoint reusing a stale
+    * statePath. A replay may find its own batch's leftovers (they get
+    * overwritten), never the future's. Call before reading history in a
+    * foreachBatch body. */
+  def requireNoFuture(root: String, batchId: Long): Unit = {
+    val future = (versions(root, "base") ++ versions(root, "delta"))
+      .filter(_ > batchId).sorted
+    require(future.isEmpty,
+      s"state under $root at versions $future is newer than batch " +
+        s"$batchId — stale statePath with a fresh checkpoint?")
+  }
+
+  /** The batch's state maintenance, shared by every operator on this
+    * layout: every `compactEvery` epochs, fold each root's
+    * [[compactionInputs]] through the operator's `fold` into a new base
+    * (all roots under one `compactNNN` phase so the amortized term is
+    * visible in bench artifacts), then [[gc]] each root. `fold` must be
+    * the same schedule-invariant fold readers apply — identity for
+    * append-only tables, the merge monoid otherwise. */
+  def maintain(sp: SparkSession, roots: Seq[String], batchId: Long,
+               compactEvery: Int)(fold: DataFrame => DataFrame): Unit = {
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val tc = System.nanoTime()
+      roots.foreach { root =>
+        fold(sp.read.parquet(compactionInputs(root, batchId): _*))
+          .write.mode("overwrite").parquet(s"$root/base/v$batchId")
+      }
+      PhaseTiming.record(f"compact$batchId%03d",
+        (System.nanoTime() - tc) / 1e9)
+    }
+    roots.foreach(gc(_, batchId))
   }
 
   /** Parquet paths a batch-`batchId` COMPACTION must fold: the state as
@@ -51,9 +103,17 @@ object LogState {
     * a stale base from the crashed attempt already sits at the output
     * path, and folding through [[pathsAsOf]] would read the very files
     * the overwrite is deleting (a self-overwrite race that is only
-    * sometimes masked by a shuffle barrier in the fold). */
-  def compactionInputs(root: String, batchId: Long): Seq[String] =
-    pathsAsOf(root, batchId - 1) :+ s"$root/delta/v$batchId"
+    * sometimes masked by a shuffle barrier in the fold). Uses the raw
+    * path math, not [[pathsAsOf]]: a batch-0 compaction legitimately
+    * folds while the only state is the delta batch 0 itself just wrote,
+    * which the GC-floor guard would reject. */
+  def compactionInputs(root: String, batchId: Long): Seq[String] = {
+    val base = versions(root, "base", batchId - 1).lastOption
+    val deltas =
+      versions(root, "delta", batchId - 1).filter(v => base.forall(_ < v))
+    base.map(v => s"$root/base/v$v").toSeq ++
+      deltas.map(v => s"$root/delta/v$v") :+ s"$root/delta/v$batchId"
+  }
 
   /** Drop state no replay of batch > `batchId` can read: everything below
     * the newest base at or below `batchId − 1` (deferred one batch — see

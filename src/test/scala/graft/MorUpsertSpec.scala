@@ -36,11 +36,10 @@ class MorUpsertSpec extends SparkSpec {
         unix_micros(col("last.ts")).as("last_us"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  // the real layout parser, not a reimplementation: layout assertions
+  // must exercise what production reads
   private def versions(statePath: String, kind: String): Seq[Long] =
-    Option(new java.io.File(s"$statePath/$kind").listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong).sorted.toSeq
+    graft.tools.LogState.versions(statePath, kind)
 
   test("compaction schedule never changes the result (monoid fold)") {
     // no compaction / every epoch / every other epoch: same merged state
@@ -110,6 +109,23 @@ class MorUpsertSpec extends SparkSpec {
       // and the merged view still reflects every key
       assert(Relational2.morStateAsOf(spark, statePath, 1L).get.count()
         == stateKeys)
+    } finally graft.tools.TempDirs.deleteRecursively(statePath)
+  }
+
+  test("stale-statePath reuse fails loudly: future state at apply time, " +
+      "below-floor reads at as-of time") {
+    val statePath = runLoop(2) // layout: bases {3,5}, deltas {4,5}
+    try {
+      // a wiped checkpoint restarting at batch 0 against this state must
+      // throw, not silently overwrite delta v0 and fold a mixed history
+      intercept[IllegalArgumentException] {
+        Relational2.q95MorApplyBatch(batches(0), 0L, statePath, 2)
+      }
+      // a time-travel read below the GC floor must throw, not read as
+      // "no state yet"
+      intercept[IllegalArgumentException] {
+        graft.tools.LogState.pathsAsOf(statePath, 2L)
+      }
     } finally graft.tools.TempDirs.deleteRecursively(statePath)
   }
 
