@@ -945,7 +945,12 @@ object Dedup {
   def minhashStream(spark: SparkSession, dir: String,
                     jaccardThreshold: Double = 0.5,
                     maxBucket: Int = MinhashMaxBucket,
-                    chunks: Int = 4): DataFrame = {
+                    chunks: Int = 4,
+                    // 2 so the GATE run (4 chunks) exercises compaction
+                    // at batches 1 and 3 and GC at batches ≥ 2 — the
+                    // maintenance path is driver-visible, not spec-only;
+                    // schedule invariance is MorUpsertSpec/DedupSpec-pinned
+                    compactEvery: Int = 2): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val base = graft.tools.TempDirs.createFast("graft-dedup-stream")
@@ -988,7 +993,7 @@ object Dedup {
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           minhashStreamApplyBatch(dir, batch, batchId, statePath,
-            jaccardThreshold, maxBucket)
+            jaccardThreshold, maxBucket, compactEvery)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
