@@ -1654,6 +1654,223 @@ object Relational2 {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  // ---------------------------------------------------------------------
+  // q96: the MOR CDC upsert on a KEY-RANGE-PARTITIONED state table — the
+  // scale remedy both 100× streaming probes pointed at (q87's full-state
+  // rewrite and q95's global compaction both price in STATE size; under
+  // key-local traffic only a few partitions' state should ever move).
+  // ---------------------------------------------------------------------
+
+  private def q96PartDirs(statePath: String): Seq[String] =
+    Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("p="))
+      .map(_.getAbsolutePath).sorted.toSeq
+
+  /** The frozen key-range boundaries of a partitioned state table —
+    * derived ONCE (from the first batch's key distribution via
+    * approx-quantiles) and persisted atomically at
+    * `statePath/_boundaries`; every later batch reuses the file. Freezing
+    * is load-bearing: bucketing must be identical across batches and
+    * across at-least-once replays, or a replay could route a key to a
+    * different partition than the crashed attempt did and leave the
+    * original as an orphan delta. The atomic-rename publish means a crash
+    * during derivation leaves either no file (replay re-derives — no
+    * partition write can have happened, boundaries are frozen before any)
+    * or the complete file.
+    *
+    * RANGE, not hash: a hash spreads ANY batch over min(P, batch keys)
+    * partitions, destroying the touched-partition bound for every
+    * non-tiny batch. Ranges keep key-local CDC traffic (recent users, one
+    * tenant's id block) confined to the partitions that own those ranges —
+    * the same reason lakehouse table layouts cluster by business key.
+    * Strictly-increasing dedup means a skewed sample yields fewer
+    * effective partitions, never an empty range. */
+  private[graft] def q96Boundaries(batch: DataFrame, statePath: String,
+                                   numPartitions: Int): Array[Long] = {
+    val f = java.nio.file.Paths.get(statePath, "_boundaries")
+    if (!java.nio.file.Files.exists(f)) {
+      val probs = (1 until numPartitions).map(_.toDouble / numPartitions)
+      val bounds = batch.stat
+        .approxQuantile("user_id", probs.toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+      java.nio.file.Files.createDirectories(f.getParent)
+      val tmp = java.nio.file.Paths.get(statePath, "_boundaries.tmp")
+      java.nio.file.Files.write(tmp,
+        bounds.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val text = new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (text.isEmpty) Array.empty else text.split(",").map(_.toLong)
+  }
+
+  /** Partition of `key` under frozen `bounds`: the count of boundaries at
+    * or below it. The Spark-side twin [[q96BucketCol]] must agree exactly
+    * (routing and point-lookup pruning read the same layout). */
+  private def q96BucketOf(bounds: Array[Long], key: Long): Int =
+    bounds.count(_ <= key)
+
+  /** Codegen-friendly bucket expression: a sum of P−1 `when`s, not a HOF
+    * lambda (HOF lambdas are CodegenFallback in Spark 4 — the interpreted
+    * ~100× trap TextKernels documents) and not a UDF. */
+  private def q96BucketCol(bounds: Array[Long],
+                           key: org.apache.spark.sql.Column) =
+    bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(key >= lit(b), 1).otherwise(0)
+    }
+
+  /** One micro-batch of the PARTITIONED merge-on-read CDC loop. Same
+    * monoid delta as q95 ([[morFold]]); what changes is the state layout:
+    * `statePath/p=K/{base,delta}/vN` — each key-range partition is an
+    * independent [[graft.tools.LogState]] log. Per batch:
+    *
+    *   1. the delta aggregate is routed by the frozen range boundaries and
+    *      written `partitionBy("p")` to a stage dir — ONE job, only
+    *      non-empty partitions materialize;
+    *   2. each staged partition dir is published as
+    *      `p=K/delta/v(batchId)` with delete-then-move (idempotent under
+    *      replay: frozen boundaries + a deterministic delta mean a replay
+    *      touches the same partition set and overwrites the same dirs);
+    *   3. fan-in maintenance runs ONLY on the touched roots
+    *      ([[graft.tools.LogState.maintainFanIn]]): a partition compacts
+    *      when ITS pending delta count reaches `maxDeltas`, so compaction
+    *      cost is ∝ touched-partition state and an untouched partition's
+    *      files are never listed, read, or rewritten.
+    *
+    * That last property is the operator's reason to exist: q87 rewrites
+    * the full state every epoch and even q95's global compaction folds the
+    * FULL base every `compactEvery` batches, so both price maintenance in
+    * state size. Here key-local traffic (the real CDC shape: recent users,
+    * one tenant's id block) prices in touched partitions only — the
+    * remedy the q87/q95 100× probes identified. At 100 TB the per-batch
+    * `p=*` directory listing and the delete-then-move publishes become a
+    * manifest commit (object stores have no atomic dir rename) — the
+    * layout's fold/replay/GC contracts carry over unchanged. */
+  private[graft] def q96ApplyBatch(batch: DataFrame, batchId: Long,
+                                   statePath: String, numPartitions: Int,
+                                   maxDeltas: Int): Unit = {
+    val sp = batch.sparkSession
+    val t0 = System.nanoTime()
+    val bounds = q96Boundaries(batch, statePath, numPartitions)
+    q96PartDirs(statePath)
+      .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
+    val delta = batch.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .withColumn("p", q96BucketCol(bounds, col("user_id")))
+    val stage = s"$statePath/.stage/v$batchId"
+    delta.write.mode("overwrite").partitionBy("p").parquet(stage)
+    val touched = Option(new java.io.File(stage).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("p="))
+      .sortBy(_.getName)
+    touched.foreach { d =>
+      val dst = java.nio.file.Paths.get(
+        s"$statePath/${d.getName}/delta/v$batchId")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      graft.tools.TempDirs.deleteRecursively(dst.toString)
+      java.nio.file.Files.move(d.toPath, dst)
+    }
+    graft.tools.TempDirs.deleteRecursively(s"$statePath/.stage")
+    graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
+      (System.nanoTime() - t0) / 1e9)
+    val tc = System.nanoTime()
+    val compacted = touched
+      .map(d => s"$statePath/${d.getName}")
+      .count(root => graft.tools.LogState.maintainFanIn(sp, root, batchId,
+        maxDeltas)(morFold))
+    if (compacted > 0)
+      graft.tools.PhaseTiming.record(f"compact$batchId%03d",
+        (System.nanoTime() - tc) / 1e9)
+  }
+
+  /** Merged view of the partitioned state as of batch `upTo`: per
+    * partition, the newest base plus later deltas; partitions are
+    * key-disjoint, so one global [[morFold]] over the union equals the
+    * per-partition folds. None before the first delta lands. */
+  private[graft] def q96StateAsOf(sp: SparkSession, statePath: String,
+                                  upTo: Long): Option[DataFrame] = {
+    val paths = q96PartDirs(statePath)
+      .flatMap(graft.tools.LogState.pathsAsOf(_, upTo))
+    if (paths.isEmpty) None else Some(morFold(sp.read.parquet(paths: _*)))
+  }
+
+  /** Point lookup that proves the layout prunes: routes `key` through the
+    * frozen boundaries JVM-side and reads ONLY its partition's log — at
+    * any state size the lookup scans one partition's base + pending
+    * deltas, never the table. None if the key's partition holds no state
+    * yet. */
+  private[graft] def q96StateForKey(sp: SparkSession, statePath: String,
+                                    key: Long): Option[DataFrame] = {
+    val f = java.nio.file.Paths.get(statePath, "_boundaries")
+    require(java.nio.file.Files.exists(f),
+      s"no _boundaries under $statePath — state not initialized")
+    val text = new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val bounds =
+      if (text.isEmpty) Array.empty[Long] else text.split(",").map(_.toLong)
+    val root = s"$statePath/p=${q96BucketOf(bounds, key)}"
+    val paths = graft.tools.LogState.pathsAsOf(root, Long.MaxValue)
+    if (paths.isEmpty) None
+    else Some(morFold(sp.read.parquet(paths: _*))
+      .filter(col("user_id") === key))
+  }
+
+  /** Streaming CDC upsert over a KEY-RANGE-PARTITIONED merge-on-read
+    * state table — same change stream, same final table, same oracle as
+    * q87/q95; the third point on the state-maintenance spectrum:
+    *
+    *   - q87: read-optimized — every epoch rewrites the FULL state
+    *     (read cost minimal, write cost ∝ state);
+    *   - q95: write-optimized — epochs append O(batch) deltas, but the
+    *     amortized compaction still folds the FULL base;
+    *   - q96: partitioned — epochs append O(batch) deltas routed by
+    *     frozen key-range boundaries, and compaction folds only
+    *     partitions whose own delta fan-in filled up, so BOTH steady and
+    *     amortized cost price in touched partitions, not state size.
+    *
+    * The gate's uniform fixture traffic touches every range (documented
+    * honest accounting, same as q95's) — the sparse-traffic bound is
+    * pinned by PartitionedStateSpec: a one-key batch writes one delta in
+    * one partition and every other partition's file tree is bitwise
+    * untouched. LSM trade per O'Neil et al. (Acta Informatica 1996);
+    * partition-local compaction as in log-structured stores and lakehouse
+    * table formats. */
+  def q96PartitionedUpsert(spark: SparkSession, dir: String,
+                           chunks: Int = 8, numPartitions: Int = 8,
+                           maxDeltas: Int = 3): DataFrame =
+    withStreamScopedConf(spark) {
+      val base = graft.tools.TempDirs.createFast("graft-q96")
+      try {
+        val statePath = s"$base/state"
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(chunks).write.mode("overwrite").parquet(s"$base/in")
+        val schema = spark.read.parquet(s"$base/in").schema
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            q96ApplyBatch(b, id, statePath, numPartitions, maxDeltas)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        q96StateAsOf(spark, statePath, Long.MaxValue)
+          .getOrElse(sys.error(s"q96: no state under $statePath"))
+          .select(col("user_id"), col("n_events"),
+            unix_micros(col("last.ts")).as("last_us"),
+            col("last.event_type").as("last_type"),
+            col("last.value").as("last_value"))
+          .localCheckpoint()
+          .orderBy(col("user_id"))
+      } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+
   /** CSV source round-trip with explicit schema: documents written as
     * quoted CSV (texts contain commas/quotes in the general case), read
     * back with the schema declared — never inferred: at 100 TB schema
@@ -1763,6 +1980,7 @@ object Relational2 {
     "q83_recursive"       -> (q83Recursive _),
     "q87_stream_upsert"   -> ((s: SparkSession, d: String) => q87StreamUpsert(s, d)),
     "q95_mor_upsert"      -> ((s: SparkSession, d: String) => q95MorUpsert(s, d)),
+    "q96_partitioned_upsert" -> ((s: SparkSession, d: String) => q96PartitionedUpsert(s, d)),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),
@@ -1816,6 +2034,7 @@ object Relational2 {
     "q83_recursive"       -> q83Sql,
     "q87_stream_upsert"   -> q87Sql,
     "q95_mor_upsert"      -> q87Sql, // same final table — only the state protocol differs
+    "q96_partitioned_upsert" -> q87Sql, // ditto: partitioned MOR layout, same result
     "q90_csv_roundtrip"   -> q90Sql,
     "q91_schema_evolution" -> q91Sql,
     "q92_orc_roundtrip"   -> q92Sql,

@@ -96,6 +96,39 @@ object LogState {
     roots.foreach(gc(_, batchId))
   }
 
+  /** Fan-in-triggered maintenance for ONE root — the per-partition
+    * alternative to [[maintain]]'s global epoch schedule: compact when
+    * THIS root's pending delta count (deltas above its newest base,
+    * including the one batch `batchId` just wrote) reaches `maxDeltas`,
+    * then [[gc]]. Callers invoke it only on roots the batch touched, so
+    * an untouched partition's state is never listed, folded, or
+    * rewritten — maintenance cost is ∝ touched-partition state, the
+    * property that makes a partitioned state table pay off under
+    * key-local traffic.
+    *
+    * Replay safety: the compact/skip decision counts deltas against the
+    * newest base at or below `batchId − 1` — NEVER the base a crashed
+    * attempt of this same batch may have written at `base/v(batchId)` —
+    * so a replay reaches the same decision, folds the same
+    * [[compactionInputs]] (which exclude that base by construction), and
+    * overwrites the same output. `maxDeltas <= 0` disables compaction
+    * (every delta survives, the pure write-optimized pole).
+    *
+    * Returns whether a compaction ran, so callers can phase-account the
+    * amortized term separately from steady-state epoch cost. */
+  def maintainFanIn(sp: SparkSession, root: String, batchId: Long,
+                    maxDeltas: Int)(fold: DataFrame => DataFrame): Boolean = {
+    val base = versions(root, "base", batchId - 1).lastOption
+    val pending =
+      versions(root, "delta", batchId).count(v => base.forall(_ < v))
+    val compact = maxDeltas > 0 && pending >= maxDeltas
+    if (compact)
+      fold(sp.read.parquet(compactionInputs(root, batchId): _*))
+        .write.mode("overwrite").parquet(s"$root/base/v$batchId")
+    gc(root, batchId)
+    compact
+  }
+
   /** Parquet paths a batch-`batchId` COMPACTION must fold: the state as
     * of `batchId − 1` plus the delta the batch just wrote. Semantically
     * equal to [[pathsAsOf]]`(root, batchId)` in normal operation, but
