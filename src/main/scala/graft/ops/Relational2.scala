@@ -1661,126 +1661,54 @@ object Relational2 {
   // key-local traffic only a few partitions' state should ever move).
   // ---------------------------------------------------------------------
 
-  private def q96PartDirs(statePath: String): Seq[String] =
-    Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("p="))
-      .map(_.getAbsolutePath).sorted.toSeq
-
-  /** The frozen key-range boundaries of a partitioned state table —
-    * derived ONCE (from the first batch's key distribution via
-    * approx-quantiles) and persisted atomically at
-    * `statePath/_boundaries`; every later batch reuses the file. Freezing
-    * is load-bearing: bucketing must be identical across batches and
-    * across at-least-once replays, or a replay could route a key to a
-    * different partition than the crashed attempt did and leave the
-    * original as an orphan delta. The atomic-rename publish means a crash
-    * during derivation leaves either no file (replay re-derives — no
-    * partition write can have happened, boundaries are frozen before any)
-    * or the complete file.
-    *
-    * RANGE, not hash: a hash spreads ANY batch over min(P, batch keys)
-    * partitions, destroying the touched-partition bound for every
-    * non-tiny batch. Ranges keep key-local CDC traffic (recent users, one
-    * tenant's id block) confined to the partitions that own those ranges —
-    * the same reason lakehouse table layouts cluster by business key.
-    * Strictly-increasing dedup means a skewed sample yields fewer
-    * effective partitions, never an empty range. */
+  /** The frozen key-range boundaries of the q96 state table — derived
+    * ONCE from the first batch's key distribution via approx-quantiles
+    * (CDC key spaces are skewed in general; a dense id space would seed
+    * [[graft.tools.RangeState.freezeUniform]] instead), then persisted
+    * write-once by [[graft.tools.RangeState.freeze]] — see there for why
+    * freezing is load-bearing and why RANGE beats hash for key-local
+    * traffic. */
   private[graft] def q96Boundaries(batch: DataFrame, statePath: String,
-                                   numPartitions: Int): Array[Long] = {
-    val f = java.nio.file.Paths.get(statePath, "_boundaries")
-    if (!java.nio.file.Files.exists(f)) {
+                                   numPartitions: Int): Array[Long] =
+    graft.tools.RangeState.freeze(statePath, {
       val probs = (1 until numPartitions).map(_.toDouble / numPartitions)
-      val bounds = batch.stat
-        .approxQuantile("user_id", probs.toArray, 0.001)
-        .map(_.toLong).distinct.sorted
-      java.nio.file.Files.createDirectories(f.getParent)
-      val tmp = java.nio.file.Paths.get(statePath, "_boundaries.tmp")
-      java.nio.file.Files.write(tmp,
-        bounds.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-    val text = new String(java.nio.file.Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8)
-    if (text.isEmpty) Array.empty else text.split(",").map(_.toLong)
-  }
-
-  /** Partition of `key` under frozen `bounds`: the count of boundaries at
-    * or below it. The Spark-side twin [[q96BucketCol]] must agree exactly
-    * (routing and point-lookup pruning read the same layout). */
-  private def q96BucketOf(bounds: Array[Long], key: Long): Int =
-    bounds.count(_ <= key)
-
-  /** Codegen-friendly bucket expression: a sum of P−1 `when`s, not a HOF
-    * lambda (HOF lambdas are CodegenFallback in Spark 4 — the interpreted
-    * ~100× trap TextKernels documents) and not a UDF. */
-  private def q96BucketCol(bounds: Array[Long],
-                           key: org.apache.spark.sql.Column) =
-    bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(key >= lit(b), 1).otherwise(0)
-    }
+      batch.stat.approxQuantile("user_id", probs.toArray, 0.001)
+        .map(_.toLong)
+    })
 
   /** One micro-batch of the PARTITIONED merge-on-read CDC loop. Same
     * monoid delta as q95 ([[morFold]]); what changes is the state layout:
-    * `statePath/p=K/{base,delta}/vN` — each key-range partition is an
-    * independent [[graft.tools.LogState]] log. Per batch:
-    *
-    *   1. the delta aggregate is routed by the frozen range boundaries and
-    *      written `partitionBy("p")` to a stage dir — ONE job, only
-    *      non-empty partitions materialize;
-    *   2. each staged partition dir is published as
-    *      `p=K/delta/v(batchId)` with delete-then-move (idempotent under
-    *      replay: frozen boundaries + a deterministic delta mean a replay
-    *      touches the same partition set and overwrites the same dirs);
-    *   3. fan-in maintenance runs ONLY on the touched roots
-    *      ([[graft.tools.LogState.maintainFanIn]]): a partition compacts
-    *      when ITS pending delta count reaches `maxDeltas`, so compaction
-    *      cost is ∝ touched-partition state and an untouched partition's
-    *      files are never listed, read, or rewritten.
+    * `statePath/p=K/{base,delta}/vN` via [[graft.tools.RangeState]] —
+    * each key-range partition is an independent log; the delta publish is
+    * one `partitionBy` job + O(touched) moves; fan-in maintenance runs
+    * ONLY on the touched roots, so compaction cost is ∝ touched-partition
+    * state and an untouched partition's files are never listed, read, or
+    * rewritten.
     *
     * That last property is the operator's reason to exist: q87 rewrites
     * the full state every epoch and even q95's global compaction folds the
     * FULL base every `compactEvery` batches, so both price maintenance in
     * state size. Here key-local traffic (the real CDC shape: recent users,
     * one tenant's id block) prices in touched partitions only — the
-    * remedy the q87/q95 100× probes identified. At 100 TB the per-batch
-    * `p=*` directory listing and the delete-then-move publishes become a
-    * manifest commit (object stores have no atomic dir rename) — the
-    * layout's fold/replay/GC contracts carry over unchanged. */
+    * remedy the q87/q95 100× probes identified. */
   private[graft] def q96ApplyBatch(batch: DataFrame, batchId: Long,
                                    statePath: String, numPartitions: Int,
                                    maxDeltas: Int): Unit = {
     val sp = batch.sparkSession
     val t0 = System.nanoTime()
     val bounds = q96Boundaries(batch, statePath, numPartitions)
-    q96PartDirs(statePath)
-      .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
+    graft.tools.RangeState.requireNoFuture(statePath, batchId)
     val delta = batch.groupBy(col("user_id")).agg(
       count(lit(1)).as("n_events"),
       max(struct(col("ts"), col("event_id"), col("event_type"),
         col("value"))).as("last"))
-      .withColumn("p", q96BucketCol(bounds, col("user_id")))
-    val stage = s"$statePath/.stage/v$batchId"
-    delta.write.mode("overwrite").partitionBy("p").parquet(stage)
-    val touched = Option(new java.io.File(stage).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("p="))
-      .sortBy(_.getName)
-    touched.foreach { d =>
-      val dst = java.nio.file.Paths.get(
-        s"$statePath/${d.getName}/delta/v$batchId")
-      java.nio.file.Files.createDirectories(dst.getParent)
-      graft.tools.TempDirs.deleteRecursively(dst.toString)
-      java.nio.file.Files.move(d.toPath, dst)
-    }
-    graft.tools.TempDirs.deleteRecursively(s"$statePath/.stage")
+    val touched = graft.tools.RangeState.publishDelta(statePath, batchId,
+      delta, graft.tools.RangeState.bucketCol(bounds, col("user_id")))
     graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
       (System.nanoTime() - t0) / 1e9)
     val tc = System.nanoTime()
-    val compacted = touched
-      .map(d => s"$statePath/${d.getName}")
-      .count(root => graft.tools.LogState.maintainFanIn(sp, root, batchId,
-        maxDeltas)(morFold))
+    val compacted = graft.tools.RangeState.maintainTouched(sp, touched,
+      batchId, maxDeltas)(morFold)
     if (compacted > 0)
       graft.tools.PhaseTiming.record(f"compact$batchId%03d",
         (System.nanoTime() - tc) / 1e9)
@@ -1792,8 +1720,7 @@ object Relational2 {
     * per-partition folds. None before the first delta lands. */
   private[graft] def q96StateAsOf(sp: SparkSession, statePath: String,
                                   upTo: Long): Option[DataFrame] = {
-    val paths = q96PartDirs(statePath)
-      .flatMap(graft.tools.LogState.pathsAsOf(_, upTo))
+    val paths = graft.tools.RangeState.pathsAsOf(statePath, upTo)
     if (paths.isEmpty) None else Some(morFold(sp.read.parquet(paths: _*)))
   }
 
@@ -1804,15 +1731,9 @@ object Relational2 {
     * yet. */
   private[graft] def q96StateForKey(sp: SparkSession, statePath: String,
                                     key: Long): Option[DataFrame] = {
-    val f = java.nio.file.Paths.get(statePath, "_boundaries")
-    require(java.nio.file.Files.exists(f),
-      s"no _boundaries under $statePath — state not initialized")
-    val text = new String(java.nio.file.Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val bounds =
-      if (text.isEmpty) Array.empty[Long] else text.split(",").map(_.toLong)
-    val root = s"$statePath/p=${q96BucketOf(bounds, key)}"
-    val paths = graft.tools.LogState.pathsAsOf(root, Long.MaxValue)
+    val bounds = graft.tools.RangeState.readBoundaries(statePath)
+    val paths = graft.tools.RangeState.pathsForBuckets(statePath,
+      Seq(graft.tools.RangeState.bucketOf(bounds, key)), Long.MaxValue)
     if (paths.isEmpty) None
     else Some(morFold(sp.read.parquet(paths: _*))
       .filter(col("user_id") === key))

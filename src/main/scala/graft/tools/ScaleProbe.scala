@@ -104,6 +104,71 @@ object ScaleProbe {
 
     println(s"probe corpus at $outDir: ${nDocs * mult} docs, ${nEv * mult} events")
 
+    /** Shared driver for the sparse-traffic CDC arms: full-corpus load at
+      * batch 0, then 12 key-local batches rotating over four adjacent
+      * ~1/64-span key bands. Same batches for every arm, so the
+      * epoch/compaction phase splits are directly comparable. `wide`
+      * re-keys on event_id (10 M distinct keys at 100×) — the
+      * state ≫ batch regime where maintenance cost pricing in state vs
+      * touched-partition size separates on wall time, not just bytes.
+      * Also prints cumulative STATE BYTES WRITTEN (every file that ever
+      * appeared under the state root): the write-amplification metric —
+      * wall times share a per-job floor at small state, written bytes
+      * don't. */
+    def sparseUpsertLoop(sp: SparkSession, dir: String, statePath: String,
+                         wide: Boolean,
+                         apply: (DataFrame, Long) => Unit,
+                         readBack: () => Long): Long = {
+      val raw = graft.Tables.events(sp, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val ev = if (wide) raw.withColumn("user_id", col("event_id")) else raw
+      val span = ev.agg(max("user_id")).head.getLong(0) + 1
+      var seen = Set.empty[String]
+      var written = 0L
+      def track(): Unit = {
+        val p = java.nio.file.Paths.get(statePath)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+            .asScala
+            .filter(java.nio.file.Files.isRegularFile(_)).foreach { f =>
+              val k = f.toString
+              if (!seen(k)) { seen += k; written += java.nio.file.Files.size(f) }
+            }
+          finally walk.close()
+        }
+      }
+      apply(ev, 0L); track()
+      val width = math.max(1L, span / 64)
+      (1 to 12).foreach { i =>
+        val lo = ((i - 1) % 4) * width
+        apply(ev.filter(col("user_id") >= lo && col("user_id") < lo + width),
+          i.toLong)
+        track()
+      }
+      val rows = readBack()
+      println(f"probe   sparse state written ${written / 1e6}%10.1f MB")
+      rows
+    }
+
+    def sparseArm(sp: SparkSession, dir: String, wide: Boolean,
+                  q95: Boolean): Long = {
+      val state = TempDirs.createFast("graft-sparse") + "/state"
+      val n =
+        if (q95) sparseUpsertLoop(sp, dir, state, wide,
+          (b, id) => graft.ops.Relational2.q95MorApplyBatch(b, id, state, 4),
+          () => graft.ops.Relational2.morStateAsOf(sp, state, Long.MaxValue)
+            .get.count())
+        else sparseUpsertLoop(sp, dir, state, wide,
+          (b, id) => graft.ops.Relational2.q96ApplyBatch(b, id, state,
+            numPartitions = 64, maxDeltas = 4),
+          () => graft.ops.Relational2.q96StateAsOf(sp, state, Long.MaxValue)
+            .get.count())
+      TempDirs.deleteRecursively(state)
+      n
+    }
+
     def time(name: String)(f: => Long): (String, Double, Long) = {
       PhaseTiming.drain() // drop leftovers from the prior probe
       val t0 = System.nanoTime()
@@ -261,6 +326,19 @@ object ScaleProbe {
       // aggregation floor regardless of state size
       "q95_mor_upsert64" -> (() => graft.ops.Relational2.q95MorUpsert(
         spark, outDir, chunks = 64, compactEvery = 8).count()),
+      // Sparse KEY-LOCAL traffic — the regime the partitioned state table
+      // (q96) exists for: batch 0 loads the full corpus, then 12 batches
+      // each confined to one of four narrow user-id bands (~1/64 of the
+      // key span — "one tenant's id block"). Contrast the compactNNN
+      // phases: q95's global schedule folds the FULL base each time,
+      // q96's fan-in trigger folds only the band's partitions — the
+      // amortized term prices in touched-partition state. Steady epochs
+      // are O(batch) in both (the deltas are identical).
+      "q95_sparse_upsert" -> (() => sparseArm(spark, outDir, wide = false, q95 = true)),
+      "q96_sparse_upsert" -> (() => sparseArm(spark, outDir, wide = false, q95 = false)),
+      // the state ≫ batch regime: 10M keys, each sparse batch ~1/64 of them
+      "q95_sparse_upsert_wide" -> (() => sparseArm(spark, outDir, wide = true, q95 = true)),
+      "q96_sparse_upsert_wide" -> (() => sparseArm(spark, outDir, wide = true, q95 = false)),
     )
     val results = pagedResults ++
       battery.filter(p => want(p._1)).map { case (n, f) => time(n)(f()) }
