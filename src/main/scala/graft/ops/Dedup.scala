@@ -699,8 +699,9 @@ object Dedup {
     // and both candidate joins all read them (a batch is small by
     // definition — a corpus-sized "delta" is a rebuild, not a refresh)
     val deltaIndex = bandRows(signaturesOf(newDocs)).localCheckpoint()
-    val delta =
-      deltaVerifiedPairs(histIndex, deltaIndex, all, jaccardThreshold, maxBucket)
+    val delta = deltaVerifiedPairs(histIndex, deltaIndex,
+      ids => shingleSetsOf(all.join(ids, Seq("doc_id"), "left_semi")),
+      jaccardThreshold, maxBucket)
     // deltaOnly is the ADDITIONS feed (what a refresh appends); the
     // merged form below also applies cap-crossing RETRACTIONS, which an
     // append-only consumer cannot express
@@ -729,12 +730,15 @@ object Dedup {
     * reads); the skew cap applies to the COMBINED (hist + delta) bucket
     * size, matching the decision a full rebuild would make for every
     * touched key; and the verify tokenizes CANDIDATE docs only — the
-    * candidate id set is ∝ delta × bucket width, so it broadcasts and the
-    * corpus store pays a column scan, never a full re-shingle, per
-    * refresh. `corpus` must hold (doc_id, text) for every doc either side
-    * can reference. Returns (a_id, b_id, jaccard), unsorted. */
+    * candidate id set is ∝ delta × bucket width, so it broadcasts.
+    * `verifyShingles` maps that broadcast candidate-id frame (doc_id) to
+    * (doc_id, shingles) rows covering every doc either side can
+    * reference — a semi-joined re-shingle of the corpus store (the
+    * incremental path) or a pruned read of a persisted shingle store
+    * (the streaming path). Returns (a_id, b_id, jaccard), unsorted. */
   private def deltaVerifiedPairs(histIndex: DataFrame, deltaIndex: DataFrame,
-                                 corpus: DataFrame, jaccardThreshold: Double,
+                                 verifyShingles: DataFrame => DataFrame,
+                                 jaccardThreshold: Double,
                                  maxBucket: Int): DeltaPairs = {
     val bandCols = Seq("band", "band_sig")
     val deltaCounts = deltaIndex.groupBy(bandCols.map(col): _*)
@@ -775,7 +779,7 @@ object Dedup {
     val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
       .unionByName(candidates.select(col("b_id").as("doc_id")))
       .distinct().localCheckpoint())
-    val sh = shingleSetsOf(corpus.join(candIds, Seq("doc_id"), "left_semi"))
+    val sh = verifyShingles(candIds)
     val pairs = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
@@ -852,13 +856,20 @@ object Dedup {
     * foreachBatch is at-least-once, and a replay recomputes vN from the
     * same unchanged inputs — idempotent, the q87 versioned-state protocol.
     *
-    * Per batch: (1) arriving docs sign and band (cost ∝ batch); (2) the
-    * historical index is pruned to the band keys the batch touches via a
-    * broadcast semi-join BEFORE anything else reads it; (3) the skew cap
-    * applies to the combined (index + batch) bucket size; (4) candidates =
-    * batch×index ∪ batch×batch, exact-verified against shingle sets read
-    * from the corpus store (the lake holds the documents; the state holds
-    * only ids and 24-byte band rows). A doc is a duplicate iff a verified
+    * Per batch: (1) arriving docs sign, band, and shingle ONCE (cost ∝
+    * batch); (2) the historical index is pruned to the band keys the
+    * batch touches via a broadcast semi-join BEFORE anything else reads
+    * it; (3) the skew cap applies to the combined (index + batch) bucket
+    * size; (4) candidates = batch×index ∪ batch×batch, exact-verified
+    * against the state's own SHINGLE STORE — a doc_id-range-partitioned
+    * [[graft.tools.RangeState]] log the batch appends its shingle sets
+    * to, so the verify reads ONLY the partitions holding candidate ids
+    * and the corpus lake is never scanned after ingest (the v1 protocol
+    * re-read the candidate docs' text from the corpus store every epoch:
+    * a full text-column scan per micro-batch at any corpus size). Ids
+    * arrive ordered, so a batch's own shingles land in one or two
+    * partitions; the historical side prices in candidate locality, not
+    * corpus size. A doc is a duplicate iff a verified
     * near-dup with a SMALLER doc_id exists — arrival order is id order, so
     * the final survivor set equals the batch rule "keep doc d iff no
     * verified pair (a, d) with a < d", which the spec recomputes from the
@@ -873,19 +884,38 @@ object Dedup {
     * survivor set is therefore the ingest-ordered decision sequence, not
     * the batch operator's final-count capping; equality with the batch
     * rule holds whenever no bucket crosses during the run. */
-  private[graft] def minhashStreamApplyBatch(dir: String, batch: DataFrame,
+  private[graft] def minhashStreamApplyBatch(batch: DataFrame,
                                              batchId: Long, statePath: String,
                                              jaccardThreshold: Double,
                                              maxBucket: Int,
-                                             compactEvery: Int = 8): Unit = {
+                                             compactEvery: Int = 8,
+                                             shinglePartitions: Int = 16,
+                                             idSpan: Long = -1): Unit = {
     val sp = batch.sparkSession
     val indexRoot = s"$statePath/index"
     val survRoot = s"$statePath/survivors"
+    val shRoot = s"$statePath/shingles"
     Seq(indexRoot, survRoot)
       .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
+    graft.tools.RangeState.requireNoFuture(shRoot, batchId)
     val t0 = System.nanoTime()
     val arriving = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val newBands = bandRows(signaturesOf(arriving)).localCheckpoint()
+    // the shingle store's range boundaries: the id span when the caller
+    // knows it (minhashStream does), else seeded from the first batch —
+    // with id-ordered arrival that parks later ids in the top partition,
+    // which costs pruning balance, never correctness (routing is layout)
+    val bounds = graft.tools.RangeState.freezeUniform(shRoot,
+      if (idSpan > 0) idSpan
+      else 2 * (arriving.agg(max(col("doc_id"))).head.getLong(0) + 1),
+      shinglePartitions)
+    // publish the batch's shingle sets BEFORE the verify so the store
+    // as-of batchId covers both candidate sides (hist docs from their own
+    // batches, the batch from this write); overwrite keyed by batchId —
+    // the same replay contract as the other two state tables
+    val touchedSh = graft.tools.RangeState.publishDelta(shRoot, batchId,
+      shingleSetsOf(arriving),
+      graft.tools.RangeState.bucketCol(bounds, col("doc_id")))
     // both state tables are APPEND-ONLY (the index accretes band rows, a
     // survivor never un-survives), so the log-structured layout's fold is
     // a plain union: epoch N writes ONLY the batch's band rows and the
@@ -902,8 +932,21 @@ object Dedup {
     // duplicate iff it is the LATER side (b_id) of a verified pair —
     // arrival order is id order, so this is the batch "no earlier
     // near-dup" rule.
+    val verifyFromStore: DataFrame => DataFrame = candIds => {
+      // ≤ shinglePartitions distinct buckets — a tiny collect off the
+      // already-materialized broadcast candidate set, bought back as a
+      // partition-pruned read: only the candidate-bearing slices of the
+      // store are listed or scanned
+      val buckets = candIds
+        .select(graft.tools.RangeState.bucketCol(bounds, col("doc_id")).as("p"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val paths =
+        graft.tools.RangeState.pathsForBuckets(shRoot, buckets, batchId)
+      if (paths.isEmpty) shingleSetsOf(arriving).limit(0)
+      else sp.read.parquet(paths: _*).join(candIds, Seq("doc_id"), "left_semi")
+    }
     val dupIds = deltaVerifiedPairs(histIndex, newBands,
-      Tables.documents(sp, dir), jaccardThreshold, maxBucket)
+      verifyFromStore, jaccardThreshold, maxBucket)
       .pairs
       .select(col("b_id").as("doc_id"))
       .distinct()
@@ -918,10 +961,17 @@ object Dedup {
     // recorded as a phase so probes/bench expose it per micro-batch
     graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
       (System.nanoTime() - t0) / 1e9)
-    // identity fold: both tables are append-only, compaction is pure
-    // file-count control for reader fan-in
+    // identity fold: all three tables are append-only, compaction is pure
+    // file-count control for reader fan-in. The shingle store maintains
+    // per touched partition (fan-in trigger), so its compaction prices in
+    // the batch's id locality, not store size.
     graft.tools.LogState.maintain(sp, Seq(indexRoot, survRoot), batchId,
       compactEvery)(identity)
+    val tsc = System.nanoTime()
+    if (graft.tools.RangeState.maintainTouched(sp, touchedSh, batchId,
+        compactEvery)(identity) > 0)
+      graft.tools.PhaseTiming.record(f"shcompact$batchId%03d",
+        (System.nanoTime() - tsc) / 1e9)
   }
 
   /** Streaming near-dup dedup end to end: the documents table streamed in
@@ -939,9 +989,11 @@ object Dedup {
     * are append-only): each epoch writes only the batch's band rows and
     * survivors — O(batch), flat in index size — compacting every
     * `compactEvery` epochs to bound reader fan-in. Probe cost stays ∝
-    * batch × touched index slice. The per-batch corpus-store shingle scan
-    * is candidate-pruned by the join; a production lake would store the
-    * shingle/sig column beside the documents. */
+    * batch × touched index slice. The exact verify reads the state's own
+    * doc_id-range-partitioned shingle store (see
+    * [[minhashStreamApplyBatch]]) — after ingest the corpus lake is never
+    * scanned again, and the verify read prunes to the partitions holding
+    * candidate ids. */
   def minhashStream(spark: SparkSession, dir: String,
                     jaccardThreshold: Double = 0.5,
                     maxBucket: Int = MinhashMaxBucket,
@@ -992,8 +1044,8 @@ object Dedup {
         .outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          minhashStreamApplyBatch(dir, batch, batchId, statePath,
-            jaccardThreshold, maxBucket, compactEvery)
+          minhashStreamApplyBatch(batch, batchId, statePath,
+            jaccardThreshold, maxBucket, compactEvery, idSpan = maxId + 1)
         }
         .start()
       try q.processAllAvailable() finally q.stop()

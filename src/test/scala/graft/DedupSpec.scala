@@ -344,24 +344,30 @@ class DedupSpec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft-stream-state").toString + "/state"
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // compactEvery=2 so batch 1 also exercises the compaction + GC path
-    Dedup.minhashStreamApplyBatch(dir, docs.filter(col("doc_id") <= 2), 0L,
-      statePath, 0.5, 200, compactEvery = 2)
+    Dedup.minhashStreamApplyBatch(docs.filter(col("doc_id") <= 2), 0L,
+      statePath, 0.5, 200, compactEvery = 2, idSpan = 5L)
     val b1 = docs.filter(col("doc_id") > 2)
-    Dedup.minhashStreamApplyBatch(dir, b1, 1L, statePath, 0.5, 200,
-      compactEvery = 2)
+    Dedup.minhashStreamApplyBatch(b1, 1L, statePath, 0.5, 200,
+      compactEvery = 2, idSpan = 5L)
     def read(root: String) = spark.read.parquet(
       graft.tools.LogState.pathsAsOf(s"$statePath/$root", 1L): _*)
+    def shingleIds() = spark.read.parquet(
+      graft.tools.RangeState.pathsAsOf(s"$statePath/shingles", 1L): _*)
+      .collect().map(_.getLong(0)).toSet
     def snap() = (
       read("survivors").collect().map(_.getLong(0)).toSet,
       read("index")
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet,
+      shingleIds())
     val first = snap()
+    // the verify's shingle store holds every arrival exactly once
+    assert(first._3 == Set(1L, 2L, 3L, 4L))
     // foreachBatch is at-least-once: a crash after batch 1's writes
     // re-runs batch 1; the replay must rewrite the v1 delta (and the v1
     // compaction base) from state < 1, not double-apply (the q95
     // log-structured protocol)
-    Dedup.minhashStreamApplyBatch(dir, b1, 1L, statePath, 0.5, 200,
-      compactEvery = 2)
+    Dedup.minhashStreamApplyBatch(b1, 1L, statePath, 0.5, 200,
+      compactEvery = 2, idSpan = 5L)
     assert(snap() == first)
     // the delta really is O(batch): batch 1's index delta carries band
     // rows for ONLY its two docs, not the corpus-so-far
