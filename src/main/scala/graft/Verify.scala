@@ -15,7 +15,7 @@ object Verify {
       // keep saveAsTable catalog dirs (q94's bucketed tables) out of the
       // repo root — ./spark-warehouse is the default otherwise
       .config("spark.sql.warehouse.dir",
-        graft.tools.TempDirs.createFast("graft-warehouse"))
+        graft.tools.TempDirs.createFastForJvm("graft-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

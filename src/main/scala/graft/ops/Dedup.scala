@@ -223,10 +223,16 @@ object Dedup {
     // Banding runs on a SLIM frame (doc_id + 16 band keys): the wide
     // shingle arrays must not ride through the band shuffle — they rejoin
     // only for the (few) surviving candidate pairs below. The slim frame
-    // is persisted because the bucket filter and both self-join sides
-    // consume it (without it Spark recomputes the signatures per branch).
+    // is materialized once because the bucket filter and both self-join
+    // sides consume it (without it Spark recomputes the signatures per
+    // branch). LAZY localCheckpoint, not persist(): a persist here pins
+    // the frame in the CacheManager until an unpersist that no lazy
+    // caller can ever place (the leak accumulates a band-frame copy per
+    // call in long-lived sessions); checkpoint blocks are reclaimed by
+    // the ContextCleaner once the frame is unreachable, and laziness is
+    // preserved for plan-only callers (ExplainDump).
     val banded = bandRows(sigs)
-      .persist()
+      .localCheckpoint(false)
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_sig"))))
@@ -365,8 +371,12 @@ object Dedup {
     * selection (which blocks escape) and its observability are build-time
     * facts by design: a consumer composing this frame lazily would
     * otherwise not learn a block was silently rerouted until (unless) the
-    * plan executed. Callers that only want EXPLAIN output pay one slim
-    * keys-only aggregation. */
+    * plan executed. Callers that only want EXPLAIN output pay the slim
+    * keys-only aggregation — plus, when a block IS oversized, the escape
+    * path's banding materialization over the routed docs and the
+    * capped-bucket count (route observability is bought at
+    * routed-block-mass cost, never corpus cost; a corpus with no
+    * oversized block pays only the keys-only agg). */
   private[graft] def ngramJaccardOf(docs0: DataFrame, threshold: Double,
                                     maxBlockExact: Int,
                                     sorted: Boolean = true): DataFrame = {

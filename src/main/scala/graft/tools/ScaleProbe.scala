@@ -41,7 +41,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
       .config("spark.sql.warehouse.dir",
-        TempDirs.createFast("graft-warehouse"))
+        TempDirs.createFastForJvm("graft-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

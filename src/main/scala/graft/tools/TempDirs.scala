@@ -32,6 +32,18 @@ object TempDirs {
     case None       => Files.createTempDirectory(prefix).toString
   }
 
+  /** [[createFast]] plus a JVM shutdown hook that deletes the dir — for
+    * session-lifetime scratch (warehouse dirs in the Bench/Verify/probe
+    * mains) that has no natural cleanup point before exit and would
+    * otherwise accumulate on tmpfs across runs, eating the RAM the
+    * benchmarks depend on. */
+  def createFastForJvm(prefix: String): String = {
+    val d = createFast(prefix)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(d), s"graft-clean-$prefix"))
+    d
+  }
+
   /** The root createFast actually resolved to — surfaced in the bench
     * output so a "streaming sink slow on machine X" number can be told
     * apart from "tmpfs probe failed, scratch silently fell back to disk"
