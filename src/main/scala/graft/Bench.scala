@@ -82,14 +82,24 @@ object Bench {
     // the iteration that built the artifact — absent counters on a
     // warm-artifact run mean "build skipped", not "routing changed".
     val routing = scala.collection.mutable.Map[String, Long]()
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Query exceptions are NOT swallowed into sub-100ms "timings" any more
+    // (round 8: 37 analysis-broken queries read as a speedup because the
+    // bench recorded their time-to-throw). An errored query is excluded
+    // from every total and lands in an `errors` map in both artifacts.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
       graft.tools.RoutingMetrics.drain()
       org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
       collector.clear()
-      val times = (1 to iters).map { _ =>
+      val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" ").take(300)}")
+            false
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // accumulate across iterations (last write wins): steady-state
         // phases come from the final iteration, while train-once artifact
@@ -98,12 +108,15 @@ object Bench {
           .map { case (k, v) => s"$name.$k" -> v }
         routing ++= graft.tools.RoutingMetrics.drain()
           .map { case (k, v) => s"$name.$k" -> v }
-        t
+        if (ok) Some(t) else None
       }
       org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
-      shuffles(name) = collector.all.map(_.shuffleBytesWritten).sum.toDouble / iters
-      sinks(name) = collector.all.map(_.sinkBytesWritten).sum.toDouble / iters
-      (name, times.sorted.apply(times.size / 2), times.min)
+      if (times.isEmpty) None // all iterations threw — errors map has the story
+      else {
+        shuffles(name) = collector.all.map(_.shuffleBytesWritten).sum.toDouble / iters
+        sinks(name) = collector.all.map(_.sinkBytesWritten).sum.toDouble / iters
+        Some((name, times.sorted.apply(times.size / 2), times.min))
+      }
     }
     val results = timed.map { case (n, med, _) => n -> med }
     val mins = timed.map { case (n, _, mn) => n -> mn }
@@ -117,8 +130,19 @@ object Bench {
     // The resolved scratch root distinguishes "tmpfs engaged, still slow"
     // from "silent fallback to a contended disk" for the streaming sinks.
     val scratch = graft.tools.TempDirs.resolvedRoot
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"errors":$errJson,"n_errors":${errors.size},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -137,7 +161,7 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
     def line(slow: Seq[(String, Double)]): String = {
       val qs = jsonMap(fams ++ slow.sortBy(_._1), short)
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"full":"$outPath","iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"full":"$outPath","iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     }
     var k = 0
     while (k < bySlowest.size && line(bySlowest.take(k + 1)).length <= maxLine) k += 1

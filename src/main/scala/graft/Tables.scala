@@ -33,15 +33,42 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as a
-    * raw long (legacy conf) and rebuild a microsecond TimestampType column
-    * with integer division — `ts div 1000` keeps full precision (a double
-    * division would lose it: 2024 epoch-nanos ≈ 1.7e18 > 2^53). */
+  /** The events fixture's `ts` physical encoding has drifted across driver
+    * regenerations — TIMESTAMP(NANOS) (scans as BIGINT under the legacy
+    * nanosAsLong conf), then plain timestamp[us] with no tz annotation
+    * (scans as TIMESTAMP_NTZ). Hard-wiring any one encoding broke 37
+    * queries in round 8, so we branch on the *scanned* dtype:
+    *  - LongType: legacy nanos-as-long → rebuild micros with integer
+    *    division (`ts div 1000` keeps full precision; a double division
+    *    would lose it: 2024 epoch-nanos ≈ 1.7e18 > 2^53).
+    *  - TimestampNTZType: cast to TimestampType — sessions here run UTC,
+    *    so the wall time IS the instant and results match the old path
+    *    (and the DuckDB oracle, which also reads the column naively).
+    *  - TimestampType: already what downstream expects.
+    * Anything else fails loudly with the remedy, instead of 37 queries
+    * dying one analysis error at a time. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** Dtype-robust `ts` normalization, shared by [[events]] and the
+    * streaming readers in ops (readStream takes an explicit schema, so it
+    * cannot reuse the batch loader — but it MUST apply the same branch, or
+    * a fixture regeneration breaks every streaming query while the batch
+    * path stays green, which is exactly what round 8 looked like). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts scanned as unsupported dtype $other — extend Tables.normalizeTs " +
+          "with a branch for this encoding (expected one of BIGINT nanos / " +
+          "TIMESTAMP_NTZ / TIMESTAMP)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

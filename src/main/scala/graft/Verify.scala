@@ -22,12 +22,18 @@ object Verify {
     // Local-iteration filter: GRAFT_ONLY=name1,name2 restricts the dump
     // (unset for the driver, which always runs the full contract).
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    // Failures land in _verify_errors.json beside the dumps (r8 lesson:
+    // stderr-only failures made the correctness file silently SHRINK — a
+    // missing query was indistinguishable from a never-declared one).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) =
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" ").take(300)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -47,6 +53,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

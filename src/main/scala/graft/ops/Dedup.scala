@@ -952,6 +952,17 @@ object Dedup {
         .distinct().collect().map(_.getInt(0)).toSeq
       val paths =
         graft.tools.RangeState.pathsForBuckets(shRoot, buckets, batchId)
+      // Pruning observability (VERDICT r8 #8): how many of the store's
+      // partitions this batch's verify actually listed/read, vs how many
+      // hold state. On id-local traffic buckets ≈ the batch's own ranges;
+      // on a worst-case corpus (every batch touches every cluster) it
+      // approaches the whole store — drained per query into the bench
+      // routing map, and per batch by the id-local scale probe.
+      graft.tools.RoutingMetrics.add("sh_buckets_read", buckets.size.toLong)
+      graft.tools.RoutingMetrics.add("sh_buckets_total",
+        graft.tools.RangeState.partDirs(shRoot).size.toLong)
+      graft.tools.RoutingMetrics.add(f"sh_read_b$batchId%03d",
+        buckets.size.toLong)
       if (paths.isEmpty) shingleSetsOf(arriving).limit(0)
       else sp.read.parquet(paths: _*).join(candIds, Seq("doc_id"), "left_semi")
     }

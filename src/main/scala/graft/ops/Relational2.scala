@@ -212,7 +212,7 @@ object Relational2 {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // the file source wants a directory
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -254,7 +254,7 @@ object Relational2 {
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeTs)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -300,7 +300,7 @@ object Relational2 {
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeTs)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -396,7 +396,7 @@ object Relational2 {
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeTs)
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -458,7 +458,7 @@ object Relational2 {
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeTs)
         .withColumn("bucket", expr("CAST(ts AS LONG) div 600 * 600"))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_type", "bucket")
@@ -496,7 +496,7 @@ object Relational2 {
       val src = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeTs)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -547,7 +547,7 @@ object Relational2 {
       val src = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeTs)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -652,7 +652,7 @@ object Relational2 {
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeTs)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -727,7 +727,7 @@ object Relational2 {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeTs)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[graft.streaming.StreamingOps.Event]
@@ -1101,7 +1101,7 @@ object Relational2 {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .join(customers, col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "30 minutes"), col("c_mktsegment"))
@@ -1196,7 +1196,7 @@ object Relational2 {
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(Tables.normalizeTs)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "30 minutes", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -1792,6 +1792,76 @@ object Relational2 {
       } finally graft.tools.TempDirs.deleteRecursively(base)
     }
 
+  /** LAYOUT-MECHANISM gate for the MOR CDC spectrum (q95/q96): their
+    * final-table oracle (q87Sql) proves the RESULT but not the state
+    * protocol — a broken write path that rewrote full state every epoch
+    * would still produce the same final table. This query reads the state
+    * logs THEMSELVES and exports, per epoch and per protocol:
+    *
+    *   - `delta_rows`: rows in the delta the epoch wrote. The O(batch)
+    *     contract — must equal the batch's distinct-key count. If any
+    *     apply ever read-modified-wrote (delta = merged state), this
+    *     becomes the CUMULATIVE distinct count and the hash breaks.
+    *   - `state_rows`: keys in the as-of-epoch merged read
+    *     ([[morStateAsOf]]/[[q96StateAsOf]]) — pins the read-time fold at
+    *     every prefix of the log, not just the final batch (a GC bug that
+    *     dropped a live delta, or a fold that double-counted across a
+    *     compaction boundary, breaks some prefix first).
+    *
+    * Batches are DETERMINISTIC (epoch k = events with event_id % epochs
+    * = k, applied in order) so the DuckDB oracle can reproduce them with
+    * the same modulus — the streaming gates keep the real engine path;
+    * this gate drives the extracted apply bodies directly, exactly like
+    * the replay specs do. Compaction/GC run live underneath (q95 every
+    * `compactEvery` epochs, q96 per-partition fan-in), so the exported
+    * numbers cross those boundaries rather than dodging them. */
+  def q97StateLayout(spark: SparkSession, dir: String, epochs: Int = 8,
+                     compactEvery: Int = 4, numPartitions: Int = 8,
+                     maxDeltas: Int = 3): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q97")
+    try {
+      val p95 = s"$base/q95"
+      val p96 = s"$base/q96"
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .localCheckpoint() // 2×epochs scans below — pin the normalized input
+      val stats = (0 until epochs).flatMap { k =>
+        val batch = ev.filter(col("event_id") % epochs === k)
+        q95MorApplyBatch(batch, k, p95, compactEvery)
+        val d95 = spark.read.parquet(s"$p95/delta/v$k").count()
+        val s95 = morStateAsOf(spark, p95, k)
+          .map(_.count()).getOrElse(0L)
+        q96ApplyBatch(batch, k, p96, numPartitions, maxDeltas)
+        val d96Paths = graft.tools.RangeState.partDirs(p96)
+          .map(p => s"$p/delta/v$k")
+          .filter(p => new java.io.File(p).isDirectory)
+        val d96 =
+          if (d96Paths.isEmpty) 0L
+          else spark.read.parquet(d96Paths: _*).count()
+        val s96 = q96StateAsOf(spark, p96, k).map(_.count()).getOrElse(0L)
+        Seq(("q95_mor", k.toLong, d95, s95),
+          ("q96_partitioned", k.toLong, d96, s96))
+      }
+      import spark.implicits._
+      stats.toDF("protocol", "epoch", "delta_rows", "state_rows")
+        .orderBy(col("protocol"), col("epoch"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q97Sql: String =
+    """WITH b AS (SELECT event_id % 8 AS epoch, user_id FROM events),
+      |     e AS (SELECT DISTINCT epoch FROM b),
+      |     p AS (SELECT 'q95_mor' AS protocol
+      |           UNION ALL SELECT 'q96_partitioned')
+      |SELECT p.protocol, e.epoch,
+      |  (SELECT COUNT(DISTINCT user_id) FROM b
+      |    WHERE b.epoch = e.epoch) AS delta_rows,
+      |  (SELECT COUNT(DISTINCT user_id) FROM b
+      |    WHERE b.epoch <= e.epoch) AS state_rows
+      |FROM e CROSS JOIN p
+      |ORDER BY protocol, epoch""".stripMargin
+
   /** CSV source round-trip with explicit schema: documents written as
     * quoted CSV (texts contain commas/quotes in the general case), read
     * back with the schema declared — never inferred: at 100 TB schema
@@ -1902,6 +1972,7 @@ object Relational2 {
     "q87_stream_upsert"   -> ((s: SparkSession, d: String) => q87StreamUpsert(s, d)),
     "q95_mor_upsert"      -> ((s: SparkSession, d: String) => q95MorUpsert(s, d)),
     "q96_partitioned_upsert" -> ((s: SparkSession, d: String) => q96PartitionedUpsert(s, d)),
+    "q97_state_layout"    -> ((s: SparkSession, d: String) => q97StateLayout(s, d)),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),
@@ -1956,6 +2027,7 @@ object Relational2 {
     "q87_stream_upsert"   -> q87Sql,
     "q95_mor_upsert"      -> q87Sql, // same final table — only the state protocol differs
     "q96_partitioned_upsert" -> q87Sql, // ditto: partitioned MOR layout, same result
+    "q97_state_layout"    -> q97Sql,
     "q90_csv_roundtrip"   -> q90Sql,
     "q91_schema_evolution" -> q91Sql,
     "q92_orc_roundtrip"   -> q92Sql,

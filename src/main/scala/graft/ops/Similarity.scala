@@ -99,6 +99,21 @@ object Similarity {
     * once, search many — the query measures SEARCH after the first call. */
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 4,
               cells: Int = 6, iterations: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    ivfCandidates(spark, dir, nprobe, cells, iterations)
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The (query, neighbor) candidates IVF's exact rerank scans — split out
+    * of [[ivfTopK]] so the measured candidate fraction ([[recallMetrics]])
+    * counts exactly the frame the query scores. */
+  private[graft] def ivfCandidates(spark: SparkSession, dir: String,
+                                   nprobe: Int, cells: Int,
+                                   iterations: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val centroids = ivfIndex(spark, dir, cells, iterations)
     val vecs = e.select(col("vec_id"),
@@ -117,14 +132,8 @@ object Similarity {
       .filter(col("c_rank") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cluster_id").as("cell"))
     // exact rerank within probed cells only
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   // ---------------------------------------------------------------------
@@ -342,7 +351,50 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Driver-visible approximation quality (VERDICT r8 #6): measured
+    * recall@K of the IVF and LSH tiers against the exact brute-force
+    * ground truth ON THE GIVEN CORPUS, next to the candidate fraction
+    * each tier actually scanned. Also recorded as RoutingMetrics
+    * counters (basis points), so the bench artifact's `routing` map
+    * carries the same numbers the verify dump does.
+    *
+    * Read the fixture numbers with NOTES.md §recall in hand: the fixture
+    * embeddings are ISOTROPIC, where recall ≈ scan fraction for every ANN
+    * method (information-theoretic) — low absolute recall there is the
+    * corpus, not the index; the ≥0.9 floors live on the clustered-corpus
+    * spec, which exercises THIS function on a corpus with structure.
+    * The measurement is hash-deterministic end to end (quantizer,
+    * signatures, tie order), so these are stable artifact values, not
+    * samples. */
+  def recallMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir).select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: DataFrame): Double = {
+      val got = df.select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / math.max(1, exact.size)
+    }
+    val n = corpusDf(spark, dir).count()
+    val scans = n.toDouble * NumQueries // what brute force would score
+    val ivfRecall = recallOf(ivfTopK(spark, dir))
+    val ivfFrac = ivfCandidates(spark, dir, nprobe = 4, cells = 6,
+      iterations = 2).count() / scans
+    val lshRecall = recallOf(lshTopK(spark, dir))
+    val lshFrac = lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
+      LshTables, adaptiveLshBits(n), LshProbes).count() / scans
+    def bp(x: Double): Long = math.round(x * 10000)
+    graft.tools.RoutingMetrics.add("ivf_recall_bp", bp(ivfRecall))
+    graft.tools.RoutingMetrics.add("ivf_cand_fraction_bp", bp(ivfFrac))
+    graft.tools.RoutingMetrics.add("lsh_recall_bp", bp(lshRecall))
+    graft.tools.RoutingMetrics.add("lsh_cand_fraction_bp", bp(lshFrac))
+    import spark.implicits._
+    Seq(("ivf", ivfRecall, ivfFrac), ("lsh", lshRecall, lshFrac))
+      .toDF("method", "recall", "cand_fraction")
+      .orderBy(col("method"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_metrics" -> (recallMetrics _),
     "emb_project"    -> (project _),
     "emb_quantize"   -> (quantizeInt8 _),
     "sim_topk_brute" -> (bruteForceTopK _),

@@ -260,6 +260,54 @@ object ScaleProbe {
       Seq(wavesRes, replayRes, verifyRes)
     }
 
+    // ---- Id-local streaming dedup probe (VERDICT r8 #8): the shingle
+    // store's pruned verify read claims to pay ∝ candidate LOCALITY, but
+    // the replica corpus above defeats pruning by construction — doc X's
+    // replicas sit at X, X+nDocs, X+2·nDocs, …, so every batch's
+    // candidates span the whole id space and the verify must read every
+    // partition holding state. Here replicas are ADJACENT
+    // (doc_id = X·mult + rep): each streamed chunk holds whole near-dup
+    // clusters, the candidate ids fall inside the batch's own range, and
+    // the per-batch buckets-read counter (RoutingMetrics `sh_read_bNNN`)
+    // should stay ~flat near the batch's own partition count while the
+    // store grows — measured against the replica-corpus arm at the same
+    // chunk count, where it should track the store's full occupied width.
+    val idlocalResults = if (!want("stream_idlocal")) Seq.empty else {
+      val ildir = s"$outDir/idlocal"
+      val sent2 = new java.io.File(ildir, ".corpus-args")
+      if (!(sent2.exists() &&
+          java.nio.file.Files.readString(sent2.toPath).trim == wantArgs)) {
+        docs.crossJoin(broadcast(reps))
+          .select(
+            (col("doc_id") * mult + col("rep")).as("doc_id"),
+            when(col("rep") < mult / 2, col("text"))
+              .otherwise(concat(col("text"), lit(" zq"), col("rep"))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ildir/documents.parquet")
+        java.nio.file.Files.writeString(sent2.toPath, wantArgs)
+      }
+      def pruneReport(arm: String): Unit = {
+        val rm = RoutingMetrics.drain()
+        rm.toSeq.filter(_._1.startsWith("sh_read_b")).sortBy(_._1)
+          .foreach { case (k, v) => println(f"probe   $arm $k ${v}%3d buckets read") }
+        val read = rm.getOrElse("sh_buckets_read", 0L)
+        val avail = rm.getOrElse("sh_buckets_total", 0L)
+        println(f"probe   $arm verify listings: $read of $avail occupied " +
+          f"partition-listings (${100.0 * read / math.max(1, avail)}%.0f%%)")
+      }
+      RoutingMetrics.drain()
+      val local = time("dedup_stream_idlocal") {
+        graft.ops.Dedup.minhashStream(spark, ildir, chunks = 16).count()
+      }
+      pruneReport("idlocal ")
+      val replica = time("dedup_stream_replica16") {
+        graft.ops.Dedup.minhashStream(spark, outDir, chunks = 16).count()
+      }
+      pruneReport("replica ")
+      Seq(local, replica)
+    }
+
     val battery: Seq[(String, () => Long)] = Seq(
       "corpus_pack"        -> (() => graft.ops.Corpus.queries("corpus_pack")(spark, outDir).count()),
       "corpus_budget"      -> (() => graft.ops.Corpus.queries("corpus_budget")(spark, outDir).count()),
@@ -340,7 +388,7 @@ object ScaleProbe {
       "q95_sparse_upsert_wide" -> (() => sparseArm(spark, outDir, wide = true, q95 = true)),
       "q96_sparse_upsert_wide" -> (() => sparseArm(spark, outDir, wide = true, q95 = false)),
     )
-    val results = pagedResults ++
+    val results = pagedResults ++ idlocalResults ++
       battery.filter(p => want(p._1)).map { case (n, f) => time(n)(f()) }
     // peak heap across all pools: the "no cliff" claim needs a memory
     // number next to the wall times (collected AFTER the probes so every

@@ -162,6 +162,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"IVF recall $recall%.3f below floor 0.9")
   }
 
+  test("recallMetrics: clustered-corpus recall floors and sane fractions") {
+    // The driver-visible artifact values (VERDICT r8 #6): on a corpus
+    // with structure both approximate tiers must clear the documented
+    // 0.9 recall floor, and the fractions must be genuine fractions.
+    // Hash-deterministic end to end, so exact reruns are stable.
+    val dir = clusteredDir()
+    val m = Similarity.recallMetrics(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    info(f"ivf recall=${m("ivf")._1}%.3f frac=${m("ivf")._2}%.3f; " +
+      f"lsh recall=${m("lsh")._1}%.3f frac=${m("lsh")._2}%.3f")
+    assert(m("lsh")._1 >= 0.9, f"LSH recall ${m("lsh")._1}%.3f below floor 0.9")
+    assert(m("ivf")._1 >= 0.9, f"IVF recall ${m("ivf")._1}%.3f below floor 0.9")
+    assert(m.values.forall { case (r, f) => r >= 0 && r <= 1 && f > 0 && f <= 1 })
+  }
+
+  test("recallMetrics: fixture LSH candidate fraction stays sub-linear-shaped") {
+    // On the isotropic fixture recall ≈ scan fraction for every ANN
+    // method (information-theoretic; NOTES.md) — the artifact value to
+    // GUARD here is the fraction: LSH must stay within the adaptive-bits
+    // target envelope (≤5%, the SimilaritySpec ceiling). IVF's fixture
+    // fraction is ~nprobe/cells by construction (small-corpus regime
+    // with 6 trained cells) — sanity-bounded, not floor-asserted.
+    val m = Similarity.recallMetrics(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    info(f"fixture ivf recall=${m("ivf")._1}%.3f frac=${m("ivf")._2}%.3f; " +
+      f"lsh recall=${m("lsh")._1}%.3f frac=${m("lsh")._2}%.3f")
+    assert(m("lsh")._2 <= 0.05,
+      f"LSH scanned ${m("lsh")._2}%.3f of corpus×queries — not sub-linear-shaped")
+    assert(m("ivf")._2 <= 0.8)
+  }
+
   test("LSH top-k returns a correctly-ordered subset of the true ranking") {
     val dir = embDir()
     val brute = Similarity.bruteForceTopK(spark, dir)
