@@ -275,17 +275,28 @@ object ScaleProbe {
     val idlocalResults = if (!want("stream_idlocal")) Seq.empty else {
       val ildir = s"$outDir/idlocal"
       val sent2 = new java.io.File(ildir, ".corpus-args")
+      // v2: SYNTHETIC cluster texts, not replicated fixture texts — the
+      // fixture corpus carries its own cross-doc near-dup mass, which
+      // replication smears across every id range (first measurement:
+      // 88% of partition listings read — genuine cross-batch candidates,
+      // not a pruning failure). Cluster texts are hash-derived from the
+      // base id, so distinct clusters are shingle-disjoint w.h.p. and
+      // the TRUE candidate set is id-local by construction.
+      val wantArgs2 = s"$wantArgs|synthetic-v2"
       if (!(sent2.exists() &&
-          java.nio.file.Files.readString(sent2.toPath).trim == wantArgs)) {
-        docs.crossJoin(broadcast(reps))
+          java.nio.file.Files.readString(sent2.toPath).trim == wantArgs2)) {
+        val toks = (0 until 24).map(i => expr(
+          s"substring(sha2(concat('t', CAST(base_id AS STRING), ':', $i), 256), 1, 12)"))
+        docs.select(col("doc_id").as("base_id")).crossJoin(broadcast(reps))
+          .withColumn("base_text", concat_ws(" ", toks: _*))
           .select(
-            (col("doc_id") * mult + col("rep")).as("doc_id"),
-            when(col("rep") < mult / 2, col("text"))
-              .otherwise(concat(col("text"), lit(" zq"), col("rep"))).as("text"),
-            col("lang"), col("source"), col("n_chars"))
+            (col("base_id") * mult + col("rep")).as("doc_id"),
+            when(col("rep") < mult / 2, col("base_text"))
+              .otherwise(concat(col("base_text"), lit(" zq"), col("rep")))
+              .as("text"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$ildir/documents.parquet")
-        java.nio.file.Files.writeString(sent2.toPath, wantArgs)
+        java.nio.file.Files.writeString(sent2.toPath, wantArgs2)
       }
       def pruneReport(arm: String): Unit = {
         val rm = RoutingMetrics.drain()
