@@ -92,6 +92,70 @@ object Corpus {
        |WHERE cum_before < 300
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Mixture weighting — the data-MIXING step of a pretraining recipe
+    * (fixed source weights à la The Pile, Gao et al. 2020; learned
+    * variants like DoReMi produce the same artifact): given target token
+    * SHARES per language (basis points) and a total token budget, emit a
+    * deterministic repetition plan — every document's integer `repeats` =
+    * full passes of its language pool (`target div pool`) plus one extra
+    * pass on the md5-ranked prefix that fills the remainder
+    * (`cum_before < target mod pool`), so each language's planned tokens
+    * land within one document of `share × budget`. Upsampling (repeats
+    * > 1 for high-weight languages) and downsampling (repeats = 0 outside
+    * a prefix) fall out of the same arithmetic; the default budget
+    * exercises both on the fixture. Integer-exact end to end.
+    *
+    * Scale: a |langs|-row aggregate broadcasts back; the prefix-sum is
+    * the packSequences per-partition window — no global sort, and the
+    * md5 rank makes the plan a pure function of stable ids (same
+    * reproducibility trick as balanceByLang / text_det_split). */
+  def mixWeights(spark: SparkSession, dir: String,
+                 totalBudget: Long = 20000L): DataFrame = {
+    val weightsBp = Seq(
+      ("de", 1500L), ("en", 4000L), ("es", 1000L), ("fr", 1000L), ("zh", 2500L))
+    import spark.implicits._
+    val wdf = weightsBp.toDF("lang", "w_bp")
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val tgt = d.groupBy(col("lang")).agg(sum(col("n_tokens")).as("pool"))
+      .join(broadcast(wdf), Seq("lang"))
+      .withColumn("target", expr(s"w_bp * $totalBudget div 10000"))
+      .select(col("lang"), col("pool"), col("target"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(tgt), Seq("lang"))
+      .withColumn("repeats", expr("target div pool") +
+        when(col("cum_before") < expr("target % pool"), lit(1L)).otherwise(lit(0L)))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("cum_before"), col("repeats"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val mixWeightsSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |w(lang, w_bp) AS (VALUES
+       |  ('de', 1500), ('en', 4000), ('es', 1000), ('fr', 1000), ('zh', 2500)),
+       |p AS (SELECT lang, SUM(n_tokens) AS pool FROM d GROUP BY 1),
+       |t AS (SELECT p.lang, pool, w_bp * 20000 // 10000 AS target
+       |      FROM p JOIN w ON p.lang = w.lang),
+       |c AS (SELECT lang, doc_id, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |          AS cum_before
+       |      FROM d)
+       |SELECT c.lang AS lang, doc_id, n_tokens, cum_before,
+       |  CAST(target // pool +
+       |    CASE WHEN cum_before < target % pool THEN 1 ELSE 0 END AS BIGINT)
+       |    AS repeats
+       |FROM c JOIN t ON c.lang = t.lang
+       |ORDER BY c.lang, doc_id""".stripMargin
+
   /** Per-language corpus balancing: a deterministic uniform subsample of at
     * most `perLang` documents per language, ranked by md5(doc_id) — the
     * standard "don't let English drown the mixture" rebalance, reproducible
@@ -301,6 +365,7 @@ object Corpus {
     "corpus_shard"       -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
     "corpus_vocab_prune" -> ((s: SparkSession, d: String) => vocabPrune(s, d)),
     "corpus_split"       -> ((s: SparkSession, d: String) => splitTrainValTest(s, d)),
+    "corpus_mix"         -> ((s: SparkSession, d: String) => mixWeights(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,5 +376,6 @@ object Corpus {
     "corpus_shard"       -> shardShuffleSql,
     "corpus_vocab_prune" -> vocabPruneSql,
     "corpus_split"       -> splitTrainValTestSql,
+    "corpus_mix"         -> mixWeightsSql,
   )
 }

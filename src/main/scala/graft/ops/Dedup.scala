@@ -148,6 +148,65 @@ object Dedup {
        |      CAST(len(list_distinct(list_concat(e.toks, t.toks))) AS DOUBLE) >= 0.5
        |ORDER BY eval_id, train_id""".stripMargin
 
+  /** Cross-source contamination MATRIX — the train/eval leakage check
+    * generalized to every source pair: the count of distinct word-n-gram
+    * shingles shared between each pair of sources, with each side's
+    * distinct-shingle total alongside (containment / Jaccard ratios are
+    * then one division away, computed downstream without a second corpus
+    * scan). All-integer output, fully DuckDB-oracled. This is the
+    * dataset-curation view of contamination: [[contamination]] answers
+    * "which eval DOCS leak", this answers "which SOURCES share content",
+    * the signal used to quarantine a whole crawl slice before mixing.
+    *
+    * Scale shape: each doc shingles ONCE (compiled kernel), collapses to
+    * distinct (source, shingle) rows (partial distinct map-side, one
+    * shuffle keyed by shingle), and the pair join is a shingle-keyed
+    * equi-join — never a cartesian; per-shingle fan-out is bounded by the
+    * number of sources carrying the shingle (≤ |sources|, and the
+    * aggregate is one narrow |sources|²-row table). At 100 TB the one
+    * watch item is stop-shingles present in every source (each costs
+    * |sources|² join rows); the standard remedy is the same df-cap the
+    * band-bucket skew guard applies — unnecessary at fixture source
+    * cardinality (20), noted for the real-corpus config. */
+  def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextKernels.shingleUdf(
+          col("text"), lit(ShingleN))).as("sh"))
+      .distinct()
+    val tot = s.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val a = s.select(col("source").as("source_a"), col("sh"))
+    val b = s.select(col("source").as("source_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(tot.select(col("source").as("source_a"),
+        col("n_sh").as("a_total"))), Seq("source_a"))
+      .join(broadcast(tot.select(col("source").as("source_b"),
+        col("n_sh").as("b_total"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("a_total"), col("b_total"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val overlapMatrixSql: String =
+    s"""WITH t AS (
+       |  SELECT source, $tokensSql AS toks FROM documents),
+       |s AS (
+       |  SELECT DISTINCT source,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+       |  WHERE len(toks) >= 3),
+       |tot AS (SELECT source, COUNT(*) AS n_sh FROM s GROUP BY 1)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  COUNT(*) AS shared,
+       |  ANY_VALUE(ta.n_sh) AS a_total, ANY_VALUE(tb.n_sh) AS b_total
+       |FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+       |JOIN tot ta ON ta.source = a.source
+       |JOIN tot tb ON tb.source = b.source
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ---------------------------------------------------------------------
   // MinHash + LSH near-dup
   // ---------------------------------------------------------------------
@@ -1373,6 +1432,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> ((s: SparkSession, d: String) => incremental(s, d)),
     "dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+    "dedup_overlap_matrix" -> (overlapMatrix _),
     "dedup_groups_jaccard" -> (dedupGroupsJaccard _),
     "dedup_groups"    -> (dedupGroups _),
     "dedup_exact"     -> (exact _),
@@ -1394,6 +1454,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalSql,
     "dedup_contamination" -> contaminationSql,
+    "dedup_overlap_matrix" -> overlapMatrixSql,
     "dedup_groups_jaccard" -> dedupGroupsJaccardSql,
     "dedup_exact"     -> exactSql,
     "dedup_keyed"     -> keyedSql,

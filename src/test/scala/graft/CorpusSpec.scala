@@ -126,6 +126,33 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("mixWeights: planned tokens land within one document of each target") {
+    // The mixture plan's accuracy bound: sum(repeats × n_tokens) per
+    // language sits in [target, target + max doc) — full passes hit the
+    // quotient exactly and the remainder prefix overshoots by at most
+    // the straddling document. At the default budget the fixture's zh
+    // pool is smaller than its target, so the upsampling regime
+    // (floor ≥ 1 full pass) runs alongside the others' prefix fills.
+    val rows = Corpus.mixWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+    val planned = rows.groupBy(_._1).view
+      .mapValues(v => (v.map(x => x._2 * x._3).sum, v.map(_._2).max)).toMap
+    val pools = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val weights = Map("de" -> 1500L, "en" -> 4000L, "es" -> 1000L,
+      "fr" -> 1000L, "zh" -> 2500L)
+    weights.foreach { case (lang, bp) =>
+      val target = bp * 20000L / 10000L
+      val (got, maxDoc) = planned(lang)
+      assert(got >= target && got < target + maxDoc,
+        s"$lang planned $got outside [$target, ${target + maxDoc})")
+      // repeats are uniform across a language's full passes: every doc
+      // gets at least target/pool and at most target/pool + 1
+      val floor = target / pools(lang)
+      val reps = rows.filter(_._1 == lang).map(_._3)
+      assert(reps.min == floor && reps.max <= floor + 1)
+    }
+  }
+
   test("splitTrainValTest: tiny strata round toward train") {
     // 1 doc in a language: 1*100 <= 1*80 is false, <= 90 false -> test?
     // rk=1, n=1: 100 <= 80 fails, 100 <= 90 fails -> test. A 2-doc

@@ -398,4 +398,34 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 1), (2L, 3L, 1)))
   }
+
+  test("overlapMatrix: known shingle geometry, bounds, and symmetry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovm").toString
+    // srcA/srcB share exactly the shingles of "a b c d" ∩ "a b c e" =
+    // {"a b c"}; srcC is disjoint; srcD duplicates srcA's text (distinct
+    // collapses the per-source set, so totals count UNIQUE shingles).
+    Seq(
+      (1L, "a b c d", "en", "srcA", 7L),
+      (2L, "a b c d", "en", "srcA", 7L), // dup inside srcA — no double count
+      (3L, "a b c e", "en", "srcB", 7L),
+      (4L, "x y z w", "en", "srcC", 7L),
+      (5L, "a b c d", "en", "srcD", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.overlapMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // "a b c d" → shingles {"a b c", "b c d"}; "a b c e" → {"a b c", "b c e"}
+    assert(got(("srcA", "srcB")) == ((1L, 2L, 2L)))
+    assert(got(("srcA", "srcD")) == ((2L, 2L, 2L))) // identical sets
+    assert(got(("srcB", "srcD")) == ((1L, 2L, 2L)))
+    assert(!got.contains(("srcA", "srcC")) && !got.contains(("srcB", "srcC")),
+      "disjoint sources must not emit a pair")
+    // bounds every real matrix must satisfy
+    got.foreach { case ((a, b), (shared, at, bt)) =>
+      assert(a < b, "pairs are canonically ordered")
+      assert(shared >= 1 && shared <= math.min(at, bt))
+    }
+  }
 }

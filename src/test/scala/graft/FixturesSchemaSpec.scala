@@ -93,6 +93,34 @@ class FixturesSchemaSpec extends SparkSpec {
     }
   }
 
+  test("normalizeTs handles all three tolerated encodings (incl. the retired nanos form)") {
+    // The fixtures no longer carry the nanos-as-long encoding, so without
+    // this test that branch would be dead-untested — and the next driver
+    // regeneration could flip BACK. One instant through each branch must
+    // yield the identical TimestampType value. 2024-05-01 12:34:56.789012
+    // UTC = 1714566896789012 µs.
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val us = 1714566896789012L
+    def onlyTs(df: org.apache.spark.sql.DataFrame): Long = {
+      val out = Tables.normalizeTs(df)
+      assert(out.schema("ts").dataType == TimestampType)
+      out.selectExpr("unix_micros(ts) AS us").head.getLong(0)
+    }
+    val asLong = spark.createDataFrame(
+      java.util.List.of(Row(us * 1000L)),
+      StructType(Seq(StructField("ts", LongType))))
+    val asTs = spark.sql(s"SELECT timestamp_micros(${us}L) AS ts")
+    val asNtz = asTs.select(col("ts").cast(TimestampNTZType).as("ts"))
+    assert(onlyTs(asLong) == us, "nanos-as-long branch drifted")
+    assert(onlyTs(asNtz) == us, "TIMESTAMP_NTZ branch drifted (UTC session)")
+    assert(onlyTs(asTs) == us, "TimestampType passthrough drifted")
+    val bad = asTs.select(lit("2024").as("ts"))
+    val e = intercept[IllegalStateException](Tables.normalizeTs(bad))
+    assert(e.getMessage.contains("normalizeTs"), "unknown dtype must fail naming the remedy")
+  }
+
   test("events.ts normalizes to TimestampType at every SF") {
     for (dir <- sfDirs) {
       val dt = Tables.events(spark, dir).schema("ts").dataType
