@@ -355,6 +355,10 @@ object ScaleProbe {
       "dedup_stream_minhash" -> (() => graft.ops.Dedup.minhashStream(
         spark, outDir, chunks = 8).count()),
       "dedup_simhash"      -> (() => graft.ops.Dedup.simhash(spark, outDir).count()),
+      // source-pair shingle overlap at 500 k docs: the (source, shingle)
+      // distinct + shingle-keyed pair join must stay linear-ish in corpus
+      // shingle mass (per-shingle fan-out ≤ |sources| = 20 here)
+      "dedup_overlap_matrix" -> (() => graft.ops.Dedup.overlapMatrix(spark, outDir).count()),
       // forced pathological block: EVERY probe document lands in one
       // (lang, source, len_bucket) block — the shape that would hang the
       // unguarded O(block²) self-join; bounded time here IS the guard's
