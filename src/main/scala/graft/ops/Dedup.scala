@@ -985,6 +985,10 @@ object Dedup {
     val touchedSh = graft.tools.RangeState.publishDelta(shRoot, batchId,
       shingleSetsOf(arriving),
       graft.tools.RangeState.bucketCol(bounds, col("doc_id")))
+    // publish-side twin of the sh_read counters: id-ordered arrival lands
+    // a batch's shingles in 1–2 partitions; a shuffled arrival order
+    // would smear them — visible here before it costs read pruning
+    graft.tools.RoutingMetrics.add("sh_publish_parts", touchedSh.size.toLong)
     // both state tables are APPEND-ONLY (the index accretes band rows, a
     // survivor never un-survives), so the log-structured layout's fold is
     // a plain union: epoch N writes ONLY the batch's band rows and the

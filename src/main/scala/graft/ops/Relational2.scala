@@ -1712,6 +1712,15 @@ object Relational2 {
     if (compacted > 0)
       graft.tools.PhaseTiming.record(f"compact$batchId%03d",
         (System.nanoTime() - tc) / 1e9)
+    // Mechanism observability (bench routing map, beside q97's oracled
+    // layout gate): partitions this batch wrote vs the table's width, and
+    // how many of them fan-in compaction actually folded. Key-local
+    // traffic shows touched ≪ total here; the uniform gate corpus shows
+    // touched ≈ total — the honest-accounting number either way.
+    graft.tools.RoutingMetrics.add("q96_touched_parts", touched.size.toLong)
+    graft.tools.RoutingMetrics.add("q96_total_parts",
+      graft.tools.RangeState.partDirs(statePath).size.toLong)
+    graft.tools.RoutingMetrics.add("q96_compacted_parts", compacted.toLong)
   }
 
   /** Merged view of the partitioned state as of batch `upTo`: per
