@@ -108,7 +108,11 @@ object Corpus {
     * Scale: a |langs|-row aggregate broadcasts back; the prefix-sum is
     * the packSequences per-partition window — no global sort, and the
     * md5 rank makes the plan a pure function of stable ids (same
-    * reproducibility trick as balanceByLang / text_det_split). */
+    * reproducibility trick as balanceByLang / text_det_split). One
+    * stratum = one window task, so a corpus dominated by one language
+    * upgrades the running sum to the standard two-level form (per-bucket
+    * partial sums by md5 prefix, then a broadcast of the |buckets|
+    * bucket offsets) — the fold is associative, nothing else changes. */
   def mixWeights(spark: SparkSession, dir: String,
                  totalBudget: Long = 20000L): DataFrame = {
     val weightsBp = Seq(

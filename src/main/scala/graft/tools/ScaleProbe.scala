@@ -359,6 +359,7 @@ object ScaleProbe {
       // distinct + shingle-keyed pair join must stay linear-ish in corpus
       // shingle mass (per-shingle fan-out ≤ |sources| = 20 here)
       "dedup_overlap_matrix" -> (() => graft.ops.Dedup.overlapMatrix(spark, outDir).count()),
+      "corpus_mix"         -> (() => graft.ops.Corpus.mixWeights(spark, outDir).count()),
       // forced pathological block: EVERY probe document lands in one
       // (lang, source, len_bucket) block — the shape that would hang the
       // unguarded O(block²) self-join; bounded time here IS the guard's
