@@ -13,11 +13,16 @@ import graft.Tables
   * alongside TextAnalysis (filter/score) and Dedup (near-dup removal).
   *
   * Scale posture: every operator here is window-over-group or
-  * aggregate-join — no global single-partition window anywhere. Groups are
-  * `source` / `lang` / `shard`, i.e. the natural parallelism axes of a real
-  * corpus; at 100 TB each group's window runs inside one task after a
-  * hash-partition shuffle, and the only corpus-wide state (the vocabulary)
-  * is an aggregate that fits in memory and broadcasts.
+  * aggregate-join — no global single-partition window anywhere, and no
+  * per-stratum single-task window either: strata (`source` / `lang`) are
+  * low-cardinality and SKEWED in a real corpus (one language can be 80%
+  * of 100 TB), so every prefix-sum / rank here runs in the two-level
+  * bucketed form ([[TwoLevel]]) — bucket-local windows at
+  * |strata| × |buckets| parallelism plus a broadcast offsets table,
+  * bit-identical to the naive window (TwoLevelSpec proves it per
+  * operator). The only corpus-wide state (the vocabulary) is an
+  * aggregate that fits in memory and broadcasts. `shard` windows stay
+  * single-level: shard cardinality and balance are writer-chosen.
   */
 object Corpus {
 
@@ -35,17 +40,20 @@ object Corpus {
     * `seqLen`-token training sequences; a document may span several. Emits,
     * per document, its first sequence id, offset inside it, and span width.
     *
-    * The cumulative token count is a running-sum window per source — the
-    * packing of one source never waits on another, and (unlike next-fit bin
-    * packing) the chunk mapping is a pure prefix-sum, so it parallelizes and
-    * is deterministic for the oracle. */
+    * The cumulative token count is a running sum per source in the
+    * two-level form — [[TwoLevel.cumBefore]] over doc_id-range buckets —
+    * so the packing of one source never waits on another AND a dominant
+    * source never serializes on one window task; (unlike next-fit bin
+    * packing) the chunk mapping is a pure prefix-sum, so it parallelizes
+    * and is deterministic for the oracle. */
   def packSequences(spark: SparkSession, dir: String, seqLen: Int = 64): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    TwoLevel.cumBefore(
+        TwoLevel.withIdRangeBucket(d, "source", "doc_id", "__b"),
+        Seq("source"), "__b", Seq(col("doc_id")), "n_tokens", "cum_before")
+      .drop("__b")
       .withColumn("seq_first", expr(s"cum_before div $seqLen"))
       .withColumn("seq_offset", expr(s"cum_before % $seqLen"))
       .withColumn("n_seqs",
@@ -70,14 +78,15 @@ object Corpus {
   /** Greedy per-source token-budget selection: walk each source in doc_id
     * order and keep documents while the running total is under budget — the
     * "give me ~N tokens per source" sampling step of a corpus recipe. Same
-    * prefix-sum shape as packing; the filter is on the window result. */
+    * two-level prefix-sum shape as packing; the filter is on its result. */
   def budgetSelect(spark: SparkSession, dir: String, budget: Long = 300L): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    TwoLevel.cumBefore(
+        TwoLevel.withIdRangeBucket(d, "source", "doc_id", "__b"),
+        Seq("source"), "__b", Seq(col("doc_id")), "n_tokens", "cum_before")
+      .drop("__b")
       .filter(col("cum_before") < budget)
       .orderBy(col("source"), col("doc_id"))
   }
@@ -105,14 +114,12 @@ object Corpus {
     * a prefix) fall out of the same arithmetic; the default budget
     * exercises both on the fixture. Integer-exact end to end.
     *
-    * Scale: a |langs|-row aggregate broadcasts back; the prefix-sum is
-    * the packSequences per-partition window — no global sort, and the
-    * md5 rank makes the plan a pure function of stable ids (same
-    * reproducibility trick as balanceByLang / text_det_split). One
-    * stratum = one window task, so a corpus dominated by one language
-    * upgrades the running sum to the standard two-level form (per-bucket
-    * partial sums by md5 prefix, then a broadcast of the |buckets|
-    * bucket offsets) — the fold is associative, nothing else changes. */
+    * Scale: a |langs|-row aggregate broadcasts back; the prefix-sum runs
+    * in the two-level form over md5-prefix buckets ([[TwoLevel]]) — no
+    * global sort, no one-task-per-language serialization under a
+    * dominant language, and the md5 rank keeps the plan a pure function
+    * of stable ids (same reproducibility trick as balanceByLang /
+    * text_det_split). */
   def mixWeights(spark: SparkSession, dir: String,
                  totalBudget: Long = 20000L): DataFrame = {
     val weightsBp = Seq(
@@ -126,10 +133,10 @@ object Corpus {
       .join(broadcast(wdf), Seq("lang"))
       .withColumn("target", expr(s"w_bp * $totalBudget div 10000"))
       .select(col("lang"), col("pool"), col("target"))
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    d.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    TwoLevel.cumBefore(
+        TwoLevel.withMd5Bucket(d, col("doc_id").cast("string"), "__o", "__b"),
+        Seq("lang"), "__b", Seq(col("__o"), col("doc_id")),
+        "n_tokens", "cum_before")
       .join(broadcast(tgt), Seq("lang"))
       .withColumn("repeats", expr("target div pool") +
         when(col("cum_before") < expr("target % pool"), lit(1L)).otherwise(lit(0L)))
@@ -164,14 +171,18 @@ object Corpus {
     * most `perLang` documents per language, ranked by md5(doc_id) — the
     * standard "don't let English drown the mixture" rebalance, reproducible
     * across runs because the rank is a pure function of the stable id
-    * (same trick as text_det_split). */
+    * (same trick as text_det_split). The rank is [[TwoLevel.rank]] over
+    * md5-prefix buckets — the exact scenario the two-level form exists
+    * for, since the whole point of this operator is that one language
+    * dominates the corpus. */
   def balanceByLang(spark: SparkSession, dir: String, perLang: Int = 40): DataFrame = {
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"))
-      .withColumn("rk", row_number().over(w))
+    val d = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
+    TwoLevel.rank(
+        TwoLevel.withMd5Bucket(d, col("doc_id").cast("string"), "__o", "__b"),
+        Seq("lang"), "__b", Seq(col("__o"), col("doc_id")), "rk")
+      .withColumn("rk", col("rk").cast("int"))
       .filter(col("rk") <= perLang)
+      .select(col("lang"), col("doc_id"), col("rk"))
       .orderBy(col("lang"), col("rk"))
   }
 
@@ -217,18 +228,18 @@ object Corpus {
     * bare hash-threshold split, small strata get their proportions
     * exactly — the property an eval-set builder actually needs.
     *
-    * Scale posture: one hash-partition shuffle on `lang`, then each
-    * stratum ranks independently inside its task; the per-stratum count
-    * rides the same window, so no second pass and no driver-side sizes. */
+    * Scale posture: one hash-partition shuffle on (lang, md5 bucket) —
+    * [[TwoLevel.rank]], so a dominant language fans out across its
+    * buckets instead of one task; the per-stratum count is derived from
+    * the same bucket totals (`stratumTotalOut`), so still no second pass
+    * over the data and no driver-side sizes. */
   def splitTrainValTest(spark: SparkSession, dir: String,
                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val wAll = Window.partitionBy("lang")
-    Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    val d = Tables.documents(spark, dir).select(col("lang"), col("doc_id"))
+    TwoLevel.rank(
+        TwoLevel.withMd5Bucket(d, col("doc_id").cast("string"), "__o", "__b"),
+        Seq("lang"), "__b", Seq(col("__o"), col("doc_id")), "rk",
+        stratumTotalOut = Some("n"))
       .withColumn("split",
         when(col("rk") * 100 <= col("n") * trainPct, lit("train"))
           .when(col("rk") * 100 <= col("n") * (trainPct + valPct), lit("val"))
@@ -323,10 +334,10 @@ object Corpus {
     val keep = base.select(md5(col("text")).as("digest"), col("doc_id"))
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val balanced = base.join(keep, Seq("doc_id"), "left_semi")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    val surv = base.join(keep, Seq("doc_id"), "left_semi")
+    val balanced = TwoLevel.rank(
+        TwoLevel.withMd5Bucket(surv, col("doc_id").cast("string"), "__o", "__b"),
+        Seq("lang"), "__b", Seq(col("__o"), col("doc_id")), "rk")
       .filter(col("rk") <= 40)
     balanced
       .withColumn("shard", col("doc_id") % 4)
