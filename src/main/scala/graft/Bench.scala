@@ -36,12 +36,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
     val maxLine = sys.env.get("SPARK_GRAFT_BENCH_MAXLINE")
       .flatMap(_.trim.toIntOption).getOrElse(1700)
-    val spark = SparkSession.builder()
+    val spark = Tables.withEventsConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       // keep saveAsTable catalog dirs (q94's bucketed tables) out of the
       // repo root — ./spark-warehouse is the default otherwise
       .config("spark.sql.warehouse.dir",
@@ -92,6 +92,11 @@ object Bench {
       graft.tools.RoutingMetrics.drain()
       org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
       collector.clear()
+      // Byte metrics are per-iteration DELTAS so a failed iteration's
+      // partial bytes never enter the per-query averages, and the
+      // divisor is the successful-iteration count — timings and byte
+      // metrics now describe the same set of runs (ADVICE r9).
+      var okShuffle, okSink, prevShuffle, prevSink = 0.0
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -108,13 +113,17 @@ object Bench {
           .map { case (k, v) => s"$name.$k" -> v }
         routing ++= graft.tools.RoutingMetrics.drain()
           .map { case (k, v) => s"$name.$k" -> v }
+        org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
+        val curShuffle = collector.all.map(_.shuffleBytesWritten).sum.toDouble
+        val curSink = collector.all.map(_.sinkBytesWritten).sum.toDouble
+        if (ok) { okShuffle += curShuffle - prevShuffle; okSink += curSink - prevSink }
+        prevShuffle = curShuffle; prevSink = curSink
         if (ok) Some(t) else None
       }
-      org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
       if (times.isEmpty) None // all iterations threw — errors map has the story
       else {
-        shuffles(name) = collector.all.map(_.shuffleBytesWritten).sum.toDouble / iters
-        sinks(name) = collector.all.map(_.sinkBytesWritten).sum.toDouble / iters
+        shuffles(name) = okShuffle / times.size
+        sinks(name) = okSink / times.size
         Some((name, times.sorted.apply(times.size / 2), times.min))
       }
     }
@@ -141,8 +150,14 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    // `comparable`: errored queries are EXCLUDED from `value`, so a run
+    // with errors produces a smaller (better-looking) total than a
+    // healthy one — totals must only be compared across artifacts where
+    // comparable=true / n_errors=0 (ADVICE r9; the r8 artifact is the
+    // cautionary tale).
+    val comparable = errors.isEmpty
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"errors":$errJson,"n_errors":${errors.size},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"errors":$errJson,"n_errors":${errors.size},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -161,7 +176,7 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
     def line(slow: Seq[(String, Double)]): String = {
       val qs = jsonMap(fams ++ slow.sortBy(_._1), short)
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"full":"$outPath","iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","comparable":$comparable,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"full":"$outPath","iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
     }
     var k = 0
     while (k < bySlowest.size && line(bySlowest.take(k + 1)).length <= maxLine) k += 1

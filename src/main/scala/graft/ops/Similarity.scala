@@ -81,6 +81,14 @@ object Similarity {
     * a retrained one. The cache is keyed by directory path and assumes the
     * corpus under it is immutable (true for the fixture dirs); a mutable
     * corpus would key on a content fingerprint instead. */
+  /** The one IVF parameter set: ivfTopK's defaults AND the index
+    * recallMetrics measures — shared constants so the reported candidate
+    * fraction can never silently describe a different index than the
+    * recall beside it (ADVICE r9). */
+  val IvfNprobe = 4
+  val IvfCells = 6
+  val IvfIterations = 2
+
   private[graft] def ivfIndex(spark: SparkSession, dir: String,
                               cells: Int, iterations: Int): DataFrame =
     graft.tools.ArtifactCache.parquet(spark, dir, s"ivf_c${cells}_i$iterations") { p =>
@@ -97,8 +105,8 @@ object Similarity {
     * reported cosines are bit-identical to the brute-force values.
     * The quantizer comes from the persisted-index cache (ivfIndex): train
     * once, search many — the query measures SEARCH after the first call. */
-  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 4,
-              cells: Int = 6, iterations: Int = 2): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = IvfNprobe,
+              cells: Int = IvfCells, iterations: Int = IvfIterations): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     ivfCandidates(spark, dir, nprobe, cells, iterations)
       .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
@@ -375,10 +383,12 @@ object Similarity {
       got.intersect(exact).size.toDouble / math.max(1, exact.size)
     }
     val n = corpusDf(spark, dir).count()
-    val scans = n.toDouble * NumQueries // what brute force would score
+    // What brute force scores: each query scans the corpus minus itself
+    // (the brute-force frame excludes self-pairs).
+    val scans = (n - 1).toDouble * NumQueries
     val ivfRecall = recallOf(ivfTopK(spark, dir))
-    val ivfFrac = ivfCandidates(spark, dir, nprobe = 4, cells = 6,
-      iterations = 2).count() / scans
+    val ivfFrac = ivfCandidates(spark, dir, IvfNprobe, IvfCells,
+      IvfIterations).count() / scans
     val lshRecall = recallOf(lshTopK(spark, dir))
     val lshFrac = lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
       LshTables, adaptiveLshBits(n), LshProbes).count() / scans

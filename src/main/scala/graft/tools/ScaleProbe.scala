@@ -33,7 +33,7 @@ object ScaleProbe {
     val only = args.lift(3).map(_.split(",").filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     def want(n: String) = only.isEmpty || only.contains(n)
-    val spark = SparkSession.builder()
+    val spark = graft.Tables.withEventsConf(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -41,7 +41,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
       .config("spark.sql.warehouse.dir",
-        TempDirs.createFastForJvm("graft-warehouse"))
+        TempDirs.createFastForJvm("graft-warehouse")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -319,6 +319,94 @@ object ScaleProbe {
       Seq(local, replica)
     }
 
+    // ---- Dominant-stratum corpus probe (round-10 VERDICT ask): the
+    // uniform 5-language corpus above never exercises the failure mode
+    // the two-level prefix-sum form exists for — a real pretraining
+    // corpus is ~50–90% one language. This block rewrites the probe
+    // corpus 84%-one-stratum and contrasts the naive
+    // one-window-task-per-stratum rank with the shipped two-level form
+    // on the SAME frame (tokenization-free, so the window is the whole
+    // cost), then runs the shipped corpus operators end to end on the
+    // skewed corpus. Beside wall time it prints the rows the biggest
+    // single window task sorts — the term that scales with corpus size
+    // in the naive form and with corpus/|buckets| in the two-level form.
+    val dominantResults = if (!want("dominant")) Seq.empty else {
+      val ddir = s"$outDir/dominant"
+      val sentD = new java.io.File(ddir, ".corpus-args")
+      val wantD = s"$wantArgs|dominant-v1"
+      if (!(sentD.exists() &&
+          java.nio.file.Files.readString(sentD.toPath).trim == wantD)) {
+        spark.read.parquet(s"$outDir/documents.parquet")
+          .withColumn("lang",
+            when(pmod(col("doc_id"), lit(100)) < 84, lit("en"))
+              .otherwise(element_at(
+                array(lit("de"), lit("es"), lit("fr"), lit("zh")),
+                (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
+          .withColumn("source",
+            when(pmod(col("doc_id"), lit(100)) < 84, lit("crawl"))
+              .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(4)))))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$ddir/documents.parquet")
+        java.nio.file.Files.writeString(sentD.toPath, wantD)
+      }
+      val docsD = spark.read.parquet(s"$ddir/documents.parquet")
+        .select(col("lang"), col("doc_id"))
+      def maxTaskRows(keys: org.apache.spark.sql.Column*): Long =
+        docsD.withColumn("__b",
+            substring(md5(col("doc_id").cast("string")), 1,
+              graft.ops.TwoLevel.Md5PrefixChars))
+          .groupBy(keys: _*).count().agg(max("count")).head.getLong(0)
+      println(f"probe dominant biggest window task: naive " +
+        f"${maxTaskRows(col("lang"))}%d rows, two-level " +
+        f"${maxTaskRows(col("lang"), col("__b"))}%d rows")
+      val naive = time("dom_rank_naive") {
+        import org.apache.spark.sql.expressions.Window
+        docsD.withColumn("rk", row_number().over(Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+          .filter(col("rk") <= 40).count()
+      }
+      val two = time("dom_rank_twolevel") {
+        graft.ops.TwoLevel.rank(
+            graft.ops.TwoLevel.withMd5Bucket(docsD,
+              col("doc_id").cast("string"), "__o", "__b"),
+            Seq("lang"), "__b", Seq(col("__o"), col("doc_id")), "rk")
+          .filter(col("rk") <= 40).count()
+      }
+      val ops = Seq(
+        "dom_corpus_mix"     -> (() => graft.ops.Corpus.mixWeights(spark, ddir).count()),
+        "dom_corpus_split"   -> (() => graft.ops.Corpus.splitTrainValTest(spark, ddir).count()),
+        "dom_corpus_balance" -> (() => graft.ops.Corpus.balanceByLang(spark, ddir).count()),
+        "dom_corpus_pack"    -> (() => graft.ops.Corpus.packSequences(spark, ddir).count()),
+      ).map { case (n, f) => time(n)(f()) }
+      Seq(naive, two) ++ ops
+    }
+
+    // ---- Many-source overlap probe: |sources| = 500 with a universal
+    // stop-shingle appended to EVERY document — the regime whose
+    // |sources|²-per-stop-shingle join fan-out the r9 verdict flagged.
+    // The restructured overlapMatrix holds one ≤|sources|-entry set per
+    // shingle and explodes pairs straight into a map-side partial
+    // aggregate, so this must stay near the 20-source probe's cost, not
+    // 625× it.
+    val manysrcResults = if (!want("manysrc")) Seq.empty else {
+      val mdir = s"$outDir/manysrc"
+      val sentM = new java.io.File(mdir, ".corpus-args")
+      val wantM = s"$wantArgs|manysrc-v1"
+      if (!(sentM.exists() &&
+          java.nio.file.Files.readString(sentM.toPath).trim == wantM)) {
+        spark.read.parquet(s"$outDir/documents.parquet")
+          .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(500))))
+          // one 3-token shingle present in EVERY document of EVERY source
+          .withColumn("text", concat(col("text"), lit(" uq vq wq")))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$mdir/documents.parquet")
+        java.nio.file.Files.writeString(sentM.toPath, wantM)
+      }
+      Seq(time("overlap_manysrc500") {
+        graft.ops.Dedup.overlapMatrix(spark, mdir).count()
+      })
+    }
+
     val battery: Seq[(String, () => Long)] = Seq(
       "corpus_pack"        -> (() => graft.ops.Corpus.queries("corpus_pack")(spark, outDir).count()),
       "corpus_budget"      -> (() => graft.ops.Corpus.queries("corpus_budget")(spark, outDir).count()),
@@ -404,7 +492,8 @@ object ScaleProbe {
       "q95_sparse_upsert_wide" -> (() => sparseArm(spark, outDir, wide = true, q95 = true)),
       "q96_sparse_upsert_wide" -> (() => sparseArm(spark, outDir, wide = true, q95 = false)),
     )
-    val results = pagedResults ++ idlocalResults ++
+    val results = pagedResults ++ idlocalResults ++ dominantResults ++
+      manysrcResults ++
       battery.filter(p => want(p._1)).map { case (n, f) => time(n)(f()) }
     // peak heap across all pools: the "no cliff" claim needs a memory
     // number next to the wall times (collected AFTER the probes so every

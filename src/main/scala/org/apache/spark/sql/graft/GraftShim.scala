@@ -32,6 +32,15 @@ object GraftShim {
     try spark.sparkContext.listenerBus.waitUntilEmpty()
     catch { case _: java.util.concurrent.TimeoutException => () }
 
+  /** Whether `key` was EXPLICITLY set on this session (RuntimeConfig
+    * .getOption cannot tell: it returns the registered default for any
+    * built-in conf). Lets a per-call conf fallback respect a session
+    * that deliberately configured the key — set or unset — instead of
+    * stomping it on every query. */
+  def confExplicitlySet(spark: SparkSession, key: String): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.contains(key)
+
   /** Register a function builder on a live session's FunctionRegistry
     * (sessionState is private[sql]; config-time registration goes through
     * graft.GraftExtensions instead). */

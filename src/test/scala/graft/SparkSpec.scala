@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * test run fast; suites must not mutate session-global state). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = Tables.withEventsConf(SparkSession.builder()
       // local[4, 2]: 4 threads, 2 task attempts — task-level retry is ON
       // so the failure-injection specs can prove the write protocols
       // survive a killed first attempt (local[4] makes any task throw
@@ -18,7 +18,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
