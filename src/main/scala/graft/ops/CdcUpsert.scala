@@ -1,0 +1,250 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE operator surface for the CDC upsert spectrum (VERDICT r9 item 8).
+  *
+  * q87/q95/q96/q97 used to carry three hand-wired apply loops in
+  * `Relational2`; every query, spec, and scale probe now routes through
+  * this object, and a state LAYOUT is a [[Policy]] value, not a fourth
+  * copy of the loop:
+  *
+  *   - [[Rewrite]]     — read-optimized pole: every epoch folds the
+  *     previous full state with the batch delta and rewrites it
+  *     (`statePath/vN`, versioned for at-least-once replay). Write cost
+  *     ∝ STATE size — q87's documented trade.
+  *   - [[Mor]]         — write-optimized pole: epochs append one O(batch)
+  *     delta to a [[graft.tools.LogState]] log; every `compactEvery`
+  *     epochs base+deltas fold into a new base; readers merge through the
+  *     same monoid.
+  *   - [[Partitioned]] — the 100 TB shape: a [[graft.tools.RangeState]]
+  *     key-range-partitioned log; deltas route by frozen boundaries,
+  *     fan-in compaction touches only partitions whose own delta count
+  *     filled up, and point lookups prune to ONE partition's log.
+  *
+  * All three share one merge monoid ([[fold]]: count-sum + struct-max
+  * latest-wins) and one delta aggregate ([[deltaOf]]) — the property that
+  * makes every layout produce the same table is that they fold the same
+  * monoid over different file arrangements, and having exactly one
+  * definition of it here is what keeps the folds from drifting apart
+  * (schedule invariance in MorUpsertSpec/PartitionedStateSpec depends on
+  * it). A new layout (e.g. a secondary index) is a new `Policy` case and
+  * three small branches, not a new loop.
+  *
+  * Replay contract (all policies): every write is an overwrite keyed by
+  * `epoch`, derived only from the engine-replayed batch plus state
+  * strictly older than `epoch` — so foreachBatch's at-least-once replay
+  * rewrites the same files from the same inputs. GC only deletes what no
+  * replay can read again (see [[graft.tools.LogState]]).
+  *
+  * Spectrum context: the LSM trade per O'Neil et al. (Acta Informatica
+  * 1996); the reference's own load step is a plain overwrite
+  * (`flows/etl.py:289-311`) — the spectrum is the scale generalization. */
+object CdcUpsert {
+
+  /** A state-table maintenance protocol. `name` keys the q97 gate rows. */
+  sealed trait Policy { def name: String }
+
+  /** Read-optimized: epoch N rewrites the full state at `statePath/vN`. */
+  case object Rewrite extends Policy { val name = "q87_rewrite" }
+
+  /** Write-optimized merge-on-read log; `compactEvery<=0` disables
+    * compaction (pure delta log). */
+  final case class Mor(compactEvery: Int = 4) extends Policy {
+    val name = "q95_mor"
+  }
+
+  /** Key-range-partitioned merge-on-read state; per-partition fan-in
+    * compaction at `maxDeltas` pending deltas (`<=0` disables). */
+  final case class Partitioned(numPartitions: Int = 8, maxDeltas: Int = 3)
+      extends Policy {
+    val name = "q96_partitioned"
+  }
+
+  /** The merge monoid every layout folds (read-time merge, compaction,
+    * delta-over-delta grouping): count-sum + struct-max latest-wins
+    * (event_id breaks ts ties inside the struct ordering). Commutative
+    * and associative, which is what moves correctness to read time for
+    * the log layouts and makes `compactEvery`/`maxDeltas` pure
+    * performance dials. */
+  def fold(state: DataFrame): DataFrame =
+    state.groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
+
+  /** One delta row per key in the batch, in exactly the state schema
+    * [[fold]] merges: event count + the (ts, event_id, …)-max struct. */
+  def deltaOf(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+
+  // -------------------------------------------------------------------
+  // Rewrite layout mechanics (the log layouts live in LogState/RangeState)
+  // -------------------------------------------------------------------
+
+  private def rewriteVersions(statePath: String,
+                              upTo: Long = Long.MaxValue): Seq[Long] =
+    Option(new java.io.File(statePath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong)
+      .filter(_ <= upTo).sorted.toSeq
+
+  /** Frozen key-range boundaries of a [[Partitioned]] state — derived
+    * ONCE from the first batch's key distribution via approx-quantiles
+    * (CDC key spaces are skewed in general; a dense id space would seed
+    * [[graft.tools.RangeState.freezeUniform]] instead), persisted
+    * write-once by [[graft.tools.RangeState.freeze]] — see there for why
+    * freezing is load-bearing across replays. */
+  private[graft] def boundaries(batch: DataFrame, statePath: String,
+                                numPartitions: Int): Array[Long] =
+    graft.tools.RangeState.freeze(statePath, {
+      val probs = (1 until numPartitions).map(_.toDouble / numPartitions)
+      batch.stat.approxQuantile("user_id", probs.toArray, 0.001)
+        .map(_.toLong)
+    })
+
+  // -------------------------------------------------------------------
+  // The one apply surface
+  // -------------------------------------------------------------------
+
+  /** Apply one change batch to the state under `statePath` per `policy`.
+    * Safe to call from `foreachBatch` (at-least-once) or directly from a
+    * deterministic epoch loop (the q97 gate and the replay specs do) —
+    * the replay contract in the object doc holds for every branch.
+    * Steady-state epoch cost lands in the `epochNNN` phase; the amortized
+    * compaction term is recorded separately as `compactNNN` so it cannot
+    * masquerade as steady-state cost. */
+  def applyBatch(batch: DataFrame, epoch: Long, statePath: String,
+                 policy: Policy): Unit = policy match {
+    case Rewrite =>
+      require(rewriteVersions(statePath).forall(_ <= epoch),
+        s"state under $statePath is newer than batch $epoch — stale " +
+          "statePath with a fresh checkpoint?")
+      val t0 = System.nanoTime()
+      val prev = s"$statePath/v${epoch - 1}"
+      val d = deltaOf(batch)
+      // VERSIONED rewrite: epoch N reads v(N-1) — immutable — folds it
+      // with the delta through the shared monoid (union + fold ≡ the
+      // full-outer merge: sum over coalesced counts, greatest over
+      // structs), and overwrites vN. A replay rewrites vN from the same
+      // unchanged inputs — idempotent, where an in-place merge would
+      // double-apply the delta.
+      val merged =
+        if (new java.io.File(prev).exists())
+          fold(batch.sparkSession.read.parquet(prev).unionByName(d))
+        else d
+      merged.write.mode("overwrite").parquet(s"$statePath/v$epoch")
+      // GC two behind: the engine only ever replays the LAST uncommitted
+      // batch, so v(N-2) is unreachable once vN is written.
+      graft.tools.TempDirs.deleteRecursively(s"$statePath/v${epoch - 2}")
+      graft.tools.PhaseTiming.record(f"epoch$epoch%03d",
+        (System.nanoTime() - t0) / 1e9)
+
+    case Mor(compactEvery) =>
+      val sp = batch.sparkSession
+      graft.tools.LogState.requireNoFuture(statePath, epoch)
+      val t0 = System.nanoTime()
+      deltaOf(batch).write.mode("overwrite")
+        .parquet(s"$statePath/delta/v$epoch")
+      graft.tools.PhaseTiming.record(f"epoch$epoch%03d",
+        (System.nanoTime() - t0) / 1e9)
+      graft.tools.LogState.maintain(sp, Seq(statePath), epoch,
+        compactEvery)(fold)
+
+    case Partitioned(numPartitions, maxDeltas) =>
+      val sp = batch.sparkSession
+      val t0 = System.nanoTime()
+      val bounds = boundaries(batch, statePath, numPartitions)
+      graft.tools.RangeState.requireNoFuture(statePath, epoch)
+      val touched = graft.tools.RangeState.publishDelta(statePath, epoch,
+        deltaOf(batch),
+        graft.tools.RangeState.bucketCol(bounds, col("user_id")))
+      graft.tools.PhaseTiming.record(f"epoch$epoch%03d",
+        (System.nanoTime() - t0) / 1e9)
+      val tc = System.nanoTime()
+      val compacted = graft.tools.RangeState.maintainTouched(sp, touched,
+        epoch, maxDeltas)(fold)
+      if (compacted > 0)
+        graft.tools.PhaseTiming.record(f"compact$epoch%03d",
+          (System.nanoTime() - tc) / 1e9)
+      // Mechanism observability (bench routing map, beside the oracled
+      // q97 layout gate): partitions this batch wrote vs the table's
+      // width, and how many fan-in compaction actually folded. Key-local
+      // traffic shows touched ≪ total; the uniform gate corpus shows
+      // touched ≈ total — honest accounting either way.
+      graft.tools.RoutingMetrics.add("q96_touched_parts",
+        touched.size.toLong)
+      graft.tools.RoutingMetrics.add("q96_total_parts",
+        graft.tools.RangeState.partDirs(statePath).size.toLong)
+      graft.tools.RoutingMetrics.add("q96_compacted_parts",
+        compacted.toLong)
+  }
+
+  /** Merged view of the state as of epoch `upTo` (inclusive), `None`
+    * before the first write lands. Rewrite reads the newest version at
+    * or below `upTo` as-is (the read-optimized payoff: zero merge);
+    * the log layouts fold base + later deltas through [[fold]]. */
+  def stateAsOf(sp: SparkSession, statePath: String, upTo: Long,
+                policy: Policy): Option[DataFrame] = policy match {
+    case Rewrite =>
+      rewriteVersions(statePath, upTo).lastOption
+        .map(v => sp.read.parquet(s"$statePath/v$v"))
+    case _: Mor =>
+      val paths = graft.tools.LogState.pathsAsOf(statePath, upTo)
+      if (paths.isEmpty) None else Some(fold(sp.read.parquet(paths: _*)))
+    case _: Partitioned =>
+      val paths = graft.tools.RangeState.pathsAsOf(statePath, upTo)
+      if (paths.isEmpty) None else Some(fold(sp.read.parquet(paths: _*)))
+  }
+
+  /** Rows the epoch's state write produced — the quantity the q97 layout
+    * gate oracles per epoch × protocol. For the log layouts this is the
+    * O(batch) delta contract (distinct keys in the batch; a
+    * read-modify-write bug would make it cumulative and break the hash);
+    * for Rewrite it IS the cumulative key count — the write-amplification
+    * contrast, now oracled rather than only narrated. Counts delta files
+    * even after a later compaction GC'd them only if they still exist;
+    * call at apply time (the gate does). */
+  def rowsWrittenAt(sp: SparkSession, statePath: String, epoch: Long,
+                    policy: Policy): Long = policy match {
+    case Rewrite =>
+      sp.read.parquet(s"$statePath/v$epoch").count()
+    case _: Mor =>
+      sp.read.parquet(s"$statePath/delta/v$epoch").count()
+    case _: Partitioned =>
+      val paths = graft.tools.RangeState.partDirs(statePath)
+        .map(p => s"$p/delta/v$epoch")
+        .filter(p => new java.io.File(p).isDirectory)
+      if (paths.isEmpty) 0L else sp.read.parquet(paths: _*).count()
+  }
+
+  /** Point lookup: the state row for `key` plus HOW MANY partition logs
+    * were listed to find it — the pruning evidence the q98 gate oracles.
+    * [[Partitioned]] routes `key` through the frozen boundaries JVM-side
+    * and reads ONLY its partition's log (`partsListed` == 1 at any state
+    * size — if this branch ever regressed to scanning the table, the
+    * count and the gate hash break). The unpartitioned policies read the
+    * whole state (their documented pole: one log == one "partition"). */
+  def keyLookup(sp: SparkSession, statePath: String, key: Long,
+                policy: Policy): (Option[DataFrame], Long) = policy match {
+    case Partitioned(_, _) =>
+      val bounds = graft.tools.RangeState.readBoundaries(statePath)
+      val paths = graft.tools.RangeState.pathsForBuckets(statePath,
+        Seq(graft.tools.RangeState.bucketOf(bounds, key)), Long.MaxValue)
+      // parts actually LISTED, parsed from the resolved paths — not an
+      // assumed constant: a regression to pathsAsOf shows up here
+      val parts = paths.flatMap(
+        _.split('/').find(_.startsWith("p="))).distinct.size.toLong
+      val df =
+        if (paths.isEmpty) None
+        else Some(fold(sp.read.parquet(paths: _*))
+          .filter(col("user_id") === key))
+      (df, parts)
+    case p =>
+      (stateAsOf(sp, statePath, Long.MaxValue, p)
+        .map(_.filter(col("user_id") === key)), 1L)
+  }
+}

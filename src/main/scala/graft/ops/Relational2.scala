@@ -1460,7 +1460,12 @@ object Relational2 {
     * aggregate, which the oracle computes. Per epoch the work is one
     * narrow per-key shuffle of the delta plus a keyed merge against
     * state — the CDC cost model at any scale (state size, not history
-    * size, prices each apply). */
+    * size, prices each apply).
+    *
+    * The apply body is [[CdcUpsert.applyBatch]] under the [[CdcUpsert.Rewrite]]
+    * policy — the read-optimized pole of the one shared CDC surface (see
+    * that object's doc for the replay/GC contract all three layouts
+    * honor). */
   def q87StreamUpsert(spark: SparkSession, dir: String,
                       chunks: Int = 4): DataFrame = withStreamScopedConf(spark) {
     val base = graft.tools.TempDirs.createFast("graft-q87")
@@ -1477,51 +1482,12 @@ object Relational2 {
         .outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val t0 = System.nanoTime()
-          val sp = batch.sparkSession
-          // VERSIONED state: batch N reads v(N-1) — immutable — and
-          // overwrites vN. foreachBatch is AT-LEAST-ONCE: a crash after
-          // the write but before the engine commits the batch re-runs
-          // it, and the replay rewrites vN from the same unchanged
-          // inputs — idempotent, where an in-place merge would
-          // double-apply the delta. The version is the epoch namespace;
-          // older versions are GC'd two behind (the engine only ever
-          // replays the LAST uncommitted batch).
-          val cur = s"$statePath/v$batchId"
-          val prev = s"$statePath/v${batchId - 1}"
-          // one delta row per key: event count + the (ts, event_id)-max
-          // struct = deterministic latest-wins (event_id breaks ts ties)
-          val delta = batch.groupBy(col("user_id")).agg(
-            count(lit(1)).as("d_n"),
-            max(struct(col("ts"), col("event_id"), col("event_type"),
-              col("value"))).as("d_last"))
-          val merged =
-            if (new java.io.File(prev).exists()) {
-              sp.read.parquet(prev)
-                .join(delta, Seq("user_id"), "full_outer")
-                .select(col("user_id"),
-                  (coalesce(col("n_events"), lit(0L)) +
-                    coalesce(col("d_n"), lit(0L))).as("n_events"),
-                  // greatest skips nulls: a key absent from the batch
-                  // keeps its state; a new key takes the delta
-                  greatest(col("last"), col("d_last")).as("last"))
-            } else delta.select(col("user_id"), col("d_n").as("n_events"),
-              col("d_last").as("last"))
-          merged.write.mode("overwrite").parquet(cur)
-          graft.tools.TempDirs.deleteRecursively(s"$statePath/v${batchId - 2}")
-          // per-epoch cost is THE scaling question for this operator
-          // (each epoch rewrites the full state): recorded as a phase so
-          // probes/bench show the growth curve, not just the total
-          graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
-            (System.nanoTime() - t0) / 1e9)
+          CdcUpsert.applyBatch(batch, batchId, statePath, CdcUpsert.Rewrite)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val latestState = Option(new java.io.File(statePath).listFiles())
-        .getOrElse(Array.empty)
-        .filter(_.getName.matches("v\\d+"))
-        .maxBy(_.getName.drop(1).toLong)
-      spark.read.parquet(latestState.getAbsolutePath)
+      CdcUpsert.stateAsOf(spark, statePath, Long.MaxValue, CdcUpsert.Rewrite)
+        .getOrElse(sys.error(s"q87: no state under $statePath"))
         .select(col("user_id"), col("n_events"),
           unix_micros(col("last.ts")).as("last_us"),
           col("last.event_type").as("last_type"),
@@ -1543,65 +1509,6 @@ object Relational2 {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
-  /** Reads the merge-on-read state as of batch `upTo` (inclusive): the
-    * newest base at or below `upTo` plus every delta after it, folded to
-    * one row per key. The fold is exactly the per-batch delta aggregate —
-    * count is summed, `last` is a struct max — so deltas compose in any
-    * grouping: the merge is a commutative monoid, which is what lets the
-    * write path skip read-modify-write entirely. Returns None before the
-    * first delta lands. */
-  /** The merge monoid all three MOR folds share (read-time merge,
-    * compaction, delta-over-delta grouping): count-sum + struct-max.
-    * One definition so the folds cannot drift apart — schedule
-    * invariance (MorUpsertSpec) depends on every site folding
-    * identically. */
-  private def morFold(state: DataFrame): DataFrame =
-    state.groupBy(col("user_id"))
-      .agg(sum(col("n_events")).as("n_events"), max(col("last")).as("last"))
-
-  private[graft] def morStateAsOf(sp: SparkSession, statePath: String,
-                                  upTo: Long): Option[DataFrame] = {
-    val paths = graft.tools.LogState.pathsAsOf(statePath, upTo)
-    if (paths.isEmpty) None
-    else Some(morFold(sp.read.parquet(paths: _*)))
-  }
-
-  /** One micro-batch of the merge-on-read CDC loop — extracted from the
-    * foreachBatch closure so the replay spec can drive it directly.
-    *
-    * Steady-state epochs write ONLY the delta (one row per key present in
-    * the batch) — no state read, no merge: because the merge operator is a
-    * commutative monoid (see [[morStateAsOf]]), correctness moves to read
-    * time and the write path is O(batch) regardless of state size. Every
-    * `compactEvery`-th batch folds base + accumulated deltas into a new
-    * base (the amortized O(state/compactEvery) term, recorded as its own
-    * phase so it can't masquerade as steady-state cost).
-    *
-    * Replay protocol (foreachBatch is at-least-once): every write is an
-    * overwrite keyed by batchId and derives only from the engine-replayed
-    * batch plus state strictly older than batchId, so a crashed batch
-    * re-runs bitwise-identically. GC deletes only state below the newest
-    * base at or below batchId−1 — exactly what no replay can ever read
-    * again (the engine replays at most the LAST uncommitted batch). */
-  private[graft] def q95MorApplyBatch(batch: DataFrame, batchId: Long,
-                                      statePath: String,
-                                      compactEvery: Int): Unit = {
-    val sp = batch.sparkSession
-    graft.tools.LogState.requireNoFuture(statePath, batchId)
-    val t0 = System.nanoTime()
-    // one row per key in the batch: count + struct-max over the RAW
-    // events lands in exactly the state schema morFold merges
-    val delta = batch.groupBy(col("user_id")).agg(
-      count(lit(1)).as("n_events"),
-      max(struct(col("ts"), col("event_id"), col("event_type"),
-        col("value"))).as("last"))
-    delta.write.mode("overwrite").parquet(s"$statePath/delta/v$batchId")
-    graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
-      (System.nanoTime() - t0) / 1e9)
-    graft.tools.LogState.maintain(sp, Seq(statePath), batchId,
-      compactEvery)(morFold)
-  }
-
   /** Streaming CDC upsert, MERGE-ON-READ form — the log-structured answer
     * to q87's documented trade (each q87 epoch rewrites the FULL state
     * table, ~32× cumulative write amplification measured at 64 epochs).
@@ -1622,7 +1529,11 @@ object Relational2 {
     * read-optimized pole (always exactly one file per key); this is the
     * write-optimized pole; `compactEvery` is the dial between them. At
     * 100 TB the delta/base layout additionally partitions by key range so
-    * compaction touches only partitions with pending deltas. */
+    * compaction touches only partitions with pending deltas.
+    *
+    * Apply body: [[CdcUpsert.applyBatch]] under [[CdcUpsert.Mor]] — the
+    * shared CDC surface; MorUpsertSpec drives the same body directly for
+    * the replay/compaction/GC proofs. */
   def q95MorUpsert(spark: SparkSession, dir: String, chunks: Int = 8,
                    compactEvery: Int = 4): DataFrame = withStreamScopedConf(spark) {
     val base = graft.tools.TempDirs.createFast("graft-q95")
@@ -1639,11 +1550,13 @@ object Relational2 {
         .outputMode("append")
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          q95MorApplyBatch(batch, batchId, statePath, compactEvery)
+          CdcUpsert.applyBatch(batch, batchId, statePath,
+            CdcUpsert.Mor(compactEvery))
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      morStateAsOf(spark, statePath, Long.MaxValue)
+      CdcUpsert.stateAsOf(spark, statePath, Long.MaxValue,
+          CdcUpsert.Mor(compactEvery))
         .getOrElse(sys.error(s"q95: no state under $statePath"))
         .select(col("user_id"), col("n_events"),
           unix_micros(col("last.ts")).as("last_us"),
@@ -1660,93 +1573,6 @@ object Relational2 {
   // rewrite and q95's global compaction both price in STATE size; under
   // key-local traffic only a few partitions' state should ever move).
   // ---------------------------------------------------------------------
-
-  /** The frozen key-range boundaries of the q96 state table — derived
-    * ONCE from the first batch's key distribution via approx-quantiles
-    * (CDC key spaces are skewed in general; a dense id space would seed
-    * [[graft.tools.RangeState.freezeUniform]] instead), then persisted
-    * write-once by [[graft.tools.RangeState.freeze]] — see there for why
-    * freezing is load-bearing and why RANGE beats hash for key-local
-    * traffic. */
-  private[graft] def q96Boundaries(batch: DataFrame, statePath: String,
-                                   numPartitions: Int): Array[Long] =
-    graft.tools.RangeState.freeze(statePath, {
-      val probs = (1 until numPartitions).map(_.toDouble / numPartitions)
-      batch.stat.approxQuantile("user_id", probs.toArray, 0.001)
-        .map(_.toLong)
-    })
-
-  /** One micro-batch of the PARTITIONED merge-on-read CDC loop. Same
-    * monoid delta as q95 ([[morFold]]); what changes is the state layout:
-    * `statePath/p=K/{base,delta}/vN` via [[graft.tools.RangeState]] —
-    * each key-range partition is an independent log; the delta publish is
-    * one `partitionBy` job + O(touched) moves; fan-in maintenance runs
-    * ONLY on the touched roots, so compaction cost is ∝ touched-partition
-    * state and an untouched partition's files are never listed, read, or
-    * rewritten.
-    *
-    * That last property is the operator's reason to exist: q87 rewrites
-    * the full state every epoch and even q95's global compaction folds the
-    * FULL base every `compactEvery` batches, so both price maintenance in
-    * state size. Here key-local traffic (the real CDC shape: recent users,
-    * one tenant's id block) prices in touched partitions only — the
-    * remedy the q87/q95 100× probes identified. */
-  private[graft] def q96ApplyBatch(batch: DataFrame, batchId: Long,
-                                   statePath: String, numPartitions: Int,
-                                   maxDeltas: Int): Unit = {
-    val sp = batch.sparkSession
-    val t0 = System.nanoTime()
-    val bounds = q96Boundaries(batch, statePath, numPartitions)
-    graft.tools.RangeState.requireNoFuture(statePath, batchId)
-    val delta = batch.groupBy(col("user_id")).agg(
-      count(lit(1)).as("n_events"),
-      max(struct(col("ts"), col("event_id"), col("event_type"),
-        col("value"))).as("last"))
-    val touched = graft.tools.RangeState.publishDelta(statePath, batchId,
-      delta, graft.tools.RangeState.bucketCol(bounds, col("user_id")))
-    graft.tools.PhaseTiming.record(f"epoch$batchId%03d",
-      (System.nanoTime() - t0) / 1e9)
-    val tc = System.nanoTime()
-    val compacted = graft.tools.RangeState.maintainTouched(sp, touched,
-      batchId, maxDeltas)(morFold)
-    if (compacted > 0)
-      graft.tools.PhaseTiming.record(f"compact$batchId%03d",
-        (System.nanoTime() - tc) / 1e9)
-    // Mechanism observability (bench routing map, beside q97's oracled
-    // layout gate): partitions this batch wrote vs the table's width, and
-    // how many of them fan-in compaction actually folded. Key-local
-    // traffic shows touched ≪ total here; the uniform gate corpus shows
-    // touched ≈ total — the honest-accounting number either way.
-    graft.tools.RoutingMetrics.add("q96_touched_parts", touched.size.toLong)
-    graft.tools.RoutingMetrics.add("q96_total_parts",
-      graft.tools.RangeState.partDirs(statePath).size.toLong)
-    graft.tools.RoutingMetrics.add("q96_compacted_parts", compacted.toLong)
-  }
-
-  /** Merged view of the partitioned state as of batch `upTo`: per
-    * partition, the newest base plus later deltas; partitions are
-    * key-disjoint, so one global [[morFold]] over the union equals the
-    * per-partition folds. None before the first delta lands. */
-  private[graft] def q96StateAsOf(sp: SparkSession, statePath: String,
-                                  upTo: Long): Option[DataFrame] = {
-    val paths = graft.tools.RangeState.pathsAsOf(statePath, upTo)
-    if (paths.isEmpty) None else Some(morFold(sp.read.parquet(paths: _*)))
-  }
-
-  /** Point lookup that proves the layout prunes: routes `key` through the
-    * frozen boundaries JVM-side and reads ONLY its partition's log — at
-    * any state size the lookup scans one partition's base + pending
-    * deltas, never the table. None if the key's partition holds no state
-    * yet. */
-  private[graft] def q96StateForKey(sp: SparkSession, statePath: String,
-                                    key: Long): Option[DataFrame] = {
-    val bounds = graft.tools.RangeState.readBoundaries(statePath)
-    val paths = graft.tools.RangeState.pathsForBuckets(statePath,
-      Seq(graft.tools.RangeState.bucketOf(bounds, key)), Long.MaxValue)
-    if (paths.isEmpty) None
-    else Some(morFold(sp.read.parquet(paths: _*))
-      .filter(col("user_id") === key))
-  }
 
   /** Streaming CDC upsert over a KEY-RANGE-PARTITIONED merge-on-read
     * state table — same change stream, same final table, same oracle as
@@ -1767,7 +1593,12 @@ object Relational2 {
     * one partition and every other partition's file tree is bitwise
     * untouched. LSM trade per O'Neil et al. (Acta Informatica 1996);
     * partition-local compaction as in log-structured stores and lakehouse
-    * table formats. */
+    * table formats.
+    *
+    * Apply body: [[CdcUpsert.applyBatch]] under [[CdcUpsert.Partitioned]] —
+    * boundary freezing, delta routing, fan-in compaction, and the
+    * touched/total/compacted routing counters all live on the shared
+    * surface; PartitionedStateSpec drives the same body directly. */
   def q96PartitionedUpsert(spark: SparkSession, dir: String,
                            chunks: Int = 8, numPartitions: Int = 8,
                            maxDeltas: Int = 3): DataFrame =
@@ -1786,11 +1617,13 @@ object Relational2 {
           .outputMode("append")
           .option("checkpointLocation", s"$base/ckpt")
           .foreachBatch { (b: DataFrame, id: Long) =>
-            q96ApplyBatch(b, id, statePath, numPartitions, maxDeltas)
+            CdcUpsert.applyBatch(b, id, statePath,
+              CdcUpsert.Partitioned(numPartitions, maxDeltas))
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        q96StateAsOf(spark, statePath, Long.MaxValue)
+        CdcUpsert.stateAsOf(spark, statePath, Long.MaxValue,
+            CdcUpsert.Partitioned(numPartitions, maxDeltas))
           .getOrElse(sys.error(s"q96: no state under $statePath"))
           .select(col("user_id"), col("n_events"),
             unix_micros(col("last.ts")).as("last_us"),
@@ -1801,62 +1634,64 @@ object Relational2 {
       } finally graft.tools.TempDirs.deleteRecursively(base)
     }
 
-  /** LAYOUT-MECHANISM gate for the MOR CDC spectrum (q95/q96): their
+  /** LAYOUT-MECHANISM gate for the FULL CDC spectrum (q87/q95/q96): the
     * final-table oracle (q87Sql) proves the RESULT but not the state
     * protocol — a broken write path that rewrote full state every epoch
-    * would still produce the same final table. This query reads the state
-    * logs THEMSELVES and exports, per epoch and per protocol:
+    * would still produce the same final table. This query drives
+    * [[CdcUpsert.applyBatch]] under all three policies over the same
+    * deterministic batches, reads the state files THEMSELVES, and
+    * exports, per epoch and per protocol:
     *
-    *   - `delta_rows`: rows in the delta the epoch wrote. The O(batch)
-    *     contract — must equal the batch's distinct-key count. If any
-    *     apply ever read-modified-wrote (delta = merged state), this
-    *     becomes the CUMULATIVE distinct count and the hash breaks.
+    *   - `delta_rows` ([[CdcUpsert.rowsWrittenAt]]): rows the epoch's
+    *     state write produced. For the log layouts this is the O(batch)
+    *     contract — must equal the batch's distinct-key count; if any
+    *     apply ever read-modified-wrote, it becomes the CUMULATIVE count
+    *     and the hash breaks. For Rewrite it IS the cumulative count —
+    *     the write-amplification contrast between the poles, oracled in
+    *     the same table rather than only narrated in Scaladoc.
     *   - `state_rows`: keys in the as-of-epoch merged read
-    *     ([[morStateAsOf]]/[[q96StateAsOf]]) — pins the read-time fold at
-    *     every prefix of the log, not just the final batch (a GC bug that
+    *     ([[CdcUpsert.stateAsOf]]) — pins the read-time fold at every
+    *     prefix of the log, not just the final batch (a GC bug that
     *     dropped a live delta, or a fold that double-counted across a
     *     compaction boundary, breaks some prefix first).
     *
     * Batches are DETERMINISTIC (epoch k = events with event_id % epochs
     * = k, applied in order) so the DuckDB oracle can reproduce them with
     * the same modulus — the streaming gates keep the real engine path;
-    * this gate drives the extracted apply bodies directly, exactly like
-    * the replay specs do. Compaction/GC run live underneath (q95 every
-    * `compactEvery` epochs, q96 per-partition fan-in), so the exported
-    * numbers cross those boundaries rather than dodging them. */
-  /** Gate shape: 4 epochs × 2 protocols (r9 ran 8 × 2 at 13.8 s — 11%
+    * this gate drives the shared apply body directly, exactly like the
+    * replay specs do. Compaction/GC run live underneath (q95 every
+    * `compactEvery` epochs, q96 per-partition fan-in, q87 version GC),
+    * so the exported numbers cross those boundaries rather than dodging
+    * them. */
+  /** Gate shape: 4 epochs × 3 protocols (r9 ran 8 × 2 at 13.8 s — 11%
     * of the whole bench board; half the epochs keeps every boundary the
     * gate exists to cross — two q95 compactions at k=1,3 under
     * compactEvery=2, one q96 fan-in at the maxDeltas=3 crossing — at
-    * half the price). `epochs` is COUPLED to q97Sql's modulus and range
-    * (both 4): change them together. */
+    * half the price; the Rewrite arm is cheap, its state is one fold per
+    * epoch). `epochs` is COUPLED to q97Sql's modulus and range (both 4):
+    * change them together. */
   def q97StateLayout(spark: SparkSession, dir: String, epochs: Int = 4,
                      compactEvery: Int = 2, numPartitions: Int = 8,
                      maxDeltas: Int = 3): DataFrame = {
     val base = graft.tools.TempDirs.createFast("graft-q97")
     try {
-      val p95 = s"$base/q95"
-      val p96 = s"$base/q96"
+      val arms: Seq[(CdcUpsert.Policy, String)] = Seq(
+        (CdcUpsert.Rewrite, s"$base/q87"),
+        (CdcUpsert.Mor(compactEvery), s"$base/q95"),
+        (CdcUpsert.Partitioned(numPartitions, maxDeltas), s"$base/q96"))
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .localCheckpoint() // 2×epochs scans below — pin the normalized input
+        .localCheckpoint() // 3×epochs scans below — pin the normalized input
       val stats = (0 until epochs).flatMap { k =>
         val batch = ev.filter(col("event_id") % epochs === k)
-        q95MorApplyBatch(batch, k, p95, compactEvery)
-        val d95 = spark.read.parquet(s"$p95/delta/v$k").count()
-        val s95 = morStateAsOf(spark, p95, k)
-          .map(_.count()).getOrElse(0L)
-        q96ApplyBatch(batch, k, p96, numPartitions, maxDeltas)
-        val d96Paths = graft.tools.RangeState.partDirs(p96)
-          .map(p => s"$p/delta/v$k")
-          .filter(p => new java.io.File(p).isDirectory)
-        val d96 =
-          if (d96Paths.isEmpty) 0L
-          else spark.read.parquet(d96Paths: _*).count()
-        val s96 = q96StateAsOf(spark, p96, k).map(_.count()).getOrElse(0L)
-        Seq(("q95_mor", k.toLong, d95, s95),
-          ("q96_partitioned", k.toLong, d96, s96))
+        arms.map { case (policy, path) =>
+          CdcUpsert.applyBatch(batch, k, path, policy)
+          val written = CdcUpsert.rowsWrittenAt(spark, path, k, policy)
+          val stateRows = CdcUpsert.stateAsOf(spark, path, k, policy)
+            .map(_.count()).getOrElse(0L)
+          (policy.name, k.toLong, written, stateRows)
+        }
       }
       import spark.implicits._
       stats.toDF("protocol", "epoch", "delta_rows", "state_rows")
@@ -1868,19 +1703,117 @@ object Relational2 {
     * default. Epochs enumerate from range(0,4), NOT from DISTINCT over
     * the data (ADVICE r9): the Scala side emits (delta_rows=0,
     * state_rows=cumulative) for EVERY epoch, so an empty residue class
-    * after a fixture regeneration must still produce its oracle row. */
+    * after a fixture regeneration must still produce its oracle row.
+    * The q87_rewrite arm's delta_rows is the CUMULATIVE key count (the
+    * rewrite pole rewrites full state each epoch — that asymmetry is the
+    * point of gating it). */
   val q97Sql: String =
     """WITH b AS (SELECT event_id % 4 AS epoch, user_id FROM events),
       |     e AS (SELECT range AS epoch FROM range(0, 4)),
-      |     p AS (SELECT 'q95_mor' AS protocol
-      |           UNION ALL SELECT 'q96_partitioned')
+      |     p AS (SELECT 'q95_mor' AS protocol, FALSE AS cumulative_writes
+      |           UNION ALL SELECT 'q96_partitioned', FALSE
+      |           UNION ALL SELECT 'q87_rewrite', TRUE)
       |SELECT p.protocol, e.epoch,
-      |  (SELECT COUNT(DISTINCT user_id) FROM b
-      |    WHERE b.epoch = e.epoch) AS delta_rows,
+      |  CASE WHEN p.cumulative_writes
+      |    THEN (SELECT COUNT(DISTINCT user_id) FROM b
+      |           WHERE b.epoch <= e.epoch)
+      |    ELSE (SELECT COUNT(DISTINCT user_id) FROM b
+      |           WHERE b.epoch = e.epoch)
+      |  END AS delta_rows,
       |  (SELECT COUNT(DISTINCT user_id) FROM b
       |    WHERE b.epoch <= e.epoch) AS state_rows
       |FROM e CROSS JOIN p
       |ORDER BY protocol, epoch""".stripMargin
+
+  /** POINT-LOOKUP PRUNING gate for the partitioned CDC state (VERDICT r9
+    * item 6): "a keyed read scans ONE partition's log, never the table"
+    * was previously proved only by PartitionedStateSpec — this query
+    * drives it through the driver's hash gate. It builds a
+    * [[CdcUpsert.Partitioned]] state from deterministic batches, then
+    * reads three deterministic probe keys back via
+    * [[CdcUpsert.keyLookup]] and emits each key's state row PLUS
+    * `parts_read` — the number of `p=K` partition logs whose files the
+    * lookup actually listed, parsed from the resolved read paths. The
+    * oracle pins `parts_read` at the literal 1: if the pruned read ever
+    * regressed to scanning the table (e.g. `pathsForBuckets` →
+    * `pathsAsOf`), the Scala side reports >1 and the hash breaks — at
+    * ANY state size the lookup cost is one partition's base + pending
+    * deltas.
+    *
+    * Probe keys are oracle-computable exactly: min(user_id),
+    * max(user_id) (the two extreme range buckets), and the first key
+    * above the id-range midpoint (an interior bucket). The state-row
+    * values (count + latest event) re-pin the merged read on a second
+    * independent path. Routing counters export the same pruning evidence
+    * to the bench artifact (`q98_lookup_parts` sums parts over the three
+    * lookups — 3 when pruning holds; `q98_total_parts` sums the table
+    * width per lookup). */
+  def q98PointLookup(spark: SparkSession, dir: String, epochs: Int = 2,
+                     numPartitions: Int = 8,
+                     maxDeltas: Int = 2): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q98")
+    try {
+      val statePath = s"$base/state"
+      val policy = CdcUpsert.Partitioned(numPartitions, maxDeltas)
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .localCheckpoint() // epochs+2 scans below — pin the normalized input
+      (0 until epochs).foreach { k =>
+        CdcUpsert.applyBatch(ev.filter(col("event_id") % epochs === k),
+          k, statePath, policy)
+      }
+      val mm = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      // floor division on non-negative ids — matches the oracle's `//`
+      val midRow = ev.filter(col("user_id") > lit((lo + hi) / 2))
+        .agg(min(col("user_id"))).head()
+      val midOpt = if (midRow.isNullAt(0)) None else Some(midRow.getLong(0))
+      val keys = (Seq(lo, hi) ++ midOpt).distinct.sorted
+      val perKey = keys.map { key =>
+        val (dfOpt, parts) = CdcUpsert.keyLookup(spark, statePath, key,
+          policy)
+        graft.tools.RoutingMetrics.add("q98_lookup_parts", parts)
+        graft.tools.RoutingMetrics.add("q98_total_parts",
+          graft.tools.RangeState.partDirs(statePath).size.toLong)
+        dfOpt.getOrElse(sys.error(s"q98: no state for key $key"))
+          .withColumn("parts_read", lit(parts))
+      }
+      perKey.reduce(_.unionByName(_))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("last.ts")).as("last_us"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"),
+          col("parts_read"))
+        .localCheckpoint()
+        .orderBy(col("user_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** The literal `1 AS parts_read` is the gate: the Scala side reports
+    * the partition count it ACTUALLY listed. Key set = {min, max, first
+    * above midpoint}, deduped (UNION) exactly as the Scala side dedups. */
+  val q98Sql: String =
+    """WITH mm AS (SELECT MIN(user_id) AS lo, MAX(user_id) AS hi
+      |            FROM events),
+      |     k AS (SELECT lo AS user_id FROM mm
+      |           UNION SELECT hi FROM mm
+      |           UNION SELECT MIN(user_id) FROM events
+      |             WHERE user_id > (SELECT (lo + hi) // 2 FROM mm)),
+      |     agg AS (
+      |       SELECT user_id, n_events, epoch_us(ts) AS last_us,
+      |         event_type AS last_type, value AS last_value
+      |       FROM (
+      |         SELECT user_id, ts, event_id, event_type, value,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id
+      |             ORDER BY ts DESC, event_id DESC) AS rn,
+      |           COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |         FROM events)
+      |       WHERE rn = 1)
+      |SELECT a.user_id, a.n_events, a.last_us, a.last_type, a.last_value,
+      |  CAST(1 AS BIGINT) AS parts_read
+      |FROM agg a JOIN k ON a.user_id = k.user_id
+      |ORDER BY a.user_id""".stripMargin
 
   /** CSV source round-trip with explicit schema: documents written as
     * quoted CSV (texts contain commas/quotes in the general case), read
@@ -1993,6 +1926,7 @@ object Relational2 {
     "q95_mor_upsert"      -> ((s: SparkSession, d: String) => q95MorUpsert(s, d)),
     "q96_partitioned_upsert" -> ((s: SparkSession, d: String) => q96PartitionedUpsert(s, d)),
     "q97_state_layout"    -> ((s: SparkSession, d: String) => q97StateLayout(s, d)),
+    "q98_point_lookup"    -> ((s: SparkSession, d: String) => q98PointLookup(s, d)),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),
@@ -2048,6 +1982,7 @@ object Relational2 {
     "q95_mor_upsert"      -> q87Sql, // same final table — only the state protocol differs
     "q96_partitioned_upsert" -> q87Sql, // ditto: partitioned MOR layout, same result
     "q97_state_layout"    -> q97Sql,
+    "q98_point_lookup"    -> q98Sql,
     "q90_csv_roundtrip"   -> q90Sql,
     "q91_schema_evolution" -> q91Sql,
     "q92_orc_roundtrip"   -> q92Sql,

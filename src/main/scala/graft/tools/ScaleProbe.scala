@@ -155,16 +155,13 @@ object ScaleProbe {
     def sparseArm(sp: SparkSession, dir: String, wide: Boolean,
                   q95: Boolean): Long = {
       val state = TempDirs.createFast("graft-sparse") + "/state"
-      val n =
-        if (q95) sparseUpsertLoop(sp, dir, state, wide,
-          (b, id) => graft.ops.Relational2.q95MorApplyBatch(b, id, state, 4),
-          () => graft.ops.Relational2.morStateAsOf(sp, state, Long.MaxValue)
-            .get.count())
-        else sparseUpsertLoop(sp, dir, state, wide,
-          (b, id) => graft.ops.Relational2.q96ApplyBatch(b, id, state,
-            numPartitions = 64, maxDeltas = 4),
-          () => graft.ops.Relational2.q96StateAsOf(sp, state, Long.MaxValue)
-            .get.count())
+      val policy: graft.ops.CdcUpsert.Policy =
+        if (q95) graft.ops.CdcUpsert.Mor(4)
+        else graft.ops.CdcUpsert.Partitioned(numPartitions = 64, maxDeltas = 4)
+      val n = sparseUpsertLoop(sp, dir, state, wide,
+        (b, id) => graft.ops.CdcUpsert.applyBatch(b, id, state, policy),
+        () => graft.ops.CdcUpsert.stateAsOf(sp, state, Long.MaxValue, policy)
+          .get.count())
       TempDirs.deleteRecursively(state)
       n
     }

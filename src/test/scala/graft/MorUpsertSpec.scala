@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.Relational2
+import graft.ops.CdcUpsert
 
 /** Protocol invariants of the merge-on-read CDC upsert (q95) — the bitwise
   * final table is DuckDB-gated (same oracle as q87); these drive the
-  * extracted foreachBatch body `q95MorApplyBatch` directly to pin the
+  * shared apply body `CdcUpsert.applyBatch(Mor)` directly to pin the
   * properties the gate can't see: replay idempotence, the
   * compaction-schedule invariance that makes `compactEvery` a pure
   * performance dial, write cost ∝ batch (the operator's reason to exist),
@@ -25,13 +25,15 @@ class MorUpsertSpec extends SparkSpec {
   private def runLoop(compactEvery: Int): String = {
     val statePath = TempDirsSpecHelper.fresh("graft-mor-spec")
     batches.zipWithIndex.foreach { case (b, i) =>
-      Relational2.q95MorApplyBatch(b, i.toLong, statePath, compactEvery)
+      CdcUpsert.applyBatch(b, i.toLong, statePath,
+        CdcUpsert.Mor(compactEvery))
     }
     statePath
   }
 
   private def finalState(statePath: String): Map[Long, (Long, Long)] =
-    Relational2.morStateAsOf(spark, statePath, Long.MaxValue).get
+    CdcUpsert.stateAsOf(spark, statePath, Long.MaxValue,
+        CdcUpsert.Mor(0)).get
       .select(col("user_id"), col("n_events"),
         unix_micros(col("last.ts")).as("last_us"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -70,7 +72,7 @@ class MorUpsertSpec extends SparkSpec {
       val before = finalState(statePath)
       val layoutBefore = (versions(statePath, "base"),
         versions(statePath, "delta"))
-      Relational2.q95MorApplyBatch(batches(5), 5L, statePath, 2)
+      CdcUpsert.applyBatch(batches(5), 5L, statePath, CdcUpsert.Mor(2))
       assert(finalState(statePath) == before)
       assert((versions(statePath, "base"),
         versions(statePath, "delta")) == layoutBefore)
@@ -97,18 +99,18 @@ class MorUpsertSpec extends SparkSpec {
       val ev = Tables.events(spark, sf)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
-      Relational2.q95MorApplyBatch(ev, 0L, statePath, 0) // state: all keys
+      CdcUpsert.applyBatch(ev, 0L, statePath, CdcUpsert.Mor(0)) // state: all keys
       val stateKeys =
-        Relational2.morStateAsOf(spark, statePath, 0L).get.count()
+        CdcUpsert.stateAsOf(spark, statePath, 0L, CdcUpsert.Mor(0)).get.count()
       assert(stateKeys > 1)
       val oneUser = ev.orderBy(col("user_id")).limit(1)
         .select(col("user_id")).collect().head.getLong(0)
-      Relational2.q95MorApplyBatch(ev.filter(col("user_id") === oneUser),
-        1L, statePath, 0)
+      CdcUpsert.applyBatch(ev.filter(col("user_id") === oneUser),
+        1L, statePath, CdcUpsert.Mor(0))
       assert(spark.read.parquet(s"$statePath/delta/v1").count() == 1L)
       // and the merged view still reflects every key
-      assert(Relational2.morStateAsOf(spark, statePath, 1L).get.count()
-        == stateKeys)
+      assert(CdcUpsert.stateAsOf(spark, statePath, 1L, CdcUpsert.Mor(0))
+        .get.count() == stateKeys)
     } finally graft.tools.TempDirs.deleteRecursively(statePath)
   }
 
@@ -119,7 +121,7 @@ class MorUpsertSpec extends SparkSpec {
       // a wiped checkpoint restarting at batch 0 against this state must
       // throw, not silently overwrite delta v0 and fold a mixed history
       intercept[IllegalArgumentException] {
-        Relational2.q95MorApplyBatch(batches(0), 0L, statePath, 2)
+        CdcUpsert.applyBatch(batches(0), 0L, statePath, CdcUpsert.Mor(2))
       }
       // a time-travel read below the GC floor must throw, not read as
       // "no state yet"
@@ -141,7 +143,8 @@ class MorUpsertSpec extends SparkSpec {
       assert(deltas == Seq(4L, 5L))
       // the pre-GC floor still reconstructs every as-of view a replay of
       // the last (only replayable) batch needs
-      assert(Relational2.morStateAsOf(spark, statePath, 4L).get.count() > 0)
+      assert(CdcUpsert.stateAsOf(spark, statePath, 4L, CdcUpsert.Mor(2))
+        .get.count() > 0)
     } finally graft.tools.TempDirs.deleteRecursively(statePath)
   }
 }

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.Relational2
+import graft.ops.CdcUpsert
 
 /** Protocol invariants of the key-range-partitioned MOR upsert (q96) —
   * the bitwise final table is DuckDB-gated (same oracle as q87/q95); these
@@ -28,13 +28,15 @@ class PartitionedStateSpec extends SparkSpec {
   private def runLoop(maxDeltas: Int): String = {
     val statePath = TempDirsSpecHelper.fresh("graft-q96-spec")
     batches.zipWithIndex.foreach { case (b, i) =>
-      Relational2.q96ApplyBatch(b, i.toLong, statePath, P, maxDeltas)
+      CdcUpsert.applyBatch(b, i.toLong, statePath,
+        CdcUpsert.Partitioned(P, maxDeltas))
     }
     statePath
   }
 
   private def finalState(statePath: String): Map[Long, (Long, Long)] =
-    Relational2.q96StateAsOf(spark, statePath, Long.MaxValue).get
+    CdcUpsert.stateAsOf(spark, statePath, Long.MaxValue,
+      CdcUpsert.Partitioned(P, 0)).get
       .select(col("user_id"), col("n_events"),
         unix_micros(col("last.ts")).as("last_us"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -73,9 +75,10 @@ class PartitionedStateSpec extends SparkSpec {
     val mor = TempDirsSpecHelper.fresh("graft-q96-ref")
     try {
       batches.zipWithIndex.foreach { case (b, i) =>
-        Relational2.q95MorApplyBatch(b, i.toLong, mor, 0)
+        CdcUpsert.applyBatch(b, i.toLong, mor, CdcUpsert.Mor(0))
       }
-      val want = Relational2.morStateAsOf(spark, mor, Long.MaxValue).get
+      val want = CdcUpsert.stateAsOf(spark, mor, Long.MaxValue,
+        CdcUpsert.Mor(0)).get
         .select(col("user_id"), col("n_events"),
           unix_micros(col("last.ts")).as("last_us"))
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -96,15 +99,16 @@ class PartitionedStateSpec extends SparkSpec {
       "partition's file tree is bitwise untouched") {
     val statePath = TempDirsSpecHelper.fresh("graft-q96-sparse")
     try {
-      Relational2.q96ApplyBatch(events, 0L, statePath, P, 0)
+      CdcUpsert.applyBatch(events, 0L, statePath,
+        CdcUpsert.Partitioned(P, 0))
       val parts = partDirs(statePath)
       assert(parts.size > 1, "fixture keys must span multiple ranges")
       val oneUser = events.orderBy(col("user_id")).limit(1)
         .select(col("user_id")).collect().head.getLong(0)
       val before = parts.map(d => d -> tree(d)).toMap
       val boundsBefore = tree(statePath).filter(_._1.contains("_boundaries"))
-      Relational2.q96ApplyBatch(events.filter(col("user_id") === oneUser),
-        1L, statePath, P, 0)
+      CdcUpsert.applyBatch(events.filter(col("user_id") === oneUser),
+        1L, statePath, CdcUpsert.Partitioned(P, 0))
       val gained = parts.filter(d => tree(d) != before(d))
       assert(gained.size == 1, s"expected 1 touched partition, got $gained")
       // the touched partition gained exactly the one-row delta v1
@@ -119,21 +123,22 @@ class PartitionedStateSpec extends SparkSpec {
       "count filled up, and GC defers one touch") {
     val statePath = TempDirsSpecHelper.fresh("graft-q96-fanin")
     try {
-      Relational2.q96ApplyBatch(events, 0L, statePath, P, 3)
+      CdcUpsert.applyBatch(events, 0L, statePath,
+        CdcUpsert.Partitioned(P, 3))
       val parts = partDirs(statePath)
       val oneUser = events.orderBy(col("user_id")).limit(1)
         .select(col("user_id")).collect().head.getLong(0)
       val oneKey = events.filter(col("user_id") === oneUser)
       // deltas v0,v1,v2 in the hot partition → fan-in 3 reached at batch 2
-      Relational2.q96ApplyBatch(oneKey, 1L, statePath, P, 3)
-      Relational2.q96ApplyBatch(oneKey, 2L, statePath, P, 3)
+      CdcUpsert.applyBatch(oneKey, 1L, statePath, CdcUpsert.Partitioned(P, 3))
+      CdcUpsert.applyBatch(oneKey, 2L, statePath, CdcUpsert.Partitioned(P, 3))
       val hot = parts.filter(versions(_, "base").nonEmpty)
       assert(hot.size == 1, s"exactly the hot partition compacts, got $hot")
       assert(versions(hot.head, "base") == Seq(2L))
       // compaction at batch 2 is licensed to GC only by bases ≤ 1 (none):
       // the folded deltas survive until the NEXT touch
       assert(versions(hot.head, "delta") == Seq(0L, 1L, 2L))
-      Relational2.q96ApplyBatch(oneKey, 3L, statePath, P, 3)
+      CdcUpsert.applyBatch(oneKey, 3L, statePath, CdcUpsert.Partitioned(P, 3))
       assert(versions(hot.head, "base") == Seq(2L))
       assert(versions(hot.head, "delta") == Seq(3L))
       // cold partitions: still exactly their batch-0 delta, no base
@@ -151,7 +156,8 @@ class PartitionedStateSpec extends SparkSpec {
       val layout = partDirs(statePath)
         .map(d => d -> (versions(d, "base"), versions(d, "delta"))).toMap
       // replay the last batch (foreachBatch is at-least-once)
-      Relational2.q96ApplyBatch(batches(5), 5L, statePath, P, 3)
+      CdcUpsert.applyBatch(batches(5), 5L, statePath,
+        CdcUpsert.Partitioned(P, 3))
       assert(finalState(statePath) == before)
       assert(partDirs(statePath)
         .map(d => d -> (versions(d, "base"), versions(d, "delta"))).toMap
@@ -163,7 +169,8 @@ class PartitionedStateSpec extends SparkSpec {
     val statePath = runLoop(3)
     try {
       intercept[IllegalArgumentException] {
-        Relational2.q96ApplyBatch(batches(0), 0L, statePath, P, 3)
+        CdcUpsert.applyBatch(batches(0), 0L, statePath,
+          CdcUpsert.Partitioned(P, 3))
       }
     } finally graft.tools.TempDirs.deleteRecursively(statePath)
   }
@@ -174,11 +181,14 @@ class PartitionedStateSpec extends SparkSpec {
     try {
       val want = finalState(statePath)
       val key = want.keys.min
-      val row = Relational2.q96StateForKey(spark, statePath, key).get
+      val (dfOpt, parts) = CdcUpsert.keyLookup(spark, statePath, key,
+        CdcUpsert.Partitioned(P, 3))
+      val row = dfOpt.get
         .select(col("user_id"), col("n_events"),
           unix_micros(col("last.ts")).as("last_us"))
         .collect()
       assert(row.length == 1)
+      assert(parts == 1L, s"point lookup listed $parts partitions, want 1")
       assert((row.head.getLong(1), row.head.getLong(2)) == want(key))
     } finally graft.tools.TempDirs.deleteRecursively(statePath)
   }
