@@ -62,6 +62,35 @@ object CdcUpsert {
     val name = "q96_partitioned"
   }
 
+  /** [[Partitioned]] primary state PLUS a value-partitioned secondary
+    * index over each key's LATEST `event_type` — the "next layout" the
+    * unification was built for: one new Policy case, no fourth loop.
+    *
+    * The index is its own log-structured state under `statePath/index`:
+    * posting entries `(user_id, v, epoch, del)` hashed by `v` into
+    * `indexBuckets` partition logs ([[indexBucketOf]] — String.hashCode,
+    * JLS-pinned, so the JVM-side lookup and the Spark-side write agree
+    * with no shared hash infrastructure). Maintenance per batch is
+    * O(batch + touched-partition state): the batch keys' PRIOR latest
+    * value comes from reading only the primary partitions the batch
+    * touches (as of `epoch-1` — replay-safe, [[graft.tools.LogState.gc]]
+    * keeps everything a replay can read), and a key whose latest value
+    * moved from A to B appends a tombstone to A's index partition and an
+    * add to B's. Epoch-max supersession ([[indexFold]]) makes the fold
+    * schedule-invariant, so index compaction is the same pure
+    * performance dial as the primary's.
+    *
+    * A value lookup then reads ONE index partition's log — never the
+    * primary table, never the other postings — the q99 gate oracles both
+    * the posting lists and that partition count. Assumes a
+    * low-cardinality (categorical) index attribute, the case where
+    * posting lists are the right structure; a high-cardinality attribute
+    * wants the primary key-range layout instead. */
+  final case class Indexed(inner: Partitioned = Partitioned(),
+                           indexBuckets: Int = 4) extends Policy {
+    val name = "q99_indexed"
+  }
+
   /** The merge monoid every layout folds (read-time merge, compaction,
     * delta-over-delta grouping): count-sum + struct-max latest-wins
     * (event_id breaks ts ties inside the struct ordering). Commutative
@@ -79,6 +108,25 @@ object CdcUpsert {
       count(lit(1)).as("n_events"),
       max(struct(col("ts"), col("event_id"), col("event_type"),
         col("value"))).as("last"))
+
+  /** The secondary index's fold: per (key, value) the NEWEST epoch's
+    * liveness wins — an add at epoch 5 supersedes a tombstone at epoch 3
+    * and vice versa. At most one entry per (key, value, epoch) exists by
+    * construction (a batch produces one transition per key), so the
+    * struct-max is total. Commutative + associative over epochs, which is
+    * what lets index compaction run on the fan-in schedule. */
+  def indexFold(entries: DataFrame): DataFrame =
+    entries.groupBy(col("user_id"), col("v"))
+      .agg(max(struct(col("epoch"), col("del"))).as("m"))
+      .select(col("user_id"), col("v"),
+        col("m.epoch").as("epoch"), col("m.del").as("del"))
+
+  /** Index partition of value `v`: String.hashCode (stable by the JLS —
+    * already the repo's cross-engine hash twin in the ETL enrichment) mod
+    * `buckets`. Both the Spark-side write routing and the JVM-side lookup
+    * call exactly this. */
+  def indexBucketOf(v: String, buckets: Int): Int =
+    math.floorMod(v.hashCode, buckets)
 
   // -------------------------------------------------------------------
   // Rewrite layout mechanics (the log layouts live in LogState/RangeState)
@@ -181,6 +229,77 @@ object CdcUpsert {
         graft.tools.RangeState.partDirs(statePath).size.toLong)
       graft.tools.RoutingMetrics.add("q96_compacted_parts",
         compacted.toLong)
+
+    case Indexed(inner, indexBuckets) =>
+      val sp = batch.sparkSession
+      val indexRoot = s"$statePath/index"
+      graft.tools.RangeState.requireNoFuture(indexRoot, epoch)
+      // guard the primary too BEFORE the as-of read below — the inner
+      // apply re-checks, but by then the index would already be written
+      graft.tools.RangeState.requireNoFuture(statePath, epoch)
+      val t0 = System.nanoTime()
+      val bounds = boundaries(batch, statePath, inner.numPartitions)
+      val d = deltaOf(batch).localCheckpoint()
+      // Prior latest value of the batch's keys, read from ONLY the
+      // primary partitions the batch touches, as of epoch-1 (strictly
+      // older than this epoch — the replay contract; GC keeps that
+      // readable until the next batch commits). This is the O(touched)
+      // read-modify term a secondary index fundamentally needs: you
+      // cannot tombstone the old posting without knowing the old value.
+      val touchedBuckets = d
+        .select(graft.tools.RangeState.bucketCol(bounds, col("user_id")).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val priorPaths = graft.tools.RangeState.pathsForBuckets(statePath,
+        touchedBuckets, epoch - 1)
+      val prior =
+        if (priorPaths.isEmpty) None
+        else Some(fold(sp.read.parquet(priorPaths: _*))
+          .join(d.select(col("user_id")), Seq("user_id"), "left_semi")
+          .localCheckpoint())
+      val newV = prior.map(p => fold(d.unionByName(p))).getOrElse(d)
+        .select(col("user_id"), col("last.event_type").as("v"))
+      val withOld = prior match {
+        case Some(p) => newV.join(
+          p.select(col("user_id"), col("last.event_type").as("old_v")),
+          Seq("user_id"), "left_outer")
+        case None => newV.withColumn("old_v", lit(null).cast("string"))
+      }
+      // Only MEMBERSHIP changes write postings: first-seen keys and
+      // latest-value transitions. A key whose count changed but whose
+      // latest value did not costs the index nothing.
+      val changed = withOld
+        .filter(col("old_v").isNull || col("old_v") =!= col("v"))
+        .localCheckpoint()
+      val entries = changed
+        .select(col("user_id"), col("v"), lit(epoch).as("epoch"),
+          lit(false).as("del"))
+        .unionByName(changed.filter(col("old_v").isNotNull)
+          .select(col("user_id"), col("old_v").as("v"),
+            lit(epoch).as("epoch"), lit(true).as("del")))
+      // Route postings to value-hash partitions via a when-chain over the
+      // batch's distinct values (bounded by the categorical domain, so
+      // the chain stays small and codegen-friendly; no UDF, and the
+      // JVM-side lookup derives the same bucket with no Spark job).
+      val vs = changed.select(col("v"))
+        .unionByName(changed.select(col("old_v").as("v")))
+        .filter(col("v").isNotNull).distinct()
+        .collect().map(_.getString(0)).sorted
+      val bCol = vs.foldLeft(lit(-1)) { (acc, value) =>
+        when(col("v") === lit(value),
+          lit(indexBucketOf(value, indexBuckets))).otherwise(acc)
+      }
+      val touchedIdx =
+        if (vs.isEmpty) Seq.empty[String]
+        else graft.tools.RangeState.publishDelta(indexRoot, epoch, entries,
+          bCol)
+      graft.tools.PhaseTiming.record(f"idx$epoch%03d",
+        (System.nanoTime() - t0) / 1e9)
+      graft.tools.RangeState.maintainTouched(sp, touchedIdx, epoch,
+        inner.maxDeltas)(indexFold)
+      graft.tools.RoutingMetrics.add("q99_idx_touched",
+        touchedIdx.size.toLong)
+      // the primary state is exactly the inner policy's — same loop
+      applyBatch(batch, epoch, statePath, inner)
   }
 
   /** Merged view of the state as of epoch `upTo` (inclusive), `None`
@@ -198,6 +317,7 @@ object CdcUpsert {
     case _: Partitioned =>
       val paths = graft.tools.RangeState.pathsAsOf(statePath, upTo)
       if (paths.isEmpty) None else Some(fold(sp.read.parquet(paths: _*)))
+    case Indexed(inner, _) => stateAsOf(sp, statePath, upTo, inner)
   }
 
   /** Rows the epoch's state write produced — the quantity the q97 layout
@@ -219,6 +339,7 @@ object CdcUpsert {
         .map(p => s"$p/delta/v$epoch")
         .filter(p => new java.io.File(p).isDirectory)
       if (paths.isEmpty) 0L else sp.read.parquet(paths: _*).count()
+    case Indexed(inner, _) => rowsWrittenAt(sp, statePath, epoch, inner)
   }
 
   /** Point lookup: the state row for `key` plus HOW MANY partition logs
@@ -243,8 +364,31 @@ object CdcUpsert {
         else Some(fold(sp.read.parquet(paths: _*))
           .filter(col("user_id") === key))
       (df, parts)
+    case Indexed(inner, _) => keyLookup(sp, statePath, key, inner)
     case p =>
       (stateAsOf(sp, statePath, Long.MaxValue, p)
         .map(_.filter(col("user_id") === key)), 1L)
+  }
+
+  /** Posting-list lookup by index value, plus HOW MANY index partition
+    * logs were listed — the pruning evidence the q99 gate oracles. Routes
+    * `value` through [[indexBucketOf]] JVM-side and reads ONLY that
+    * partition's log; `partsListed` == 1 at any index size (a regression
+    * to scanning the index table shows up in the count, and in the gate
+    * hash). Returns live keys whose CURRENT latest `event_type` is
+    * `value` — tombstone supersession happens in [[indexFold]]. */
+  def indexLookup(sp: SparkSession, statePath: String, value: String,
+                  policy: Indexed): (Option[DataFrame], Long) = {
+    val b = indexBucketOf(value, policy.indexBuckets)
+    val paths = graft.tools.RangeState.pathsForBuckets(s"$statePath/index",
+      Seq(b), Long.MaxValue)
+    val parts = paths.flatMap(_.split('/').find(_.startsWith("p=")))
+      .distinct.size.toLong
+    val df =
+      if (paths.isEmpty) None
+      else Some(indexFold(sp.read.parquet(paths: _*))
+        .filter(col("v") === lit(value) && !col("del"))
+        .select(col("user_id")))
+    (df, parts)
   }
 }

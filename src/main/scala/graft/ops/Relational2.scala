@@ -1815,6 +1815,72 @@ object Relational2 {
       |FROM agg a JOIN k ON a.user_id = k.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** SECONDARY-INDEX gate — the "next layout" the CDC unification was
+    * built for ([[CdcUpsert.Indexed]]): the Partitioned primary plus a
+    * value-partitioned posting-list index over each key's LATEST
+    * event_type, maintained incrementally per batch with tombstones.
+    * After the apply loop, the query answers "which keys currently have
+    * latest type v" for the two lexicographically-smallest types FROM THE
+    * INDEX ALONE — no primary read, one index partition listed per value
+    * (`parts_read`, pinned at literal 1 by the oracle exactly like q98).
+    * The oracle recomputes the posting lists from raw events
+    * (latest-per-key by (ts, event_id) DESC — the fold's struct-max
+    * order), so a maintenance bug is hash-visible: a missed tombstone
+    * leaves a key in BOTH types' lists (extra row), a dropped add loses a
+    * row, a mis-superseded epoch resurrects an old membership. Routing
+    * counters export the same pruning evidence to the bench artifact. */
+  def q99SecondaryIndex(spark: SparkSession, dir: String, epochs: Int = 4,
+                        numPartitions: Int = 8, maxDeltas: Int = 2,
+                        indexBuckets: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q99")
+    try {
+      val statePath = s"$base/state"
+      val policy = CdcUpsert.Indexed(
+        CdcUpsert.Partitioned(numPartitions, maxDeltas), indexBuckets)
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .localCheckpoint() // epochs+1 scans below — pin the normalized input
+      (0 until epochs).foreach { k =>
+        CdcUpsert.applyBatch(ev.filter(col("event_id") % epochs === k),
+          k, statePath, policy)
+      }
+      val targetVals = ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted.take(2)
+      val perVal = targetVals.map { v =>
+        val (dfOpt, parts) = CdcUpsert.indexLookup(spark, statePath, v,
+          policy)
+        graft.tools.RoutingMetrics.add("q99_lookup_parts", parts)
+        graft.tools.RoutingMetrics.add("q99_total_parts",
+          graft.tools.RangeState.partDirs(s"$statePath/index").size.toLong)
+        dfOpt.getOrElse(sys.error(s"q99: no index state for value $v"))
+          .withColumn("event_type", lit(v))
+          .withColumn("parts_read", lit(parts))
+      }
+      perVal.reduce(_.unionByName(_))
+        .select(col("event_type"), col("user_id"), col("parts_read"))
+        .localCheckpoint()
+        .orderBy(col("event_type"), col("user_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Latest-per-key mirrors the fold's struct-max order (ts DESC,
+    * event_id DESC — q98's convention); the two target types come from
+    * DISTINCT ORDER BY LIMIT 2 exactly as the Scala side sorts and
+    * takes 2. `parts_read` pinned at the literal 1 = the pruning gate. */
+  val q99Sql: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |  tv AS (SELECT DISTINCT event_type FROM events
+      |         ORDER BY event_type LIMIT 2)
+      |SELECT l.event_type, l.user_id, CAST(1 AS BIGINT) AS parts_read
+      |FROM latest l JOIN tv ON l.event_type = tv.event_type
+      |ORDER BY l.event_type, l.user_id""".stripMargin
+
   /** CSV source round-trip with explicit schema: documents written as
     * quoted CSV (texts contain commas/quotes in the general case), read
     * back with the schema declared — never inferred: at 100 TB schema
@@ -1927,6 +1993,7 @@ object Relational2 {
     "q96_partitioned_upsert" -> ((s: SparkSession, d: String) => q96PartitionedUpsert(s, d)),
     "q97_state_layout"    -> ((s: SparkSession, d: String) => q97StateLayout(s, d)),
     "q98_point_lookup"    -> ((s: SparkSession, d: String) => q98PointLookup(s, d)),
+    "q99_secondary_index" -> ((s: SparkSession, d: String) => q99SecondaryIndex(s, d)),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),
@@ -1983,6 +2050,7 @@ object Relational2 {
     "q96_partitioned_upsert" -> q87Sql, // ditto: partitioned MOR layout, same result
     "q97_state_layout"    -> q97Sql,
     "q98_point_lookup"    -> q98Sql,
+    "q99_secondary_index" -> q99Sql,
     "q90_csv_roundtrip"   -> q90Sql,
     "q91_schema_evolution" -> q91Sql,
     "q92_orc_roundtrip"   -> q92Sql,

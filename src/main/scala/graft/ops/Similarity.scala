@@ -264,6 +264,132 @@ object Similarity {
   def lshWinsAt(n: Long): Boolean =
     n >= 10L * LshTables * probeCount(adaptiveLshBits(n), LshProbes)
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) ANN
+  // ---------------------------------------------------------------------
+
+  /** PQ geometry: 64-dim vectors → `PqM` subspaces of `PqSubDim` dims,
+    * each quantized by a `PqK`-centroid codebook → one byte-sized code per
+    * subspace. 256 B of floats become 8 codes + 1 stored norm — the ~32×
+    * compression that lets a 100 TB embedding estate keep its ADC scan
+    * structure in a few TB of codes (Jégou/Douze/Schmid, TPAMI 2011).
+    * `PqRerank` exact-rerank candidates per query ≈ 5× K keeps the
+    * exact-scan fraction small while the ADC pass stays linear over the
+    * COMPRESSED codes. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+  val PqIterations = 2
+  val PqRerank = 24
+
+  /** Per-subspace codebooks, trained once per corpus through the same
+    * persisted-artifact path as the IVF index (train once, search many).
+    * Deviation from classic L2 PQ, on purpose: the codebooks quantize
+    * subvector DIRECTIONS (KMeans here is cosine-assignment) because this
+    * engine's search metric is cosine; magnitude is carried exactly by
+    * the stored per-vector norm instead of by the codes. Zero subvectors
+    * (common when activity concentrates in few dims) have NO direction:
+    * they are excluded from training by the trainer's zero-norm filter
+    * and encode to the reserved sentinel code `PqK`, whose ADC entry is
+    * exactly 0 — without the sentinel an inactive subvector would share
+    * code 0 with genuinely-aligned vectors and a 1-centroid subspace
+    * would stop discriminating at all (the debug case that motivated
+    * this: every vector scored the same constant). Codebooks may come
+    * back with < PqK centroids on distinct-poor corpora; the ADC table
+    * pads to the fixed PqK+1 stride. */
+  private[graft] def pqCodebooks(spark: SparkSession,
+                                 dir: String): IndexedSeq[Array[Array[Double]]] =
+    (0 until PqM).map { m =>
+      graft.tools.ArtifactCache.parquet(spark, dir,
+        s"pq_m${m}_k${PqK}_i$PqIterations") { p =>
+        KMeans.saveIndex(KMeans.fit(spark,
+          Tables.embeddings(spark, dir).select(col("vec_id"),
+            expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)")
+              .as("embedding")),
+          PqK, PqIterations), p)
+      }.orderBy(col("cluster_id")).collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
+
+  /** Encode the corpus: one map pass emitting the 8 codes + the exact
+    * vector norm. No shuffle — at scale this runs once at ingest and the
+    * codes table is the thing that persists. */
+  private[graft] def pqEncode(corpus: DataFrame,
+                              books: IndexedSeq[Array[Array[Double]]]): DataFrame = {
+    val vecs = corpus.select(col("n_id"),
+      expr("transform(n_emb, x -> CAST(x AS DOUBLE))").as("v"))
+    val codeCols = (0 until PqM).map { m =>
+      val sub = expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")
+      when(graft.functions.VectorKernels.normSqUdf(sub) === lit(0.0),
+        lit(PqK)) // sentinel: inactive subspace, ADC contribution 0
+        .otherwise(graft.functions.VectorKernels.nearestUdf(books(m))(sub)
+          .getField("_1"))
+    }
+    vecs.select(col("n_id"), array(codeCols: _*).as("codes"),
+      sqrt(graft.functions.VectorKernels.normSqUdf(col("v"))).as("n_norm"))
+  }
+
+  /** The PQ exact-rerank candidate frame: ADC (asymmetric distance
+    * computation) scores every code row against each query's broadcast
+    * 128-entry dot table — `element_at` chain over the codes, pure
+    * codegen'd arithmetic, no UDF on the scan — then the bounded-heap
+    * aggregator keeps `PqRerank` per query, so shuffle volume is
+    * O(queries · PqRerank) regardless of corpus size. */
+  private[graft] def pqCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(spark, dir)
+    val qRows = queriesDf(spark, dir).collect()
+    val adcRows = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      // stride PqK+1: slot PqK of each subspace is the zero-subvector
+      // sentinel's entry, pinned at 0.0
+      val adc = Array.tabulate(PqM * (PqK + 1)) { idx =>
+        val m = idx / (PqK + 1)
+        val c = idx % (PqK + 1)
+        if (c >= books(m).length || c == PqK) 0.0
+        else {
+          val cen = books(m)(c)
+          var dot = 0.0
+          var i = 0
+          while (i < PqSubDim) { dot += q(m * PqSubDim + i) * cen(i); i += 1 }
+          dot
+        }
+      }
+      (qid, adc.toSeq)
+    }
+    import spark.implicits._
+    val adcDf = adcRows.toSeq.toDF("q_id", "adc")
+    val approx = (0 until PqM).map { m =>
+      element_at(col("adc"), lit(m * (PqK + 1) + 1) + col("codes").getItem(m))
+    }.reduce(_ + _) / col("n_norm")
+    val topR = graft.functions.TopKAggregator.topkUdaf(PqRerank)
+    pqEncode(corpusDf(spark, dir), books)
+      .join(broadcast(adcDf), col("q_id") =!= col("n_id"))
+      .withColumn("approx", approx)
+      .groupBy(col("q_id"))
+      .agg(topR(col("n_id"), col("approx")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.n_id").as("n_id"))
+  }
+
+  /** PQ ANN: ADC candidate generation over the compressed codes, exact
+    * cosine rerank of `PqRerank` candidates per query. Same output schema
+    * and tie order as every other tier. Rows-only gate entry (ranking is
+    * approximation-structure-specific); recall floors live on the
+    * clustered corpus (spec + `pq_recall_clustered_bp` counter), and the
+    * measured recall/fraction sit beside IVF/LSH in [[recallMetrics]]. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    pqCandidates(spark, dir)
+      .join(broadcast(queriesDf(spark, dir)), Seq("q_id"))
+      .join(corpusDf(spark, dir), Seq("n_id"))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Brute-force top-k via the typed bounded-heap Aggregator instead of
     * rank-over-window: partial aggregation ships at most k rows per group
     * per map task, so shuffle volume is O(groups·k) — the plan that
@@ -374,7 +500,15 @@ object Similarity {
     * The measurement is hash-deterministic end to end (quantizer,
     * signatures, tie order), so these are stable artifact values, not
     * samples. */
-  def recallMetrics(spark: SparkSession, dir: String): DataFrame = {
+  def recallMetrics(spark: SparkSession, dir: String): DataFrame =
+    recallCore(spark, dir, suffix = "")
+
+  /** Shared measurement body for [[recallMetrics]] (fixture corpus) and
+    * [[recallClustered]] (structured corpus): same functions, same IVF/LSH
+    * parameter sets, only the counter names differ by `suffix` so both
+    * regimes sit side by side in the bench artifact's routing map. */
+  private def recallCore(spark: SparkSession, dir: String,
+                         suffix: String): DataFrame = {
     val exact = bruteForceTopK(spark, dir).select(col("q_id"), col("n_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def recallOf(df: DataFrame): Double = {
@@ -392,19 +526,70 @@ object Similarity {
     val lshRecall = recallOf(lshTopK(spark, dir))
     val lshFrac = lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
       LshTables, adaptiveLshBits(n), LshProbes).count() / scans
+    // PQ's fraction is its EXACT-rerank scan share; the ADC pass itself
+    // is linear but over 8-byte codes, not vectors — the compression is
+    // the scale term, stated here so the artifact can't oversell it.
+    val pqRecall = recallOf(pqTopK(spark, dir))
+    val pqFrac = pqCandidates(spark, dir).count() / scans
     def bp(x: Double): Long = math.round(x * 10000)
-    graft.tools.RoutingMetrics.add("ivf_recall_bp", bp(ivfRecall))
-    graft.tools.RoutingMetrics.add("ivf_cand_fraction_bp", bp(ivfFrac))
-    graft.tools.RoutingMetrics.add("lsh_recall_bp", bp(lshRecall))
-    graft.tools.RoutingMetrics.add("lsh_cand_fraction_bp", bp(lshFrac))
+    graft.tools.RoutingMetrics.add(s"ivf_recall${suffix}_bp", bp(ivfRecall))
+    graft.tools.RoutingMetrics.add(s"ivf_cand_fraction${suffix}_bp", bp(ivfFrac))
+    graft.tools.RoutingMetrics.add(s"lsh_recall${suffix}_bp", bp(lshRecall))
+    graft.tools.RoutingMetrics.add(s"lsh_cand_fraction${suffix}_bp", bp(lshFrac))
+    graft.tools.RoutingMetrics.add(s"pq_recall${suffix}_bp", bp(pqRecall))
+    graft.tools.RoutingMetrics.add(s"pq_cand_fraction${suffix}_bp", bp(pqFrac))
     import spark.implicits._
-    Seq(("ivf", ivfRecall, ivfFrac), ("lsh", lshRecall, lshFrac))
+    Seq(("ivf", ivfRecall, ivfFrac), ("lsh", lshRecall, lshFrac),
+        ("pq", pqRecall, pqFrac))
       .toDF("method", "recall", "cand_fraction")
       .orderBy(col("method"))
   }
 
+  /** Deterministic 10-direction-cluster corpus (200 vectors, 64-dim): the
+    * structured regime where high ANN recall at low scan fraction is
+    * achievable — real embedding corpora cluster; the isotropic fixture
+    * does not (recall ≈ scan fraction there, information-theoretic; see
+    * NOTES.md §recall). Shared by [[recallClustered]] and SimilaritySpec
+    * so the driver-visible numbers and the spec floors measure the SAME
+    * corpus. No randomness: geometry is a pure function of the index. */
+  private[graft] def writeClusteredCorpus(spark: SparkSession, dir: String): Unit = {
+    val rows = (0 until 200).map { i =>
+      val c = i % 10
+      val v = new Array[Float](64)
+      v(c * 6) = 1.0f
+      v(c * 6 + 1) = 0.05f * (1 + i % 5) // jitter within the cluster
+      v(63) = 0.01f * (i % 7)
+      (i.toLong, v, c)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** The clustered-corpus arm of the recall measurement, driver-visible
+    * (VERDICT r9 #5): the fixture counters show the isotropic regime
+    * (LSH recall ≈ its 3% scan fraction — information-theoretically
+    * expected but it READS like a broken index); this query runs the same
+    * recallCore on the synthesized clustered corpus, where both tiers
+    * must clear the documented ≥0.9 floor, and exports
+    * `ivf_recall_clustered_bp` / `lsh_recall_clustered_bp` (+ candidate
+    * fractions) beside the fixture pair in the bench routing map. The
+    * `dir` argument is unused by design: the measurement is about corpus
+    * STRUCTURE, not fixture scale, and must be identical at every SF.
+    * Rows-only gate entry (hash-family-deterministic, no SQL oracle). */
+  def recallClustered(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-simclust")
+    try {
+      writeClusteredCorpus(spark, base)
+      // recallCore collects eagerly and returns a local DF, so the temp
+      // corpus (and the throwaway trained IVF index beside it) can go.
+      recallCore(spark, base, suffix = "_clustered")
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_metrics" -> (recallMetrics _),
+    "sim_recall_clustered" -> (recallClustered _),
     "emb_project"    -> (project _),
     "emb_quantize"   -> (quantizeInt8 _),
     "sim_topk_brute" -> (bruteForceTopK _),
@@ -412,6 +597,7 @@ object Similarity {
     "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
     "sim_topk_lsh"   -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "sim_topk_ann"   -> ((s: SparkSession, d: String) => annTopK(s, d)),
+    "sim_topk_pq"    -> (pqTopK _),
     // The planner's ABOVE-crossover regime, driver-visible: force the LSH
     // branch via the injectable predicate so the second regime shows up in
     // the correctness artifact (rows-only — LSH recall on the small fixture

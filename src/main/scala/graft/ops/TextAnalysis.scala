@@ -462,7 +462,88 @@ object TextAnalysis {
        |GROUP BY token
        |ORDER BY token""".stripMargin
 
+  /** CCNet-style language-model quality scoring (Wenzek et al., LREC
+    * 2020): score every document against a bigram table trained on the
+    * TRAIN split of the deterministic md5 split (the same rule as
+    * [[detSplit]] — training on a split is what gives held-out documents
+    * genuine unseen mass; a model trained on the whole corpus has seen
+    * every bigram by construction). Per document:
+    *
+    *   - `sum_cnt`      Σ over its bigram positions of the train-corpus
+    *                    count of that bigram (integer-exact),
+    *   - `n_unseen`     positions whose bigram never occurs in train,
+    *   - `familiarity`  sum_cnt / n_bigrams,
+    *   - `unseen_frac`  n_unseen / n_bigrams.
+    *
+    * This is the integer-exact core of perplexity filtering — kept
+    * log-free ON PURPOSE (same reason tfidf is ratio-form: ln is not
+    * bit-reproducible across engines, so a log-space score could never
+    * sit behind the hash gate; the log-space perplexity is a monotone map
+    * of these counts a consumer applies downstream). The single divisions
+    * are one IEEE op each, bitwise identical in both engines.
+    *
+    * Scale shape: bigram explode is a narrow map; the count table
+    * aggregates to O(distinct bigrams); the scoring join is a
+    * bigram-keyed equi-join where a stop-bigram ("of the") is millions of
+    * probe rows against ONE build row — hash-join-friendly skew, and AQE
+    * splits the probe side if a key's partition outgrows the rest.
+    * Documents with fewer than two tokens have no bigram distribution and
+    * are dropped (mirrored in the oracle). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docBigrams = Tables.documents(spark, dir)
+      .withColumn("bucket",
+        substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("bucket").isin("0", "1"), lit("test"))
+          .when(col("bucket").isin("2", "3"), lit("val"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("split"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bigram"))
+    val counts = docBigrams.filter(col("split") === "train")
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    docBigrams.join(counts, Seq("bigram"), "left_outer")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_cnt"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("familiarity",
+        col("sum_cnt").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("unseen_frac",
+        col("n_unseen").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+       |         ELSE 'train' END AS split,
+       |    $tokensSql AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_transform(generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       |  FROM d WHERE len(toks) >= 2),
+       |c AS (SELECT bigram, COUNT(*) AS cnt FROM b
+       |      WHERE split = 'train' GROUP BY bigram)
+       |SELECT b.doc_id, b.split,
+       |  COUNT(*) AS n_bigrams,
+       |  CAST(SUM(COALESCE(c.cnt, 0)) AS BIGINT) AS sum_cnt,
+       |  CAST(SUM(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       |  CAST(SUM(COALESCE(c.cnt, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS familiarity,
+       |  CAST(SUM(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS unseen_frac
+       |FROM b LEFT JOIN c ON b.bigram = c.bigram
+       |GROUP BY b.doc_id, b.split
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score"    -> (lmScore _),
     "text_inverted_index" -> (invertedIndex _),
     "text_redact"      -> (redact _),
     "pipeline_pretrain" -> (pretrainPipeline _),
@@ -479,6 +560,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score"    -> lmScoreSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_redact"      -> redactSql,
     "pipeline_pretrain" -> pretrainPipelineSql,

@@ -69,20 +69,13 @@ class SimilaritySpec extends SparkSpec {
   }
 
   /** 10 tight direction-clusters of 20 vectors each — the structured
-    * regime where ANN recall at low scan fraction is meaningful. */
+    * regime where ANN recall at low scan fraction is meaningful. The
+    * geometry lives in Similarity.writeClusteredCorpus so the spec floors
+    * and the driver-visible sim_recall_clustered query measure the SAME
+    * corpus. */
   private def clusteredDir(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfc").toString
-    val rows = (0 until 200).map { i =>
-      val c = i % 10
-      val v = new Array[Float](64)
-      v(c * 6) = 1.0f
-      v(c * 6 + 1) = (0.05f * (1 + i % 5)) // jitter within the cluster
-      v(63) = 0.01f * (i % 7)
-      (i.toLong, v, c)
-    }
-    import spark.implicits._
-    rows.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Similarity.writeClusteredCorpus(spark, dir)
     dir
   }
 
@@ -175,6 +168,44 @@ class SimilaritySpec extends SparkSpec {
     assert(m("lsh")._1 >= 0.9, f"LSH recall ${m("lsh")._1}%.3f below floor 0.9")
     assert(m("ivf")._1 >= 0.9, f"IVF recall ${m("ivf")._1}%.3f below floor 0.9")
     assert(m.values.forall { case (r, f) => r >= 0 && r <= 1 && f > 0 && f <= 1 })
+  }
+
+  test("sim_recall_clustered: gate query clears the 0.9 floors and exports counters") {
+    // The driver-visible clustered arm (VERDICT r9 #5): the query must
+    // synthesize its own corpus (dir-independent), clear the documented
+    // recall floors, and put *_recall_clustered_bp >= 9000 into the
+    // routing counters the bench artifact drains.
+    graft.tools.RoutingMetrics.drain() // isolate this test's counters
+    val m = Similarity.recallClustered(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m("ivf")._1 >= 0.9 && m("lsh")._1 >= 0.9 && m("pq")._1 >= 0.9,
+      s"clustered recall below floor: $m")
+    val c = graft.tools.RoutingMetrics.drain()
+    assert(c("ivf_recall_clustered_bp") >= 9000L, s"counters: $c")
+    assert(c("lsh_recall_clustered_bp") >= 9000L, s"counters: $c")
+    assert(c("pq_recall_clustered_bp") >= 9000L, s"counters: $c")
+    assert(c("ivf_cand_fraction_clustered_bp") > 0L &&
+      c("ivf_cand_fraction_clustered_bp") <= 10000L)
+    assert(c("lsh_cand_fraction_clustered_bp") > 0L &&
+      c("lsh_cand_fraction_clustered_bp") <= 10000L)
+  }
+
+  test("PQ top-k: exact-rerank subset of true ranking, bounded candidates") {
+    // PQ candidates are approximation-selected, but everything it RETURNS
+    // must carry the true cosine and true rank order (the exact rerank),
+    // and the exact-scan share must stay at the documented R·q bound.
+    val dir = clusteredDir()
+    val brute = Similarity.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pq = Similarity.pqTopK(spark, dir).collect()
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(c == r.getDouble(3),
+        s"PQ returned a cosine differing from the exact value at $key"))
+    }
+    val cands = Similarity.pqCandidates(spark, dir).count()
+    assert(cands <= Similarity.PqRerank.toLong * Similarity.NumQueries,
+      s"PQ exact-rerank candidates $cands exceed R*q")
   }
 
   test("recallMetrics: fixture LSH candidate fraction stays sub-linear-shaped") {
