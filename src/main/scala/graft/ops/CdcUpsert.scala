@@ -82,10 +82,12 @@ object CdcUpsert {
     *
     * A value lookup then reads ONE index partition's log — never the
     * primary table, never the other postings — the q99 gate oracles both
-    * the posting lists and that partition count. Assumes a
-    * low-cardinality (categorical) index attribute, the case where
-    * posting lists are the right structure; a high-cardinality attribute
-    * wants the primary key-range layout instead. */
+    * the posting lists and that partition count. Routing is the native
+    * [[graft.functions.JavaStringHash]] expression, so plan size is O(1)
+    * at any attribute cardinality (ADVICE r10 — formerly a per-batch
+    * driver collect + when-chain over the distinct values); posting
+    * LISTS still pay off most on selective attributes, where a lookup's
+    * result is far smaller than the primary table. */
   final case class Indexed(inner: Partitioned = Partitioned(),
                            indexBuckets: Int = 4) extends Policy {
     val name = "q99_indexed"
@@ -266,36 +268,48 @@ object CdcUpsert {
       }
       // Only MEMBERSHIP changes write postings: first-seen keys and
       // latest-value transitions. A key whose count changed but whose
-      // latest value did not costs the index nothing.
+      // latest value did not costs the index nothing. Null-SAFE
+      // inequality (ADVICE r10): a key whose latest value transitions
+      // a → NULL must still tombstone a's posting — the non-null-safe
+      // `=!=` was null-false there and left the key in a's list. NULL
+      // values themselves do not index (the add below keeps only
+      // non-null `v`): a NULL-latest key is findable only through the
+      // primary, the same contract as a SQL index's NULL exclusion.
       val changed = withOld
-        .filter(col("old_v").isNull || col("old_v") =!= col("v"))
+        .filter(!(col("old_v") <=> col("v")))
         .localCheckpoint()
-      val entries = changed
+      val entries = changed.filter(col("v").isNotNull)
         .select(col("user_id"), col("v"), lit(epoch).as("epoch"),
           lit(false).as("del"))
         .unionByName(changed.filter(col("old_v").isNotNull)
           .select(col("user_id"), col("old_v").as("v"),
             lit(epoch).as("epoch"), lit(true).as("del")))
-      // Route postings to value-hash partitions via a when-chain over the
-      // batch's distinct values (bounded by the categorical domain, so
-      // the chain stays small and codegen-friendly; no UDF, and the
-      // JVM-side lookup derives the same bucket with no Spark job).
-      val vs = changed.select(col("v"))
-        .unionByName(changed.select(col("old_v").as("v")))
-        .filter(col("v").isNotNull).distinct()
-        .collect().map(_.getString(0)).sorted
-      val bCol = vs.foldLeft(lit(-1)) { (acc, value) =>
-        when(col("v") === lit(value),
-          lit(indexBucketOf(value, indexBuckets))).otherwise(acc)
-      }
-      val touchedIdx =
-        if (vs.isEmpty) Seq.empty[String]
-        else graft.tools.RangeState.publishDelta(indexRoot, epoch, entries,
-          bCol)
+      // Route postings to value-hash partitions through the native
+      // String.hashCode expression — the Spark-side twin of
+      // [[indexBucketOf]] (both are the JLS hash mod `buckets`, so the
+      // JVM-side lookup derives the same bucket with no Spark job). The
+      // former when-chain over driver-collected distinct values was
+      // O(|domain|) in plan size and paid a collect per batch; this is
+      // O(1) in plan size at any attribute cardinality (ADVICE r10).
+      val bCol = pmod(
+        graft.functions.JavaStringHash.java_string_hash(col("v")),
+        lit(indexBuckets))
+      val touchedIdx = graft.tools.RangeState.publishDelta(indexRoot,
+        epoch, entries, bCol)
       graft.tools.PhaseTiming.record(f"idx$epoch%03d",
         (System.nanoTime() - t0) / 1e9)
+      // Compaction GC (ADVICE r10): at fold time the per-partition view
+      // is complete, so a (key, value) whose NEWEST entry is a tombstone
+      // can be DROPPED from the compacted base rather than retained —
+      // absence == not live, and lookups already filter `!del`. Without
+      // this the base accumulates every (key, value) pair ever seen
+      // (unbounded churn history on long-lived streams); with it the
+      // base stays proportional to LIVE postings. Schedule invariance
+      // holds: a later delta's add supersedes by presence (higher
+      // epoch), and a later tombstone for an absent pair just folds to
+      // an entry the next compaction drops again.
       graft.tools.RangeState.maintainTouched(sp, touchedIdx, epoch,
-        inner.maxDeltas)(indexFold)
+        inner.maxDeltas)(df => indexFold(df).filter(!col("del")))
       graft.tools.RoutingMetrics.add("q99_idx_touched",
         touchedIdx.size.toLong)
       // the primary state is exactly the inner policy's — same loop

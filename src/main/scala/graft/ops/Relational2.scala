@@ -1655,9 +1655,10 @@ object Relational2 {
     *     dropped a live delta, or a fold that double-counted across a
     *     compaction boundary, breaks some prefix first).
     *
-    * Batches are DETERMINISTIC (epoch k = events with event_id % epochs
-    * = k, applied in order) so the DuckDB oracle can reproduce them with
-    * the same modulus — the streaming gates keep the real engine path;
+    * Batches are DETERMINISTIC (epoch k = events with pmod(event_id,
+    * epochs) = k — pmod, not Java `%`, so the split is TOTAL even if an
+    * id were negative (ADVICE r10) — applied in order) so the DuckDB
+    * oracle can reproduce them with the same non-negative modulus — the streaming gates keep the real engine path;
     * this gate drives the shared apply body directly, exactly like the
     * replay specs do. Compaction/GC run live underneath (q95 every
     * `compactEvery` epochs, q96 per-partition fan-in, q87 version GC),
@@ -1684,7 +1685,7 @@ object Relational2 {
           col("event_type"), col("value"))
         .localCheckpoint() // 3×epochs scans below — pin the normalized input
       val stats = (0 until epochs).flatMap { k =>
-        val batch = ev.filter(col("event_id") % epochs === k)
+        val batch = ev.filter(pmod(col("event_id"), lit(epochs)) === k)
         arms.map { case (policy, path) =>
           CdcUpsert.applyBatch(batch, k, path, policy)
           val written = CdcUpsert.rowsWrittenAt(spark, path, k, policy)
@@ -1708,7 +1709,8 @@ object Relational2 {
     * rewrite pole rewrites full state each epoch — that asymmetry is the
     * point of gating it). */
   val q97Sql: String =
-    """WITH b AS (SELECT event_id % 4 AS epoch, user_id FROM events),
+    """WITH b AS (SELECT ((event_id % 4) + 4) % 4 AS epoch, user_id
+      |           FROM events),
       |     e AS (SELECT range AS epoch FROM range(0, 4)),
       |     p AS (SELECT 'q95_mor' AS protocol, FALSE AS cumulative_writes
       |           UNION ALL SELECT 'q96_partitioned', FALSE
@@ -1760,7 +1762,8 @@ object Relational2 {
           col("event_type"), col("value"))
         .localCheckpoint() // epochs+2 scans below — pin the normalized input
       (0 until epochs).foreach { k =>
-        CdcUpsert.applyBatch(ev.filter(col("event_id") % epochs === k),
+        CdcUpsert.applyBatch(
+          ev.filter(pmod(col("event_id"), lit(epochs)) === k),
           k, statePath, policy)
       }
       val mm = ev.agg(min(col("user_id")), max(col("user_id"))).head()
@@ -1842,7 +1845,8 @@ object Relational2 {
           col("event_type"), col("value"))
         .localCheckpoint() // epochs+1 scans below — pin the normalized input
       (0 until epochs).foreach { k =>
-        CdcUpsert.applyBatch(ev.filter(col("event_id") % epochs === k),
+        CdcUpsert.applyBatch(
+          ev.filter(pmod(col("event_id"), lit(epochs)) === k),
           k, statePath, policy)
       }
       val targetVals = ev.select(col("event_type")).distinct()
@@ -1961,10 +1965,10 @@ object Relational2 {
     val base = graft.tools.TempDirs.createFast("graft-q91")
     try {
       val ev = Tables.events(spark, dir)
-      ev.filter(col("event_id") % 2 === 0)
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
         .select(col("event_id"), col("user_id"))
         .write.mode("overwrite").parquet(s"$base/data/gen=0")
-      ev.filter(col("event_id") % 2 === 1)
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .write.mode("overwrite").parquet(s"$base/data/gen=1")
       spark.read.option("mergeSchema", "true").parquet(s"$base/data")
@@ -1977,7 +1981,8 @@ object Relational2 {
   }
 
   val q91Sql: String =
-    """SELECT CASE WHEN event_id % 2 = 0 THEN '_pre_schema' ELSE event_type END
+    """SELECT CASE WHEN ((event_id % 2) + 2) % 2 = 0
+      |       THEN '_pre_schema' ELSE event_type END
       |    AS event_type,
       |  COUNT(*) AS n,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -44,10 +44,15 @@ object Similarity {
     * per-row cosine (native codegen'd expression), then per-query top-k
     * via rank-over-window. The window shuffles O(n·q) scored rows keyed by
     * q_id; with q small this is one narrow shuffle. */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val scored = corpusDf(spark, dir).join(broadcast(queriesDf(spark, dir)),
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+    rankTail(corpusDf(spark, dir).join(broadcast(queriesDf(spark, dir)),
         col("q_id") =!= col("n_id"))
-      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb")))
+
+  /** Shared exact-rerank tail of every tier: rank scored candidates per
+    * query on (cos DESC, n_id), keep K. One definition so the tie order
+    * every oracle pins cannot drift between tiers. */
+  private def rankTail(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored
@@ -56,6 +61,16 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Exact rerank of a SLIM (q_id, n_id) candidate frame: rejoin the
+    * broadcast queries and the corpus, score, rank — the tail LSH and PQ
+    * share (their candidate generation ships ids only). */
+  private def rerankSlim(spark: SparkSession, dir: String,
+                         cands: DataFrame): DataFrame =
+    rankTail(cands
+      .join(broadcast(queriesDf(spark, dir)), Seq("q_id"))
+      .join(corpusDf(spark, dir), Seq("n_id"))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb")))
 
   val bruteForceTopKSql: String = {
     val cos = Dedup.cosineSql("q.embedding", "n.embedding")
@@ -106,15 +121,9 @@ object Similarity {
     * The quantizer comes from the persisted-index cache (ivfIndex): train
     * once, search many — the query measures SEARCH after the first call. */
   def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = IvfNprobe,
-              cells: Int = IvfCells, iterations: Int = IvfIterations): DataFrame = {
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    ivfCandidates(spark, dir, nprobe, cells, iterations)
-      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
-  }
+              cells: Int = IvfCells, iterations: Int = IvfIterations): DataFrame =
+    rankTail(ivfCandidates(spark, dir, nprobe, cells, iterations)
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb")))
 
   /** The (query, neighbor) candidates IVF's exact rerank scans — split out
     * of [[ivfTopK]] so the measured candidate fraction ([[recallMetrics]])
@@ -228,17 +237,9 @@ object Similarity {
     * math and the brute/LSH crossover. */
   def lshTopK(spark: SparkSession, dir: String, bits: Int = -1): DataFrame = {
     val corpus = corpusDf(spark, dir)
-    val qs = queriesDf(spark, dir)
     val b = if (bits > 0) bits else adaptiveLshBits(corpus.count())
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    lshCandidates(corpus, qs, LshTables, b, LshProbes)
-      .join(broadcast(qs), Seq("q_id"))
-      .join(corpus, Seq("n_id"))
-      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    rerankSlim(spark, dir,
+      lshCandidates(corpus, queriesDf(spark, dir), LshTables, b, LshProbes))
   }
 
   /** Cost-based ANN entry point: below the brute/LSH crossover the
@@ -359,9 +360,16 @@ object Similarity {
     }
     import spark.implicits._
     val adcDf = adcRows.toSeq.toDF("q_id", "adc")
+    // Rank by the RAW subspace-dot sum (ADVICE r10): cosine is invariant
+    // in the corpus vector's norm, so the former /n_norm term only
+    // biased candidate selection against large-norm vectors (the
+    // principled per-subspace magnitude weights aren't stored — the
+    // codes quantize directions). The exact rerank guarantees the
+    // returned cosines either way; this improves candidate quality on
+    // norm-heterogeneous corpora.
     val approx = (0 until PqM).map { m =>
       element_at(col("adc"), lit(m * (PqK + 1) + 1) + col("codes").getItem(m))
-    }.reduce(_ + _) / col("n_norm")
+    }.reduce(_ + _)
     val topR = graft.functions.TopKAggregator.topkUdaf(PqRerank)
     pqEncode(corpusDf(spark, dir), books)
       .join(broadcast(adcDf), col("q_id") =!= col("n_id"))
@@ -378,17 +386,8 @@ object Similarity {
     * approximation-structure-specific); recall floors live on the
     * clustered corpus (spec + `pq_recall_clustered_bp` counter), and the
     * measured recall/fraction sit beside IVF/LSH in [[recallMetrics]]. */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    pqCandidates(spark, dir)
-      .join(broadcast(queriesDf(spark, dir)), Seq("q_id"))
-      .join(corpusDf(spark, dir), Seq("n_id"))
-      .withColumn("cos", Dedup.cosine("q_emb", "n_emb"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
-  }
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    rerankSlim(spark, dir, pqCandidates(spark, dir))
 
   /** Brute-force top-k via the typed bounded-heap Aggregator instead of
     * rank-over-window: partial aggregation ships at most k rows per group
@@ -509,8 +508,16 @@ object Similarity {
     * regimes sit side by side in the bench artifact's routing map. */
   private def recallCore(spark: SparkSession, dir: String,
                          suffix: String): DataFrame = {
-    val exact = bruteForceTopK(spark, dir).select(col("q_id"), col("n_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth is a deterministic function of the (immutable) corpus
+    // → persisted through ArtifactCache: bench iterations pay the
+    // brute-force scan once, then measure INDEX search only (ADVICE
+    // r10 — the measurement used to rerun ground truth + each tier's
+    // candidate pipeline twice per iteration).
+    val exact = graft.tools.ArtifactCache.parquet(spark, dir,
+        "recall_ground_truth") { p =>
+        bruteForceTopK(spark, dir).select(col("q_id"), col("n_id"))
+          .write.mode("overwrite").parquet(p)
+      }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def recallOf(df: DataFrame): Double = {
       val got = df.select(col("q_id"), col("n_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -520,17 +527,23 @@ object Similarity {
     // What brute force scores: each query scans the corpus minus itself
     // (the brute-force frame excludes self-pairs).
     val scans = (n - 1).toDouble * NumQueries
-    val ivfRecall = recallOf(ivfTopK(spark, dir))
-    val ivfFrac = ivfCandidates(spark, dir, IvfNprobe, IvfCells,
-      IvfIterations).count() / scans
-    val lshRecall = recallOf(lshTopK(spark, dir))
-    val lshFrac = lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
-      LshTables, adaptiveLshBits(n), LshProbes).count() / scans
+    // Each tier's candidate frame is materialized ONCE (localCheckpoint)
+    // and reused for both the recall rerank and the fraction count.
+    val ivfCands = ivfCandidates(spark, dir, IvfNprobe, IvfCells,
+      IvfIterations).localCheckpoint()
+    val ivfRecall = recallOf(rankTail(
+      ivfCands.withColumn("cos", Dedup.cosine("q_emb", "n_emb"))))
+    val ivfFrac = ivfCands.count() / scans
+    val lshCands = lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
+      LshTables, adaptiveLshBits(n), LshProbes).localCheckpoint()
+    val lshRecall = recallOf(rerankSlim(spark, dir, lshCands))
+    val lshFrac = lshCands.count() / scans
     // PQ's fraction is its EXACT-rerank scan share; the ADC pass itself
     // is linear but over 8-byte codes, not vectors — the compression is
     // the scale term, stated here so the artifact can't oversell it.
-    val pqRecall = recallOf(pqTopK(spark, dir))
-    val pqFrac = pqCandidates(spark, dir).count() / scans
+    val pqCands = pqCandidates(spark, dir).localCheckpoint()
+    val pqRecall = recallOf(rerankSlim(spark, dir, pqCands))
+    val pqFrac = pqCands.count() / scans
     def bp(x: Double): Long = math.round(x * 10000)
     graft.tools.RoutingMetrics.add(s"ivf_recall${suffix}_bp", bp(ivfRecall))
     graft.tools.RoutingMetrics.add(s"ivf_cand_fraction${suffix}_bp", bp(ivfFrac))
@@ -556,14 +569,42 @@ object Similarity {
     val rows = (0 until 200).map { i =>
       val c = i % 10
       val v = new Array[Float](64)
+      // Every component is an exact binary fraction × a small integer
+      // (2⁻⁵·k, k ≤ 5; 2⁻⁷·k, k ≤ 6), so float storage, double math, and
+      // the DuckDB-side synthesis in [[clusteredEmbSql]] all hold the
+      // SAME real number — the property that lets the clustered-regime
+      // tier gates share a bitwise SQL oracle with no fixture file.
       v(c * 6) = 1.0f
-      v(c * 6 + 1) = 0.05f * (1 + i % 5) // jitter within the cluster
-      v(63) = 0.01f * (i % 7)
+      v(c * 6 + 1) = 0.03125f * (1 + i % 5) // jitter within the cluster
+      v(63) = 0.0078125f * (i % 7)
       (i.toLong, v, c)
     }
     import spark.implicits._
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** The clustered corpus as a SESSION-LIFETIME fixture dir (written
+    * once, shutdown-hook-cleaned): a stable path keys ArtifactCache, so
+    * the IVF quantizer and the 8 PQ codebooks train ONCE per session and
+    * every later clustered query or bench iteration pays search only
+    * (ADVICE r10 — the former per-invocation temp dir retrained ~15 s of
+    * throwaway artifacts every iteration). */
+  private val clusteredDirRef =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def clusteredCorpusDir(spark: SparkSession): String = {
+    val got = clusteredDirRef.get()
+    if (got != null) got
+    else clusteredDirRef.synchronized {
+      val again = clusteredDirRef.get()
+      if (again != null) again
+      else {
+        val d = graft.tools.TempDirs.createFastForJvm("graft-simclust")
+        writeClusteredCorpus(spark, d)
+        clusteredDirRef.set(d)
+        d
+      }
+    }
   }
 
   /** The clustered-corpus arm of the recall measurement, driver-visible
@@ -577,14 +618,48 @@ object Similarity {
     * `dir` argument is unused by design: the measurement is about corpus
     * STRUCTURE, not fixture scale, and must be identical at every SF.
     * Rows-only gate entry (hash-family-deterministic, no SQL oracle). */
-  def recallClustered(spark: SparkSession, dir: String): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-simclust")
-    try {
-      writeClusteredCorpus(spark, base)
-      // recallCore collects eagerly and returns a local DF, so the temp
-      // corpus (and the throwaway trained IVF index beside it) can go.
-      recallCore(spark, base, suffix = "_clustered")
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+  def recallClustered(spark: SparkSession, dir: String): DataFrame =
+    // Session-stable corpus dir: trained artifacts (IVF, PQ codebooks,
+    // ground truth) persist across invocations — see clusteredCorpusDir.
+    recallCore(spark, clusteredCorpusDir(spark), suffix = "_clustered")
+
+  /** DuckDB-side synthesis of the clustered corpus: the same 200 vectors
+    * [[writeClusteredCorpus]] stores, generated in SQL (no fixture file
+    * needed — the corpus is a pure function of the index, and every
+    * component is an exact binary fraction × small integer, so the float
+    * the Spark side stores and the double this synthesis computes are
+    * the same real). `range(0,64)` position d ↔ 1-indexed embedding[d+1],
+    * matching the cosine chain's indexing. */
+  private val clusteredEmbSql: String =
+    """SELECT i AS vec_id,
+      |    list_transform(range(0, 64), d -> CASE
+      |      WHEN d = (i % 10) * 6 THEN 1.0
+      |      WHEN d = (i % 10) * 6 + 1 THEN 0.03125 * (1 + i % 5)
+      |      WHEN d = 63 THEN 0.0078125 * (i % 7)
+      |      ELSE 0.0 END) AS embedding
+      |  FROM range(0, 200) t(i)""".stripMargin
+
+  /** Exact top-k over the synthesized clustered corpus — the ONE oracle
+    * all three clustered-regime tier gates share (VERDICT r10 #2,
+    * precedent: q38 sharing q34's oracle): on this corpus each tier's
+    * candidate set provably covers the true top-k (recall 1.0 — asserted
+    * by SimilaritySpec's floors and pinned by these hashes), and the
+    * exact rerank + shared tie order make the tier output IDENTICAL to
+    * brute force. A hashing bug that drops a true neighbor (banding,
+    * quantizer assignment, ADC table, sentinel handling) breaks these
+    * gates bitwise — where the fixture-corpus tier entries are rows-only
+    * by the §5.5 approximate-family contract. */
+  val clusteredBruteSql: String = {
+    val cos = Dedup.cosineSql("q.embedding", "n.embedding")
+    s"""WITH emb AS (
+       |  $clusteredEmbSql)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, $cos AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, n.vec_id) AS rank
+       |  FROM emb q JOIN emb n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NumQueries) t
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -604,6 +679,19 @@ object Similarity {
     // is approximation-structure-specific; SimilaritySpec separately proves
     // the two branches bitwise-equal on a recall-1.0 corpus).
     "sim_topk_ann_lsh" -> ((s: SparkSession, d: String) => annTopK(s, d, _ => true)),
+    // The clustered-regime tier gates: the PRODUCTION search paths
+    // (trained IVF quantizer, adaptive-bit multi-probe LSH, PQ ADC +
+    // bounded rerank — same parameters as the fixture entries) run on
+    // the deterministic clustered corpus, where their output equals
+    // brute force — hash-gated against clusteredBruteSql. `dir` is
+    // ignored by design: the corpus is a pure function of the index and
+    // identical at every SF, exactly like sim_recall_clustered.
+    "sim_topk_ivf_clustered" ->
+      ((s: SparkSession, _: String) => ivfTopK(s, clusteredCorpusDir(s))),
+    "sim_topk_lsh_clustered" ->
+      ((s: SparkSession, _: String) => lshTopK(s, clusteredCorpusDir(s))),
+    "sim_topk_pq_clustered" ->
+      ((s: SparkSession, _: String) => pqTopK(s, clusteredCorpusDir(s))),
   )
 
   /** Brute force + aggregator variants are exact math → oracled; IVF/LSH
@@ -617,5 +705,8 @@ object Similarity {
     "sim_topk_brute" -> bruteForceTopKSql,
     "sim_topk_agg"   -> bruteForceTopKSql,
     "sim_topk_ann"   -> bruteForceTopKSql,
+    "sim_topk_ivf_clustered" -> clusteredBruteSql,
+    "sim_topk_lsh_clustered" -> clusteredBruteSql,
+    "sim_topk_pq_clustered"  -> clusteredBruteSql,
   )
 }

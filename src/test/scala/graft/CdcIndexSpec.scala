@@ -108,6 +108,60 @@ class CdcIndexSpec extends SparkSpec {
       statePath.stripSuffix("/state"))
   }
 
+  test("10k-distinct-value attribute routes with an O(1) plan: postings " +
+      "correct, one partition per lookup") {
+    // The former when-chain routing was O(|domain|) in plan size and
+    // driver-collected the domain per batch; the JavaStringHash routing
+    // must handle a high-cardinality attribute with the same two-
+    // instruction plan. 10k distinct values across 10k keys, then a
+    // churn batch that moves a slice of keys to fresh values.
+    val statePath = TempDirsSpecHelper.fresh("graft-idx-10k")
+    try {
+      val b0 = batch((0 until 10000).map { i =>
+        (i.toLong, 10L, i.toLong, f"v$i%05d", 1.0)
+      })
+      CdcUpsert.applyBatch(b0, 0L, statePath, policy)
+      val b1 = batch((0 until 100).map { i =>
+        (10000L + i, 20L, i.toLong, f"w$i%05d", 1.0)
+      })
+      CdcUpsert.applyBatch(b1, 1L, statePath, policy)
+      Seq(0, 42, 99).foreach { i =>
+        val (gotW, partsW) = lookup(statePath, f"w$i%05d")
+        assert(partsW == 1L && gotW == Set(i.toLong))
+        val (gotOld, _) = lookup(statePath, f"v$i%05d")
+        assert(gotOld.isEmpty, s"v$i%05d must be tombstoned after churn")
+      }
+      val (gotStay, parts) = lookup(statePath, "v00500")
+      assert(parts == 1L && gotStay == Set(500L))
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
+  test("a -> NULL latest transition tombstones the old posting; NULL " +
+      "values never index") {
+    val statePath = TempDirsSpecHelper.fresh("graft-idx-null")
+    try {
+      CdcUpsert.applyBatch(batch(Seq((0L, 10L, 1L, "a", 1.0))),
+        0L, statePath, policy)
+      assert(lookup(statePath, "a")._1 == Set(1L))
+      // newest event's type is NULL: the key leaves a's list (null-safe
+      // inequality — ADVICE r10) and is findable only via the primary
+      import spark.implicits._
+      val nullBatch = Seq((1L, 20L, 1L))
+        .toDF("event_id", "ts_us", "user_id")
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("user_id"), lit(null).cast("string").as("event_type"),
+          lit(2.0).as("value"))
+      CdcUpsert.applyBatch(nullBatch, 1L, statePath, policy)
+      assert(lookup(statePath, "a")._1 == Set.empty[Long],
+        "NULL-latest key must be tombstoned out of its old posting list")
+      val primary = CdcUpsert.stateAsOf(spark, statePath, 1L, policy)
+        .get.filter(col("user_id") === 1L).collect()
+      assert(primary.length == 1 && primary(0).getAs[org.apache.spark.sql.Row]("last").isNullAt(2))
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("index compaction schedule never changes the posting lists") {
     def run(maxDeltas: Int): Map[String, Set[Long]] = {
       val statePath = TempDirsSpecHelper.fresh(s"graft-idx-sched$maxDeltas")
