@@ -371,6 +371,198 @@ object Corpus {
        |ORDER BY shard""".stripMargin
 
   // ---------------------------------------------------------------------
+  // BPE merge-rule training (tokenizer training)
+  // ---------------------------------------------------------------------
+
+  /** Number of BPE merge rounds the gate trains. Production tokenizers
+    * run 30k–100k merges over the same loop; the loop cost is per-round
+    * aggregate + rewrite, independent of this constant's size. */
+  val BpeMerges = 12
+
+  /** Greedy leftmost merge of adjacent (l, r) in one symbol sequence —
+    * the per-word rewrite of a BPE round (Sennrich et al., "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL 2016).
+    * Left-fold form: merge when the accumulated tail equals `l` and the
+    * next symbol equals `r`. Equivalent to the scan form: a merged
+    * symbol `l+r` can never re-match `l` (that would need r = ""), so
+    * the fold neither over- nor under-merges; for l == r runs it takes
+    * positions 0-1, 2-3, … exactly like the scan. The DuckDB oracle
+    * executes the same fold via list_reduce. */
+  private[graft] def greedyMerge(syms: Seq[String], l: String,
+                                 r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == l && x == r) {
+        out.remove(out.length - 1); out += (l + r)
+      } else out += x
+    }
+    out.toSeq
+  }
+
+  /** One deterministic BPE training run over the corpus vocabulary:
+    * word types weighted by occurrence count, initial symbols =
+    * characters + a `</w>` end marker, `merges` rounds of
+    * (count adjacent pairs → take the (count DESC, l, r)-first pair →
+    * rewrite).
+    *
+    * Scale posture: training runs over WORD TYPES, not the corpus — the
+    * type table is O(vocabulary) (millions of rows at 100 TB, after the
+    * one corpus-wide explode+groupBy that builds it). Each round is one
+    * map-side-partial pair aggregation, a 1-row driver collect (the
+    * argmax — the only driver state), and a narrow map rewrite;
+    * localCheckpoint caps lineage at one round. The corpus never
+    * re-enters the loop. */
+  private def bpeTrainUncached(spark: SparkSession, dir: String,
+                               merges: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        concat(split(col("word"), ""), array(lit("</w>"))))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val top = words
+        .select(col("word"), col("cnt"),
+          posexplode(col("syms")).as(Seq("pos", "s")))
+        .withColumn("r", lead(col("s"), 1).over(w))
+        .filter(col("r").isNotNull)
+        .groupBy(col("s").as("l"), col("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        learned += ((round, l, r, l + r, c))
+        val mergeUdf = udf((syms: Seq[String]) => greedyMerge(syms, l, r))
+        words = words.withColumn("syms", mergeUdf(col("syms")))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    (learned.toSeq.toDF("round", "l", "r", "merged", "pair_count"), words)
+  }
+
+  /** The learned merge table — the gate query: M rows of
+    * (round, l, r, merged, pair_count), bitwise against a DuckDB oracle
+    * that replays the identical training loop as M generated CTE stages
+    * (pair counts + argmax + list_reduce rewrite per stage). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainCached(spark, dir)._1.orderBy(col("round"))
+
+  /** ArtifactCache wrapper: merge table and final word representations
+    * are both deterministic functions of the corpus — train once per
+    * session, reuse across corpus_bpe and corpus_pack_bpe. */
+  private def bpeTrainCached(spark: SparkSession,
+                             dir: String): (DataFrame, DataFrame) = {
+    val mt = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"bpe_merges_m$BpeMerges") { p =>
+      val (m, w) = bpeTrainUncached(spark, dir, BpeMerges)
+      m.write.mode("overwrite").parquet(p)
+      w.select(col("word"), col("cnt"), col("syms"))
+        .write.mode("overwrite").parquet(p + "_words")
+    }
+    val wordsPath = graft.tools.ArtifactCache.pathOf(dir,
+      s"bpe_merges_m$BpeMerges").get + "_words"
+    (mt, spark.read.parquet(wordsPath))
+  }
+
+  /** Sequence packing under the LEARNED tokenizer: identical prefix-sum
+    * arithmetic to [[packSequences]], but each document's token count is
+    * its BPE symbol count (sum over its words of the trained
+    * representation's length) — the accounting a trainer actually packs
+    * by. The vocabulary's (word → length) table broadcasts; the corpus
+    * pays one narrow join, no re-tokenization loop. */
+  def packSequencesBpe(spark: SparkSession, dir: String,
+                       seqLen: Int = 64): DataFrame = {
+    val wlen = bpeTrainCached(spark, dir)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("word"))
+      .join(broadcast(wlen), Seq("word"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("n_syms")).as("n_tokens"))
+    TwoLevel.cumBefore(
+        TwoLevel.withIdRangeBucket(d, "source", "doc_id", "__b"),
+        Seq("source"), "__b", Seq(col("doc_id")), "n_tokens", "cum_before")
+      .drop("__b")
+      .withColumn("seq_first", expr(s"cum_before div $seqLen"))
+      .withColumn("seq_offset", expr(s"cum_before % $seqLen"))
+      .withColumn("n_seqs",
+        expr(s"(cum_before + n_tokens - 1) div $seqLen") - col("seq_first") + lit(1L))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** The generated M-stage training replay shared by both BPE oracles:
+    * w0 = char-split word types (+ `</w>`), then per stage k an argmax
+    * CTE pk ((count DESC, l, r)-first adjacent pair over w(k-1)) and a
+    * rewrite CTE wk (the same greedy fold as [[greedyMerge]], as a
+    * list_reduce over single-element lists; LEFT JOIN ON TRUE keeps
+    * words intact if pairs ever run dry, matching the Scala loop's
+    * early stop). */
+  private def bpeStagesSql(merges: Int): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, cnt, list_append(string_split(word, ''), '</w>') AS s
+         |  FROM (
+         |    SELECT word, COUNT(*) AS cnt FROM (
+         |      SELECT unnest($tokensSql) AS word FROM documents)
+         |    GROUP BY word))""".stripMargin
+    val stages = (1 to merges).map { k =>
+      s"""p$k AS (
+         |  SELECT l, r, c FROM (
+         |    SELECT s[i] AS l, s[i + 1] AS r, SUM(cnt) AS c
+         |    FROM w${k - 1}, unnest(range(1, len(s))) AS t(i)
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |w$k AS (
+         |  SELECT word, cnt,
+         |    list_reduce(list_transform(s, x -> [x]),
+         |      (acc, x) -> CASE WHEN acc[-1] = l AND x[1] = r
+         |                  THEN acc[1:len(acc) - 1] || [l || r]
+         |                  ELSE acc || x END) AS s
+         |  FROM w${k - 1} LEFT JOIN p$k ON TRUE)""".stripMargin
+    }
+    (w0 +: stages).mkString(",\n")
+  }
+
+  val bpeMergesSql: String = {
+    val arms = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS round, l, r, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM p$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeStagesSql(BpeMerges)}
+       |SELECT * FROM (
+       |  $arms)
+       |ORDER BY round""".stripMargin
+  }
+
+  val packSequencesBpeSql: String =
+    s"""WITH ${bpeStagesSql(BpeMerges)},
+       |wlen AS (SELECT word, CAST(len(s) AS BIGINT) AS n_syms FROM w$BpeMerges),
+       |d AS (
+       |  SELECT source, doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_tokens
+       |  FROM (SELECT source, doc_id, unnest($tokensSql) AS word FROM documents) t
+       |  JOIN wlen USING (word)
+       |  GROUP BY source, doc_id)
+       |SELECT source, doc_id, n_tokens, cum_before,
+       |  cum_before // 64 AS seq_first,
+       |  cum_before % 64 AS seq_offset,
+       |  (cum_before + n_tokens - 1) // 64 - cum_before // 64 + 1 AS n_seqs
+       |FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d)
+       |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shards"    -> (shardsPipeline _),
@@ -381,6 +573,8 @@ object Corpus {
     "corpus_vocab_prune" -> ((s: SparkSession, d: String) => vocabPrune(s, d)),
     "corpus_split"       -> ((s: SparkSession, d: String) => splitTrainValTest(s, d)),
     "corpus_mix"         -> ((s: SparkSession, d: String) => mixWeights(s, d)),
+    "corpus_bpe"         -> (bpeMerges _),
+    "corpus_pack_bpe"    -> ((s: SparkSession, d: String) => packSequencesBpe(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,5 +586,7 @@ object Corpus {
     "corpus_vocab_prune" -> vocabPruneSql,
     "corpus_split"       -> splitTrainValTestSql,
     "corpus_mix"         -> mixWeightsSql,
+    "corpus_bpe"         -> bpeMergesSql,
+    "corpus_pack_bpe"    -> packSequencesBpeSql,
   )
 }

@@ -1441,7 +1441,138 @@ object Dedup {
        |FROM labels l JOIN sizes s USING (keep_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Substring-level exact dedup (repeated-span removal)
+  // ---------------------------------------------------------------------
+
+  /** Span length (in tokens) for substring-level dedup: any token span of
+    * this length occurring more than once in the corpus is removed from
+    * EVERY document containing it. Production pipelines use ~50 BPE
+    * tokens (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022); 12 whitespace tokens exercises the same
+    * machinery against the fixture's shorter documents. */
+  val SubstringN = 12
+
+  /** Substring-level exact dedup — the span tier of the dedup spectrum
+    * (doc-exact, near-dup, entity, embedding tiers exist; this removes
+    * REPEATED SPANS inside otherwise-unique documents, the tier that
+    * catches boilerplate, licenses, and templated passages).
+    *
+    * Semantics (deterministic, SQL-reproducible): a token n-gram of
+    * length [[SubstringN]] that occurs ≥ 2 times anywhere in the corpus
+    * (within or across documents) is a duplicated span; every token
+    * covered by at least one duplicated-span occurrence is removed. Per
+    * doc the result is (n_tokens, n_removed, clean_text) with the
+    * surviving tokens rejoined in order. This is the n-gram formulation
+    * of Lee et al.'s suffix-array criterion: a maximal repeat of length
+    * ≥ N is covered exactly by its length-N sub-grams, each of which
+    * repeats, so the REMOVED REGIONS are identical to the suffix-array
+    * method's for the same N — computed with sorts/groupBys instead of a
+    * monolithic suffix array, which is the form that distributes.
+    *
+    * Scale shape (the 100 TB plan, deliberately NOT all-pairs):
+    *  1. one shuffle by doc_id builds positioned grams via a running
+    *     window (each token carried once; gram text exists only inside
+    *     the projection);
+    *  2. duplicate detection shuffles 8-byte xxhash64 DIGESTS, never
+    *     gram text — `groupBy(digest)` with map-side partial counts;
+    *  3. only occurrences whose digest repeats (a tiny fraction on a
+    *     deduplicated corpus) re-shuffle their full gram once for the
+    *     exact-equality confirm, which makes the result collision-proof
+    *     rather than probabilistic;
+    *  4. coverage is a per-doc range-frame window over marked start
+    *     positions (max over [pos-N+1, pos]) — no interval explode, no
+    *     self-join, one pass.
+    * Every shuffle key is a digest, a doc_id, or a (doc_id, pos) — the
+    * corpus text itself crosses the wire exactly once (step 1). */
+  def substringDedup(spark: SparkSession, dir: String,
+                     n: Int = SubstringN): DataFrame =
+    substringDedupDocs(Tables.documents(spark, dir), n)
+
+  /** Core of [[substringDedup]] over any (doc_id, text) frame — split out
+    * so specs can plant known duplicated spans. */
+  private[graft] def substringDedupDocs(documents: DataFrame,
+                                        n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wGram = wDoc.orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, n - 1)
+    // positioned grams; null beyond the last full window so short docs
+    // and tail positions produce no occurrence rows
+    val withGram = toks
+      .withColumn("n_toks", count(lit(1)).over(wDoc))
+      .withColumn("gram", when(col("pos") <= col("n_toks") - n,
+        concat_ws(" ", collect_list(col("tok")).over(wGram))))
+    val occs = withGram.filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gram"),
+        xxhash64(col("gram")).as("g_dig"))
+    // digest pre-filter: only digests seen twice can hold a duplicate
+    val dupDigests = occs.groupBy(col("g_dig"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
+    val candOccs = occs.join(dupDigests, Seq("g_dig"), "left_semi")
+    // exact confirm among candidates only (collision-proof)
+    val dupGrams = candOccs.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("gram"))
+    val starts = candOccs.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+    // coverage sweep: token at pos is removed iff some duplicated span
+    // starts in [pos-n+1, pos]
+    val wCover = wDoc.orderBy(col("pos"))
+      .rangeBetween(-(n - 1).toLong, Window.currentRow)
+    val covered = toks
+      .join(starts, Seq("doc_id", "pos"), "left_outer")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        coalesce(col("is_start"), lit(0)).as("is_start"))
+      .withColumn("cov", max(col("is_start")).over(wCover) === 1)
+    covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cov").cast("long")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("cov"),
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: same tokenizer, same positioned grams (list slice),
+    * same >1 duplication rule, same range-frame coverage sweep, same
+    * space-rejoin. COALESCE('') matches concat_ws over an all-removed
+    * doc (empty string, not NULL). */
+  val substringSql: String = {
+    val n = SubstringN
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id, s AS start,
+       |    array_to_string(tk[s + 1 : s + $n], ' ') AS gram
+       |  FROM base, unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS t(s)),
+       |dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) > 1),
+       |starts AS (SELECT o.doc_id, o.start FROM occ o JOIN dup USING (gram)),
+       |toks AS (
+       |  SELECT doc_id, p AS pos, tk[p + 1] AS tok
+       |  FROM base, unnest(range(0, len(tk))) AS t(p)),
+       |cov AS (
+       |  SELECT doc_id, pos, tok,
+       |    MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      RANGE BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) = 1 AS c
+       |  FROM (
+       |    SELECT t.doc_id, t.pos, t.tok,
+       |      CASE WHEN s.start IS NOT NULL THEN 1 ELSE 0 END AS is_start
+       |    FROM toks t LEFT JOIN starts s
+       |      ON s.doc_id = t.doc_id AND s.start = t.pos))
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(CASE WHEN NOT c THEN tok END, ' '
+       |    ORDER BY pos), '') AS clean_text
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => incremental(s, d)),
     "dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "dedup_overlap_matrix" -> (overlapMatrix _),
@@ -1464,6 +1595,7 @@ object Dedup {
   /** minhash/simhash signatures are hash-family-specific → rows-only check
     * (SURVEY §5.5); jaccard + embedding-cosine are exact math → oracled. */
   val oracles: Map[String, String] = Map(
+    "dedup_substring"   -> substringSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_overlap_matrix" -> overlapMatrixSql,

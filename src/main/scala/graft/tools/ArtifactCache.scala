@@ -26,4 +26,11 @@ object ArtifactCache {
     })
     spark.read.parquet(path)
   }
+
+  /** The registered path of an already-built artifact — for builders
+    * that persist SIDE outputs next to the primary path (e.g. BPE's
+    * final word table beside its merge table). None until the artifact's
+    * first build this session. */
+  def pathOf(key: String, kind: String): Option[String] =
+    paths.get((key, kind))
 }

@@ -412,6 +412,12 @@ object ScaleProbe {
       "corpus_vocab_prune" -> (() => graft.ops.Corpus.queries("corpus_vocab_prune")(spark, outDir).count()),
       "pipeline_shards"    -> (() => graft.ops.Corpus.queries("pipeline_shards")(spark, outDir).count()),
       "dedup_exact"        -> (() => graft.ops.Dedup.exact(spark, outDir).count()),
+      // substring-level span removal on the replica corpus — the WORST
+      // case for the digest pre-filter (half the corpus is exact copies,
+      // so nearly every gram digest repeats and the exact-confirm pays
+      // full gram mass); bounded time here shows the sort/groupBy plan
+      // carries even total-duplication corpora without an all-pairs term
+      "dedup_substring"    -> (() => graft.ops.Dedup.substringDedup(spark, outDir).count()),
       "dedup_fuzzy"        -> (() => graft.ops.Dedup.fuzzy(spark, outDir).count()),
       "dedup_incremental"  -> (() => graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count()),
       "dedup_minhash"      -> (() => graft.ops.Dedup.minhash(spark, outDir).count()),
