@@ -316,6 +316,86 @@ object CdcUpsert {
       applyBatch(batch, epoch, statePath, inner)
   }
 
+  // -------------------------------------------------------------------
+  // Event-time lateness (quarantine wrapper over any policy)
+  // -------------------------------------------------------------------
+
+  private def wmFile(statePath: String, epoch: Long) =
+    java.nio.file.Paths.get(statePath, "_wm", s"v$epoch")
+
+  /** Watermark as of epoch (micros), None before the first write. */
+  private[graft] def readWatermark(statePath: String,
+                                   epoch: Long): Option[Long] = {
+    val f = wmFile(statePath, epoch)
+    if (java.nio.file.Files.exists(f))
+      Some(new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** [[applyBatch]] with an EVENT-TIME lateness bound — the disordered-
+    * replay tolerance the epoch-monotone apply loop lacks on its own
+    * (VERDICT r10 #7). Structured Streaming semantics: the watermark
+    * after epoch k is `max(event time seen through k) - lateness`, and a
+    * row of epoch k is LATE iff its event time is below the watermark
+    * established by the PRIOR epochs. Late rows never touch the state —
+    * they land in an epoch-keyed quarantine log
+    * (`statePath/quarantine/vK`) for auditing/backfill; on-time rows
+    * flow to the inner policy unchanged.
+    *
+    * Why quarantine instead of silently folding them in: the state's
+    * merge monoid is latest-wins, so very old rows cannot change `last`
+    * — but they WOULD inflate `n_events`, and a partitioned layout would
+    * pay a touched-partition write for keys whose visible state cannot
+    * change. Quarantining makes the cost of disorder O(late rows) and
+    * auditable, with the counts oracled (q100).
+    *
+    * Replay contract preserved: the watermark file is an epoch-keyed
+    * atomic overwrite derived only from the batch and epoch-1 state, the
+    * quarantine write is an epoch-keyed overwrite, and the inner apply
+    * keeps its own guards — a replayed epoch rewrites identical files. */
+  def applyBatchWithLateness(batch: DataFrame, epoch: Long,
+                             statePath: String, policy: Policy,
+                             latenessMicros: Long): Unit = {
+    val tsUs = unix_micros(col("ts"))
+    val wmPrev = readWatermark(statePath, epoch - 1)
+    val late = wmPrev match {
+      case Some(w) => batch.filter(tsUs < lit(w))
+      case None    => batch.limit(0)
+    }
+    val onTime = wmPrev match {
+      case Some(w) => batch.filter(tsUs >= lit(w))
+      case None    => batch
+    }
+    late.withColumn("quarantine_epoch", lit(epoch))
+      .write.mode("overwrite").parquet(s"$statePath/quarantine/v$epoch")
+    applyBatch(onTime, epoch, statePath, policy)
+    val mxRow = batch.agg(max(tsUs)).head()
+    val mx = if (mxRow.isNullAt(0)) None else Some(mxRow.getLong(0))
+    val newWm = math.max(wmPrev.getOrElse(Long.MinValue),
+      mx.map(_ - latenessMicros).getOrElse(Long.MinValue))
+    val f = wmFile(statePath, epoch)
+    java.nio.file.Files.createDirectories(f.getParent)
+    val tmp = java.nio.file.Paths.get(f.getParent.toString,
+      s"v$epoch.tmp")
+    java.nio.file.Files.write(tmp,
+      newWm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All quarantined rows through epoch `upTo`, with their quarantine
+    * epoch; None if nothing was ever quarantined. */
+  def quarantineAsOf(sp: SparkSession, statePath: String,
+                     upTo: Long): Option[DataFrame] = {
+    val dirs = Option(new java.io.File(s"$statePath/quarantine").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(_.getName.drop(1).toLong <= upTo)
+      .map(_.getAbsolutePath).sorted
+    if (dirs.isEmpty) None else Some(sp.read.parquet(dirs.toIndexedSeq: _*))
+  }
+
   /** Merged view of the state as of epoch `upTo` (inclusive), `None`
     * before the first write lands. Rewrite reads the newest version at
     * or below `upTo` as-is (the read-optimized payoff: zero merge);

@@ -1885,6 +1885,85 @@ object Relational2 {
       |FROM latest l JOIN tv ON l.event_type = tv.event_type
       |ORDER BY l.event_type, l.user_id""".stripMargin
 
+  /** LATE-EVENT QUARANTINE gate ([[CdcUpsert.applyBatchWithLateness]]):
+    * the CDC apply loop under DISORDERED event time. Epoch batches are
+    * the standard pmod(event_id) split — uncorrelated with ts, so later
+    * epochs genuinely carry rows below the watermark the earlier epochs
+    * established (the fixture's 30-day span with 27-day lateness
+    * quarantines a deterministic ~2-day tail). The gate emits, per user
+    * that had ANY quarantined row: the quarantine count AND the user's
+    * final state (count + latest) built from ON-TIME rows only — so a
+    * late row that leaked into the state breaks n_events, and one that
+    * silently vanished breaks n_quarantined. The oracle replays the
+    * watermark recurrence (running max of per-epoch max ts, minus
+    * lateness; a row is late iff below the PRIOR epoch's watermark)
+    * directly from the raw events. */
+  def q100LateQuarantine(spark: SparkSession, dir: String, epochs: Int = 4,
+                         latenessMicros: Long = 27L * 86400 * 1000000): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q100")
+    try {
+      val statePath = s"$base/state"
+      val policy = CdcUpsert.Mor(2)
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .localCheckpoint()
+      (0 until epochs).foreach { k =>
+        CdcUpsert.applyBatchWithLateness(
+          ev.filter(pmod(col("event_id"), lit(epochs)) === k),
+          k, statePath, policy, latenessMicros)
+      }
+      val quar = CdcUpsert.quarantineAsOf(spark, statePath, epochs - 1)
+        .getOrElse(sys.error("q100: expected a non-empty quarantine"))
+      val q = quar.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_quarantined"))
+      val st = CdcUpsert.stateAsOf(spark, statePath, epochs - 1, policy)
+        .getOrElse(sys.error("q100: no state"))
+      q.join(st, Seq("user_id"), "left_outer")
+        .select(col("user_id"), col("n_quarantined"), col("n_events"),
+          unix_micros(col("last.ts")).as("last_us"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .localCheckpoint()
+        .orderBy(col("user_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Watermark recurrence in SQL: wm(k) = running-max(per-epoch max ts)
+    * − lateness; late iff ts < wm(epoch−1) (epoch 0 has none). State =
+    * on-time rows only, latest by (ts, event_id) DESC — the fold's
+    * struct-max order. */
+  val q100Sql: String =
+    """WITH e AS (
+      |  SELECT ((event_id % 4) + 4) % 4 AS epoch, event_id, user_id,
+      |    epoch_us(ts) AS ts_us, event_type, value
+      |  FROM events),
+      |m AS (SELECT epoch, MAX(ts_us) AS mx FROM e GROUP BY epoch),
+      |w AS (SELECT epoch,
+      |        MAX(mx) OVER (ORDER BY epoch
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - 2332800000000 AS wm
+      |      FROM m),
+      |lt AS (
+      |  SELECT e.*, CASE WHEN p.wm IS NOT NULL AND e.ts_us < p.wm
+      |              THEN 1 ELSE 0 END AS late
+      |  FROM e LEFT JOIN w p ON p.epoch = e.epoch - 1),
+      |q AS (SELECT user_id, COUNT(*) AS n_quarantined
+      |      FROM lt WHERE late = 1 GROUP BY user_id),
+      |s AS (SELECT user_id, n_events, ts_us AS last_us,
+      |        event_type AS last_type, value AS last_value
+      |      FROM (
+      |        SELECT user_id, ts_us, event_id, event_type, value,
+      |          ROW_NUMBER() OVER (PARTITION BY user_id
+      |            ORDER BY ts_us DESC, event_id DESC) AS rn,
+      |          COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |        FROM lt WHERE late = 0)
+      |      WHERE rn = 1)
+      |SELECT q.user_id, q.n_quarantined, s.n_events, s.last_us,
+      |  s.last_type, s.last_value
+      |FROM q LEFT JOIN s USING (user_id)
+      |ORDER BY q.user_id""".stripMargin
+
   /** CSV source round-trip with explicit schema: documents written as
     * quoted CSV (texts contain commas/quotes in the general case), read
     * back with the schema declared — never inferred: at 100 TB schema
@@ -1999,6 +2078,7 @@ object Relational2 {
     "q97_state_layout"    -> ((s: SparkSession, d: String) => q97StateLayout(s, d)),
     "q98_point_lookup"    -> ((s: SparkSession, d: String) => q98PointLookup(s, d)),
     "q99_secondary_index" -> ((s: SparkSession, d: String) => q99SecondaryIndex(s, d)),
+    "q100_late_quarantine" -> ((s: SparkSession, d: String) => q100LateQuarantine(s, d)),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),
@@ -2056,6 +2136,7 @@ object Relational2 {
     "q97_state_layout"    -> q97Sql,
     "q98_point_lookup"    -> q98Sql,
     "q99_secondary_index" -> q99Sql,
+    "q100_late_quarantine" -> q100Sql,
     "q90_csv_roundtrip"   -> q90Sql,
     "q91_schema_evolution" -> q91Sql,
     "q92_orc_roundtrip"   -> q92Sql,
