@@ -463,6 +463,12 @@ object ScaleProbe {
       "mm_decode_real"     -> (() => graft.ops.Multimodal.queries("mm_decode_real")(spark, outDir).count()),
       "mm_audio_windows"   -> (() => graft.ops.Multimodal.queries("mm_audio_windows")(spark, outDir).count()),
       "graph_pagerank"     -> (() => graft.ops.Graph.pagerank(spark, outDir).count()),
+      // incremental rank refresh (warm start after a ~3% edge delta):
+      // the refresh_steps phase vs graph_pagerank's supersteps phase is
+      // the recurring-cost contrast; the edge/rank artifacts are reused
+      // from the run above, as a production refresh would reuse
+      // yesterday's
+      "graph_pagerank_incr" -> (() => graft.ops.Graph.pagerankIncr(spark, outDir).count()),
       "q67_upsert_merge"   -> (() => graft.ops.Relational2.q67UpsertMerge(spark, outDir).count()),
       // 16 epochs instead of the gate's 4: the per-epoch phases expose the
       // cost CURVE as state accumulates — the full-state-rewrite trade's

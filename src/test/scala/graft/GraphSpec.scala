@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{abs, col, count, lit, max}
+
 import graft.ops.Graph
 
 /** PageRank semantics on hand-computable graphs. All arithmetic is
@@ -51,6 +53,62 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pagerankOnGraph(nodes, edges, iters = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a == b)
+  }
+
+  test("incremental refresh: warm start reaches the new graph's fixed " +
+      "point in far fewer supersteps than from scratch, ranks equal at " +
+      "tolerance") {
+    // 10 hub-and-spoke clusters (hubs 0,10,..,90, leaves attached to
+    // their hub) + a hub ring: the stationary distribution is far from
+    // uniform (hubs concentrate mass), so a cold start pays the full
+    // uniform→skewed gap. The delta moves ONE leaf to another hub —
+    // the warm start's initial error is ~1/100 of the mass.
+    val n = 200
+    val nodes = (0L until n).toDF("node")
+    def und(ps: Seq[(Long, Long)]) = (ps ++ ps.map(_.swap)).distinct
+    val hubs = (0L until n by 10L).toSeq
+    val spokes = (0L until n).filter(i => i % 10 != 0)
+      .map(i => ((i / 10) * 10, i))
+    val hubRing = hubs.indices.map(k => (hubs(k), hubs((k + 1) % hubs.size)))
+    val oldEdges = und(spokes ++ hubRing).toDF("src", "dst")
+    // delta: ONE new leaf–leaf edge inside hub 10's cluster — the
+    // perturbed mass is two leaves' contributions, ~0.2% of the total
+    val newSpokes = spokes :+ ((11L, 12L))
+    val newEdges = und(newSpokes ++ hubRing).toDF("src", "dst")
+    def degreed(e: org.apache.spark.sql.DataFrame) =
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+    // 1e-3 of total mass: the cold start covers the uniform→skewed gap
+    // (~half the mass) in ~log_d of the ratio ≈ 35 steps; the warm start
+    // only covers the one-leaf delta (~1% of mass) ≈ 14 steps
+    val tol = Graph.Scale / 1000
+    // previous graph's converged ranks = the warm-start seed
+    val (prevRanks, _) =
+      Graph.pagerankConverge(nodes, degreed(oldEdges), None, tol)
+    val (fullRanks, fullIters) =
+      Graph.pagerankConverge(nodes, degreed(newEdges), None, tol)
+    val (refrRanks, refrIters) =
+      Graph.pagerankConverge(nodes, degreed(newEdges), Some(prevRanks), tol)
+    assert(refrIters * 2 <= fullIters,
+      s"refresh should need at most half the supersteps ($refrIters vs $fullIters)")
+    val maxDiff = refrRanks
+      .join(fullRanks.select(col("node"), col("rank").as("full")), Seq("node"))
+      .agg(max(abs(col("rank") - col("full")))).head().getLong(0)
+    // each run stops with step-delta ≤ tol, so its distance to the fixed
+    // point is ≤ tol·d/(1−d) ≈ 5.7·tol; the two results can differ by
+    // twice that
+    assert(maxDiff <= 12 * tol,
+      s"refresh and from-scratch ranks diverge by $maxDiff (> ${12 * tol})")
+  }
+
+  test("warm start from the UNCHANGED graph's ranks converges almost " +
+      "immediately (the no-delta fast path)") {
+    val (nodes, edges) = triangleGraph
+    def degreed(e: org.apache.spark.sql.DataFrame) =
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+    val tol = Graph.Scale / 100000
+    val (r1, _) = Graph.pagerankConverge(nodes, degreed(edges), None, tol)
+    val (_, iters) = Graph.pagerankConverge(nodes, degreed(edges), Some(r1), tol)
+    assert(iters <= 2, s"no-delta refresh must stop in <= 2 supersteps, took $iters")
   }
 
   test("triangle enumeration closes wedges exactly once, canonically ordered") {
