@@ -216,6 +216,52 @@ object EtlPipeline {
       .orderBy(col("direccion"), col("localidad"), col("rubro"), col("localizar"))
   }
 
+  /** The SAME round trip over REAL `<table>` MARKUP pages — the last S3
+    * fidelity delta (the reference extracts from a live DOM,
+    * flows/etl.py:144-162): pages are written as html (`<th>` headers;
+    * the location value riding in an anchor's onclick attribute — the
+    * `anchorCol` option) and read back with `pageFormat=html` plus two
+    * layout `<th>`s prepended per page file, exercising the reference's
+    * header-slice rule (skip N layout `<th>`s whose rows carry no
+    * cells, flows/etl.py:110). Same oracle, same hash as
+    * etl_source_scan: markup is a transport, not a semantic. Browser
+    * automation itself stays environment-bound (no browser in the
+    * sandbox — documented deviation); the DOM-shaped parse is now real. */
+  def sourceRoundTripHtml(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_name").as("direccion"),
+        col("n_name").as("localidad"),
+        col("c_mktsegment").as("rubro"),
+        when(col("c_custkey") % 2 === 0,
+          format_string("javascript:mapa(%.3f,%.3f)",
+            lit(-34.0) - (col("c_custkey") % 100) / 100.0,
+            lit(-58.0) - (col("c_custkey") % 100) / 100.0))
+          .otherwise(lit("sin datos")).as("localizar"))
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft-hpages").toString
+    raw.repartition(4).write.mode("overwrite")
+      .format("graft.sources.PagedTableSource")
+      .option("path", pagesDir)
+      .option("pageFormat", "html")
+      .option("anchorCol", "localizar").save()
+    // prepend layout <th>s the reference's header slice must drop —
+    // their rows carry no <td>s, exactly like the scraped page
+    graft.sources.PagedTableSource.pageFiles(pagesDir).foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      val content = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      java.nio.file.Files.write(p, content.replace("<thead><tr>",
+        "<thead><tr><th>#</th><th> </th>").getBytes("UTF-8"))
+    }
+    spark.read.format("graft.sources.PagedTableSource")
+      .option("pageFormat", "html")
+      .option("skipColumns", 2)
+      .option("decodeLocation", "localizar")
+      .load(pagesDir)
+      .orderBy(col("direccion"), col("localidad"), col("rubro"), col("localizar"))
+  }
+
   val sourceRoundTripSql: String =
     """SELECT c_name AS direccion, n_name AS localidad, c_mktsegment AS rubro,
       |  CASE WHEN c_custkey % 2 = 0 THEN
@@ -264,6 +310,7 @@ object EtlPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_etl"    -> (pipelineQuery _),
     "etl_source_scan" -> (sourceRoundTrip _),
+    "etl_source_scan_html" -> (sourceRoundTripHtml _),
     "etl_jdbc_sink"   -> (jdbcSinkRoundTrip _),
   )
 
@@ -316,6 +363,7 @@ object EtlPipeline {
   val oracles: Map[String, String] = Map(
     "pipeline_etl"    -> pipelineSql,
     "etl_source_scan" -> sourceRoundTripSql,
+    "etl_source_scan_html" -> sourceRoundTripSql,
     "etl_jdbc_sink"   -> jdbcSinkRoundTripSql,
   )
 }

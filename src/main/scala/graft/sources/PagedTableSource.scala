@@ -52,7 +52,8 @@ class PagedTableSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PagedTableSource.discoverSchema(
       options.get("path"),
-      Option(options.get("skipColumns")).map(_.toInt).getOrElse(0))
+      Option(options.get("skipColumns")).map(_.toInt).getOrElse(0),
+      Option(options.get("pageFormat")).getOrElse("tsv"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -80,13 +81,72 @@ object PagedTableSource {
     try src.getLines().toIndexedSeq finally src.close()
   }
 
-  /** S2: read page 0's header line, skip the first `skip` columns. */
-  def discoverSchema(dir: String, skip: Int): StructType = {
+  // -------------------------------------------------------------------
+  // HTML page format (pageFormat=html): pages as real <table> markup —
+  // the last S3 fidelity delta (flows/etl.py:144-162 extracts from a
+  // live DOM). Header texts come from <th> (the reference slices off
+  // the first 4 layout <th>s but each body row carries ONLY the data
+  // <td>s, flows/etl.py:110 vs 142), and a cell holding an anchor
+  // yields its onclick ATTRIBUTE (the lat/lng carrier,
+  // flows/etl.py:148-150) rather than its inner text. Dependency-free
+  // regex parse: the markup is machine-written (our sink or a scrape
+  // snapshot), not adversarial web HTML.
+  // -------------------------------------------------------------------
+
+  private val ThRe = "(?s)<th[^>]*>(.*?)</th>".r
+  private val TrRe = "(?s)<tr[^>]*>(.*?)</tr>".r
+  private val TdRe = "(?s)<td[^>]*>(.*?)</td>".r
+  private val TbodyRe = "(?s)<tbody[^>]*>(.*?)</tbody>".r
+  private val OnclickRe = "(?s)onclick=\"([^\"]*)\"".r
+
+  def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+
+  def unescapeHtml(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&amp;", "&")
+
+  private def stripTags(s: String): String = s.replaceAll("(?s)<[^>]*>", "")
+
+  /** Header texts of an HTML page: every `<th>`'s tag-stripped text. */
+  def parseHtmlHeaders(html: String): Seq[String] =
+    ThRe.findAllMatchIn(html)
+      .map(m => unescapeHtml(stripTags(m.group(1)).trim)).toSeq
+
+  /** Body rows of an HTML page as raw cell arrays: `<tr>`s inside
+    * `<tbody>` (whole document if none), one cell per `<td>`; an anchor
+    * cell yields its onclick attribute, others their inner text. Header
+    * rows (`<th>`-only) produce zero `<td>`s and are dropped. */
+  def parseHtmlRows(html: String): IndexedSeq[Array[String]] = {
+    val body = TbodyRe.findFirstMatchIn(html).map(_.group(1)).getOrElse(html)
+    TrRe.findAllMatchIn(body).map { tr =>
+      TdRe.findAllMatchIn(tr.group(1)).map { td =>
+        val markup = td.group(1)
+        OnclickRe.findFirstMatchIn(markup) match {
+          case Some(m) => unescapeHtml(m.group(1))
+          case None    => unescapeHtml(stripTags(markup).trim)
+        }
+      }.toArray
+    }.filter(_.nonEmpty).toIndexedSeq
+  }
+
+  /** S2: schema discovery from page 0 — TSV: first line's tab-split
+    * header; HTML: the `<th>` texts. Both skip the first `skip`
+    * headers (the reference's 4 layout `<th>`s, flows/etl.py:110). */
+  def discoverSchema(dir: String, skip: Int,
+                     format: String = "tsv"): StructType = {
     val first = pageFiles(dir).headOption.getOrElse(
       throw new IllegalArgumentException(s"no ${PagePrefix}* files in $dir"))
-    val header = readLines(first).headOption.getOrElse(
-      throw new IllegalArgumentException(s"empty page file $first"))
-    StructType(header.split("\t").drop(skip).toSeq
+    val headers =
+      if (format == "html")
+        parseHtmlHeaders(readLines(first).mkString("\n"))
+      else
+        readLines(first).headOption.getOrElse(
+          throw new IllegalArgumentException(s"empty page file $first"))
+          .split("\t").toSeq
+    require(headers.nonEmpty, s"no headers found in page file $first")
+    StructType(headers.drop(skip)
       .map(h => StructField(h, StringType, nullable = true)))
   }
 
@@ -133,9 +193,12 @@ class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
     new PagedScanBuilder(schema, options.get("path"),
       Option(options.get("skipColumns")).map(_.toInt).getOrElse(0),
       Option(options.get("decodeLocation")),
-      Option(options.get("maxPagesPerTrigger")).map(_.toInt).getOrElse(0))
+      Option(options.get("maxPagesPerTrigger")).map(_.toInt).getOrElse(0),
+      Option(options.get("pageFormat")).getOrElse("tsv"))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new PagedWriteBuilder(options.get("path"), info.schema(), info.queryId())
+    new PagedWriteBuilder(options.get("path"), info.schema(), info.queryId(),
+      Option(options.get("pageFormat")).getOrElse("tsv"),
+      Option(options.get("anchorCol")))
 }
 
 /** DSv2 WRITE path (§2.11 as an engine-native sink): the paged layout the
@@ -158,7 +221,8 @@ class PagedTable(schema: StructType, options: CaseInsensitiveStringMap)
   * here; on object stores this becomes a manifest swap — same protocol,
   * different final hop). */
 class PagedWriteBuilder(path: String, schema: StructType,
-                        queryId: String = "q")
+                        queryId: String = "q", format: String = "tsv",
+                        anchorCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   require(schema.fields.forall(_.dataType == StringType),
     s"paged sink is all-string (like the layout it writes); cast first: $schema")
@@ -166,9 +230,16 @@ class PagedWriteBuilder(path: String, schema: StructType,
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new PagedBatchWrite(path, schema.fieldNames, truncateFirst)
-    override def toStreaming: StreamingWrite =
+      new PagedBatchWrite(path, schema.fieldNames, truncateFirst, format,
+        anchorCol)
+    override def toStreaming: StreamingWrite = {
+      // The streaming sink's epoch protocol is format-agnostic in
+      // principle, but its page names / orphan sweep are .tsv-pinned —
+      // html is the BATCH scrape-snapshot shape, keep the scope honest.
+      require(format == "tsv",
+        "pageFormat=html is batch-only; the streaming sink writes TSV pages")
       new PagedStreamingWrite(path, schema.fieldNames, queryId)
+    }
   }
 }
 
@@ -368,13 +439,16 @@ case class PagedStreamingWriterFactory(stageDir: String, header: Array[String])
 case class PageCommit(stagedFile: String, rows: Long, partitionId: Int)
   extends WriterCommitMessage
 
-class PagedBatchWrite(path: String, header: Array[String], truncateFirst: Boolean)
+class PagedBatchWrite(path: String, header: Array[String],
+                      truncateFirst: Boolean, format: String = "tsv",
+                      anchorCol: Option[String] = None)
     extends BatchWrite {
   private val stageDir = new java.io.File(path, s".stage-${java.util.UUID.randomUUID()}")
+  private val ext = if (format == "html") "html" else "tsv"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     stageDir.mkdirs()
-    PagedWriterFactory(stageDir.getAbsolutePath, header)
+    PagedWriterFactory(stageDir.getAbsolutePath, header, format, anchorCol)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -396,8 +470,8 @@ class PagedBatchWrite(path: String, header: Array[String], truncateFirst: Boolea
       PagedTableSource.pageFiles(path).map(f => new java.io.File(f).getName): _*)
     var next = 0
     pages.foreach { m =>
-      while (used(s"${PagedTableSource.PagePrefix}$next.tsv")) next += 1
-      val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$next.tsv")
+      while (used(s"${PagedTableSource.PagePrefix}$next.$ext")) next += 1
+      val dst = new java.io.File(path, s"${PagedTableSource.PagePrefix}$next.$ext")
       if (!new java.io.File(m.stagedFile).renameTo(dst))
         throw new java.io.IOException(s"commit rename failed: ${m.stagedFile} -> $dst")
       used += dst.getName
@@ -422,26 +496,50 @@ class PagedBatchWrite(path: String, header: Array[String], truncateFirst: Boolea
     graft.tools.TempDirs.deleteRecursively(stageDir.getAbsolutePath)
 }
 
-case class PagedWriterFactory(stageDir: String, header: Array[String])
+case class PagedWriterFactory(stageDir: String, header: Array[String],
+                              format: String = "tsv",
+                              anchorCol: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PagedDataWriter(stageDir, header, partitionId, taskId)
+    new PagedDataWriter(stageDir, header, partitionId, taskId, format,
+      anchorCol)
 }
 
 /** One page per task: rows buffer to a task+attempt-unique staging file at
   * task commit (speculative duplicates can't collide, and a zombie
-  * attempt's file is simply never referenced by a commit message). */
+  * attempt's file is simply never referenced by a commit message).
+  *
+  * pageFormat=html writes the page as real `<table>` markup — headers as
+  * `<th>`, rows as `<td>` cells — and the `anchorCol` column's value
+  * rides in an anchor's onclick ATTRIBUTE (`<a onclick="...">Ver</a>`),
+  * reproducing the reference page's lat/lng carrier
+  * (flows/etl.py:148-150); the html read path extracts exactly that
+  * attribute. */
 class PagedDataWriter(stageDir: String, header: Array[String],
-                      partitionId: Int, taskId: Long)
+                      partitionId: Int, taskId: Long,
+                      format: String = "tsv",
+                      anchorCol: Option[String] = None)
     extends DataWriter[InternalRow] {
-  private val lines = scala.collection.mutable.ArrayBuffer[String](header.mkString("\t"))
+  private val html = format == "html"
+  private val anchorIdx = anchorCol.map(header.indexOf(_)).getOrElse(-1)
+  private val lines = scala.collection.mutable.ArrayBuffer[String](
+    if (html)
+      header.map(h => s"<th>${PagedTableSource.escapeHtml(h)}</th>")
+        .mkString("<table><thead><tr>", "", "</tr></thead><tbody>")
+    else header.mkString("\t"))
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
     val cells = header.indices.map { i =>
       if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
     }
-    lines += cells.mkString("\t")
+    lines += (if (html)
+      cells.zipWithIndex.map { case (c, i) =>
+        val esc = PagedTableSource.escapeHtml(c)
+        if (i == anchorIdx) s"""<td><a href="#" onclick="$esc">Ver</a></td>"""
+        else s"<td>$esc</td>"
+      }.mkString("<tr>", "", "</tr>")
+    else cells.mkString("\t"))
     rows += 1
   }
 
@@ -450,6 +548,7 @@ class PagedDataWriter(stageDir: String, header: Array[String],
     // with rows, so a header-only staged file would never be moved and
     // would pin the staging dir (and its tmpfs bytes) forever.
     if (rows == 0) return PageCommit("", 0, partitionId)
+    if (html) lines += "</tbody></table>"
     new java.io.File(stageDir).mkdirs() // the stream's commit may have
     // dropped the emptied staging dir after the previous epoch
     val f = new java.io.File(stageDir, s"part-$partitionId-$taskId")
@@ -471,7 +570,8 @@ class PagedDataWriter(stageDir: String, header: Array[String],
   * scan. At 100 TB this is the difference between shipping every page's
   * rows into the plan and shipping only survivors. */
 class PagedScanBuilder(fullSchema: StructType, path: String, skip: Int,
-                       decodeCol: Option[String], maxPagesPerTrigger: Int = 0)
+                       decodeCol: Option[String], maxPagesPerTrigger: Int = 0,
+                       format: String = "tsv")
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources._
@@ -499,13 +599,13 @@ class PagedScanBuilder(fullSchema: StructType, path: String, skip: Int,
 
   override def build(): Scan =
     new PagedScan(fullSchema, required, path, skip, decodeCol, pushed,
-      maxPagesPerTrigger)
+      maxPagesPerTrigger, format)
 }
 
 class PagedScan(fullSchema: StructType, required: StructType, path: String,
                 skip: Int, decodeCol: Option[String],
                 filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                maxPagesPerTrigger: Int = 0)
+                maxPagesPerTrigger: Int = 0, format: String = "tsv")
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -530,14 +630,14 @@ class PagedScan(fullSchema: StructType, required: StructType, path: String,
   // would always be empty, dead weight posing as a feature.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedMicroBatchStream(path, fullSchema.fieldNames, required.fieldNames,
-      skip, decodeCol, maxPagesPerTrigger)
+      skip, decodeCol, maxPagesPerTrigger, format)
 
   override def planInputPartitions(): Array[InputPartition] =
     PagedTableSource.pageFiles(path).map(PagePartition.apply).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(fullSchema.fieldNames, required.fieldNames,
-      skip, decodeCol, filters)
+      skip, decodeCol, filters, format)
 
   /** S4: the `_count` sidecar is the "total rows" probe. */
   override def estimateStatistics(): Statistics = new Statistics {
@@ -586,7 +686,8 @@ object PagedSourceOffset {
 class PagedMicroBatchStream(path: String, fullCols: Array[String],
                             requiredCols: Array[String], skip: Int,
                             decodeCol: Option[String],
-                            maxPagesPerTrigger: Int = 0)
+                            maxPagesPerTrigger: Int = 0,
+                            format: String = "tsv")
     extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = PagedSourceOffset(Nil)
 
@@ -628,29 +729,41 @@ class PagedMicroBatchStream(path: String, fullCols: Array[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(fullCols, requiredCols, skip, decodeCol)
+    new PagedReaderFactory(fullCols, requiredCols, skip, decodeCol,
+      Array.empty, format)
 }
 
 case class PagePartition(file: String) extends InputPartition
 
 class PagedReaderFactory(fullCols: Array[String], requiredCols: Array[String],
                          skip: Int, decodeCol: Option[String],
-                         filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                         filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                         format: String = "tsv")
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[PagePartition].file
     new PartitionReader[InternalRow] {
       import org.apache.spark.sql.sources._
+      // Row-cell offset: TSV pages carry the skipped layout columns as
+      // leading CELLS too; an HTML page's <tr>s carry only the data
+      // <td>s (the reference's layout <th>s have no row cells,
+      // flows/etl.py:110 vs 142-162).
+      private val cellBase = if (format == "html") 0 else skip
       // S1: the "session open" with retry/backoff. The page is read
       // EAGERLY inside the retry: Source.getLines is lazy, so a lazy
       // iterator here would surface I/O failures later in next(), outside
       // the retry scope (and leak the file handle). A page file is one
       // scrape page — small by construction — so materializing is fine.
-      private val lines: Iterator[String] = PagedTableSource.withRetry(3, 0L) {
-        PagedTableSource.readLines(file).iterator
-      }
-      if (lines.hasNext) lines.next() // skip the header line
-      private val colIdx = requiredCols.map(c => fullCols.indexOf(c) + skip)
+      private val cellRows: Iterator[Array[String]] =
+        PagedTableSource.withRetry(3, 0L) {
+          if (format == "html")
+            PagedTableSource.parseHtmlRows(
+              PagedTableSource.readLines(file).mkString("\n")).iterator
+          else
+            PagedTableSource.readLines(file).iterator.drop(1) // header line
+              .map(_.split("\t", -1))
+        }
+      private val colIdx = requiredCols.map(c => fullCols.indexOf(c) + cellBase)
       private val decodeIdx = decodeCol.map(c => requiredCols.indexOf(c)).getOrElse(-1)
       private var row: InternalRow = _
 
@@ -669,8 +782,8 @@ class PagedReaderFactory(fullCols: Array[String], requiredCols: Array[String],
         * see exactly the values the scan would emit. */
       private def colValue(cells: Array[String], rawName: String): String = {
         val name = unquote(rawName)
-        val src = fullCols.indexOf(name) + skip
-        val raw = if (src >= skip && src < cells.length) cells(src).trim else null
+        val src = fullCols.indexOf(name) + cellBase
+        val raw = if (src >= cellBase && src < cells.length) cells(src).trim else null
         if (raw != null && decodeCol.contains(name))
           PagedTableSource.decodeLocation(raw)
         else raw
@@ -690,8 +803,8 @@ class PagedReaderFactory(fullCols: Array[String], requiredCols: Array[String],
       }
 
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val cells = lines.next().split("\t", -1)
+        while (cellRows.hasNext) {
+          val cells = cellRows.next()
           if (filters.forall(eval(_, cells))) {
             val vals: Array[Any] = colIdx.zipWithIndex.map { case (src, out) =>
               val raw = if (src < cells.length) cells(src).trim else null // F3 trim

@@ -34,6 +34,67 @@ class PagedTableSourceSpec extends SparkSpec {
       .option("decodeLocation", "Localizar")
       .load(dir)
 
+  /** HTML fixture mirroring the reference page: 4 layout <th>s whose
+    * rows carry no cells, data headers, and the location in an anchor's
+    * onclick attribute (flows/etl.py:110, 144-162). */
+  private def writeHtmlPages(): String = {
+    val dir = Files.createTempDirectory("graft-hpagespec").toString
+    def th(h: String) = s"<th>$h</th>"
+    val head = "<table><thead><tr>" +
+      (Seq("x1", "x2", "x3", "x4", "Dirección", "Localidad", "Rubro",
+        "Localizar").map(th).mkString) + "</tr></thead><tbody>"
+    Files.writeString(java.nio.file.Path.of(dir, "page-0.html"), Seq(
+      head,
+      "<tr><td> Av. Mitre 100 </td><td>Avellaneda</td><td>gastronomia</td>" +
+        """<td><a href="#" onclick="javascript:mapa(-34.6037,-58.3816)">Ver</a></td></tr>""",
+      "<tr><td>Calle 7 n 1234</td><td>La Plata</td><td>indumentaria</td>" +
+        "<td>No disponible</td></tr>",
+      "</tbody></table>").mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(dir, "page-1.html"), Seq(
+      head,
+      "<tr><td>Mitre 55</td><td>Quilmes</td><td><b>hogar</b></td>" +
+        """<td><a href="#" onclick="mapa(+1.5, 2.25); void(0)">Ver</a></td></tr>""",
+      "</tbody></table>").mkString("\n"))
+    dir
+  }
+
+  private def readHtml(dir: String) =
+    spark.read.format("graft.sources.PagedTableSource")
+      .option("pageFormat", "html")
+      .option("skipColumns", 4)
+      .option("decodeLocation", "Localizar")
+      .load(dir)
+
+  test("HTML pages: <th> schema discovery (layout headers skipped), " +
+      "<td> rows, inner tags stripped, onclick attribute decoded") {
+    val df = readHtml(writeHtmlPages())
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("Dirección", "Localidad", "Rubro", "Localizar"))
+    val rows = df.collect().map(_.toSeq).toSet
+    assert(rows.size == 3)
+    assert(rows.exists(_.head == "Av. Mitre 100"), "innerText must trim")
+    assert(rows.exists(r => r(2) == "hogar"), "nested tags must strip")
+    val locs = df.select("Localizar").collect().map(_.getString(0)).toSet
+    assert(locs == Set("-34.6037,-58.3816", "No disponible", "+1.5,2.25"))
+  }
+
+  test("HTML pages: filter pushdown evaluates on decoded cell values") {
+    val df = readHtml(writeHtmlPages())
+      .filter(org.apache.spark.sql.functions.col("Localizar") === "No disponible")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("Calle 7 n 1234"))
+  }
+
+  test("HTML escape round-trip: &, <, >, quotes survive writer -> reader") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hesc").toString
+    Seq(("a&b <c>", """say "hi"""")).toDF("x", "y")
+      .write.mode("overwrite").format("graft.sources.PagedTableSource")
+      .option("path", dir).option("pageFormat", "html").save()
+    val back = spark.read.format("graft.sources.PagedTableSource")
+      .option("pageFormat", "html").load(dir).collect()
+    assert(back.map(_.toSeq).toSet == Set(Seq("a&b <c>", """say "hi"""")))
+  }
+
   test("S2 schema discovery: headers from page 0, first 4 skipped, all strings") {
     val df = read(writePages())
     assert(df.schema.fieldNames.toSeq ==
