@@ -1311,6 +1311,31 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The LSH-bucketed embedding near-dup in its EXACT regime, hash-gated
+    * (same move as the sim_topk_*_clustered tier gates): on the
+    * deterministic clustered corpus, every true pair (same-direction
+    * cluster, cosine ≈ 0.99) survives the 10-bit 4-table radius-2
+    * banding, so the output equals the brute-force pair enumeration the
+    * DuckDB oracle computes over the SQL-synthesized corpus. A banding
+    * bug that drops a true pair (signature kernel, probe explode, union
+    * dedup, rejoin) breaks the hash — the fixture-corpus entry stays
+    * rows-only by the §5.5 contract because there recall is genuinely
+    * partial. `dir` ignored by design (corpus is a pure function of the
+    * index). */
+  def embeddingLshClustered(spark: SparkSession, dir: String): DataFrame =
+    embeddingLsh(spark, Similarity.clusteredCorpusDir(spark),
+      threshold = 0.5, tables = 4, bits = 10, probes = 2)
+
+  val embeddingLshClusteredSql: String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""WITH emb AS (
+       |  ${Similarity.clusteredEmbSql})
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cos
+       |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+       |WHERE $cos > 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Resolve near-dup PAIRS into dedup GROUPS: connected components over
     * the similarity graph by iterative min-label propagation — each round
     * is one shuffle join + one min-aggregation, state is one (node,label)
@@ -1590,6 +1615,7 @@ object Dedup {
     "dedup_fuzzy"     -> ((s: SparkSession, d: String) => fuzzy(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => embeddingLsh(s, d)),
+    "dedup_embedding_lsh_clustered" -> (embeddingLshClustered _),
   )
 
   /** minhash/simhash signatures are hash-family-specific → rows-only check
@@ -1608,5 +1634,6 @@ object Dedup {
     "dedup_incr_jaccard" -> ngramJaccardSql,
     "dedup_fuzzy"     -> fuzzySql,
     "dedup_embedding" -> embeddingCosineSql,
+    "dedup_embedding_lsh_clustered" -> embeddingLshClusteredSql,
   )
 }

@@ -630,7 +630,7 @@ object Similarity {
     * the Spark side stores and the double this synthesis computes are
     * the same real). `range(0,64)` position d ↔ 1-indexed embedding[d+1],
     * matching the cosine chain's indexing. */
-  private val clusteredEmbSql: String =
+  private[ops] val clusteredEmbSql: String =
     """SELECT i AS vec_id,
       |    list_transform(range(0, 64), d -> CASE
       |      WHEN d = (i % 10) * 6 THEN 1.0
