@@ -500,6 +500,28 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Tokenizer APPLICATION: rewrite every document as its BPE symbol
+    * sequence under the trained merge table — the step that actually
+    * feeds a trainer. The vocabulary's (word → joined symbols) table
+    * broadcasts to the exploded token stream (same discipline as
+    * vocabPrune's `<unk>` rewrite): the corpus pays one narrow join and
+    * one per-doc regroup, never a per-word training replay. */
+  def tokenizeBpe(spark: SparkSession, dir: String): DataFrame = {
+    val words = bpeTrainCached(spark, dir)._2
+      .select(col("word"), array_join(col("syms"), " ").as("wtoks"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(words), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("wtoks")))),
+          x => x.getField("wtoks"))).as("bpe_text"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The generated M-stage training replay shared by both BPE oracles:
     * w0 = char-split word types (+ `</w>`), then per stage k an argmax
     * CTE pk ((count DESC, l, r)-first adjacent pair over w(k-1)) and a
@@ -543,6 +565,21 @@ object Corpus {
        |ORDER BY round""".stripMargin
   }
 
+  val tokenizeBpeSql: String =
+    s"""WITH ${bpeStagesSql(BpeMerges)},
+       |wt AS (SELECT word, array_to_string(s, ' ') AS wtoks FROM w$BpeMerges),
+       |parts AS (SELECT doc_id, $tokensSql AS parts FROM documents),
+       |t AS (
+       |  SELECT doc_id, pos, parts[pos] AS word FROM (
+       |    SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos, parts
+       |    FROM parts))
+       |SELECT t.doc_id,
+       |  string_agg(wt.wtoks, ' ' ORDER BY t.pos) AS bpe_text,
+       |  COUNT(*) AS n_words
+       |FROM t JOIN wt USING (word)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val packSequencesBpeSql: String =
     s"""WITH ${bpeStagesSql(BpeMerges)},
        |wlen AS (SELECT word, CAST(len(s) AS BIGINT) AS n_syms FROM w$BpeMerges),
@@ -575,6 +612,7 @@ object Corpus {
     "corpus_mix"         -> ((s: SparkSession, d: String) => mixWeights(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
     "corpus_pack_bpe"    -> ((s: SparkSession, d: String) => packSequencesBpe(s, d)),
+    "corpus_tokenize_bpe" -> (tokenizeBpe _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -588,5 +626,6 @@ object Corpus {
     "corpus_mix"         -> mixWeightsSql,
     "corpus_bpe"         -> bpeMergesSql,
     "corpus_pack_bpe"    -> packSequencesBpeSql,
+    "corpus_tokenize_bpe" -> tokenizeBpeSql,
   )
 }

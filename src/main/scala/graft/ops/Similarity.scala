@@ -673,12 +673,14 @@ object Similarity {
     "sim_topk_lsh"   -> ((s: SparkSession, d: String) => lshTopK(s, d)),
     "sim_topk_ann"   -> ((s: SparkSession, d: String) => annTopK(s, d)),
     "sim_topk_pq"    -> (pqTopK _),
-    // The planner's ABOVE-crossover regime, driver-visible: force the LSH
-    // branch via the injectable predicate so the second regime shows up in
-    // the correctness artifact (rows-only — LSH recall on the small fixture
-    // is approximation-structure-specific; SimilaritySpec separately proves
-    // the two branches bitwise-equal on a recall-1.0 corpus).
-    "sim_topk_ann_lsh" -> ((s: SparkSession, d: String) => annTopK(s, d, _ => true)),
+    // The planner's ABOVE-crossover regime, driver-visible AND hash-gated
+    // (r11 — formerly rows-only on the fixture corpus): force the LSH
+    // branch via the injectable predicate ON THE CLUSTERED CORPUS, where
+    // branch output provably equals brute force — so the planner's
+    // branch-forcing wiring sits inside the same bitwise gate as the
+    // tier itself.
+    "sim_topk_ann_lsh" ->
+      ((s: SparkSession, _: String) => annTopK(s, clusteredCorpusDir(s), _ => true)),
     // The clustered-regime tier gates: the PRODUCTION search paths
     // (trained IVF quantizer, adaptive-bit multi-probe LSH, PQ ADC +
     // bounded rerank — same parameters as the fixture entries) run on
@@ -705,6 +707,7 @@ object Similarity {
     "sim_topk_brute" -> bruteForceTopKSql,
     "sim_topk_agg"   -> bruteForceTopKSql,
     "sim_topk_ann"   -> bruteForceTopKSql,
+    "sim_topk_ann_lsh"       -> clusteredBruteSql,
     "sim_topk_ivf_clustered" -> clusteredBruteSql,
     "sim_topk_lsh_clustered" -> clusteredBruteSql,
     "sim_topk_pq_clustered"  -> clusteredBruteSql,
