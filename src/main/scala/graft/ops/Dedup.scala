@@ -1514,27 +1514,56 @@ object Dedup {
                      n: Int = SubstringN): DataFrame =
     substringDedupDocs(Tables.documents(spark, dir), n)
 
+  /** (doc_id, pos, tok) token rows of a (doc_id, text) frame. */
+  private def substrToks(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+
+  /** Positioned length-`n` grams (doc_id, pos, gram) via the per-doc
+    * running window; null beyond the last full window, so short docs and
+    * tail positions produce no occurrence rows. */
+  private[graft] def substrGrams(documents: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wGram = wDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, n - 1)
+    substrToks(documents)
+      .withColumn("n_toks", count(lit(1)).over(wDoc))
+      .withColumn("gram", when(col("pos") <= col("n_toks") - n,
+        concat_ws(" ", collect_list(col("tok")).over(wGram))))
+      .filter(col("gram").isNotNull)
+      .select(col("doc_id"), col("pos"), col("gram"))
+  }
+
+  /** The shared coverage sweep + rebuild tail: a token at `pos` is
+    * removed iff some marked span starts in [pos−n+1, pos] (per-doc
+    * range-frame window — no interval explode), surviving tokens rejoin
+    * in order. `starts` = (doc_id, pos, is_start=1). */
+  private def substrCoverRebuild(toks: DataFrame, starts: DataFrame,
+                                 n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wCover = wDoc.orderBy(col("pos"))
+      .rangeBetween(-(n - 1).toLong, Window.currentRow)
+    toks
+      .join(starts, Seq("doc_id", "pos"), "left_outer")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        coalesce(col("is_start"), lit(0)).as("is_start"))
+      .withColumn("cov", max(col("is_start")).over(wCover) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cov").cast("long")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("cov"),
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"))
+  }
+
   /** Core of [[substringDedup]] over any (doc_id, text) frame — split out
     * so specs can plant known duplicated spans. */
   private[graft] def substringDedupDocs(documents: DataFrame,
                                         n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = documents
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val toks = docs
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val wGram = wDoc.orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, n - 1)
-    // positioned grams; null beyond the last full window so short docs
-    // and tail positions produce no occurrence rows
-    val withGram = toks
-      .withColumn("n_toks", count(lit(1)).over(wDoc))
-      .withColumn("gram", when(col("pos") <= col("n_toks") - n,
-        concat_ws(" ", collect_list(col("tok")).over(wGram))))
-    val occs = withGram.filter(col("gram").isNotNull)
-      .select(col("doc_id"), col("pos"), col("gram"),
-        xxhash64(col("gram")).as("g_dig"))
+    val occs = substrGrams(documents, n)
+      .withColumn("g_dig", xxhash64(col("gram")))
     // digest pre-filter: only digests seen twice can hold a duplicate
     val dupDigests = occs.groupBy(col("g_dig"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
@@ -1544,23 +1573,204 @@ object Dedup {
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("gram"))
     val starts = candOccs.join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
-    // coverage sweep: token at pos is removed iff some duplicated span
-    // starts in [pos-n+1, pos]
-    val wCover = wDoc.orderBy(col("pos"))
-      .rangeBetween(-(n - 1).toLong, Window.currentRow)
-    val covered = toks
-      .join(starts, Seq("doc_id", "pos"), "left_outer")
-      .select(col("doc_id"), col("pos"), col("tok"),
-        coalesce(col("is_start"), lit(0)).as("is_start"))
-      .withColumn("cov", max(col("is_start")).over(wCover) === 1)
-    covered.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("cov").cast("long")).as("n_removed"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(!col("cov"),
-            struct(col("pos"), col("tok"))))),
-          x => x.getField("tok"))).as("clean_text"))
+    substrCoverRebuild(substrToks(documents), starts, n)
       .orderBy(col("doc_id"))
+  }
+
+  /** INCREMENTAL substring dedup — the refresh path of the span tier
+    * (completes the incremental axis the repo establishes for the
+    * doc-level and near-dup tiers): history (doc_id < splitId) is
+    * summarized ONCE into three persisted artifacts, and a delta ingest
+    * pays cost ∝ delta grams + AFFECTED-history re-windowing, never a
+    * full-corpus re-gram. Returns the FULL corpus result, equal to a
+    * from-scratch recompute (the gate's claim — same oracle family as
+    * dedup_incr_jaccard).
+    *
+    * Duplication key: md5(gram) (128-bit) END TO END, for both the
+    * incremental and the oracle — the same "identical modulo md5
+    * collisions" contract [[exact]] documents. The batch operator's
+    * exact-confirm trick doesn't survive incrementality: confirming a
+    * delta gram against an UNAFFECTED history doc would need that doc's
+    * gram text, i.e. a corpus-sized string store; the 128-bit digest is
+    * the standard answer (and what the store ships: 16 B/gram).
+    *
+    * Artifacts (built once per (corpus, split)):
+    *  - `digdoc`: distinct (g_dig, doc_id) — which docs hold which
+    *    digests (affected-doc detection);
+    *  - `digcnt`: (g_dig, cnt) — history occurrence counts (global
+    *    duplication arithmetic without re-scanning text);
+    *  - `result`: the history-only dedup result (reused VERBATIM for
+    *    docs the delta cannot affect).
+    *
+    * Delta ingest: (1) window the delta docs' grams; (2) affected
+    * history docs = digdoc ⋉ delta digests (a doc's coverage can only
+    * change through a digest the delta carries); (3) re-window ONLY
+    * affected ∪ delta docs; (4) a gram occurrence is covered iff
+    * history cnt + delta cnt ≥ 2 for its digest; (5) recomputed rows ∪
+    * cached rows for everything else. Unaffectedness argument: a doc
+    * with no delta digest has identical global counts for every gram it
+    * holds, hence identical coverage. */
+  def substringIncremental(spark: SparkSession, dir: String,
+                           splitId: Long = 400, n: Int = SubstringN,
+                           deltaOnly: Boolean = false): DataFrame = {
+    val all = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val hist = all.filter(col("doc_id") < splitId)
+    val delta = all.filter(col("doc_id") >= splitId)
+    def artifact(kind: String)(build: String => Unit): DataFrame =
+      graft.tools.ArtifactCache.parquet(spark, dir,
+        s"sub_${kind}_s${splitId}_n$n")(build)
+    val digDoc = artifact("digdoc") { p =>
+      substrGrams(hist, n)
+        .select(md5(col("gram")).as("g_dig"), col("doc_id")).distinct()
+        .write.mode("overwrite").parquet(p)
+    }
+    val digCnt = artifact("digcnt") { p =>
+      substrGrams(hist, n)
+        .groupBy(md5(col("gram")).as("g_dig")).agg(count(lit(1)).as("hc"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val histResult = artifact("result") { p =>
+      substringDedupMd5Docs(hist, n).write.mode("overwrite").parquet(p)
+    }
+    val deltaOccs = substrGrams(delta, n)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g_dig"))
+      .localCheckpoint()
+    val deltaDigs = deltaOccs.select(col("g_dig")).distinct()
+      .localCheckpoint()
+    val affected = digDoc.join(deltaDigs, Seq("g_dig"), "left_semi")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val rDocs = hist.join(affected, Seq("doc_id"), "left_semi")
+      .unionByName(delta)
+    val rOccs = substrGrams(rDocs, n)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g_dig"))
+    val deltaCnt = deltaOccs.groupBy(col("g_dig"))
+      .agg(count(lit(1)).as("dc"))
+    val dupDigs = digCnt.join(deltaCnt, Seq("g_dig"), "full_outer")
+      .filter(coalesce(col("hc"), lit(0L)) + coalesce(col("dc"), lit(0L)) >= 2)
+      .select(col("g_dig"))
+    val starts = rOccs.join(dupDigs, Seq("g_dig"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+    val recomputed = substrCoverRebuild(substrToks(rDocs), starts, n)
+    val out =
+      if (deltaOnly) recomputed
+      else recomputed.unionByName(
+        histResult.join(affected, Seq("doc_id"), "left_anti"))
+    out.orderBy(col("doc_id"))
+  }
+
+  /** The md5-keyed batch form (no exact-confirm pass — see
+    * [[substringIncremental]]'s digest contract): the history-result
+    * artifact builder and the shape the incremental gate's oracle
+    * recomputes in full. */
+  private[graft] def substringDedupMd5Docs(documents: DataFrame,
+                                           n: Int): DataFrame = {
+    val occs = substrGrams(documents, n)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g_dig"))
+    val dupDigs = occs.groupBy(col("g_dig"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
+    val starts = occs.join(dupDigs, Seq("g_dig"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+    substrCoverRebuild(substrToks(documents), starts, n)
+  }
+
+  /** Full-recompute oracle of the incremental gate: substringSql with
+    * md5(gram) as the duplication key — equality with this IS the
+    * incremental claim (delta path ≡ rebuild). */
+  val substringIncrSql: String = {
+    val n = SubstringN
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id, s AS start,
+       |    md5(array_to_string(tk[s + 1 : s + $n], ' ')) AS g_dig
+       |  FROM base, unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS t(s)),
+       |dup AS (SELECT g_dig FROM occ GROUP BY g_dig HAVING COUNT(*) > 1),
+       |starts AS (SELECT o.doc_id, o.start FROM occ o JOIN dup USING (g_dig)),
+       |toks AS (
+       |  SELECT doc_id, p AS pos, tk[p + 1] AS tok
+       |  FROM base, unnest(range(0, len(tk))) AS t(p)),
+       |cov AS (
+       |  SELECT doc_id, pos, tok,
+       |    MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      RANGE BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) = 1 AS c
+       |  FROM (
+       |    SELECT t.doc_id, t.pos, t.tok,
+       |      CASE WHEN s.start IS NOT NULL THEN 1 ELSE 0 END AS is_start
+       |    FROM toks t LEFT JOIN starts s
+       |      ON s.doc_id = t.doc_id AND s.start = t.pos))
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(CASE WHEN NOT c THEN tok END, ' '
+       |    ORDER BY pos), '') AS clean_text
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** KEEP-FIRST substring dedup — the published method's actual
+    * retention rule (Lee et al. remove a duplicated substring from all
+    * but ONE of the documents): a duplicated gram's occurrence at the
+    * smallest (doc_id, pos) is RETAINED; only later occurrences mark
+    * coverage. Same machinery as [[substringDedup]] with one extra
+    * rank-over-gram window on the (tiny) duplicated-occurrence frame —
+    * the canonical-winner choice is deterministic, so the oracle
+    * reproduces it exactly. At scale the rank partitions by gram over
+    * the confirmed-duplicate occurrences only (≪ corpus). */
+  def substringDedupKeepFirst(spark: SparkSession, dir: String,
+                              n: Int = SubstringN): DataFrame =
+    substringDedupDocsKeepFirst(Tables.documents(spark, dir), n)
+
+  private[graft] def substringDedupDocsKeepFirst(documents: DataFrame,
+                                                 n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occs = substrGrams(documents, n)
+      .withColumn("g_dig", xxhash64(col("gram")))
+    val dupDigests = occs.groupBy(col("g_dig"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
+    val candOccs = occs.join(dupDigests, Seq("g_dig"), "left_semi")
+    val dupGrams = candOccs.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("gram"))
+    val wFirst = Window.partitionBy(col("gram"))
+      .orderBy(col("doc_id"), col("pos"))
+    val starts = candOccs.join(dupGrams, Seq("gram"), "left_semi")
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1) // the gram's first occurrence is retained
+      .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+    substrCoverRebuild(substrToks(documents), starts, n)
+      .orderBy(col("doc_id"))
+  }
+
+  val substringKeepFirstSql: String = {
+    val n = SubstringN
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id, s AS start,
+       |    array_to_string(tk[s + 1 : s + $n], ' ') AS gram
+       |  FROM base, unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS t(s)),
+       |dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) > 1),
+       |starts AS (
+       |  SELECT doc_id, start FROM (
+       |    SELECT o.doc_id, o.start,
+       |      ROW_NUMBER() OVER (PARTITION BY o.gram
+       |        ORDER BY o.doc_id, o.start) AS rn
+       |    FROM occ o JOIN dup USING (gram))
+       |  WHERE rn > 1),
+       |toks AS (
+       |  SELECT doc_id, p AS pos, tk[p + 1] AS tok
+       |  FROM base, unnest(range(0, len(tk))) AS t(p)),
+       |cov AS (
+       |  SELECT doc_id, pos, tok,
+       |    MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      RANGE BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) = 1 AS c
+       |  FROM (
+       |    SELECT t.doc_id, t.pos, t.tok,
+       |      CASE WHEN s.start IS NOT NULL THEN 1 ELSE 0 END AS is_start
+       |    FROM toks t LEFT JOIN starts s
+       |      ON s.doc_id = t.doc_id AND s.start = t.pos))
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(CASE WHEN NOT c THEN tok END, ' '
+       |    ORDER BY pos), '') AS clean_text
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB twin: same tokenizer, same positioned grams (list slice),
@@ -1598,6 +1808,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
+    "dedup_substring_keepfirst" -> ((s: SparkSession, d: String) => substringDedupKeepFirst(s, d)),
+    "dedup_incr_substring" -> ((s: SparkSession, d: String) => substringIncremental(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => incremental(s, d)),
     "dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "dedup_overlap_matrix" -> (overlapMatrix _),
@@ -1622,6 +1834,9 @@ object Dedup {
     * (SURVEY §5.5); jaccard + embedding-cosine are exact math → oracled. */
   val oracles: Map[String, String] = Map(
     "dedup_substring"   -> substringSql,
+    "dedup_substring_keepfirst" -> substringKeepFirstSql,
+    // the oracle IS the full recompute — equality is the incremental claim
+    "dedup_incr_substring" -> substringIncrSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_overlap_matrix" -> overlapMatrixSql,

@@ -418,6 +418,18 @@ object ScaleProbe {
       // full gram mass); bounded time here shows the sort/groupBy plan
       // carries even total-duplication corpora without an all-pairs term
       "dedup_substring"    -> (() => graft.ops.Dedup.substringDedup(spark, outDir).count()),
+      // incremental span-dedup recurring term: history artifacts build on
+      // the first call (*.build phases), then the delta ingest pays delta
+      // grams + AFFECTED-doc re-windowing (deltaOnly returns the
+      // recomputed frame — the recurring cost, comparable against
+      // dedup_substring's full pass above). Delta choice matters exactly
+      // as for dedup_incr_minhash: a refresh-shaped tail of the LAST
+      // replica (5% of base docs) keeps affected ≈ those base docs'
+      // replicas — a whole-replica delta would share spans with every
+      // replica and force a full recompute by construction.
+      "dedup_incr_substring" -> (() => graft.ops.Dedup.substringIncremental(
+        spark, outDir, splitId = nDocs * mult - nDocs / 20,
+        deltaOnly = true).count()),
       "dedup_fuzzy"        -> (() => graft.ops.Dedup.fuzzy(spark, outDir).count()),
       "dedup_incremental"  -> (() => graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count()),
       "dedup_minhash"      -> (() => graft.ops.Dedup.minhash(spark, outDir).count()),

@@ -65,6 +65,76 @@ class DedupSubstringSpec extends SparkSpec {
     assert(got(10L) == ((10L, 7L, "d1 d2 d3")))
   }
 
+  private def runKeepFirst(docs: Seq[(Long, String)],
+                           n: Int = 4): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    Dedup.substringDedupDocsKeepFirst(docs.toDF("doc_id", "text"), n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  test("keep-first: the canonical first occurrence survives, later " +
+      "occurrences are removed (Lee et al. retention rule)") {
+    // cross-doc: doc 1 (smaller id) keeps the span, doc 2 loses it
+    val got = runKeepFirst(Seq(
+      1L -> "a1 a2 s1 s2 s3 s4 s5 a3",
+      2L -> "b1 b2 s1 s2 s3 s4 s5 b3 b4"))
+    assert(got(1L) == ((8L, 0L, "a1 a2 s1 s2 s3 s4 s5 a3")))
+    assert(got(2L) == ((9L, 5L, "b1 b2 b3 b4")))
+    // within-doc: the first occurrence survives, the repeat goes
+    val got2 = runKeepFirst(Seq(3L -> "x1 x2 x3 x4 y x1 x2 x3 x4"))
+    assert(got2(3L) == ((9L, 4L, "x1 x2 x3 x4 y")))
+    // exact whole-doc duplicates: the lower doc_id survives intact
+    val got3 = runKeepFirst(Seq(4L -> "z1 z2 z3 z4", 5L -> "z1 z2 z3 z4"))
+    assert(got3(4L) == ((4L, 0L, "z1 z2 z3 z4")))
+    assert(got3(5L) == ((4L, 4L, "")))
+  }
+
+  test("incremental == full md5 recompute; only affected ∪ delta docs " +
+      "recompute") {
+    import spark.implicits._
+    val tmp = graft.tools.TempDirs.createFast("graft-subincr")
+    try {
+      // history 0..3: docs 0,2 share a span (already-duplicated in
+      // history); delta 400 shares a NEW span with history doc 1; delta
+      // 401 is clean. Affected history = {1} only.
+      val docs = Seq(
+        0L -> "p1 p2 p3 p4 a b c",
+        1L -> "q1 q2 h1 h2 h3 h4 q3",
+        2L -> "p1 p2 p3 p4 d e f",
+        3L -> "r1 r2 r3 r4 r5 r6",
+        400L -> "w1 h1 h2 h3 h4 w2 w3",
+        401L -> "u1 u2 u3 u4 u5 u6")
+        .toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+          "length(text) AS n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val n = 4
+      val full = graft.ops.Dedup
+        .substringDedupMd5Docs(docs.select($"doc_id", $"text"), n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val incr = graft.ops.Dedup
+        .substringIncremental(spark, tmp, splitId = 400L, n = n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(incr == full, "incremental must equal the full recompute")
+      // sanity on the semantics: history-internal dup still removed,
+      // the delta-shared span removed from BOTH sides of the split
+      assert(full(0L)._2 == 4L && full(2L)._2 == 4L)
+      assert(full(1L)._2 == 4L && full(400L)._2 == 4L)
+      assert(full(3L)._2 == 0L && full(401L)._2 == 0L)
+      // the recomputed (deltaOnly) frame covers exactly affected ∪ delta
+      val recomputed = graft.ops.Dedup
+        .substringIncremental(spark, tmp, splitId = 400L, n = n,
+          deltaOnly = true)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(recomputed == Set(1L, 400L, 401L),
+        s"recompute set must be affected ∪ delta, got $recomputed")
+    } finally graft.tools.TempDirs.deleteRecursively(tmp)
+  }
+
   test("fixture gate query: removal mass matches the oracle-computed rate " +
       "and output covers every tokenized doc") {
     val out = Dedup.substringDedup(spark, sf).localCheckpoint()
