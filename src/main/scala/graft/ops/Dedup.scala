@@ -1594,22 +1594,27 @@ object Dedup {
     * gram text, i.e. a corpus-sized string store; the 128-bit digest is
     * the standard answer (and what the store ships: 16 B/gram).
     *
-    * Artifacts (built once per (corpus, split)):
-    *  - `digdoc`: distinct (g_dig, doc_id) — which docs hold which
-    *    digests (affected-doc detection);
-    *  - `digcnt`: (g_dig, cnt) — history occurrence counts (global
-    *    duplication arithmetic without re-scanning text);
-    *  - `result`: the history-only dedup result (reused VERBATIM for
-    *    docs the delta cannot affect).
+    * Artifacts (built once per (corpus, split); the expensive gram
+    * WINDOW pass over history runs exactly once — everything else
+    * derives from its output):
+    *  - `occs`: positioned (g_dig, doc_id, pos) history gram digests
+    *    (16 B + position per gram — the store the delta path prunes);
+    *  - `digcnt`: (g_dig, cnt) aggregated from occs (global duplication
+    *    arithmetic without re-scanning text);
+    *  - `result`: the history-only dedup result, derived from occs +
+    *    one narrow re-tokenize (reused VERBATIM for docs the delta
+    *    cannot affect).
     *
-    * Delta ingest: (1) window the delta docs' grams; (2) affected
-    * history docs = digdoc ⋉ delta digests (a doc's coverage can only
-    * change through a digest the delta carries); (3) re-window ONLY
-    * affected ∪ delta docs; (4) a gram occurrence is covered iff
-    * history cnt + delta cnt ≥ 2 for its digest; (5) recomputed rows ∪
-    * cached rows for everything else. Unaffectedness argument: a doc
-    * with no delta digest has identical global counts for every gram it
-    * holds, hence identical coverage. */
+    * Delta ingest: (1) window the delta docs' grams (the only window
+    * work); (2) affected history docs = occs ⋉ delta digests (a doc's
+    * coverage can only change through a digest the delta carries);
+    * (3) affected docs' occurrences come FROM THE STORE — history text
+    * is re-tokenized (narrow posexplode) only for the rebuild, never
+    * re-windowed; (4) a gram occurrence is covered iff history cnt +
+    * delta cnt ≥ 2 for its digest; (5) recomputed rows ∪ cached rows
+    * for everything else. Unaffectedness argument: a doc with no delta
+    * digest has identical global counts for every gram it holds, hence
+    * identical coverage. */
   def substringIncremental(spark: SparkSession, dir: String,
                            splitId: Long = 400, n: Int = SubstringN,
                            deltaOnly: Boolean = false): DataFrame = {
@@ -1619,30 +1624,34 @@ object Dedup {
     def artifact(kind: String)(build: String => Unit): DataFrame =
       graft.tools.ArtifactCache.parquet(spark, dir,
         s"sub_${kind}_s${splitId}_n$n")(build)
-    val digDoc = artifact("digdoc") { p =>
+    val occsArt = artifact("occs") { p =>
       substrGrams(hist, n)
-        .select(md5(col("gram")).as("g_dig"), col("doc_id")).distinct()
+        .select(md5(col("gram")).as("g_dig"), col("doc_id"), col("pos"))
         .write.mode("overwrite").parquet(p)
     }
     val digCnt = artifact("digcnt") { p =>
-      substrGrams(hist, n)
-        .groupBy(md5(col("gram")).as("g_dig")).agg(count(lit(1)).as("hc"))
+      occsArt.groupBy(col("g_dig")).agg(count(lit(1)).as("hc"))
         .write.mode("overwrite").parquet(p)
     }
     val histResult = artifact("result") { p =>
-      substringDedupMd5Docs(hist, n).write.mode("overwrite").parquet(p)
+      val dup = occsArt.groupBy(col("g_dig"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
+      val st = occsArt.join(dup, Seq("g_dig"), "left_semi")
+        .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+      substrCoverRebuild(substrToks(hist), st, n)
+        .write.mode("overwrite").parquet(p)
     }
     val deltaOccs = substrGrams(delta, n)
       .select(col("doc_id"), col("pos"), md5(col("gram")).as("g_dig"))
       .localCheckpoint()
     val deltaDigs = deltaOccs.select(col("g_dig")).distinct()
       .localCheckpoint()
-    val affected = digDoc.join(deltaDigs, Seq("g_dig"), "left_semi")
+    val affected = occsArt.join(deltaDigs, Seq("g_dig"), "left_semi")
       .select(col("doc_id")).distinct().localCheckpoint()
-    val rDocs = hist.join(affected, Seq("doc_id"), "left_semi")
-      .unionByName(delta)
-    val rOccs = substrGrams(rDocs, n)
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g_dig"))
+    // affected docs' positioned occurrences come from the store; only
+    // the delta's were windowed this call
+    val rOccs = occsArt.join(affected, Seq("doc_id"), "left_semi")
+      .unionByName(deltaOccs.select(col("g_dig"), col("doc_id"), col("pos")))
     val deltaCnt = deltaOccs.groupBy(col("g_dig"))
       .agg(count(lit(1)).as("dc"))
     val dupDigs = digCnt.join(deltaCnt, Seq("g_dig"), "full_outer")
@@ -1650,6 +1659,8 @@ object Dedup {
       .select(col("g_dig"))
     val starts = rOccs.join(dupDigs, Seq("g_dig"), "left_semi")
       .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+    val rDocs = hist.join(affected, Seq("doc_id"), "left_semi")
+      .unionByName(delta)
     val recomputed = substrCoverRebuild(substrToks(rDocs), starts, n)
     val out =
       if (deltaOnly) recomputed
