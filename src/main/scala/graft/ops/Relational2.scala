@@ -1964,6 +1964,79 @@ object Relational2 {
       |FROM q LEFT JOIN s USING (user_id)
       |ORDER BY q.user_id""".stripMargin
 
+  /** SPARSE-TRAFFIC TOUCHED-PARTITION gate for the partitioned CDC state
+    * (q96's pruning claim, oracle-visible): the q97 layout gate runs
+    * UNIFORM batches, where touched == total partitions by construction
+    * (the honest pole); the 100× probes show key-local traffic touching
+    * few partitions, but only as probe numbers. This gate makes the
+    * pruning itself hash-checked: boundaries are pre-frozen UNIFORM
+    * (`RangeState.freezeUniform` — integer arithmetic the oracle
+    * reproduces exactly, where the quantile-derived default could not
+    * be), batches are contiguous key-range slices (batch k = users with
+    * (user_id − lo) div width = k), and per epoch the gate emits the
+    * partitions that ACTUALLY hold a delta file (observed from the
+    * state tree, compaction disabled so nothing is folded away) beside
+    * the cumulative partition count, delta rows, and state rows. The
+    * oracle recomputes every column from raw events via the same bucket
+    * arithmetic — if routing ever sprayed a key-local batch across the
+    * table (e.g. a hash-bucketing regression), touched_parts breaks
+    * bitwise. `epochs`/`numPartitions` are COUPLED to q101Sql's 4/8. */
+  def q101SparseTouch(spark: SparkSession, dir: String, epochs: Int = 4,
+                      numPartitions: Int = 8): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q101")
+    try {
+      val statePath = s"$base/state"
+      val policy = CdcUpsert.Partitioned(numPartitions, maxDeltas = 0)
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .localCheckpoint()
+      val mm = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      graft.tools.RangeState.freezeUniform(statePath, hi, numPartitions)
+      val width = (hi - lo) / epochs + 1
+      val stats = (0 until epochs).map { k =>
+        val batch = ev.filter(expr(s"(user_id - $lo) div $width") === k)
+        CdcUpsert.applyBatch(batch, k, statePath, policy)
+        val dirs = graft.tools.RangeState.partDirs(statePath)
+        val touched = dirs.count(p =>
+          new java.io.File(s"$p/delta/v$k").isDirectory).toLong
+        val written = CdcUpsert.rowsWrittenAt(spark, statePath, k, policy)
+        val stateRows = CdcUpsert.stateAsOf(spark, statePath, k, policy)
+          .map(_.count()).getOrElse(0L)
+        (k.toLong, touched, dirs.size.toLong, written, stateRows)
+      }
+      import spark.implicits._
+      stats.toDF("epoch", "touched_parts", "total_parts", "delta_rows",
+          "state_rows")
+        .orderBy(col("epoch"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Uniform-boundary bucket arithmetic mirrored exactly: span =
+    * GREATEST(1, MAX(user_id)); boundaries = distinct positive
+    * i·span // 8; bucket(u) = boundaries ≤ u. Key-local batches touch
+    * ~2 of 8 partitions — the contrast with q97's uniform pole, now in
+    * the hash. */
+  val q101Sql: String =
+    """WITH sp AS (SELECT GREATEST(1, MAX(user_id)) AS span FROM events),
+      |mm AS (SELECT MIN(user_id) AS lo, MAX(user_id) AS hi FROM events),
+      |bnd AS (SELECT DISTINCT (i * span) // 8 AS bd
+      |        FROM range(1, 8) t(i), sp WHERE (i * span) // 8 > 0),
+      |u AS (SELECT user_id,
+      |        (user_id - lo) // ((hi - lo) // 4 + 1) AS epoch,
+      |        (SELECT COUNT(*) FROM bnd WHERE bd <= user_id) AS bucket
+      |      FROM (SELECT DISTINCT user_id FROM events), mm),
+      |e AS (SELECT range AS epoch FROM range(0, 4))
+      |SELECT e.epoch,
+      |  (SELECT COUNT(DISTINCT bucket) FROM u WHERE u.epoch = e.epoch)
+      |    AS touched_parts,
+      |  (SELECT COUNT(DISTINCT bucket) FROM u WHERE u.epoch <= e.epoch)
+      |    AS total_parts,
+      |  (SELECT COUNT(*) FROM u WHERE u.epoch = e.epoch) AS delta_rows,
+      |  (SELECT COUNT(*) FROM u WHERE u.epoch <= e.epoch) AS state_rows
+      |FROM e ORDER BY epoch""".stripMargin
+
   /** CSV source round-trip with explicit schema: documents written as
     * quoted CSV (texts contain commas/quotes in the general case), read
     * back with the schema declared — never inferred: at 100 TB schema
@@ -2079,6 +2152,7 @@ object Relational2 {
     "q98_point_lookup"    -> ((s: SparkSession, d: String) => q98PointLookup(s, d)),
     "q99_secondary_index" -> ((s: SparkSession, d: String) => q99SecondaryIndex(s, d)),
     "q100_late_quarantine" -> ((s: SparkSession, d: String) => q100LateQuarantine(s, d)),
+    "q101_sparse_touch" -> ((s: SparkSession, d: String) => q101SparseTouch(s, d)),
     "q90_csv_roundtrip"   -> (q90CsvRoundtrip _),
     "q91_schema_evolution" -> (q91SchemaEvolution _),
     "q92_orc_roundtrip"   -> (q92OrcRoundtrip _),
@@ -2137,6 +2211,7 @@ object Relational2 {
     "q98_point_lookup"    -> q98Sql,
     "q99_secondary_index" -> q99Sql,
     "q100_late_quarantine" -> q100Sql,
+    "q101_sparse_touch" -> q101Sql,
     "q90_csv_roundtrip"   -> q90Sql,
     "q91_schema_evolution" -> q91Sql,
     "q92_orc_roundtrip"   -> q92Sql,
