@@ -1716,6 +1716,146 @@ object Dedup {
        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming substring dedup (the span tier's ingest-time form)
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch of STREAMING substring dedup — the span tier's
+    * ingest-time form, completing the axis the doc-level and near-dup
+    * tiers already have (dedup_stream_minhash). State under `statePath`
+    * is three [[graft.tools.LogState]] logs:
+    *
+    *  - `occs`  — positioned (g_dig, doc_id, pos) md5 gram digests,
+    *    append-only (identity fold);
+    *  - `docs`  — (doc_id, text), append-only — the stream owns its
+    *    corpus snapshot (affected-doc rebuilds re-read text from here,
+    *    never from an upstream source that may have moved on);
+    *  - `results` — per-doc output rows stamped with their epoch,
+    *    latest-wins fold: a recompute at a later epoch supersedes.
+    *
+    * Per batch: gram the batch (the only window work), find AFFECTED
+    * history docs (occs-as-of epoch−1 ⋉ batch digests — a doc's
+    * coverage can only change through a digest the batch carries),
+    * recompute affected ∪ batch docs against global digest counts
+    * (history + batch), and append the three epoch-keyed deltas.
+    * INVARIANT (the gate's claim): after every epoch the folded results
+    * equal the full md5 recompute over all docs ingested so far — the
+    * same unaffectedness argument as [[substringIncremental]], applied
+    * inductively. Replay-safe: every write is an epoch-keyed overwrite
+    * derived from the batch plus state strictly older than the epoch;
+    * [[graft.tools.LogState]] guards/GC do the rest. Cost note
+    * (honest): beside the O(batch) window work, each epoch pays a
+    * columnar scan of the digest state for affected detection and
+    * counts — 16 B/gram, no text, no window; compaction bounds reader
+    * fan-in. */
+  def substringStreamApplyBatch(batch: DataFrame, epoch: Long,
+                                statePath: String, n: Int = SubstringN,
+                                compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    val roots = Seq("occs", "docs", "results").map(r => s"$statePath/$r")
+    roots.foreach(graft.tools.LogState.requireNoFuture(_, epoch))
+    val batchDocs = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val batchOccs = substrGrams(batchDocs, n)
+      .select(md5(col("gram")).as("g_dig"), col("doc_id"), col("pos"))
+      .localCheckpoint()
+    val histOccPaths = graft.tools.LogState.pathsAsOf(s"$statePath/occs",
+      epoch - 1)
+    val histOccs =
+      if (histOccPaths.isEmpty) batchOccs.limit(0)
+      else sp.read.parquet(histOccPaths: _*)
+    val affected = histOccs
+      .join(batchOccs.select(col("g_dig")).distinct(), Seq("g_dig"), "left_semi")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val allOccs = histOccs.unionByName(batchOccs)
+    val rIds = affected.unionByName(batchDocs.select(col("doc_id"))).distinct()
+    val rOccs = allOccs.join(rIds, Seq("doc_id"), "left_semi")
+    val dupDigs = allOccs
+      .join(rOccs.select(col("g_dig")).distinct(), Seq("g_dig"), "left_semi")
+      .groupBy(col("g_dig")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g_dig"))
+    val starts = rOccs.join(dupDigs, Seq("g_dig"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+    val histDocPaths = graft.tools.LogState.pathsAsOf(s"$statePath/docs",
+      epoch - 1)
+    val affectedDocs =
+      if (histDocPaths.isEmpty) batchDocs.limit(0)
+      else sp.read.parquet(histDocPaths: _*)
+        .join(affected, Seq("doc_id"), "left_semi")
+    val rDocs = affectedDocs.unionByName(batchDocs)
+    val recomputed = substrCoverRebuild(substrToks(rDocs), starts, n)
+      .withColumn("epoch", lit(epoch))
+    batchOccs.write.mode("overwrite")
+      .parquet(s"$statePath/occs/delta/v$epoch")
+    batchDocs.write.mode("overwrite")
+      .parquet(s"$statePath/docs/delta/v$epoch")
+    recomputed.write.mode("overwrite")
+      .parquet(s"$statePath/results/delta/v$epoch")
+    // append-only logs fold by identity; results by latest-wins
+    graft.tools.LogState.maintain(sp,
+      Seq(s"$statePath/occs", s"$statePath/docs"), epoch,
+      compactEvery)(identity)
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/results"), epoch,
+      compactEvery)(substringResultsFold)
+  }
+
+  /** Latest-wins fold of the streaming results log (epoch leads the
+    * struct ordering; one row per (doc, epoch) by construction). */
+  private def substringResultsFold(df: DataFrame): DataFrame =
+    df.groupBy(col("doc_id"))
+      .agg(max(struct(col("epoch"), col("n_tokens"), col("n_removed"),
+        col("clean_text"))).as("m"))
+      .select(col("doc_id"), col("m.epoch").as("epoch"),
+        col("m.n_tokens").as("n_tokens"),
+        col("m.n_removed").as("n_removed"),
+        col("m.clean_text").as("clean_text"))
+
+  /** Folded streaming-results view as of `upTo`; None before the first
+    * batch lands. */
+  def substringStreamState(sp: SparkSession, statePath: String,
+                           upTo: Long): Option[DataFrame] = {
+    val paths = graft.tools.LogState.pathsAsOf(s"$statePath/results", upTo)
+    if (paths.isEmpty) None
+    else Some(substringResultsFold(sp.read.parquet(paths: _*)))
+  }
+
+  /** STREAMING substring dedup through the HASH GATE: deterministic
+    * epoch batches (pmod(doc_id, epochs), applied in order — every doc
+    * ingested exactly once) drive [[substringStreamApplyBatch]] with
+    * compaction live underneath, then the folded state is read back —
+    * it must equal the FULL md5 recompute over the corpus
+    * (substringIncrSql, the same oracle as the incremental form): a
+    * missed affected-doc recompute, a stale superseded row, or a
+    * coverage drift anywhere in the log protocol breaks the hash. */
+  def substringStream(spark: SparkSession, dir: String,
+                      epochs: Int = 4, byRange: Boolean = false): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-substream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      // pmod batches (the gate): worst-case cross-epoch affectedness.
+      // byRange (probes): contiguous id slices — the id-local ingest
+      // regime where affected sets stay near the batch's own range.
+      val batchOf: Int => DataFrame =
+        if (byRange) {
+          val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val width = (hi - lo) / epochs + 1
+          k => all.filter(expr(s"(doc_id - $lo) div $width") === k)
+        } else
+          k => all.filter(pmod(col("doc_id"), lit(epochs)) === k)
+      (0 until epochs).foreach { k =>
+        substringStreamApplyBatch(batchOf(k), k, statePath, compactEvery = 2)
+      }
+      substringStreamState(spark, statePath, epochs - 1)
+        .getOrElse(sys.error("substring stream: no state"))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"))
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** KEEP-FIRST substring dedup — the published method's actual
     * retention rule (Lee et al. remove a duplicated substring from all
     * but ONE of the documents): a duplicated gram's occurrence at the
@@ -1821,6 +1961,7 @@ object Dedup {
     "dedup_substring" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
     "dedup_substring_keepfirst" -> ((s: SparkSession, d: String) => substringDedupKeepFirst(s, d)),
     "dedup_incr_substring" -> ((s: SparkSession, d: String) => substringIncremental(s, d)),
+    "dedup_stream_substring" -> ((s: SparkSession, d: String) => substringStream(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => incremental(s, d)),
     "dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "dedup_overlap_matrix" -> (overlapMatrix _),
@@ -1848,6 +1989,7 @@ object Dedup {
     "dedup_substring_keepfirst" -> substringKeepFirstSql,
     // the oracle IS the full recompute — equality is the incremental claim
     "dedup_incr_substring" -> substringIncrSql,
+    "dedup_stream_substring" -> substringIncrSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_overlap_matrix" -> overlapMatrixSql,

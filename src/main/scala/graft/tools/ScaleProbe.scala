@@ -309,11 +309,18 @@ object ScaleProbe {
         graft.ops.Dedup.minhashStream(spark, ildir, chunks = 16).count()
       }
       pruneReport("idlocal ")
+      // streaming SPAN dedup on the same id-local corpus: contiguous-id
+      // batches keep each epoch's affected set inside its own cluster
+      // range — per-epoch cost should stay flat as the occs log grows
+      val localSub = time("dedup_stream_substring") {
+        graft.ops.Dedup.substringStream(spark, ildir, epochs = 8,
+          byRange = true).count()
+      }
       val replica = time("dedup_stream_replica16") {
         graft.ops.Dedup.minhashStream(spark, outDir, chunks = 16).count()
       }
       pruneReport("replica ")
-      Seq(local, replica)
+      Seq(local, localSub, replica)
     }
 
     // ---- Dominant-stratum corpus probe (round-10 VERDICT ask): the

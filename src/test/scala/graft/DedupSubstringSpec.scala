@@ -135,6 +135,51 @@ class DedupSubstringSpec extends SparkSpec {
     } finally graft.tools.TempDirs.deleteRecursively(tmp)
   }
 
+  test("streaming: prefix invariant (state after every epoch == full " +
+      "recompute over ingested docs), cross-epoch span retro-covers, " +
+      "replay idempotent") {
+    import spark.implicits._
+    val statePath = TempDirsSpecHelper.fresh("graft-substream-spec")
+    try {
+      val n = 4
+      def b(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      def state(): Map[Long, (Long, Long, String)] =
+        graft.ops.Dedup.substringStreamState(spark, statePath, Long.MaxValue)
+          .get.collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      // epoch 0: doc 1 carries span S, nothing duplicated yet
+      graft.ops.Dedup.substringStreamApplyBatch(
+        b(1L -> "a1 a2 s1 s2 s3 s4 a3"), 0L, statePath, n, compactEvery = 2)
+      assert(state()(1L) == ((7L, 0L, "a1 a2 s1 s2 s3 s4 a3")))
+      // epoch 1: doc 2 repeats S — doc 1 must be RETRO-covered
+      graft.ops.Dedup.substringStreamApplyBatch(
+        b(2L -> "b1 s1 s2 s3 s4 b2"), 1L, statePath, n, compactEvery = 2)
+      val s1 = state()
+      assert(s1(1L) == ((7L, 4L, "a1 a2 a3")),
+        "history doc must be retro-covered when a later batch repeats its span")
+      assert(s1(2L) == ((6L, 4L, "b1 b2")))
+      // epoch 2: unrelated doc — earlier rows untouched
+      graft.ops.Dedup.substringStreamApplyBatch(
+        b(3L -> "c1 c2 c3 c4 c5"), 2L, statePath, n, compactEvery = 2)
+      val s2 = state()
+      assert(s2(1L) == s1(1L) && s2(2L) == s1(2L))
+      assert(s2(3L) == ((5L, 0L, "c1 c2 c3 c4 c5")))
+      // at-least-once replay of the LAST epoch: identical state
+      graft.ops.Dedup.substringStreamApplyBatch(
+        b(3L -> "c1 c2 c3 c4 c5"), 2L, statePath, n, compactEvery = 2)
+      assert(state() == s2, "replayed epoch must rewrite identical state")
+      // full-recompute equality over everything ingested
+      val full = graft.ops.Dedup.substringDedupMd5Docs(
+        b(1L -> "a1 a2 s1 s2 s3 s4 a3", 2L -> "b1 s1 s2 s3 s4 b2",
+          3L -> "c1 c2 c3 c4 c5"), n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(state() == full)
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("fixture gate query: removal mass matches the oracle-computed rate " +
       "and output covers every tokenized doc") {
     val out = Dedup.substringDedup(spark, sf).localCheckpoint()
