@@ -333,6 +333,22 @@ object CdcUpsert {
     else None
   }
 
+  /** Newest watermark at or below `epoch` — empty epochs write no file
+    * (see [[applyBatchWithLateness]]), so the effective wm(k) for a
+    * skipped epoch is wm of the last non-empty epoch before it, the
+    * Structured Streaming rule that the watermark persists across empty
+    * batches. None before any write. */
+  private[graft] def readWatermarkAsOf(statePath: String,
+                                       epoch: Long): Option[Long] = {
+    val dir = java.nio.file.Paths.get(statePath, "_wm")
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val versions = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(_ <= epoch)
+    if (versions.isEmpty) None
+    else readWatermark(statePath, versions.max)
+  }
+
   /** [[applyBatch]] with an EVENT-TIME lateness bound — the disordered-
     * replay tolerance the epoch-monotone apply loop lacks on its own
     * (VERDICT r10 #7). Structured Streaming semantics: the watermark
@@ -358,7 +374,7 @@ object CdcUpsert {
                              statePath: String, policy: Policy,
                              latenessMicros: Long): Unit = {
     val tsUs = unix_micros(col("ts"))
-    val wmPrev = readWatermark(statePath, epoch - 1)
+    val wmPrev = readWatermarkAsOf(statePath, epoch - 1)
     val late = wmPrev match {
       case Some(w) => batch.filter(tsUs < lit(w))
       case None    => batch.limit(0)
@@ -372,16 +388,23 @@ object CdcUpsert {
     applyBatch(onTime, epoch, statePath, policy)
     val mxRow = batch.agg(max(tsUs)).head()
     val mx = if (mxRow.isNullAt(0)) None else Some(mxRow.getLong(0))
-    val newWm = math.max(wmPrev.getOrElse(Long.MinValue),
-      mx.map(_ - latenessMicros).getOrElse(Long.MinValue))
-    val f = wmFile(statePath, epoch)
-    java.nio.file.Files.createDirectories(f.getParent)
-    val tmp = java.nio.file.Paths.get(f.getParent.toString,
-      s"v$epoch.tmp")
-    java.nio.file.Files.write(tmp,
-      newWm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // An EMPTY batch writes no watermark file: wm(k) = wm(k-1) by the
+    // walk-back read above (and an empty FIRST batch leaves no
+    // Long.MinValue sentinel on disk). This mirrors the oracle's dense
+    // running-max CTE, where an epoch with no rows contributes nothing
+    // but the prior max carries forward (ADVICE r11).
+    mx.foreach { m =>
+      val newWm = math.max(wmPrev.getOrElse(Long.MinValue),
+        m - latenessMicros)
+      val f = wmFile(statePath, epoch)
+      java.nio.file.Files.createDirectories(f.getParent)
+      val tmp = java.nio.file.Paths.get(f.getParent.toString,
+        s"v$epoch.tmp")
+      java.nio.file.Files.write(tmp,
+        newWm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** All quarantined rows through epoch `upTo`, with their quarantine

@@ -1932,18 +1932,23 @@ object Relational2 {
   /** Watermark recurrence in SQL: wm(k) = running-max(per-epoch max ts)
     * − lateness; late iff ts < wm(epoch−1) (epoch 0 has none). State =
     * on-time rows only, latest by (ts, event_id) DESC — the fold's
-    * struct-max order. */
+    * struct-max order. The watermark CTE is DENSE over range(0, epochs)
+    * (ADVICE r11): an epoch with no rows contributes a NULL max that the
+    * running MAX ignores, so the prior watermark carries forward across
+    * empty epochs exactly as the Scala side's walk-back read does —
+    * unreachable with this fixture's pmod split, but the two recurrences
+    * now agree for any batch partitioning. */
   val q100Sql: String =
     """WITH e AS (
       |  SELECT ((event_id % 4) + 4) % 4 AS epoch, event_id, user_id,
       |    epoch_us(ts) AS ts_us, event_type, value
       |  FROM events),
       |m AS (SELECT epoch, MAX(ts_us) AS mx FROM e GROUP BY epoch),
-      |w AS (SELECT epoch,
-      |        MAX(mx) OVER (ORDER BY epoch
+      |w AS (SELECT g.epoch,
+      |        MAX(m.mx) OVER (ORDER BY g.epoch
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |          - 2332800000000 AS wm
-      |      FROM m),
+      |      FROM range(0, 4) g(epoch) LEFT JOIN m ON m.epoch = g.epoch),
       |lt AS (
       |  SELECT e.*, CASE WHEN p.wm IS NOT NULL AND e.ts_us < p.wm
       |              THEN 1 ELSE 0 END AS late

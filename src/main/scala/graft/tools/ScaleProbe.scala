@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   * JSON summary; results belong in NOTES.md's scale-probe table.
   */
 object ScaleProbe {
+
+  /** Vocabulary-rich documents dir for the BPE probe arms, derived from
+    * the probe corpus: each document's text is rewritten as its adjacent
+    * token pairs COMPOUNDED ("spark window" → "sparkwindow ..."), lifting
+    * the vocabulary from ~90 types to ~8k so production merge counts
+    * (512) have material to learn from. Deterministic; built once per
+    * probe dir. */
+  private def bpeRichCorpus(spark: SparkSession, outDir: String): String = {
+    val bdir = s"$outDir/bpe_docs"
+    if (!new java.io.File(s"$bdir/documents.parquet/_SUCCESS").exists()) {
+      spark.read.parquet(s"$outDir/documents.parquet")
+        .withColumn("toks",
+          expr("filter(split(text, ' '), t -> t != '')"))
+        .filter(expr("size(toks) >= 2"))
+        .select(col("doc_id"),
+          expr("array_join(transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(toks[i-1], toks[i])), ' ')").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$bdir/documents.parquet")
+    }
+    bdir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).flatMap(_.toIntOption).getOrElse(20)
@@ -470,6 +493,37 @@ object ScaleProbe {
       // shingle mass (per-shingle fan-out ≤ |sources| = 20 here)
       "dedup_overlap_matrix" -> (() => graft.ops.Dedup.overlapMatrix(spark, outDir).count()),
       "corpus_mix"         -> (() => graft.ops.Corpus.mixWeights(spark, outDir).count()),
+      // BPE training at a production-shaped merge count (VERDICT r11 #1).
+      // The replica corpus's ~90-type vocabulary exhausts after ~173
+      // merges, so the BPE arms train on a DERIVED vocabulary-rich corpus
+      // (adjacent tokens compounded → ~8k word types) built from the
+      // probe documents. corpus_bpe512 takes the fits-the-driver path:
+      // ONE distributed type-table build + O(1) driver actions for all
+      // 512 merges (phases bpe_collect / bpe_train_local; the
+      // spark_rounds print is the jobs ≪ merges evidence).
+      "corpus_bpe512"      -> (() => {
+        val bdir = bpeRichCorpus(spark, outDir)
+        RoutingMetrics.drain()
+        val (mt, _) = graft.ops.Corpus.bpeTrainUncached(spark, bdir,
+          merges = 512)
+        val n = mt.count()
+        RoutingMetrics.drain().get("bpe_spark_rounds").foreach(r =>
+          println(s"probe   corpus_bpe512 spark_rounds=$r merges=$n"))
+        n
+      }),
+      // the OVER-BUDGET fallback on the same corpus: distributed rounds
+      // shipping provably-sequential commuting batches — round-trips
+      // must come out well under one per merge
+      "corpus_bpe_dist"    -> (() => {
+        val bdir = bpeRichCorpus(spark, outDir)
+        RoutingMetrics.drain()
+        val (mt, _) = graft.ops.Corpus.bpeTrainUncached(spark, bdir,
+          merges = 96, localTypeBudget = 0L)
+        val n = mt.count()
+        RoutingMetrics.drain().get("bpe_spark_rounds").foreach(r =>
+          println(s"probe   corpus_bpe_dist spark_rounds=$r merges=$n"))
+        n
+      }),
       // forced pathological block: EVERY probe document lands in one
       // (lang, source, len_bucket) block — the shape that would hang the
       // unguarded O(block²) self-join; bounded time here IS the guard's

@@ -48,6 +48,88 @@ class BpeSpec extends SparkSpec {
     } finally graft.tools.TempDirs.deleteRecursively(tmp)
   }
 
+  test("selectCommutingBatch: disjointness, threat bound, vocab-collision " +
+      "stop, and the head-row fallback") {
+    def sel(rows: Seq[(String, String, Long)], cap: Int = 64,
+            whole: Boolean = true, ex: Set[String] = Set("</w>")) =
+      Corpus.selectCommutingBatch(rows, cap, whole, ex)
+    // fully disjoint table → whole table batches
+    assert(sel(Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 5L)))
+      == Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 5L)))
+    // row 3 shares 'b' with row 1 → threat = 6; row 2 (c=7 > 6) survives,
+    // and nothing at or below the threat count is kept
+    assert(sel(Seq(("a", "b", 9L), ("c", "d", 7L), ("b", "x", 6L),
+      ("y", "z", 6L))) == Seq(("a", "b", 9L), ("c", "d", 7L)))
+    // threat TIES the second row's count → second row dropped (a new pair
+    // could tie it and win the (l, r) tie-break)
+    assert(sel(Seq(("a", "b", 9L), ("c", "d", 6L), ("b", "x", 6L)))
+      == Seq(("a", "b", 9L)))
+    // threat ties the TOP count → fallback to the plain sequential argmax
+    assert(sel(Seq(("a", "b", 9L), ("b", "x", 9L), ("c", "d", 7L)))
+      == Seq(("a", "b", 9L)))
+    // merged-string reuse: row 2 would recreate symbol "ab" → stop there
+    assert(sel(Seq(("x", "y", 9L), ("a", "b", 7L), ("c", "d", 5L)),
+      ex = Set("</w>", "ab")) == Seq(("x", "y", 9L)))
+    // within-batch merged-string collision: ("a","bc") then ("ab","c")
+    // both make "abc" → second stops the scan
+    assert(sel(Seq(("a", "bc", 9L), ("ab", "c", 7L), ("x", "y", 5L)))
+      == Seq(("a", "bc", 9L)))
+    // truncated window (sawWholeTable=false): last row's count bounds the
+    // unseen tail → members must be strictly above it
+    assert(sel(Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 7L)),
+      whole = false) == Seq(("a", "b", 9L)))
+    // cap stops selection but the threat scan keeps going: row 3 shares
+    // with row 1 → threat 6 → both capped members survive (counts > 6)
+    assert(sel(Seq(("a", "b", 9L), ("c", "d", 7L), ("e", "f", 7L),
+      ("b", "x", 6L)), cap = 2) == Seq(("a", "b", 9L), ("c", "d", 7L)))
+  }
+
+  test("batched training equals one-rule-per-round training rule for rule " +
+      "(VERDICT r12 #1: the batch is a provably-sequential prefix)") {
+    // 48 merges over the fixture corpus exercises plenty of interactions
+    // (shared 'e'/'t'/'</w>' symbols dominate the top pairs);
+    // localTypeBudget = 0 forces the DISTRIBUTED loop in both arms
+    def mt(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    graft.tools.RoutingMetrics.drain() // leftovers from earlier suites
+    val seqT = mt(Corpus.bpeTrainUncached(spark, sf, merges = 48,
+      maxBatch = 1, localTypeBudget = 0L)._1)
+    val rm0 = graft.tools.RoutingMetrics.drain()
+    val batT = mt(Corpus.bpeTrainUncached(spark, sf, merges = 48,
+      maxBatch = 64, localTypeBudget = 0L)._1)
+    val rm1 = graft.tools.RoutingMetrics.drain()
+    assert(seqT == batT, "batched merge table must be bitwise sequential")
+    assert(seqT.size == 48)
+    val seqRounds = rm0.getOrElse("bpe_spark_rounds", 0L)
+    val batRounds = rm1.getOrElse("bpe_spark_rounds", 0L)
+    assert(batRounds < seqRounds,
+      s"batching must cut driver round-trips ($batRounds vs $seqRounds)")
+  }
+
+  test("in-memory training (the fits-the-driver path) equals the " +
+      "distributed loop bitwise: merge table AND final word symbols") {
+    import org.apache.spark.sql.functions.col
+    graft.tools.RoutingMetrics.drain()
+    val (dmt, dw) = Corpus.bpeTrainUncached(spark, sf, merges = 48,
+      maxBatch = 1, localTypeBudget = 0L)
+    val (lmt, lw) = Corpus.bpeTrainUncached(spark, sf, merges = 48)
+    val rm = graft.tools.RoutingMetrics.drain()
+    def mt(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(mt(dmt) == mt(lmt))
+    def ws(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("word"), col("cnt"), col("syms")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+        .sortBy(_._1).toSeq
+    assert(ws(dw) == ws(lw),
+      "final word representations must match across engines")
+    // the local path's whole training is O(1) driver-blocking actions
+    assert(rm.getOrElse("bpe_spark_rounds", 0L) - 48L <= 2L,
+      s"local path must add ~2 actions, got ${rm.get("bpe_spark_rounds")}")
+  }
+
   test("packSequencesBpe: per-doc BPE counts equal the sum of trained word lengths") {
     val out = Corpus.packSequencesBpe(spark, sf).localCheckpoint()
     // BPE counts are bounded by char counts + 1 marker per word and at

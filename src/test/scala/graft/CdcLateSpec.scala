@@ -69,6 +69,41 @@ class CdcLateSpec extends SparkSpec {
       statePath.stripSuffix("/state"))
   }
 
+  test("an EMPTY epoch writes no watermark file and the prior watermark " +
+      "carries forward (ADVICE r11: wm(k) = wm(k-1) across empty batches)") {
+    val statePath = TempDirsSpecHelper.fresh("graft-late-empty")
+    try {
+      // empty FIRST epoch: no file at all (no Long.MinValue sentinel)
+      CdcUpsert.applyBatchWithLateness(batch(Seq.empty),
+        0L, statePath, policy, latenessMicros = 50L)
+      assert(CdcUpsert.readWatermark(statePath, 0L).isEmpty,
+        "empty first epoch must not write a watermark file")
+      // epoch 1: max ts 100 → wm = 50
+      CdcUpsert.applyBatchWithLateness(batch(Seq((0L, 100L, 1L, "a", 1.0))),
+        1L, statePath, policy, latenessMicros = 50L)
+      assert(CdcUpsert.readWatermark(statePath, 1L).contains(50L))
+      // empty MIDDLE epoch 2: no v2 file, wm(2) == wm(1) via walk-back
+      CdcUpsert.applyBatchWithLateness(batch(Seq.empty),
+        2L, statePath, policy, latenessMicros = 50L)
+      assert(CdcUpsert.readWatermark(statePath, 2L).isEmpty)
+      assert(CdcUpsert.readWatermarkAsOf(statePath, 2L).contains(50L))
+      // epoch 3: ts 40 < carried wm(2)=50 → quarantined, NOT on-time
+      // (the pre-fix divergence: a sparse oracle would have classified
+      // this row on-time because epoch 2 had no watermark row)
+      CdcUpsert.applyBatchWithLateness(batch(Seq(
+        (1L, 40L, 1L, "b", 1.0), (2L, 60L, 2L, "a", 1.0))),
+        3L, statePath, policy, latenessMicros = 50L)
+      val quar = CdcUpsert.quarantineAsOf(spark, statePath, 3L).get
+      assert(quar.select(col("event_id")).collect().map(_.getLong(0)).toSet
+        == Set(1L), "watermark must survive the empty epoch")
+      val st = CdcUpsert.stateAsOf(spark, statePath, 3L, policy).get
+        .select(col("user_id"), col("last.event_type"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(st(1L) == "a", "late row must not reach the state")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("replaying the last epoch rewrites identical quarantine, state, " +
       "and watermark") {
     val statePath = TempDirsSpecHelper.fresh("graft-late-replay")
