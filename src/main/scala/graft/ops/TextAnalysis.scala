@@ -542,7 +542,117 @@ object TextAnalysis {
        |GROUP BY b.doc_id, b.split
        |ORDER BY b.doc_id""".stripMargin
 
+  /** BM25 top-k retrieval over the corpus the inverted index indexes —
+    * the consumer [[invertedIndex]] was missing (VERDICT r11 #3): given a
+    * query of terms, rank documents by Σ_t idf(t) · tf-saturation(t, d).
+    * Okapi BM25 with k1 = 3/2, b = 3/4, the plus-style positive idf
+    * (N − df + ½)/(df + ½).
+    *
+    * INTEGER-EXACT ratio form (the `text_tfidf`/`text_lm_score`
+    * precedent — no `ln`, whose bits differ across engines, ever enters
+    * the gate): with N docs, T total tokens (avgdl = T/N), clearing
+    * denominators turns the per-term score into a ratio of integers,
+    *
+    *   score_t = 20·T·tf·(2N − 2df + 1)
+    *           / ((2df + 1)·(8·T·tf + 3·T + 9·dl·N)),
+    *
+    * which, scaled by 10⁶ and floor-divided, is one exact integer per
+    * (term, doc) — Spark computes the numerator in DECIMAL(38,0), DuckDB
+    * in HUGEINT, `div`/`//` both truncate toward zero on positives, and
+    * every factor is positive (df ≤ N keeps the idf numerator > 0).
+    * Per-doc scores are then integer SUMS — order-insensitive, unlike
+    * double addition — so the hash gate covers scores AND ranks. The
+    * log-space BM25 is a monotone per-term map of these same counts; a
+    * consumer that wants it applies `ln` downstream.
+    *
+    * The query set derives deterministically from the corpus: tokens
+    * ranked 6–20 by (df DESC, token), grouped in threes → five 3-term
+    * queries (the top-5 stopword-ish tokens are skipped — they match
+    * every document and only test the saturation term).
+    *
+    * Scale shape: tf/df are the inverted-index aggregations (one shuffle
+    * of distinct (token, doc) pairs, map-side partial); the query-term
+    * table (15 rows) and the corpus stats (1 row) broadcast; scoring is
+    * a broadcast-join scan of the tf table; per-query top-k goes through
+    * the bounded-heap [[graft.functions.TopKAggregator]], so the final
+    * shuffle ships O(queries · k) rows, never a per-query sort of all
+    * scored docs — integer scores < 2⁵³ are exact in the heap's double.
+    * df ranking uses a global top-20 (`TakeOrderedAndProject`, per-
+    * partition heads + driver merge of 20·P rows), not a one-reducer
+    * window over the vocabulary. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("t"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("token"))
+    val qt = dfTbl.orderBy(col("df").desc, col("token")).limit(20)
+      .withColumn("rnk", row_number().over(w)) // 20-row frame: the window's
+      .filter(col("rnk") >= 6)                 // one partition is trivial
+      .select(expr("CAST((rnk - 6) div 3 AS INT)").as("query_id"),
+        col("token"), col("df"))
+    val scored = tf.join(broadcast(qt), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(
+        """(CAST(20000000 AS DECIMAL(38,0)) * t * tf * (2*n - 2*df + 1))
+          | div ((2*df + 1) * (8*t*tf + 3*t + 9*dl*n))""".stripMargin))
+    val perDoc = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_hit"))
+    val heap = graft.functions.TopKAggregator.topkUdaf(k)
+    val top = perDoc
+      .groupBy(col("query_id"))
+      .agg(heap(col("doc_id"), col("score").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.n_id").as("doc_id"))
+    perDoc.join(broadcast(top), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bm25Sql: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |s AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS t FROM d),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+       |       GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |qt AS (SELECT CAST((rnk - 6) // 3 AS INT) AS query_id, token, df
+       |       FROM (SELECT token, df,
+       |               ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rnk
+       |             FROM df)
+       |       WHERE rnk BETWEEN 6 AND 20),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    (CAST(20000000 AS HUGEINT) * s.t * tf.tf * (2*s.n - 2*qt.df + 1))
+       |      // CAST((2*qt.df + 1) * (8*s.t*tf.tf + 3*s.t + 9*dl.dl*s.n) AS HUGEINT)
+       |      AS contrib
+       |  FROM qt JOIN tf ON tf.token = qt.token
+       |          JOIN dl ON dl.doc_id = tf.doc_id
+       |          CROSS JOIN s),
+       |agg AS (SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+       |          COUNT(*) AS n_hit
+       |        FROM scored GROUP BY query_id, doc_id),
+       |rk AS (SELECT query_id, doc_id, score, n_hit,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id) AS rank
+       |       FROM agg)
+       |SELECT query_id, rank, doc_id, score, n_hit
+       |FROM rk WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25"        -> (bm25 _),
     "text_lm_score"    -> (lmScore _),
     "text_inverted_index" -> (invertedIndex _),
     "text_redact"      -> (redact _),
@@ -560,6 +670,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_bm25"        -> bm25Sql,
     "text_lm_score"    -> lmScoreSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_redact"      -> redactSql,

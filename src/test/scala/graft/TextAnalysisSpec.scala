@@ -139,4 +139,52 @@ class TextAnalysisSpec extends SparkSpec {
     // for a stored binary column: only referenced columns are read
     assert(plan.contains("ReadSchema"))
   }
+
+  test("bm25: distributed scores, hits, and ranks equal an independent " +
+      "in-memory reference on a 30-doc corpus") {
+    // deterministic corpus with ~26 distinct tokens and skewed df so the
+    // rank-6..20 query derivation has real structure
+    val rng = new scala.util.Random(42)
+    val vocab = (1 to 26).map(i => f"w$i%02d")
+    val docsSeq = (0 until 30).map { d =>
+      val len = 5 + rng.nextInt(20)
+      // token index skew: low indices appear in many docs (stopword-ish)
+      val ts = Seq.fill(len)(vocab(math.min(rng.nextInt(27), rng.nextInt(27)) % 26))
+      (d.toLong, ts.mkString(" "))
+    }
+    val dir = docs(docsSeq.map { case (id, t) => (id, t, "en") }: _*)
+
+    // independent reference: same integer formula, BigInt arithmetic
+    val toks = docsSeq.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val bigN = BigInt(toks.size)
+    val bigT = BigInt(toks.values.map(_.size).sum)
+    val tf = for {
+      (id, ts) <- toks.toSeq; (tok, g) <- ts.groupBy(identity)
+    } yield (id, tok, BigInt(g.size))
+    val dfm = tf.groupBy(_._2).map { case (t, xs) => t -> BigInt(xs.size) }
+    val qt = dfm.toSeq.sortBy { case (t, d) => (-d, t) } // ASCII = UTF-8 here
+      .slice(5, 20).zipWithIndex
+      .map { case ((t, d), i) => (t, d, i / 3) }
+    val perDoc = (for {
+      (tok, d, qid) <- qt
+      (id, t2, f) <- tf if t2 == tok
+      dl = BigInt(toks(id).size)
+    } yield ((qid, id),
+        (BigInt(20000000) * bigT * f * (2 * bigN - 2 * d + 1)) /
+          ((2 * d + 1) * (8 * bigT * f + 3 * bigT + 9 * dl * bigN))))
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> (xs.map(_._2).sum.toLong, xs.size.toLong) }
+    val expTop = perDoc.groupBy(_._1._1).flatMap { case (qid, m) =>
+      m.toSeq.map { case ((_, id), (sc, nh)) => (id, sc, nh) }
+        .sortBy { case (id, sc, _) => (-sc, id) }.take(10).zipWithIndex
+        .map { case ((id, sc, nh), i) => (qid, i + 1, id, sc, nh) }
+    }.toSet
+
+    val got = TextAnalysis.bm25(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expTop)
+    assert(got.map(_._1) == Set(0, 1, 2, 3, 4), "five derived queries")
+  }
 }
