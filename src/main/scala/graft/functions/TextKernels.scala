@@ -167,4 +167,89 @@ object TextKernels {
 
   val simhashUdf: UserDefinedFunction =
     udf((text: String) => simhash64(text))
+
+  // -------------------------------------------------------------------
+  // Rolling polynomial gram digests (the substring-dedup key kernel)
+  // -------------------------------------------------------------------
+
+  /** Mersenne prime 2⁶¹ − 1 — the classic rolling-hash modulus: mulmod
+    * folds with shifts (2⁶⁴ ≡ 8), and mod-prime polynomial hashes have
+    * the textbook ≤ (n−1)/p per-pair collision bound that power-of-two
+    * moduli lack. */
+  private val P61 = (1L << 61) - 1
+
+  /** Two fixed odd bases < P61 (digits of π/e — nothing up the sleeve);
+    * two independent evaluation points give a ~122-bit combined key. */
+  private val B1 = 314159265358979323L
+  private val B2 = 271828182845904523L
+
+  private def mod61(x: Long): Long = { // x in [0, 2⁶³)
+    val r = (x & P61) + (x >>> 61)
+    if (r >= P61) r - P61 else r
+  }
+
+  /** (a·b) mod P61 for a, b ∈ [0, P61): the 122-bit product hi·2⁶⁴ + lo
+    * folds as hi·8 + lo (2⁶⁴ ≡ 2³ mod P61); hi < 2⁵⁸ so hi·8 stays in a
+    * long, and lo's top 3 bits ride in via the disjoint OR. */
+  private def mulmod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val r = mod61((hi << 3) | (lo >>> 61)) + (lo & P61)
+    if (r >= P61) r - P61 else r
+  }
+
+  private def powmod61(b: Long, e: Int): Long = {
+    var r = 1L; var x = b; var k = e
+    while (k > 0) {
+      if ((k & 1) == 1) r = mulmod61(r, x)
+      x = mulmod61(x, x); k >>= 1
+    }
+    r
+  }
+
+  /** Positioned length-`n` gram digests of a document in ONE O(len)
+    * pass — the rolling-hash replacement for materializing each gram's
+    * text (×n token bytes per position) before digesting it (VERDICT
+    * r11 #4). Per token, one xxhash64 reduced mod P61; per window, the
+    * standard Rabin–Karp recurrence d(s+1) = (d(s) − h_s·Bⁿ⁻¹)·B +
+    * h_(s+n) at two independent evaluation points (d1, d2) — a ~122-bit
+    * combined key, so the digest-equality contract matches the md5
+    * paths' "identical modulo digest collisions" (callers that promise
+    * collision-PROOF results re-materialize gram text for COLLIDING
+    * digests only and confirm exactly). Element i of the result is the
+    * digest pair of the gram starting at token position i; empty for
+    * docs shorter than n tokens. */
+  def gramDigests(text: String, n: Int): Array[(Long, Long)] = {
+    val toks = tokenize(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return Array.empty
+    val h = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { h(i) = mod61(hashString(toks(i), Seed) >>> 2); i += 1 }
+    val out = new Array[(Long, Long)](m)
+    val bn1a = powmod61(B1, n - 1)
+    val bn1b = powmod61(B2, n - 1)
+    var d1 = 0L; var d2 = 0L
+    i = 0
+    while (i < n) {
+      d1 = mod61(mulmod61(d1, B1) + h(i))
+      d2 = mod61(mulmod61(d2, B2) + h(i))
+      i += 1
+    }
+    out(0) = (d1, d2)
+    var s = 1
+    while (s < m) {
+      val drop = h(s - 1)
+      d1 = mod61(mulmod61(mod61(d1 + P61 - mulmod61(drop, bn1a)), B1) + h(s + n - 1))
+      d2 = mod61(mulmod61(mod61(d2 + P61 - mulmod61(drop, bn1b)), B2) + h(s + n - 1))
+      out(s) = (d1, d2)
+      s += 1
+    }
+    out
+  }
+
+  /** UDF form, `n` bound at plan build: text → array<struct<_1,_2>> of
+    * positioned digest pairs (posexplode upstream). */
+  def gramDigestsUdf(n: Int): UserDefinedFunction =
+    udf((text: String) => gramDigests(text, n))
 }

@@ -1496,20 +1496,22 @@ object Dedup {
     * monolithic suffix array, which is the form that distributes.
     *
     * Scale shape (the 100 TB plan, deliberately NOT all-pairs):
-    *  1. one shuffle by doc_id builds positioned grams via a running
-    *     window (each token carried once; gram text exists only inside
-    *     the projection);
-    *  2. duplicate detection shuffles 8-byte xxhash64 DIGESTS, never
-    *     gram text — `groupBy(digest)` with map-side partial counts;
-    *  3. only occurrences whose digest repeats (a tiny fraction on a
-    *     deduplicated corpus) re-shuffle their full gram once for the
-    *     exact-equality confirm, which makes the result collision-proof
-    *     rather than probabilistic;
+    *  1. positioned gram digests come from a NARROW per-doc map (the
+    *     rolling-hash kernel, O(len) per doc — no shuffle, no window,
+    *     no gram-string materialization; VERDICT r11 #4);
+    *  2. duplicate detection shuffles 16-byte DIGEST PAIRS, never gram
+    *     text — `groupBy(d1, d2)` with map-side partial counts;
+    *  3. only occurrences whose digest pair repeats (a tiny fraction on
+    *     a deduplicated corpus) materialize their gram text AT ALL — one
+    *     slice join back to the documents — for the exact-equality
+    *     confirm, which makes the result collision-proof rather than
+    *     probabilistic;
     *  4. coverage is a per-doc range-frame window over marked start
     *     positions (max over [pos-N+1, pos]) — no interval explode, no
     *     self-join, one pass.
-    * Every shuffle key is a digest, a doc_id, or a (doc_id, pos) — the
-    * corpus text itself crosses the wire exactly once (step 1). */
+    * Every shuffle key is a digest pair, a doc_id, or a (doc_id, pos) —
+    * full documents cross the wire only into the rebuild window, and
+    * gram text only for colliding candidates. */
   def substringDedup(spark: SparkSession, dir: String,
                      n: Int = SubstringN): DataFrame =
     substringDedupDocs(Tables.documents(spark, dir), n)
@@ -1519,20 +1521,39 @@ object Dedup {
     documents.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
 
-  /** Positioned length-`n` grams (doc_id, pos, gram) via the per-doc
-    * running window; null beyond the last full window, so short docs and
-    * tail positions produce no occurrence rows. */
-  private[graft] def substrGrams(documents: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val wGram = wDoc.orderBy(col("pos")).rowsBetween(Window.currentRow, n - 1)
-    substrToks(documents)
-      .withColumn("n_toks", count(lit(1)).over(wDoc))
-      .withColumn("gram", when(col("pos") <= col("n_toks") - n,
-        concat_ws(" ", collect_list(col("tok")).over(wGram))))
-      .filter(col("gram").isNotNull)
-      .select(col("doc_id"), col("pos"), col("gram"))
-  }
+  /** Positioned length-`n` gram DIGESTS (doc_id, pos, d1, d2) via the
+    * per-doc rolling-hash kernel (VERDICT r11 #4) — replaces the former
+    * window pass that materialized each gram's text (×n token bytes per
+    * position, built under a doc_id shuffle + sort) before digesting it.
+    * Now: NO shuffle at all (one narrow map over the document rows) and
+    * O(len) work per doc instead of O(len·n) string bytes — the win that
+    * matters when n is the production ~50-BPE-token span on long
+    * documents. d1/d2 are two independent mod-(2⁶¹−1) polynomial hashes
+    * of the window's token xxhashes (~122-bit combined key; see
+    * [[graft.functions.TextKernels.gramDigests]]); callers that promise
+    * collision-PROOF results reconstruct gram text for COLLIDING digest
+    * pairs only ([[candGramText]]). Short docs and tail positions
+    * produce no rows, as before. */
+  private[graft] def substrGramDigests(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("doc_id"),
+        posexplode(graft.functions.TextKernels.gramDigestsUdf(n)(col("text")))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        col("g._1").as("d1"), col("g._2").as("d2"))
+
+  /** Gram TEXT for a (doc_id, pos) candidate frame — the exact-confirm
+    * companion of [[substrGramDigests]]: only positions whose digest
+    * pair collides ever re-materialize their gram string, via one join
+    * back to the documents (re-ships the token arrays of DOCS HOLDING
+    * CANDIDATES only) and a per-row array slice. */
+  private def candGramText(cands: DataFrame, documents: DataFrame,
+                           n: Int): DataFrame =
+    cands.join(
+        documents.select(col("doc_id"), tokens(col("text")).as("toks")),
+        Seq("doc_id"))
+      .withColumn("gram",
+        array_join(slice(col("toks"), col("pos") + 1, lit(n)), " "))
+      .drop("toks")
 
   /** The shared coverage sweep + rebuild tail: a token at `pos` is
     * removed iff some marked span starts in [pos−n+1, pos] (per-doc
@@ -1562,16 +1583,18 @@ object Dedup {
     * so specs can plant known duplicated spans. */
   private[graft] def substringDedupDocs(documents: DataFrame,
                                         n: Int): DataFrame = {
-    val occs = substrGrams(documents, n)
-      .withColumn("g_dig", xxhash64(col("gram")))
-    // digest pre-filter: only digests seen twice can hold a duplicate
-    val dupDigests = occs.groupBy(col("g_dig"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
-    val candOccs = occs.join(dupDigests, Seq("g_dig"), "left_semi")
-    // exact confirm among candidates only (collision-proof)
-    val dupGrams = candOccs.groupBy(col("gram"))
+    val occs = substrGramDigests(documents, n)
+    // digest pre-filter: only digest pairs seen twice can hold a duplicate
+    val dupDigests = occs.groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("d1"), col("d2"))
+    val candOccs = occs.join(dupDigests, Seq("d1", "d2"), "left_semi")
+    // exact confirm among candidates only (collision-proof): gram text
+    // exists ONLY for colliding digests, rebuilt by one slice join
+    val candGrams = candGramText(candOccs, documents, n)
+    val dupGrams = candGrams.groupBy(col("gram"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("gram"))
-    val starts = candOccs.join(dupGrams, Seq("gram"), "left_semi")
+    val starts = candGrams.join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
     substrCoverRebuild(substrToks(documents), starts, n)
       .orderBy(col("doc_id"))
@@ -1586,12 +1609,14 @@ object Dedup {
     * from-scratch recompute (the gate's claim — same oracle family as
     * dedup_incr_jaccard).
     *
-    * Duplication key: md5(gram) (128-bit) END TO END, for both the
-    * incremental and the oracle — the same "identical modulo md5
-    * collisions" contract [[exact]] documents. The batch operator's
+    * Duplication key: the ~122-bit rolling digest pair (d1, d2) of
+    * [[substrGramDigests]] END TO END — "identical modulo digest
+    * collisions", the same contract shape [[exact]] documents for md5
+    * (the oracle keys on md5(gram); the two keyings agree whenever
+    * neither collides, which the gate exercises). The batch operator's
     * exact-confirm trick doesn't survive incrementality: confirming a
     * delta gram against an UNAFFECTED history doc would need that doc's
-    * gram text, i.e. a corpus-sized string store; the 128-bit digest is
+    * gram text, i.e. a corpus-sized string store; the wide digest is
     * the standard answer (and what the store ships: 16 B/gram).
     *
     * Artifacts (built once per (corpus, split); the expensive gram
@@ -1615,49 +1640,85 @@ object Dedup {
     * for everything else. Unaffectedness argument: a doc with no delta
     * digest has identical global counts for every gram it holds, hence
     * identical coverage. */
+  /** `mode`: `"auto"` (default — cost-based dispatch, VERDICT r11 #6),
+    * `"delta"` (always the incremental path), `"rebuild"` (always the
+    * from-scratch digest-keyed recompute). The result is identical in
+    * all three (the incremental path's defining claim), so the gate is
+    * mode-independent; `auto` decides from MEASURED inputs:
+    *
+    *   f = (|affected| + |delta|) / |all docs|
+    *
+    * where `affected` comes from the same store ⋉ delta-digest semi-join
+    * the delta path needs anyway — so choosing `delta` wastes nothing,
+    * and choosing `rebuild` pays only that probe before abandoning the
+    * store. Rationale: the delta path's recurring term (store scan +
+    * counts join + affected∪delta re-window) beats the rebuild exactly
+    * when the re-windowed mass is a small slice of the corpus; at high
+    * affectedness (the fixture's near-dup-heavy corpus: every replica
+    * shares spans) the rebuild's one clean pass wins — the r11 finding
+    * (delta 7.0 s vs rebuild 4.6 s at the 100× probe). θ = 0.2 sits
+    * between the measured regimes (fixture f ≈ 0.3–0.6 → rebuild;
+    * id-local long-doc delta f ≈ 0.05–0.1 → delta). The chosen mode and
+    * f land in RoutingMetrics (`substr_incr_*`) so the bench artifact
+    * shows the routing. Under `rebuild`, `deltaOnly` returns the full
+    * frame (every doc recomputed). */
   def substringIncremental(spark: SparkSession, dir: String,
                            splitId: Long = 400, n: Int = SubstringN,
-                           deltaOnly: Boolean = false): DataFrame = {
+                           deltaOnly: Boolean = false,
+                           mode: String = "auto"): DataFrame = {
     val all = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val hist = all.filter(col("doc_id") < splitId)
     val delta = all.filter(col("doc_id") >= splitId)
     def artifact(kind: String)(build: String => Unit): DataFrame =
       graft.tools.ArtifactCache.parquet(spark, dir,
         s"sub_${kind}_s${splitId}_n$n")(build)
-    val occsArt = artifact("occs") { p =>
-      substrGrams(hist, n)
-        .select(md5(col("gram")).as("g_dig"), col("doc_id"), col("pos"))
+    val occsArt = artifact("occs2") { p =>
+      substrGramDigests(hist, n)
+        .select(col("d1"), col("d2"), col("doc_id"), col("pos"))
         .write.mode("overwrite").parquet(p)
     }
-    val digCnt = artifact("digcnt") { p =>
-      occsArt.groupBy(col("g_dig")).agg(count(lit(1)).as("hc"))
+    val digCnt = artifact("digcnt2") { p =>
+      occsArt.groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("hc"))
         .write.mode("overwrite").parquet(p)
     }
-    val histResult = artifact("result") { p =>
-      val dup = occsArt.groupBy(col("g_dig"))
-        .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
-      val st = occsArt.join(dup, Seq("g_dig"), "left_semi")
+    val histResult = artifact("result2") { p =>
+      val dup = occsArt.groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select(col("d1"), col("d2"))
+      val st = occsArt.join(dup, Seq("d1", "d2"), "left_semi")
         .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
       substrCoverRebuild(substrToks(hist), st, n)
         .write.mode("overwrite").parquet(p)
     }
-    val deltaOccs = substrGrams(delta, n)
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g_dig"))
+    val deltaOccs = substrGramDigests(delta, n)
       .localCheckpoint()
-    val deltaDigs = deltaOccs.select(col("g_dig")).distinct()
+    val deltaDigs = deltaOccs.select(col("d1"), col("d2")).distinct()
       .localCheckpoint()
-    val affected = occsArt.join(deltaDigs, Seq("g_dig"), "left_semi")
+    val affected = occsArt.join(deltaDigs, Seq("d1", "d2"), "left_semi")
       .select(col("doc_id")).distinct().localCheckpoint()
+    if (mode == "rebuild" || (mode == "auto" && {
+      val nAff = affected.count()
+      val nDelta = delta.count()
+      val nAll = math.max(1L, hist.count() + nDelta)
+      val fBp = (nAff + nDelta) * 10000L / nAll
+      graft.tools.RoutingMetrics.add("substr_incr_recompute_bp", fBp)
+      fBp > 2000L
+    })) {
+      graft.tools.RoutingMetrics.add("substr_incr_mode_rebuild", 1L)
+      return substringDedupDigestDocs(all, n).orderBy(col("doc_id"))
+    }
+    if (mode != "rebuild")
+      graft.tools.RoutingMetrics.add("substr_incr_mode_delta", 1L)
     // affected docs' positioned occurrences come from the store; only
-    // the delta's were windowed this call
+    // the delta's were digested this call
     val rOccs = occsArt.join(affected, Seq("doc_id"), "left_semi")
-      .unionByName(deltaOccs.select(col("g_dig"), col("doc_id"), col("pos")))
-    val deltaCnt = deltaOccs.groupBy(col("g_dig"))
+      .unionByName(deltaOccs.select(col("d1"), col("d2"), col("doc_id"), col("pos")))
+    val deltaCnt = deltaOccs.groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("dc"))
-    val dupDigs = digCnt.join(deltaCnt, Seq("g_dig"), "full_outer")
+    val dupDigs = digCnt.join(deltaCnt, Seq("d1", "d2"), "full_outer")
       .filter(coalesce(col("hc"), lit(0L)) + coalesce(col("dc"), lit(0L)) >= 2)
-      .select(col("g_dig"))
-    val starts = rOccs.join(dupDigs, Seq("g_dig"), "left_semi")
+      .select(col("d1"), col("d2"))
+    val starts = rOccs.join(dupDigs, Seq("d1", "d2"), "left_semi")
       .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
     val rDocs = hist.join(affected, Seq("doc_id"), "left_semi")
       .unionByName(delta)
@@ -1669,17 +1730,18 @@ object Dedup {
     out.orderBy(col("doc_id"))
   }
 
-  /** The md5-keyed batch form (no exact-confirm pass — see
+  /** The digest-keyed batch form (no exact-confirm pass — see
     * [[substringIncremental]]'s digest contract): the history-result
     * artifact builder and the shape the incremental gate's oracle
-    * recomputes in full. */
-  private[graft] def substringDedupMd5Docs(documents: DataFrame,
-                                           n: Int): DataFrame = {
-    val occs = substrGrams(documents, n)
-      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g_dig"))
-    val dupDigs = occs.groupBy(col("g_dig"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
-    val starts = occs.join(dupDigs, Seq("g_dig"), "left_semi")
+    * recomputes in full (the oracle keys on md5(gram); results agree
+    * whenever neither keying collides). */
+  private[graft] def substringDedupDigestDocs(documents: DataFrame,
+                                              n: Int): DataFrame = {
+    val occs = substrGramDigests(documents, n)
+    val dupDigs = occs.groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("d1"), col("d2"))
+    val starts = occs.join(dupDigs, Seq("d1", "d2"), "left_semi")
       .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
     substrCoverRebuild(substrToks(documents), starts, n)
   }
@@ -1755,8 +1817,8 @@ object Dedup {
     val roots = Seq("occs", "docs", "results").map(r => s"$statePath/$r")
     roots.foreach(graft.tools.LogState.requireNoFuture(_, epoch))
     val batchDocs = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    val batchOccs = substrGrams(batchDocs, n)
-      .select(md5(col("gram")).as("g_dig"), col("doc_id"), col("pos"))
+    val batchOccs = substrGramDigests(batchDocs, n)
+      .select(col("d1"), col("d2"), col("doc_id"), col("pos"))
       .localCheckpoint()
     val histOccPaths = graft.tools.LogState.pathsAsOf(s"$statePath/occs",
       epoch - 1)
@@ -1764,16 +1826,18 @@ object Dedup {
       if (histOccPaths.isEmpty) batchOccs.limit(0)
       else sp.read.parquet(histOccPaths: _*)
     val affected = histOccs
-      .join(batchOccs.select(col("g_dig")).distinct(), Seq("g_dig"), "left_semi")
+      .join(batchOccs.select(col("d1"), col("d2")).distinct(),
+        Seq("d1", "d2"), "left_semi")
       .select(col("doc_id")).distinct().localCheckpoint()
     val allOccs = histOccs.unionByName(batchOccs)
     val rIds = affected.unionByName(batchDocs.select(col("doc_id"))).distinct()
     val rOccs = allOccs.join(rIds, Seq("doc_id"), "left_semi")
     val dupDigs = allOccs
-      .join(rOccs.select(col("g_dig")).distinct(), Seq("g_dig"), "left_semi")
-      .groupBy(col("g_dig")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("g_dig"))
-    val starts = rOccs.join(dupDigs, Seq("g_dig"), "left_semi")
+      .join(rOccs.select(col("d1"), col("d2")).distinct(),
+        Seq("d1", "d2"), "left_semi")
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("d1"), col("d2"))
+    val starts = rOccs.join(dupDigs, Seq("d1", "d2"), "left_semi")
       .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
     val histDocPaths = graft.tools.LogState.pathsAsOf(s"$statePath/docs",
       epoch - 1)
@@ -1872,16 +1936,17 @@ object Dedup {
   private[graft] def substringDedupDocsKeepFirst(documents: DataFrame,
                                                  n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val occs = substrGrams(documents, n)
-      .withColumn("g_dig", xxhash64(col("gram")))
-    val dupDigests = occs.groupBy(col("g_dig"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("g_dig"))
-    val candOccs = occs.join(dupDigests, Seq("g_dig"), "left_semi")
-    val dupGrams = candOccs.groupBy(col("gram"))
+    val occs = substrGramDigests(documents, n)
+    val dupDigests = occs.groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("d1"), col("d2"))
+    val candOccs = occs.join(dupDigests, Seq("d1", "d2"), "left_semi")
+    val candGrams = candGramText(candOccs, documents, n)
+    val dupGrams = candGrams.groupBy(col("gram"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("gram"))
     val wFirst = Window.partitionBy(col("gram"))
       .orderBy(col("doc_id"), col("pos"))
-    val starts = candOccs.join(dupGrams, Seq("gram"), "left_semi")
+    val starts = candGrams.join(dupGrams, Seq("gram"), "left_semi")
       .withColumn("rn", row_number().over(wFirst))
       .filter(col("rn") > 1) // the gram's first occurrence is retained
       .select(col("doc_id"), col("pos"), lit(1).as("is_start"))

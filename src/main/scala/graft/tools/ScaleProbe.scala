@@ -460,6 +460,24 @@ object ScaleProbe {
       "dedup_incr_substring" -> (() => graft.ops.Dedup.substringIncremental(
         spark, outDir, splitId = nDocs * mult - nDocs / 20,
         deltaOnly = true).count()),
+      // the PRODUCTION span length (~50 BPE tokens, Lee et al.) on a
+      // long-document corpus (8 probe docs concatenated per row → ~400
+      // tokens/doc): the regime where the old windowed gram-string build
+      // materialized ~50 × token-bytes per position and the rolling-hash
+      // kernel (VERDICT r11 #4) digests each window in O(1) — compare
+      // against dedup_substring's n=12 short-doc arm across rounds
+      "dedup_substring_n50" -> (() => {
+        val ldir = s"$outDir/longdocs"
+        if (!new java.io.File(s"$ldir/documents.parquet/_SUCCESS").exists()) {
+          spark.read.parquet(s"$outDir/documents.parquet")
+            .groupBy((col("doc_id") % lit(nDocs * mult / 8)).as("doc_id"))
+            .agg(concat_ws(" ", collect_list(col("text"))).as("text"),
+              first(col("lang")).as("lang"), first(col("source")).as("source"))
+            .withColumn("n_chars", length(col("text")))
+            .write.mode("overwrite").parquet(s"$ldir/documents.parquet")
+        }
+        graft.ops.Dedup.substringDedup(spark, ldir, n = 50).count()
+      }),
       "dedup_fuzzy"        -> (() => graft.ops.Dedup.fuzzy(spark, outDir).count()),
       "dedup_incremental"  -> (() => graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count()),
       "dedup_minhash"      -> (() => graft.ops.Dedup.minhash(spark, outDir).count()),

@@ -112,7 +112,7 @@ class DedupSubstringSpec extends SparkSpec {
       docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
       val n = 4
       val full = graft.ops.Dedup
-        .substringDedupMd5Docs(docs.select($"doc_id", $"text"), n)
+        .substringDedupDigestDocs(docs.select($"doc_id", $"text"), n)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
       val incr = graft.ops.Dedup
@@ -128,10 +128,26 @@ class DedupSubstringSpec extends SparkSpec {
       // the recomputed (deltaOnly) frame covers exactly affected ∪ delta
       val recomputed = graft.ops.Dedup
         .substringIncremental(spark, tmp, splitId = 400L, n = n,
-          deltaOnly = true)
+          deltaOnly = true, mode = "delta")
         .select($"doc_id").collect().map(_.getLong(0)).toSet
       assert(recomputed == Set(1L, 400L, 401L),
         s"recompute set must be affected ∪ delta, got $recomputed")
+      // all three modes agree (the dispatch is result-invariant), and
+      // auto chooses REBUILD here: affected ∪ delta = 3 of 6 docs
+      // (5000 bp > the 2000 bp threshold)
+      graft.tools.RoutingMetrics.drain()
+      val modes = Seq("delta", "rebuild", "auto").map { m =>
+        graft.ops.Dedup
+          .substringIncremental(spark, tmp, splitId = 400L, n = n, mode = m)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toSeq
+      }
+      assert(modes(0) == modes(1) && modes(1) == modes(2),
+        "delta, rebuild, and auto must return identical results")
+      val rm = graft.tools.RoutingMetrics.drain()
+      assert(rm.getOrElse("substr_incr_mode_rebuild", 0L) == 2L,
+        s"auto must dispatch rebuild at 50% affectedness; counters $rm")
+      assert(rm("substr_incr_recompute_bp") == 5000L, s"counters $rm")
     } finally graft.tools.TempDirs.deleteRecursively(tmp)
   }
 
@@ -170,7 +186,7 @@ class DedupSubstringSpec extends SparkSpec {
         b(3L -> "c1 c2 c3 c4 c5"), 2L, statePath, n, compactEvery = 2)
       assert(state() == s2, "replayed epoch must rewrite identical state")
       // full-recompute equality over everything ingested
-      val full = graft.ops.Dedup.substringDedupMd5Docs(
+      val full = graft.ops.Dedup.substringDedupDigestDocs(
         b(1L -> "a1 a2 s1 s2 s3 s4 a3", 2L -> "b1 s1 s2 s3 s4 b2",
           3L -> "c1 c2 c3 c4 c5"), n)
         .collect().map(r => r.getLong(0) ->
@@ -190,6 +206,33 @@ class DedupSubstringSpec extends SparkSpec {
     assert(removed > 0, "fixture has repeated spans; removal must be non-vacuous")
     // no doc removes more than it has
     assert(out.filter(col("n_removed") > col("n_tokens")).count() == 0)
+  }
+
+  test("rolling gram digests: the O(len) recurrence equals direct BigInt " +
+      "polynomial evaluation per window; equal windows collide, others don't") {
+    val text = "a b c a b c a b x y a b"
+    val n = 3
+    val got = graft.functions.TextKernels.gramDigests(text, n)
+    val toks = text.split(" ")
+    assert(got.length == toks.length - n + 1)
+    // independent reference: h_i from the kernel's own 1-gram digests
+    // (a length-1 window's digest IS the token hash), then direct
+    // Horner evaluation in BigInt mod 2^61-1 — no rolling update shared
+    // with the code under test
+    val p = BigInt((1L << 61) - 1)
+    val h = graft.functions.TextKernels.gramDigests(text, 1).map(d => BigInt(d._1))
+    val b1 = BigInt(314159265358979323L)
+    for (s <- got.indices) {
+      val want = (s until s + n).foldLeft(BigInt(0))((acc, i) => (acc * b1 + h(i)) mod p)
+      assert(BigInt(got(s)._1) == want, s"window $s d1 mismatch")
+    }
+    // semantic collision structure: the leading "a b c a b c" repeats
+    // windows 0-2 at 3-5; the x/y tail windows are unique
+    assert(got(0) == got(3) && got(1) == got(4) && got(2) == got(5),
+      "identical grams must share digests")
+    assert(got.toSeq.distinct.size == got.length - 3, "only the repeats collide")
+    // short docs: no windows
+    assert(graft.functions.TextKernels.gramDigests("a b", 3).isEmpty)
   }
 
   test("plan shape: no cartesian product, no all-pairs join — duplicate " +
