@@ -372,8 +372,28 @@ object CdcUpsert {
     * keeps its own guards — a replayed epoch rewrites identical files. */
   def applyBatchWithLateness(batch: DataFrame, epoch: Long,
                              statePath: String, policy: Policy,
-                             latenessMicros: Long): Unit = {
-    val tsUs = unix_micros(col("ts"))
+                             latenessMicros: Long): Unit =
+    withLateness(batch, epoch, statePath, latenessMicros,
+      unix_micros(col("ts")))(onTime =>
+      applyBatch(onTime, epoch, statePath, policy))
+
+  /** The GENERIC event-time lateness wrapper the CDC apply above and the
+    * streaming dedup states share (VERDICT r11 #5): split `batch` on the
+    * carried watermark evaluated over `tsUs` (an event-time expression
+    * in MICROS over the batch's columns), quarantine the late rows
+    * (epoch-keyed overwrite under `statePath/quarantine/v<epoch>`, with
+    * `quarantine_epoch` stamped), hand the on-time subset to `apply`,
+    * then advance the watermark from ALL arriving rows (late rows
+    * included — Structured Streaming's rule; the max is monotone so
+    * disorder can only hold the watermark, never regress it). Replay
+    * contract: every write is an epoch-keyed atomic overwrite derived
+    * from the batch and strictly-older state, so a replayed epoch
+    * rewrites identical files no matter what `apply` does internally
+    * (it keeps its own guards). */
+  private[graft] def withLateness(batch: DataFrame, epoch: Long,
+                                  statePath: String, latenessMicros: Long,
+                                  tsUs: org.apache.spark.sql.Column)
+                                 (apply: DataFrame => Unit): Unit = {
     val wmPrev = readWatermarkAsOf(statePath, epoch - 1)
     val late = wmPrev match {
       case Some(w) => batch.filter(tsUs < lit(w))
@@ -385,7 +405,7 @@ object CdcUpsert {
     }
     late.withColumn("quarantine_epoch", lit(epoch))
       .write.mode("overwrite").parquet(s"$statePath/quarantine/v$epoch")
-    applyBatch(onTime, epoch, statePath, policy)
+    apply(onTime)
     val mxRow = batch.agg(max(tsUs)).head()
     val mx = if (mxRow.isNullAt(0)) None else Some(mxRow.getLong(0))
     // An EMPTY batch writes no watermark file: wm(k) = wm(k-1) by the

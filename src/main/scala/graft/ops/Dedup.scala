@@ -1778,6 +1778,64 @@ object Dedup {
        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle of [[substringStreamLate]]: the dense watermark recurrence
+    * (q100 pattern — empty/absent epochs carry the prior max forward)
+    * replayed in SQL over the SAME derived event times, then the full
+    * substring-dedup recompute over exactly the on-time docs, UNION the
+    * late rows with their quarantine epoch. */
+  val substringStreamLateSql: String = {
+    val n = SubstringN
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text, doc_id % 4 AS arr_epoch,
+       |    CASE WHEN doc_id % 7 = 3 AND doc_id % 4 >= 2
+       |         THEN doc_id % 4 - 2 ELSE doc_id % 4 END AS src_epoch
+       |  FROM documents),
+       |t AS (SELECT doc_id, text, arr_epoch,
+       |        src_epoch * 1000000 + (doc_id * 131 % 997) * 1000 AS ts_us
+       |      FROM d0),
+       |m AS (SELECT arr_epoch, MAX(ts_us) AS mx FROM t GROUP BY arr_epoch),
+       |w AS (SELECT g.epoch,
+       |        MAX(m.mx) OVER (ORDER BY g.epoch
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - 1500000 AS wm
+       |      FROM range(0, 4) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |lt AS (SELECT t.*, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
+       |              THEN 1 ELSE 0 END AS late
+       |       FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
+       |base AS (SELECT doc_id, $tokensSql AS tk FROM lt WHERE late = 0),
+       |occ AS (
+       |  SELECT doc_id, s AS start,
+       |    md5(array_to_string(tk[s + 1 : s + $n], ' ')) AS g_dig
+       |  FROM base, unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS t(s)),
+       |dup AS (SELECT g_dig FROM occ GROUP BY g_dig HAVING COUNT(*) > 1),
+       |starts AS (SELECT o.doc_id, o.start FROM occ o JOIN dup USING (g_dig)),
+       |toks AS (
+       |  SELECT doc_id, p AS pos, tk[p + 1] AS tok
+       |  FROM base, unnest(range(0, len(tk))) AS t(p)),
+       |cov AS (
+       |  SELECT doc_id, pos, tok,
+       |    MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      RANGE BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) = 1 AS c
+       |  FROM (
+       |    SELECT t.doc_id, t.pos, t.tok,
+       |      CASE WHEN s.start IS NOT NULL THEN 1 ELSE 0 END AS is_start
+       |    FROM toks t LEFT JOIN starts s
+       |      ON s.doc_id = t.doc_id AND s.start = t.pos)),
+       |res AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    COALESCE(string_agg(CASE WHEN NOT c THEN tok END, ' '
+       |      ORDER BY pos), '') AS clean_text
+       |  FROM cov GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_removed, clean_text,
+       |  CAST(NULL AS BIGINT) AS quarantine_epoch FROM res
+       |UNION ALL
+       |SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(NULL AS VARCHAR), CAST(arr_epoch AS BIGINT)
+       |FROM lt WHERE late = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Streaming substring dedup (the span tier's ingest-time form)
   // ---------------------------------------------------------------------
@@ -1920,6 +1978,87 @@ object Dedup {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** Deterministic event-time columns for the lateness gates: arrival
+    * epoch = doc_id % epochs; docs with doc_id % 7 == 3 arriving in
+    * epoch ≥ 2 carry a ts from TWO EPOCHS AGO (planted disorder); the
+    * within-epoch spread (doc_id·131 % 997, in millis) makes roughly
+    * half the planted docs fall below the carried watermark — the other
+    * half are old-but-tolerated, so the gate separates "late" from
+    * merely "out of order". Mirrored verbatim in the oracle. */
+  private def lateEventTime(docs: DataFrame, epochs: Int): DataFrame =
+    docs
+      .withColumn("arr_epoch", col("doc_id") % epochs)
+      .withColumn("src_epoch",
+        when(col("doc_id") % 7 === 3 && col("arr_epoch") >= 2,
+          col("arr_epoch") - 2).otherwise(col("arr_epoch")))
+      .withColumn("ts_us",
+        col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
+
+  /** STREAMING substring dedup under EVENT-TIME LATENESS (VERDICT r11
+    * #5): each epoch batch passes through the shared watermark wrapper
+    * ([[CdcUpsert.withLateness]]) before touching the dedup state —
+    * rows below the carried watermark are quarantined (epoch-keyed,
+    * auditable, replay-idempotent) and never enter the shingle/digest
+    * logs; the watermark advances from ALL arriving rows. The gate's
+    * output is the folded on-time dedup state UNION the quarantine
+    * (dedup fields null, quarantine epoch carried), so a wrapper that
+    * leaks one late doc into the state, misclassifies a tolerated
+    * disordered doc, or drops a quarantine row breaks the hash. The
+    * oracle replays the watermark recurrence densely (q100 pattern) and
+    * recomputes the substring dedup over exactly the on-time docs. */
+  def substringStreamLate(spark: SparkSession, dir: String,
+                          epochs: Int = 4,
+                          latenessMicros: Long = 1500000L): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-substreamlate")
+    try {
+      val dedupState = s"$base/state"
+      val lateState = s"$base/late"
+      val all = lateEventTime(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        epochs).localCheckpoint()
+      (0 until epochs).foreach { k =>
+        val batch = all.filter(col("arr_epoch") === k)
+          .select(col("doc_id"), col("text"), col("ts_us"))
+        CdcUpsert.withLateness(batch, k, lateState, latenessMicros,
+          col("ts_us")) { onTime =>
+          substringStreamApplyBatch(
+            onTime.select(col("doc_id"), col("text")),
+            k, dedupState, compactEvery = 2)
+        }
+      }
+      val state = substringStreamState(spark, dedupState, epochs - 1)
+        .getOrElse(sys.error("substring stream late: no state"))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"),
+          lit(null).cast("long").as("quarantine_epoch"))
+      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
+        .map(_.select(col("doc_id"),
+          lit(null).cast("long").as("n_tokens"),
+          lit(null).cast("long").as("n_removed"),
+          lit(null).cast("string").as("clean_text"),
+          col("quarantine_epoch").cast("long")))
+        .getOrElse(state.limit(0))
+      state.unionByName(quar).localCheckpoint().orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** [[minhashStream]]'s id-chunk batches under the same lateness
+    * wrapper — spec-verified (the base stream is itself a rows-only
+    * entry: survivor choice is approximation-structure-specific): late
+    * docs quarantine instead of entering the band index / shingle
+    * store, and the final survivor set equals the no-lateness stream
+    * over the on-time docs alone. */
+  private[graft] def minhashStreamLateApplyBatch(
+      batch: DataFrame, epoch: Long, lateState: String,
+      dedupState: String, latenessMicros: Long,
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Int = MinhashMaxBucket): Unit =
+    CdcUpsert.withLateness(batch, epoch, lateState, latenessMicros,
+      col("ts_us")) { onTime =>
+      minhashStreamApplyBatch(onTime.select(col("doc_id"), col("text")),
+        epoch, dedupState, jaccardThreshold, maxBucket)
+    }
+
   /** KEEP-FIRST substring dedup — the published method's actual
     * retention rule (Lee et al. remove a duplicated substring from all
     * but ONE of the documents): a duplicated gram's occurrence at the
@@ -2027,6 +2166,7 @@ object Dedup {
     "dedup_substring_keepfirst" -> ((s: SparkSession, d: String) => substringDedupKeepFirst(s, d)),
     "dedup_incr_substring" -> ((s: SparkSession, d: String) => substringIncremental(s, d)),
     "dedup_stream_substring" -> ((s: SparkSession, d: String) => substringStream(s, d)),
+    "dedup_stream_substring_late" -> ((s: SparkSession, d: String) => substringStreamLate(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => incremental(s, d)),
     "dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "dedup_overlap_matrix" -> (overlapMatrix _),
@@ -2055,6 +2195,7 @@ object Dedup {
     // the oracle IS the full recompute — equality is the incremental claim
     "dedup_incr_substring" -> substringIncrSql,
     "dedup_stream_substring" -> substringIncrSql,
+    "dedup_stream_substring_late" -> substringStreamLateSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_overlap_matrix" -> overlapMatrixSql,

@@ -383,6 +383,55 @@ class DedupSpec extends SparkSpec {
     assert(first._2.map(_._1) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("streaming minhash under lateness: below-watermark docs quarantine " +
+      "and never reach the band index / shingle store; replay idempotent") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = corpus((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base + " extra words here"))
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-latemh").toString
+    val (lateState, dedupState) = (s"$root/late", s"$root/state")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // epoch 0: docs 1,2 at ts 10s/11s; L=2s → wm(0)=9s
+    Dedup.minhashStreamLateApplyBatch(
+      docs.filter(col("doc_id") <= 2)
+        .withColumn("ts_us", col("doc_id") * 1000000L + 9000000L),
+      0L, lateState, dedupState, latenessMicros = 2000000L)
+    // epoch 1: doc 3 at 5s (below wm(0) → LATE), doc 4 at 12s (on time)
+    val b1 = docs.filter(col("doc_id") > 2)
+      .withColumn("ts_us",
+        org.apache.spark.sql.functions.when(col("doc_id") === 3L,
+          lit(5000000L)).otherwise(lit(12000000L)))
+    Dedup.minhashStreamLateApplyBatch(b1, 1L, lateState, dedupState,
+      latenessMicros = 2000000L)
+    def shingleIds() = spark.read.parquet(
+      graft.tools.RangeState.pathsAsOf(s"$dedupState/shingles", 1L): _*)
+      .collect().map(_.getLong(0)).toSet
+    def read(r: String) = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$dedupState/$r", 1L): _*)
+    def snap() = (
+      read("survivors").collect().map(_.getLong(0)).toSet,
+      read("index").collect().map(_.getLong(0)).toSet,
+      shingleIds())
+    val first = snap()
+    // the late doc is in NO state log; everything on-time is
+    assert(first._2 == Set(1L, 2L, 3L, 4L) -- Set(3L) &&
+      first._3 == Set(1L, 2L, 4L), s"late doc leaked into state: $first")
+    assert(!first._1.contains(3L))
+    val quar = graft.ops.CdcUpsert.quarantineAsOf(spark, lateState, 1L).get
+    assert(quar.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+    assert(quar.select(col("quarantine_epoch")).head.getLong(0) == 1L)
+    // at-least-once replay of the last epoch rewrites identical state
+    // AND identical quarantine
+    Dedup.minhashStreamLateApplyBatch(b1, 1L, lateState, dedupState,
+      latenessMicros = 2000000L)
+    assert(snap() == first)
+    assert(graft.ops.CdcUpsert.quarantineAsOf(spark, lateState, 1L).get
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    graft.tools.TempDirs.deleteRecursively(root)
+  }
+
   test("fuzzy entity match: typo-level name variants inside blocks only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
