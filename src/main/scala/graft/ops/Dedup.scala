@@ -1419,6 +1419,127 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Deterministic-regime (planted-duplicate corpus) near-dup gates
+  // -------------------------------------------------------------------
+
+  /** Deterministic planted-duplicate corpus for the hash-family gates
+    * (VERDICT r11 #7, the `Similarity.writeClusteredCorpus` precedent):
+    * on EXACT duplicates every hash family is exact — identical texts
+    * give identical minhash signatures (every band collides, recall 1.0
+    * by construction) and identical simhash fingerprints (Hamming 0) —
+    * and the exact-verify stages (Jaccard / Hamming / threshold) filter
+    * any luck-collision candidate pair, so the OUTPUT is a pure function
+    * of the corpus and a 140-row SQL synthesis can serve as a bitwise
+    * oracle. 140 docs, pure function of the index:
+    *  - ids 0..119: base b = id % 40, text = 12 tokens namespaced by b
+    *    ("w<b>_0" … "w<b>_11") → three exact copies of each of 40
+    *    mutually shingle-disjoint texts;
+    *  - ids 120..139: sub-threshold probes — the first 3 tokens of base
+    *    (id−120) % 40 plus 9 unique tokens → exactly ONE shared 3-gram
+    *    shingle of 10 each (Jaccard 1/19 < 0.5), so they exercise the
+    *    verify-filter stage and must appear in NO pair. */
+  private[graft] def writeClusteredDocs(spark: SparkSession,
+                                        d: String): Unit = {
+    val rows = (0 until 140).map { i =>
+      val text =
+        if (i < 120) {
+          val b = i % 40
+          (0 until 12).map(j => s"w${b}_$j").mkString(" ")
+        } else {
+          val b = (i - 120) % 40
+          ((0 until 3).map(j => s"w${b}_$j") ++
+            (0 until 9).map(j => s"u${i}_$j")).mkString(" ")
+        }
+      (i.toLong, text, "en", "clustered", text.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+  }
+
+  /** Session-lifetime fixture dir for the planted corpus (the
+    * Similarity.clusteredCorpusDir pattern): a stable path keys
+    * cachedPairs, so the groups gate reuses the pair build. */
+  private val clusteredDocsRef =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def clusteredDocsDir(spark: SparkSession): String = {
+    val got = clusteredDocsRef.get()
+    if (got != null) got
+    else clusteredDocsRef.synchronized {
+      val again = clusteredDocsRef.get()
+      if (again != null) again
+      else {
+        val d = graft.tools.TempDirs.createFastForJvm("graft-dedupclust")
+        writeClusteredDocs(spark, d)
+        clusteredDocsRef.set(d)
+        d
+      }
+    }
+  }
+
+  /** MinHash-LSH through the hash gate in the deterministic regime: the
+    * FULL production pipeline (signatures → banding → bucket cap →
+    * candidate join → exact-Jaccard verify) over the planted corpus —
+    * a banding bug that misses one replica pair, a bucket-cap bug that
+    * drops a valid bucket, or a verify bug that passes a sub-threshold
+    * probe breaks the hash. `dir` unused by design (regime, not scale).
+    * The fixture-corpus entry keeps its rows-only contract — recall
+    * there is genuinely approximate. */
+  def minhashClustered(spark: SparkSession, dir: String): DataFrame =
+    minhash(spark, clusteredDocsDir(spark))
+
+  val minhashClusteredSql: String =
+    """WITH b AS (SELECT CAST(x AS BIGINT) AS b FROM range(0, 40) t(x)),
+      |p AS (
+      |  SELECT b AS a_id, b + 40 AS b_id FROM b
+      |  UNION ALL SELECT b, b + 80 FROM b
+      |  UNION ALL SELECT b + 40, b + 80 FROM b)
+      |SELECT a_id, b_id, CAST(1.0 AS DOUBLE) AS jaccard FROM p
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** SimHash in the deterministic regime: identical fingerprints on the
+    * replicas (Hamming 0); cross-base and probe pairs sit at Hamming
+    * ≈ 32 behind 16-bit band buckets, so the banding + exact-Hamming
+    * verify must emit exactly the 120 replica pairs. */
+  def simhashClustered(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, clusteredDocsDir(spark))
+
+  val simhashClusteredSql: String =
+    """WITH b AS (SELECT CAST(x AS BIGINT) AS b FROM range(0, 40) t(x)),
+      |p AS (
+      |  SELECT b AS a_id, b + 40 AS b_id FROM b
+      |  UNION ALL SELECT b, b + 80 FROM b
+      |  UNION ALL SELECT b + 40, b + 80 FROM b)
+      |SELECT a_id, b_id, CAST(0 AS BIGINT) AS hamming FROM p
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Connected components over the MINHASH pair graph through the hash
+    * gate (the fixture dedup_groups entry is rows-only because its pair
+    * graph is hash-family-specific; here the pair graph is exact): the
+    * min-label propagation must resolve each base's three replicas to
+    * keeper b and leave the 20 probes as singletons. */
+  def dedupGroupsClustered(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = clusteredDocsDir(spark)
+    val pairs = cachedPairs(spark, cdir, "minhash")(
+      minhash(spark, cdir, sorted = false))
+    val ids = Tables.documents(spark, cdir).select(col("doc_id"))
+    val labels = components(pairs, ids)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("keep_id"), col("group_size"),
+        (col("doc_id") === col("label")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupGroupsClusteredSql: String =
+    """WITH d AS (SELECT CAST(x AS BIGINT) AS doc_id FROM range(0, 140) t(x))
+      |SELECT doc_id,
+      |  CASE WHEN doc_id < 120 THEN doc_id % 40 ELSE doc_id END AS keep_id,
+      |  CAST(CASE WHEN doc_id < 120 THEN 3 ELSE 1 END AS BIGINT) AS group_size,
+      |  CASE WHEN doc_id < 40 OR doc_id >= 120 THEN 1 ELSE 0 END AS is_keeper
+      |FROM d ORDER BY doc_id""".stripMargin
+
   /** Group resolution under the bitwise oracle: the same min-label
     * propagation as dedupGroups, but over the ORACLED n-gram-Jaccard pair
     * graph (dedup_jaccard) instead of the hash-family-specific MinHash
@@ -2175,6 +2296,9 @@ object Dedup {
     "dedup_exact"     -> (exact _),
     "dedup_keyed"     -> (keyed _),
     "dedup_minhash"   -> ((s: SparkSession, d: String) => minhash(s, d)),
+    "dedup_minhash_clustered" -> (minhashClustered _),
+    "dedup_simhash_clustered" -> (simhashClustered _),
+    "dedup_groups_clustered" -> (dedupGroupsClustered _),
     "dedup_simhash"   -> ((s: SparkSession, d: String) => simhash(s, d)),
     "dedup_jaccard"   -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "dedup_jaccard_guarded" -> ((s: SparkSession, d: String) => ngramJaccardGuarded(s, d)),
@@ -2200,6 +2324,9 @@ object Dedup {
     "dedup_contamination" -> contaminationSql,
     "dedup_overlap_matrix" -> overlapMatrixSql,
     "dedup_groups_jaccard" -> dedupGroupsJaccardSql,
+    "dedup_minhash_clustered" -> minhashClusteredSql,
+    "dedup_simhash_clustered" -> simhashClusteredSql,
+    "dedup_groups_clustered" -> dedupGroupsClusteredSql,
     "dedup_exact"     -> exactSql,
     "dedup_keyed"     -> keyedSql,
     "dedup_jaccard"   -> ngramJaccardSql,
