@@ -598,8 +598,13 @@ object TextAnalysis {
       .filter(col("rnk") >= 6)                 // one partition is trivial
       .select(expr("CAST((rnk - 6) div 3 AS INT)").as("query_id"),
         col("token"), col("df"))
+    // merge-hint the doc-length join: Catalyst's ratio estimate sees the
+    // 15-row qt join and sizes the candidate-postings frame as tiny, so
+    // it would BROADCAST it — correct at fixture stats, wrong at corpus
+    // scale where 15 df-ranked terms can match a large share of all
+    // postings. SMJ keys both sides by doc_id and survives any size.
     val scored = tf.join(broadcast(qt), Seq("token"))
-      .join(dl, Seq("doc_id"))
+      .join(dl.hint("merge"), Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("contrib", expr(
         """(CAST(20000000 AS DECIMAL(38,0)) * t * tf * (2*n - 2*df + 1))

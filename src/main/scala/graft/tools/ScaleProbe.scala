@@ -478,6 +478,11 @@ object ScaleProbe {
         }
         graft.ops.Dedup.substringDedup(spark, ldir, n = 50).count()
       }),
+      // BM25 retrieval at corpus scale: tf/df aggregations shuffle
+      // O(distinct (doc, token)); the query-term and stats broadcasts are
+      // O(1); the bounded-heap top-k ships O(queries·k) — time should
+      // track the tf aggregation, i.e. near-linear in token mass
+      "text_bm25"          -> (() => graft.ops.TextAnalysis.bm25(spark, outDir).count()),
       "dedup_fuzzy"        -> (() => graft.ops.Dedup.fuzzy(spark, outDir).count()),
       "dedup_incremental"  -> (() => graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count()),
       "dedup_minhash"      -> (() => graft.ops.Dedup.minhash(spark, outDir).count()),
