@@ -1721,6 +1721,92 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark DECONTAMINATION — the asymmetric form of the span tier
+    * (Lee et al. ACL 2022 §6; the GPT-3 appendix-C use-case): any token
+    * n-gram occurring ANYWHERE in the held-out TEST split is a
+    * contaminated span; every token of a TRAIN-side document covered by
+    * at least one contaminated-span occurrence is removed. Unlike
+    * [[substringDedup]] the relation is one-directional — test docs
+    * define the banned set and are never modified; a train span
+    * repeated only within train survives.
+    *
+    * Split rule: the deterministic md5 split this repo standardizes
+    * (detSplit / lmScore): bucket '0'/'1' = test; every other doc is
+    * cleaned (val + train — anything that could leak into training).
+    *
+    * Plan shape: test-gram digests (16-byte pairs from the rolling
+    * kernel, narrow map) aggregate to a DISTINCT banned set — O(test
+    * grams), small by construction (benchmarks are tiny next to a
+    * training corpus; Catalyst broadcasts the banned set when stats
+    * allow). Train occurrences semi-join it; only COLLIDING positions
+    * re-materialize gram text on both sides for the exact confirm
+    * (collision-proof, the [[substringDedupDocs]] contract); the
+    * coverage sweep + rebuild runs over train docs only. */
+  def decontaminate(spark: SparkSession, dir: String,
+                    n: Int = SubstringN): DataFrame = {
+    val all = Tables.documents(spark, dir)
+      .withColumn("bucket",
+        substring(md5(col("doc_id").cast("string")), 1, 1))
+    val test = all.filter(col("bucket").isin("0", "1"))
+      .select(col("doc_id"), col("text"))
+    val train = all.filter(!col("bucket").isin("0", "1"))
+      .select(col("doc_id"), col("text"))
+    val testOccs = substrGramDigests(test, n)
+    val banned = testOccs.select(col("d1"), col("d2")).distinct()
+    val trainOccs = substrGramDigests(train, n)
+    val cand = trainOccs.join(banned, Seq("d1", "d2"), "left_semi")
+    // exact confirm: train candidate grams must EQUAL a test gram, not
+    // just collide with one — both sides rebuild text for colliding
+    // digests only
+    val candGrams = candGramText(cand, train, n)
+    val testGrams = candGramText(
+      testOccs.join(trainOccs.select(col("d1"), col("d2")).distinct(),
+        Seq("d1", "d2"), "left_semi"), test, n)
+      .select(col("gram")).distinct()
+    val starts = candGrams.join(testGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+    substrCoverRebuild(substrToks(train), starts, n)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[decontaminate]]: same md5 split, same positioned
+    * grams, membership against the test-gram set by STRING equality
+    * (the confirmed semantics), same coverage sweep over train docs. */
+  val decontaminateSql: String = {
+    val n = SubstringN
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test
+       |  FROM documents),
+       |tr AS (SELECT doc_id, $tokensSql AS tk FROM d WHERE NOT is_test),
+       |te AS (SELECT doc_id, $tokensSql AS tk FROM d WHERE is_test),
+       |banned AS (
+       |  SELECT DISTINCT array_to_string(tk[s + 1 : s + $n], ' ') AS gram
+       |  FROM te, unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS t(s)),
+       |occ AS (
+       |  SELECT doc_id, s AS start,
+       |    array_to_string(tk[s + 1 : s + $n], ' ') AS gram
+       |  FROM tr, unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS t(s)),
+       |starts AS (SELECT o.doc_id, o.start FROM occ o JOIN banned USING (gram)),
+       |toks AS (
+       |  SELECT doc_id, p AS pos, tk[p + 1] AS tok
+       |  FROM tr, unnest(range(0, len(tk))) AS t(p)),
+       |cov AS (
+       |  SELECT doc_id, pos, tok,
+       |    MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      RANGE BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) = 1 AS c
+       |  FROM (
+       |    SELECT t.doc_id, t.pos, t.tok,
+       |      CASE WHEN s.start IS NOT NULL THEN 1 ELSE 0 END AS is_start
+       |    FROM toks t LEFT JOIN starts s
+       |      ON s.doc_id = t.doc_id AND s.start = t.pos))
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(CASE WHEN NOT c THEN tok END, ' '
+       |    ORDER BY pos), '') AS clean_text
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** INCREMENTAL substring dedup — the refresh path of the span tier
     * (completes the incremental axis the repo establishes for the
     * doc-level and near-dup tiers): history (doc_id < splitId) is
@@ -2296,6 +2382,7 @@ object Dedup {
     "dedup_exact"     -> (exact _),
     "dedup_keyed"     -> (keyed _),
     "dedup_minhash"   -> ((s: SparkSession, d: String) => minhash(s, d)),
+    "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "dedup_minhash_clustered" -> (minhashClustered _),
     "dedup_simhash_clustered" -> (simhashClustered _),
     "dedup_groups_clustered" -> (dedupGroupsClustered _),
@@ -2324,6 +2411,7 @@ object Dedup {
     "dedup_contamination" -> contaminationSql,
     "dedup_overlap_matrix" -> overlapMatrixSql,
     "dedup_groups_jaccard" -> dedupGroupsJaccardSql,
+    "dedup_decontaminate" -> decontaminateSql,
     "dedup_minhash_clustered" -> minhashClusteredSql,
     "dedup_simhash_clustered" -> simhashClusteredSql,
     "dedup_groups_clustered" -> dedupGroupsClusteredSql,

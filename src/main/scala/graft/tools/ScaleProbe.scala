@@ -483,6 +483,10 @@ object ScaleProbe {
       // O(1); the bounded-heap top-k ships O(queries·k) — time should
       // track the tf aggregation, i.e. near-linear in token mass
       "text_bm25"          -> (() => graft.ops.TextAnalysis.bm25(spark, outDir).count()),
+      // benchmark decontamination at corpus scale: banned set = ~12.5%
+      // of docs' grams (md5 test buckets), train side scans once; cost
+      // should track dedup_substring's symmetric pass
+      "dedup_decontaminate" -> (() => graft.ops.Dedup.decontaminate(spark, outDir).count()),
       "dedup_fuzzy"        -> (() => graft.ops.Dedup.fuzzy(spark, outDir).count()),
       "dedup_incremental"  -> (() => graft.ops.Dedup.incremental(spark, outDir, (nDocs * mult) / 2).count()),
       "dedup_minhash"      -> (() => graft.ops.Dedup.minhash(spark, outDir).count()),

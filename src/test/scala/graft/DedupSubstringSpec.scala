@@ -208,6 +208,45 @@ class DedupSubstringSpec extends SparkSpec {
     assert(out.filter(col("n_removed") > col("n_tokens")).count() == 0)
   }
 
+  test("decontamination is ASYMMETRIC: test-set spans are removed from " +
+      "train docs, train-internal repeats survive, test docs untouched") {
+    import spark.implicits._
+    val tmp = graft.tools.TempDirs.createFast("graft-decon")
+    try {
+      // md5 first hex digit routes the split: 27 -> '0' and 6 -> '1'
+      // are TEST; 21/23/25/29 land outside {0,1} (asserted below)
+      val span = "s1 s2 s3 s4"        // lives in TEST doc 27
+      val trainRep = "r1 r2 r3 r4"    // repeated WITHIN train only
+      val docs = Seq(
+        27L -> s"tq1 $span tq2",                 // test: defines banned set
+        6L  -> "other test content only here",   // test: no overlap
+        21L -> s"a1 a2 $span a3",                // train: contaminated
+        23L -> s"b1 b2 b3 $trainRep",            // train: internal repeat
+        25L -> s"$trainRep c1 c2 c3",            // train: internal repeat
+        29L -> "d1 d2 d3 d4 d5 d6")              // train: clean
+        .toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+          "length(text) AS n_chars")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      def bucket(id: Long) = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 1)
+      assert(Seq(27L, 6L).forall(id => Set("0", "1")(bucket(id))),
+        "fixture assumption: 27/38 are test-bucket ids")
+      assert(Seq(21L, 23L, 25L, 29L).forall(id => !Set("0", "1")(bucket(id))))
+      val out = graft.ops.Dedup.decontaminate(spark, tmp, n = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      // only train docs in the output
+      assert(out.keySet == Set(21L, 23L, 25L, 29L))
+      // the contaminated span is gone from doc 21; context survives
+      assert(out(21L) == ((7L, 4L, "a1 a2 a3")), s"got ${out(21L)}")
+      // train-internal repetition is NOT contamination — untouched
+      assert(out(23L)._2 == 0L && out(25L)._2 == 0L)
+      assert(out(29L)._2 == 0L)
+    } finally graft.tools.TempDirs.deleteRecursively(tmp)
+  }
+
   test("rolling gram digests: the O(len) recurrence equals direct BigInt " +
       "polynomial evaluation per window; equal windows collide, others don't") {
     val text = "a b c a b c a b x y a b"
