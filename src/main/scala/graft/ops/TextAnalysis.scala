@@ -581,7 +581,6 @@ object TextAnalysis {
     * partition heads + driver merge of 20·P rows), not a one-reducer
     * window over the vocabulary. */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
-    val k = 10
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -590,6 +589,47 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, stats)
+  }
+
+  /** [[bm25]] over a PERSISTED index — the train-once / search-many form
+    * (the IVF/pair-artifact precedent): the corpus-scan aggregates (the
+    * postings-with-frequencies table, i.e. the inverted index in its
+    * scoring orientation; per-doc lengths; the 1-row corpus stats) build
+    * once per (corpus, session) through ArtifactCache and every later
+    * query pays ONLY the scoring join + heap — the posture a retrieval
+    * service actually runs. Same result, same oracle as `text_bm25`. */
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    def art(kind: String)(build: String => Unit): DataFrame =
+      graft.tools.ArtifactCache.parquet(spark, dir, kind)(build)
+    val tf = art("bm25_tf") { p =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val dl = art("bm25_dl") { p =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val stats = art("bm25_stats") { p =>
+      Tables.documents(spark, dir)
+        .select(size(tokens(col("text"))).cast("long").as("len"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("t"))
+        .write.mode("overwrite").parquet(p)
+    }
+    bm25Score(tf, dl, stats)
+  }
+
+  /** Shared scoring tail of [[bm25]] and [[bm25Indexed]]: df and the
+    * query-term derivation from the tf table, integer-exact contribs,
+    * bounded-heap top-k. */
+  private def bm25Score(tf: DataFrame, dl: DataFrame,
+                        stats: DataFrame): DataFrame = {
+    val k = 10
     val dfTbl = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("df").desc, col("token"))
@@ -658,6 +698,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25"        -> (bm25 _),
+    "text_bm25_indexed" -> (bm25Indexed _),
     "text_lm_score"    -> (lmScore _),
     "text_inverted_index" -> (invertedIndex _),
     "text_redact"      -> (redact _),
@@ -676,6 +717,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_bm25"        -> bm25Sql,
+    "text_bm25_indexed" -> bm25Sql,
     "text_lm_score"    -> lmScoreSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_redact"      -> redactSql,

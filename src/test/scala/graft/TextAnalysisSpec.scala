@@ -186,5 +186,15 @@ class TextAnalysisSpec extends SparkSpec {
         r.getLong(4))).toSet
     assert(got == expTop)
     assert(got.map(_._1) == Set(0, 1, 2, 3, 4), "five derived queries")
+    // the persisted-index form returns the identical ranking (and its
+    // second invocation reuses the artifacts rather than rebuilding)
+    val idx = TextAnalysis.bm25Indexed(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(idx == got)
+    val idx2 = TextAnalysis.bm25Indexed(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(idx2 == got)
   }
 }
