@@ -624,13 +624,65 @@ object TextAnalysis {
     bm25Score(tf, dl, stats)
   }
 
-  /** Shared scoring tail of [[bm25]] and [[bm25Indexed]]: df and the
-    * query-term derivation from the tf table, integer-exact contribs,
-    * bounded-heap top-k. */
-  private def bm25Score(tf: DataFrame, dl: DataFrame,
-                        stats: DataFrame): DataFrame = {
+  /** INCREMENTALLY MAINTAINED BM25 index: history (doc_id < splitId)
+    * builds the four index artifacts once; a delta ingest pays only the
+    * delta docs' aggregations plus O(|delta vocabulary|) merges — the
+    * postings/length tables append disjoint doc rows, document
+    * frequencies merge by full-outer SUM (new tokens enter, existing
+    * tokens increment), and the 1-row stats add elementwise. The gate's
+    * claim is the incremental one: scoring over the MAINTAINED index
+    * equals the full-corpus rebuild (same oracle as `text_bm25`) — a
+    * df merge that drops a token, double-counts a doc, or misses the
+    * stats update breaks the hash. Append-only corpus assumed (the
+    * repo's incremental contract; deletions would need tombstones). */
+  def bm25Incremental(spark: SparkSession, dir: String,
+                      splitId: Long = 400L): DataFrame = {
+    def art(kind: String)(build: String => Unit): DataFrame =
+      graft.tools.ArtifactCache.parquet(spark, dir,
+        s"bm25h_${kind}_s$splitId")(build)
+    def frames(docsDf: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val toks = docsDf.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val tf = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dl = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = toks.agg(count(lit(1)).as("n"),
+        sum(size(col("toks")).cast("long")).as("t"))
+      (tf, dl, df, stats)
+    }
+    val all = Tables.documents(spark, dir)
+    val (hTf, hDl, hDf, hStats) = {
+      val hist = all.filter(col("doc_id") < splitId)
+      val (a, b, c, d) = frames(hist)
+      (art("tf") { p => a.write.mode("overwrite").parquet(p) },
+        art("dl") { p => b.write.mode("overwrite").parquet(p) },
+        art("df") { p => c.write.mode("overwrite").parquet(p) },
+        art("stats") { p => d.write.mode("overwrite").parquet(p) })
+    }
+    val (dTf, dDl, dDf, dStats) = frames(all.filter(col("doc_id") >= splitId))
+    val tf = hTf.unionByName(dTf)             // disjoint doc_id keys
+    val dl = hDl.unionByName(dDl)
+    val df = hDf.withColumnRenamed("df", "hdf")
+      .join(dDf.withColumnRenamed("df", "ddf"), Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("hdf"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
+    val stats = hStats.select(col("n").as("hn"), col("t").as("ht"))
+      .crossJoin(dStats.select(col("n").as("dn"), col("t").as("dt")))
+      .select((col("hn") + col("dn")).as("n"),
+        (coalesce(col("ht"), lit(0L)) + coalesce(col("dt"), lit(0L))).as("t"))
+    bm25Score(tf, dl, stats, Some(df))
+  }
+
+  /** Shared scoring tail of [[bm25]] / [[bm25Indexed]] /
+    * [[bm25Incremental]]: query-term derivation from the df table
+    * (derived from tf unless a maintained one is supplied),
+    * integer-exact contribs, bounded-heap top-k. */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                        dfOpt: Option[DataFrame] = None): DataFrame = {
     val k = 10
-    val dfTbl = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfTbl = dfOpt.getOrElse(
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("df").desc, col("token"))
     val qt = dfTbl.orderBy(col("df").desc, col("token")).limit(20)
@@ -699,6 +751,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25"        -> (bm25 _),
     "text_bm25_indexed" -> (bm25Indexed _),
+    "text_bm25_incr"   -> ((s: SparkSession, d: String) => bm25Incremental(s, d)),
     "text_lm_score"    -> (lmScore _),
     "text_inverted_index" -> (invertedIndex _),
     "text_redact"      -> (redact _),
@@ -718,6 +771,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_bm25"        -> bm25Sql,
     "text_bm25_indexed" -> bm25Sql,
+    "text_bm25_incr"   -> bm25Sql,
     "text_lm_score"    -> lmScoreSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_redact"      -> redactSql,

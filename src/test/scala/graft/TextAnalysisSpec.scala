@@ -196,5 +196,15 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     assert(idx2 == got)
+    // incrementally maintained index (history = ids < 15, delta = rest,
+    // which introduces both new postings for existing tokens and new
+    // tokens) must return the identical ranking; empty-delta split too
+    for (split <- Seq(15L, 1000L)) {
+      val inc = TextAnalysis.bm25Incremental(spark, dir, splitId = split)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(inc == got, s"split $split diverged")
+    }
   }
 }
