@@ -337,36 +337,116 @@ object Dedup {
     * guaranteed to collide on ≥1 band by pigeonhole), verified by exact
     * Hamming distance via bit_count(xor). */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3,
-              maxBucket: Int = 200): DataFrame = {
-    // One compiled pass per doc: every token occurrence votes ±1 per bit
-    // of its xxhash64; the sign vector is the fingerprint (TextKernels).
-    val withFp = Tables.rebalanced(Tables.documents(spark, dir))
-      .select(col("doc_id"),
+              maxBucket: Int = 200): DataFrame =
+    simhashOf(Tables.rebalanced(Tables.documents(spark, dir)),
+      maxHamming, maxBucket, sorted = true)
+
+  /** (doc_id, fp) fingerprints of a documents frame — one compiled pass
+    * per doc: every token occurrence votes ±1 per bit of its xxhash64;
+    * the sign vector is the fingerprint (TextKernels). */
+  private def simhashFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         graft.functions.TextKernels.simhashUdf(col("text")).as("fp"))
       .filter(col("fp").isNotNull)
+
+  /** The 4×16-bit band rows of a fingerprint frame, named (band,
+    * band_sig) so the shared candidate kernel and crossing-retraction
+    * machinery apply unchanged. */
+  private def simhashBandRows(fps: DataFrame): DataFrame = {
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_val"))
+        expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_sig"))
+    }
+    fps.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"),
+        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
+  /** simhash over an injectable documents frame — the incremental path
+    * runs it over corpus slices. */
+  private[graft] def simhashOf(docs: DataFrame, maxHamming: Int,
+                               maxBucket: Int, sorted: Boolean): DataFrame = {
+    val withFp = simhashFps(docs)
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_sig"))
     }
     val banded = withFp
       .select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("fp"),
-        col("bs.band").as("band"), col("bs.band_val").as("band_val"))
+        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
       .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_val"))))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_sig"))))
       .filter(col("bucket_n") <= maxBucket)
-    val a = banded.select(col("band"), col("band_val"),
+    val a = banded.select(col("band"), col("band_sig"),
       col("doc_id").as("a_id"), col("fp").as("a_fp"))
-    val b = banded.select(col("band"), col("band_val"),
+    val b = banded.select(col("band"), col("band_sig"),
       col("doc_id").as("b_id"), col("fp").as("b_fp"))
-    a.join(b, Seq("band", "band_val"))
+    val verified = a.join(b, Seq("band", "band_sig"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", expr("bit_count(a_fp ^ b_fp)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
-      .orderBy(col("a_id"), col("b_id"))
+    if (sorted) verified.orderBy(col("a_id"), col("b_id")) else verified
   }
+
+  /** Incremental SIMHASH band-index maintenance — completes the
+    * incremental axis for the third near-dup tier (minhash and the
+    * span tier already have theirs): the historical corpus persists its
+    * fingerprint frame (8 B/doc + id — the band rows derive from it as
+    * a narrow map, so ONE artifact serves both index and verify); a new
+    * batch fingerprints only its own docs and goes through the shared
+    * candidate kernel ([[deltaCandidatePairs]]: touched-slice pruning,
+    * COMBINED-bucket skew cap, crossing detection) with an exact
+    * Hamming verify. Cap-crossing buckets retract their historical
+    * pairs exactly as the minhash path does — incremental == full
+    * rebuild unconditionally. Fixture form is hash-family-specific
+    * (rows-only semantics); the GATED entry runs on the planted
+    * corpus where the pair set is exact. */
+  def simhashIncremental(spark: SparkSession, dir: String,
+                         splitId: Long = 400, maxHamming: Int = 3,
+                         maxBucket: Int = 200,
+                         deltaOnly: Boolean = false): DataFrame = {
+    val all = Tables.rebalanced(Tables.documents(spark, dir))
+    val oldDocs = all.filter(col("doc_id") < splitId)
+    val newDocs = all.filter(col("doc_id") >= splitId)
+    val histFp = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"simhash_fp_lt$splitId") { p =>
+      simhashFps(oldDocs).write.mode("overwrite").parquet(p)
+    }
+    val deltaFp = simhashFps(newDocs).localCheckpoint()
+    val histIdx = simhashBandRows(histFp)
+    val deltaIdx = simhashBandRows(deltaFp)
+    val dp = deltaHammingPairs(histIdx, deltaIdx,
+      histFp.unionByName(deltaFp), maxHamming, maxBucket)
+    if (deltaOnly) dp.pairs
+    else {
+      val histPairs = graft.tools.ArtifactCache.parquet(spark, dir,
+        s"pairs_simhash_lt${splitId}_h${maxHamming}_b$maxBucket") { p =>
+        simhashOf(oldDocs, maxHamming, maxBucket, sorted = false)
+          .write.mode("overwrite").parquet(p)
+      }
+      retractCrossedPairs(histPairs, histIdx, deltaIdx,
+        dp.crossingKeys, maxBucket)
+        .unionByName(dp.pairs)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  }
+
+  /** [[minhashIncremental]] / [[simhashIncremental]] through the HASH
+    * GATE on the planted corpus (splitId 100 puts the third replica of
+    * bases 20–39 and all 20 probes in the delta): the maintained index
+    * must reproduce the exact 120-pair set the full-corpus oracle
+    * synthesizes — a touched-slice prune that misses a band key, a
+    * combined-cap mistake, or a broken delta×delta join drops a pair
+    * and breaks the hash. Same oracles as the `_clustered` batch forms
+    * (incremental == rebuild is the claim). */
+  def minhashIncrementalClustered(spark: SparkSession, dir: String): DataFrame =
+    minhashIncremental(spark, clusteredDocsDir(spark), splitId = 100)
+
+  def simhashIncrementalClustered(spark: SparkSession, dir: String): DataFrame =
+    simhashIncremental(spark, clusteredDocsDir(spark), splitId = 100)
 
   // ---------------------------------------------------------------------
   // Exact n-gram Jaccard within buckets (oracle-checkable)
@@ -817,6 +897,50 @@ object Dedup {
                                  verifyShingles: DataFrame => DataFrame,
                                  jaccardThreshold: Double,
                                  maxBucket: Int): DeltaPairs = {
+    val (candidates, crossingKeys) =
+      deltaCandidatePairs(histIndex, deltaIndex, maxBucket)
+    val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
+      .unionByName(candidates.select(col("b_id").as("doc_id")))
+      .distinct().localCheckpoint())
+    val sh = verifyShingles(candIds)
+    val pairs = candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
+      .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
+        col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    DeltaPairs(pairs, crossingKeys)
+  }
+
+  /** Hamming analogue of [[deltaVerifiedPairs]] for the SIMHASH tier:
+    * same candidate kernel (touched-slice pruning, combined-bucket cap,
+    * crossing detection), verification = exact `bit_count(xor)` against
+    * the fingerprint frame instead of shingle Jaccard. */
+  private def deltaHammingPairs(histIndex: DataFrame, deltaIndex: DataFrame,
+                                fps: DataFrame, maxHamming: Int,
+                                maxBucket: Int): DeltaPairs = {
+    val (candidates, crossingKeys) =
+      deltaCandidatePairs(histIndex, deltaIndex, maxBucket)
+    val pairs = candidates
+      .join(fps.select(col("doc_id").as("a_id"), col("fp").as("a_fp")), Seq("a_id"))
+      .join(fps.select(col("doc_id").as("b_id"), col("fp").as("b_fp")), Seq("b_id"))
+      .withColumn("hamming", expr("bit_count(a_fp ^ b_fp)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    DeltaPairs(pairs, crossingKeys)
+  }
+
+  /** Shared candidate kernel of the incremental/streaming refresh paths
+    * (split out of [[deltaVerifiedPairs]] so the simhash tier reuses it
+    * with a Hamming verify): candidate (a_id, b_id) pairs between a
+    * delta's band rows and the historical band index, plus delta×delta,
+    * with the historical index pruned to touched keys and the skew cap
+    * applied on COMBINED bucket sizes; also returns the (tiny) crossing
+    * key set. */
+  private def deltaCandidatePairs(histIndex: DataFrame,
+                                  deltaIndex: DataFrame,
+                                  maxBucket: Int): (DataFrame, DataFrame) = {
     val bandCols = Seq("band", "band_sig")
     val deltaCounts = deltaIndex.groupBy(bandCols.map(col): _*)
       .agg(count(lit(1)).as("d_n"))
@@ -853,18 +977,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .localCheckpoint()
-    val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
-      .unionByName(candidates.select(col("b_id").as("doc_id")))
-      .distinct().localCheckpoint())
-    val sh = verifyShingles(candIds)
-    val pairs = candidates
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
-      .withColumn("jaccard", graft.functions.TextKernels.jaccardUdf(
-        col("a_sh"), col("b_sh")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-    DeltaPairs(pairs, crossingKeys)
+    (candidates, crossingKeys)
   }
 
   /** Result of [[deltaVerifiedPairs]]: the verified new pairs plus the
@@ -2384,6 +2497,8 @@ object Dedup {
     "dedup_minhash"   -> ((s: SparkSession, d: String) => minhash(s, d)),
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "dedup_minhash_clustered" -> (minhashClustered _),
+    "dedup_incr_minhash_clustered" -> (minhashIncrementalClustered _),
+    "dedup_incr_simhash_clustered" -> (simhashIncrementalClustered _),
     "dedup_simhash_clustered" -> (simhashClustered _),
     "dedup_groups_clustered" -> (dedupGroupsClustered _),
     "dedup_simhash"   -> ((s: SparkSession, d: String) => simhash(s, d)),
@@ -2413,6 +2528,8 @@ object Dedup {
     "dedup_groups_jaccard" -> dedupGroupsJaccardSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_minhash_clustered" -> minhashClusteredSql,
+    "dedup_incr_minhash_clustered" -> minhashClusteredSql,
+    "dedup_incr_simhash_clustered" -> simhashClusteredSql,
     "dedup_simhash_clustered" -> simhashClusteredSql,
     "dedup_groups_clustered" -> dedupGroupsClusteredSql,
     "dedup_exact"     -> exactSql,

@@ -383,6 +383,28 @@ class DedupSpec extends SparkSpec {
     assert(first._2.map(_._1) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("incremental simhash == full rebuild (cross-split exact copy must " +
+      "pair; delta-only feed carries exactly the new pairs)") {
+    import org.apache.spark.sql.functions.col
+    val dir = corpus((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, "completely different words in this one"),
+      (5L, base),           // delta: exact copy of hist doc 1 → Hamming 0
+      (6L, unrelated))      // delta: copy of hist doc 3
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = pairSet(Dedup.simhash(spark, dir))
+    val incr = pairSet(Dedup.simhashIncremental(spark, dir, splitId = 5L))
+    assert(incr == full, s"incremental $incr != full $full")
+    assert(full.contains((1L, 5L, 0)) && full.contains((3L, 6L, 0)),
+      "cross-split exact copies must pair at Hamming 0")
+    val delta = pairSet(Dedup.simhashIncremental(spark, dir, splitId = 5L,
+      deltaOnly = true))
+    assert(delta.subsetOf(full) && delta.forall(p => p._2 >= 5L),
+      s"delta feed must be the new-endpoint pairs only: $delta")
+    assert((full -- delta).forall(p => p._2 < 5L),
+      "history pairs must come from the artifact, not the delta feed")
+  }
+
   test("streaming minhash under lateness: below-watermark docs quarantine " +
       "and never reach the band index / shingle store; replay idempotent") {
     import org.apache.spark.sql.functions.{col, lit}
