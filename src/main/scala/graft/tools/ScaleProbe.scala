@@ -63,6 +63,14 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
+      // shuffle/spill scratch on tmpfs when the machine has one — the
+      // pair-heavy 100× arms write tens of GB of shuffle; on the shared
+      // sandbox the root disk swings probe numbers 1.5–2.4× run to run
+      // (measured on dedup_minhash 100×: 146.7 s disk-corpus vs 91.9 s
+      // tmpfs-corpus, same code). A real cluster's local SSDs are the
+      // analogue; the probe should measure the OPERATOR, not /dev/vda.
+      .config("spark.local.dir",
+        TempDirs.createFastForJvm("graft-spark-local"))
       .config("spark.sql.warehouse.dir",
         TempDirs.createFastForJvm("graft-warehouse")))
       .getOrCreate()
