@@ -434,6 +434,121 @@ object Dedup {
     }
   }
 
+  /** One micro-batch of STREAMING simhash dedup — the third near-dup
+    * tier's ingest-time form, completing its axis (batch/incremental
+    * exist; minhash and the span tier already stream). State is TWO
+    * append-only [[graft.tools.LogState]] logs: `index` rows carry
+    * (doc_id, band, band_sig, fp) — the 8-byte fingerprint rides the
+    * band rows, so the exact-Hamming verify needs NO separate
+    * fingerprint store and no corpus re-read after ingest — and
+    * `survivors` accretes each batch's keepers. Per batch: fingerprint
+    * the arrivals once (cost ∝ batch), prune the historical index to
+    * touched band keys via a broadcast semi-join, cap on COMBINED
+    * bucket sizes (ingest-time semantics, as minhash streaming: a
+    * later-crossing bucket keeps already-published decisions), verify
+    * batch×hist ∪ batch×batch candidates by `bit_count(xor)`, and keep
+    * arrivals that are never the LATER side of a verified pair — with
+    * id-ordered arrival this equals the batch rule "keep d iff no
+    * verified pair (a, d) with a < d". Writes are epoch-keyed
+    * overwrites derived from state < batchId: replay-idempotent. */
+  private[graft] def simhashStreamApplyBatch(batch: DataFrame,
+                                             batchId: Long, statePath: String,
+                                             maxHamming: Int = 3,
+                                             maxBucket: Int = 200,
+                                             compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    val indexRoot = s"$statePath/index"
+    val survRoot = s"$statePath/survivors"
+    Seq(indexRoot, survRoot)
+      .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
+    val arriving = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val fps = simhashFps(arriving)
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_sig"))
+    }
+    val newRows = fps
+      .select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("fp"),
+        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .localCheckpoint()
+    val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
+    val hist =
+      if (histPaths.nonEmpty) sp.read.parquet(histPaths: _*)
+      else newRows.limit(0)
+    val bandCols = Seq("band", "band_sig")
+    val newKeys = newRows.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("d_n")).localCheckpoint()
+    val touchedHist = hist
+      .join(broadcast(newKeys.select(bandCols.map(col): _*)),
+        bandCols, "left_semi")
+      .localCheckpoint()
+    val okKeys = broadcast(newKeys
+      .join(touchedHist.groupBy(bandCols.map(col): _*)
+          .agg(count(lit(1)).as("h_n")),
+        bandCols, "left_outer")
+      .filter(coalesce(col("h_n"), lit(0L)) + col("d_n") <= maxBucket)
+      .select(bandCols.map(col): _*))
+    val hOk = touchedHist.join(okKeys, bandCols, "left_semi")
+    val dOk = newRows.join(okKeys, bandCols, "left_semi")
+    val dupIds = hOk
+      .select(col("band"), col("band_sig"),
+        col("doc_id").as("a_id"), col("fp").as("a_fp"))
+      .join(dOk.select(col("band"), col("band_sig"),
+        col("doc_id").as("b_id"), col("fp").as("b_fp")), bandCols)
+      .unionByName(dOk
+        .select(col("band"), col("band_sig"),
+          col("doc_id").as("a_id"), col("fp").as("a_fp"))
+        .join(dOk.select(col("band"), col("band_sig"),
+          col("doc_id").as("b_id"), col("fp").as("b_fp")), bandCols))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(expr("bit_count(a_fp ^ b_fp)") <= maxHamming)
+      .select(col("b_id").as("doc_id")).distinct()
+    val batchSurvivors = arriving.select(col("doc_id"))
+      .join(dupIds, Seq("doc_id"), "left_anti")
+    newRows.write.mode("overwrite").parquet(s"$indexRoot/delta/v$batchId")
+    batchSurvivors.write.mode("overwrite")
+      .parquet(s"$survRoot/delta/v$batchId")
+    graft.tools.LogState.maintain(sp, Seq(indexRoot, survRoot), batchId,
+      compactEvery)(identity)
+  }
+
+  /** STREAMING simhash through the HASH GATE on the planted corpus:
+    * four contiguous id-range batches (arrival order = id order, so the
+    * survivor rule is exact) — the final survivor set must be precisely
+    * the first copy of each base plus the 20 probes, which the oracle
+    * synthesizes from `range()`. A pruning bug that misses a touched
+    * band key, a combined-cap mistake, or a survivor published from a
+    * replayed epoch breaks the hash. `dir` unused (regime, not scale). */
+  def simhashStreamClustered(spark: SparkSession, dir: String,
+                             epochs: Int = 4): DataFrame = {
+    val cdir = clusteredDocsDir(spark)
+    val base = graft.tools.TempDirs.createFast("graft-simstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, cdir)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val width = 140 / epochs
+      (0 until epochs).foreach { k =>
+        simhashStreamApplyBatch(
+          all.filter(col("doc_id") >= k * width &&
+            (col("doc_id") < (k + 1) * width || lit(k == epochs - 1))),
+          k, statePath, compactEvery = 2)
+      }
+      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
+        epochs - 1L)
+      spark.read.parquet(paths: _*).localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val simhashStreamClusteredSql: String =
+    """SELECT CAST(x AS BIGINT) AS doc_id FROM range(0, 40) t(x)
+      |UNION ALL
+      |SELECT CAST(x AS BIGINT) AS doc_id FROM range(120, 140) t(x)
+      |ORDER BY doc_id""".stripMargin
+
   /** [[minhashIncremental]] / [[simhashIncremental]] through the HASH
     * GATE on the planted corpus (splitId 100 puts the third replica of
     * bases 20–39 and all 20 probes in the delta): the maintained index
@@ -2498,6 +2613,7 @@ object Dedup {
     "dedup_decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "dedup_minhash_clustered" -> (minhashClustered _),
     "dedup_incr_minhash_clustered" -> (minhashIncrementalClustered _),
+    "dedup_stream_simhash_clustered" -> ((s: SparkSession, d: String) => simhashStreamClustered(s, d)),
     "dedup_incr_simhash_clustered" -> (simhashIncrementalClustered _),
     "dedup_simhash_clustered" -> (simhashClustered _),
     "dedup_groups_clustered" -> (dedupGroupsClustered _),
@@ -2529,6 +2645,7 @@ object Dedup {
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_minhash_clustered" -> minhashClusteredSql,
     "dedup_incr_minhash_clustered" -> minhashClusteredSql,
+    "dedup_stream_simhash_clustered" -> simhashStreamClusteredSql,
     "dedup_incr_simhash_clustered" -> simhashClusteredSql,
     "dedup_simhash_clustered" -> simhashClusteredSql,
     "dedup_groups_clustered" -> dedupGroupsClusteredSql,

@@ -383,6 +383,41 @@ class DedupSpec extends SparkSpec {
     assert(first._2.map(_._1) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("streaming simhash batch apply: survivor rule matches the batch " +
+      "operator, index carries fingerprints, replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = corpus((1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, base))   // arrives in batch 1: exact copy of doc 1 → dup
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-simstream-spec")
+        .toString + "/state"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    Dedup.simhashStreamApplyBatch(docs.filter(col("doc_id") <= 2), 0L,
+      statePath, compactEvery = 2)
+    val b1 = docs.filter(col("doc_id") > 2)
+    Dedup.simhashStreamApplyBatch(b1, 1L, statePath, compactEvery = 2)
+    def surv() = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$statePath/survivors", 1L): _*)
+      .collect().map(_.getLong(0)).toSet
+    val first = surv()
+    // doc 4 is the later side of a Hamming-0 pair with doc 1 → dropped;
+    // whether doc 2 (1-word edit) survives follows the BATCH operator
+    val batchDups = Dedup.simhash(spark, dir)
+      .select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 2L, 3L, 4L) -- batchDups)
+    assert(batchDups.contains(4L), "exact copy must be dropped")
+    // index rows carry the fingerprint (the no-separate-store design)
+    val idx = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$statePath/index", 1L): _*)
+    assert(idx.columns.toSet == Set("doc_id", "fp", "band", "band_sig"))
+    assert(idx.select(col("doc_id")).distinct().count() == 4)
+    // at-least-once replay of the last batch rewrites identical state
+    Dedup.simhashStreamApplyBatch(b1, 1L, statePath, compactEvery = 2)
+    assert(surv() == first)
+    graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("incremental simhash == full rebuild (cross-split exact copy must " +
       "pair; delta-only feed carries exactly the new pairs)") {
     import org.apache.spark.sql.functions.col
