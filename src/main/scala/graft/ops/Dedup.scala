@@ -2494,6 +2494,19 @@ object Dedup {
         epoch, dedupState, jaccardThreshold, maxBucket)
     }
 
+  /** [[simhashStreamApplyBatch]] under the same lateness wrapper — all
+    * three streaming dedup tiers now share one watermark/quarantine
+    * protocol. */
+  private[graft] def simhashStreamLateApplyBatch(
+      batch: DataFrame, epoch: Long, lateState: String,
+      dedupState: String, latenessMicros: Long,
+      maxHamming: Int = 3, maxBucket: Int = 200): Unit =
+    CdcUpsert.withLateness(batch, epoch, lateState, latenessMicros,
+      col("ts_us")) { onTime =>
+      simhashStreamApplyBatch(onTime.select(col("doc_id"), col("text")),
+        epoch, dedupState, maxHamming, maxBucket)
+    }
+
   /** KEEP-FIRST substring dedup — the published method's actual
     * retention rule (Lee et al. remove a duplicated substring from all
     * but ONE of the documents): a duplicated gram's occurrence at the

@@ -748,7 +748,77 @@ object TextAnalysis {
        |FROM rk WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** CCNet-style QUALITY BUCKETING (Wenzek et al., LREC 2020 §4.3): per
+    * language, rank documents by the LM familiarity score
+    * ([[lmScore]]'s integer-exact core) and split the ranking into
+    * head / middle / tail thirds — the standard pre-training corpus
+    * partition (train on head+middle, drop or down-weight tail).
+    * Bucket assignment is pure integer arithmetic over the rank,
+    * `(3·(rank−1)) div n_lang`, so head gets the extra docs on uneven
+    * splits in BOTH engines identically; ranking order is (familiarity
+    * DESC, doc_id), and familiarity is a single IEEE division of two
+    * integer sums — bitwise identical across engines (the lmScore
+    * precedent), so the rank is too.
+    *
+    * Scale shape: everything through the familiarity score is lmScore's
+    * plan (bigram-keyed equi-joins, O(distinct-bigram) shuffles); the
+    * ranking is one window per language partition — at 100 TB a
+    * language is large but the window carries only (doc_id, two longs),
+    * and a skewed dominant language is exactly the case the two-level
+    * rank machinery in `ops/TwoLevel` handles if it ever bottlenecks. */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("familiarity").desc, col("doc_id"))
+    val wl = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    lmScore(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_lang", count(lit(1)).over(wl))
+      .withColumn("bucket",
+        expr("CAST((3 * (rnk - 1)) div n_lang AS INT)"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("sum_cnt"),
+        col("familiarity"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityBucketsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+       |         ELSE 'train' END AS split,
+       |    $tokensSql AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_transform(generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       |  FROM d WHERE len(toks) >= 2),
+       |c AS (SELECT bigram, COUNT(*) AS cnt FROM b
+       |      WHERE split = 'train' GROUP BY bigram),
+       |lm AS (
+       |  SELECT b.doc_id,
+       |    COUNT(*) AS n_bigrams,
+       |    CAST(SUM(COALESCE(c.cnt, 0)) AS BIGINT) AS sum_cnt,
+       |    CAST(SUM(COALESCE(c.cnt, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |      AS familiarity
+       |  FROM b LEFT JOIN c ON b.bigram = c.bigram
+       |  GROUP BY b.doc_id),
+       |r AS (
+       |  SELECT lm.doc_id, doc.lang, lm.n_bigrams, lm.sum_cnt,
+       |    lm.familiarity,
+       |    ROW_NUMBER() OVER (PARTITION BY doc.lang
+       |      ORDER BY lm.familiarity DESC, lm.doc_id) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY doc.lang) AS n_lang
+       |  FROM lm JOIN documents doc ON doc.doc_id = lm.doc_id)
+       |SELECT doc_id, lang, n_bigrams, sum_cnt, familiarity,
+       |  CAST((3 * (rnk - 1)) // n_lang AS INT) AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_buckets" -> (qualityBuckets _),
     "text_bm25"        -> (bm25 _),
     "text_bm25_indexed" -> (bm25Indexed _),
     "text_bm25_incr"   -> ((s: SparkSession, d: String) => bm25Incremental(s, d)),
@@ -769,6 +839,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_quality_buckets" -> qualityBucketsSql,
     "text_bm25"        -> bm25Sql,
     "text_bm25_indexed" -> bm25Sql,
     "text_bm25_incr"   -> bm25Sql,

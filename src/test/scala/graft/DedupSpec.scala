@@ -418,6 +418,37 @@ class DedupSpec extends SparkSpec {
       statePath.stripSuffix("/state"))
   }
 
+  test("streaming simhash under lateness: late doc quarantined, never " +
+      "indexed; survivors from on-time docs only") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dir = corpus((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-latesim").toString
+    val (lateState, dedupState) = (s"$root/late", s"$root/state")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    Dedup.simhashStreamLateApplyBatch(
+      docs.filter(col("doc_id") <= 2)
+        .withColumn("ts_us", col("doc_id") * 1000000L + 9000000L),
+      0L, lateState, dedupState, latenessMicros = 2000000L)
+    // doc 3 arrives LATE (5s < wm(0)=9s); doc 4 (copy of 1) on time
+    Dedup.simhashStreamLateApplyBatch(
+      docs.filter(col("doc_id") > 2)
+        .withColumn("ts_us", when(col("doc_id") === 3L, lit(5000000L))
+          .otherwise(lit(12000000L))),
+      1L, lateState, dedupState, latenessMicros = 2000000L)
+    val idx = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$dedupState/index", 1L): _*)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 2L, 4L), s"late doc leaked into the index: $idx")
+    val surv = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$dedupState/survivors", 1L): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(!surv.contains(3L) && !surv.contains(4L) && surv.contains(1L))
+    assert(graft.ops.CdcUpsert.quarantineAsOf(spark, lateState, 1L).get
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    graft.tools.TempDirs.deleteRecursively(root)
+  }
+
   test("incremental simhash == full rebuild (cross-split exact copy must " +
       "pair; delta-only feed carries exactly the new pairs)") {
     import org.apache.spark.sql.functions.col

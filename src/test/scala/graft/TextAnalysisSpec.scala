@@ -140,6 +140,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("ReadSchema"))
   }
 
+  test("quality buckets: per-lang thirds with head-heavy remainders, " +
+      "ordered by familiarity then doc_id") {
+    val rows = graft.ops.TextAnalysis.qualityBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val n = docs.length
+      // bucket must equal the integer formula over the (familiarity
+      // DESC, doc_id) rank — recompute the rank independently
+      val ranked = docs.sortBy(d => (-d._3, d._1)).zipWithIndex
+      ranked.foreach { case ((id, _, _, b), i) =>
+        assert(b == 3 * i / n, s"doc $id in $lang: bucket $b at rank $i of $n")
+      }
+      val sizes = docs.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.values.sum == n)
+      // head gets the remainder first: sizes differ by at most 1 and
+      // are non-increasing head -> tail
+      val s = (0 to 2).map(b => sizes.getOrElse(b, 0))
+      if (n >= 3) assert(s(0) >= s(1) && s(1) >= s(2) && s(0) - s(2) <= 1, s"$lang $s")
+    }
+  }
+
   test("bm25: distributed scores, hits, and ranks equal an independent " +
       "in-memory reference on a 30-doc corpus") {
     // deterministic corpus with ~26 distinct tokens and skewed df so the
