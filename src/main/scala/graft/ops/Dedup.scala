@@ -1527,17 +1527,105 @@ object Dedup {
       .select(col("vec_id"), col("embedding"))
     val b = if (bits > 0) bits
             else Similarity.adaptiveLshBits(e.count(), tables, probes)
+    embeddingLshOf(e, threshold, tables, b, probes)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** embeddingLsh over an injectable (vec_id, embedding) frame with a
+    * resolved bit width — the incremental path's history builder. */
+  private def embeddingLshOf(e: DataFrame, threshold: Double,
+                             tables: Int, bits: Int,
+                             probes: Int): DataFrame =
     // candidate pairs stay SLIM (two ids) through the union + distinct —
     // the 64-float embeddings must not ride the shuffle (same discipline
     // as minhash's slim band frame); they rejoin only for the survivors.
-    embeddingLshCandidates(e, tables, b, probes)
+    embeddingLshCandidates(e, tables, bits, probes)
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
       .withColumn("cos", cosine("a_emb", "b_emb"))
       .filter(col("cos") > threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
-      .orderBy(col("a_id"), col("b_id"))
+
+  /** Per-table LSH signatures (vec_id, table, sig0) — the persisted
+    * index shape of the incremental embedding path. */
+  private def embLshSigs(e: DataFrame, tables: Int, bits: Int): DataFrame =
+    (0 until tables).map { t =>
+      e.select(col("vec_id"), lit(t).as("table"),
+        graft.functions.LshSignature.lsh_sig(col("embedding"), t, bits).as("sig0"))
+    }.reduce(_ unionByName _)
+
+  /** Incremental EMBEDDING-LSH near-dup maintenance — completes the
+    * incremental axis for the embedding tier (minhash, simhash, and the
+    * span tier have theirs): history persists its per-table signature
+    * index (one short int per table per vector) and its verified pair
+    * set; a delta signs ONLY its own vectors. Key property making the
+    * split exact: multi-probe candidacy is a HAMMING-BALL relation —
+    * probe(x) ∋ sig0(y) ⟺ Hamming(sig0(x), sig0(y)) ≤ probes ⟺
+    * probe(y) ∋ sig0(x) — symmetric, so the full pair set partitions
+    * cleanly into hist×hist (the artifact), hist×delta (delta probes,
+    * history answers exactly — history is NEVER re-probed), and
+    * delta×delta; and this tier has no bucket cap, so there is no
+    * crossing semantics and incremental == rebuild unconditionally.
+    * Verification is the same exact cosine over candidate-pruned
+    * embedding rejoins. `bits` ≤ 0 derives the adaptive width from the
+    * FULL corpus count (what a rebuild would use — equality requires
+    * it). */
+  def embeddingLshIncremental(spark: SparkSession, dir: String,
+                              splitId: Long, threshold: Double = 0.35,
+                              tables: Int = 4, bits: Int = -1,
+                              probes: Int = 2,
+                              deltaOnly: Boolean = false): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val b = if (bits > 0) bits
+            else Similarity.adaptiveLshBits(e.count(), tables, probes)
+    val hist = e.filter(col("vec_id") < splitId)
+    val delta = e.filter(col("vec_id") >= splitId)
+    val histSigs = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"emb_lsh_sigs_lt${splitId}_t${tables}_b${b}_p$probes") { p =>
+      embLshSigs(hist, tables, b).write.mode("overwrite").parquet(p)
+    }
+    val deltaSigs = embLshSigs(delta, tables, b).localCheckpoint()
+    val dProbe = deltaSigs.select(col("table"), col("vec_id").as("d_id"),
+      explode(graft.functions.VectorKernels.probeSigsUdf(
+        col("sig0"), lit(b), lit(probes))).as("sig"))
+    // hist ids < splitId ≤ delta ids, so (a, b) = (hist, delta) is
+    // already the canonical order
+    val hd = dProbe.join(histSigs.select(col("table"),
+        col("sig0").as("sig"), col("vec_id").as("a_id")),
+      Seq("table", "sig"))
+      .select(col("a_id"), col("d_id").as("b_id"))
+    val dd = dProbe.join(deltaSigs.select(col("table"),
+        col("sig0").as("sig"), col("vec_id").as("b_id")),
+      Seq("table", "sig"))
+      .filter(col("d_id") < col("b_id"))
+      .select(col("d_id").as("a_id"), col("b_id"))
+    val deltaPairs = hd.unionByName(dd).dropDuplicates("a_id", "b_id")
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
+      .withColumn("cos", cosine("a_emb", "b_emb"))
+      .filter(col("cos") > threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+    if (deltaOnly) deltaPairs
+    else {
+      val histPairs = graft.tools.ArtifactCache.parquet(spark, dir,
+        s"emb_lsh_pairs_lt${splitId}_t${tables}_b${b}_p${probes}_th$threshold") { p =>
+        embeddingLshOf(hist, threshold, tables, b, probes)
+          .write.mode("overwrite").parquet(p)
+      }
+      histPairs.unionByName(deltaPairs).orderBy(col("a_id"), col("b_id"))
+    }
   }
+
+  /** [[embeddingLshIncremental]] through the HASH GATE on the clustered
+    * embedding corpus (splitId 150 puts a quarter of every direction
+    * cluster in the delta): the maintained index must reproduce the
+    * exact brute-force pair set the oracle computes over the
+    * SQL-synthesized corpus — same oracle as the batch `_clustered`
+    * gate. */
+  def embeddingLshIncrClustered(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshIncremental(spark, Similarity.clusteredCorpusDir(spark),
+      splitId = 150, threshold = 0.5, tables = 4, bits = 10, probes = 2)
 
   /** The LSH-bucketed embedding near-dup in its EXACT regime, hash-gated
     * (same move as the sim_topk_*_clustered tier gates): on the
@@ -2640,6 +2728,7 @@ object Dedup {
     "dedup_embedding" -> ((s: SparkSession, d: String) => embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => embeddingLsh(s, d)),
     "dedup_embedding_lsh_clustered" -> (embeddingLshClustered _),
+    "dedup_incr_embedding_clustered" -> (embeddingLshIncrClustered _),
   )
 
   /** minhash/simhash signatures are hash-family-specific → rows-only check
@@ -2671,5 +2760,6 @@ object Dedup {
     "dedup_fuzzy"     -> fuzzySql,
     "dedup_embedding" -> embeddingCosineSql,
     "dedup_embedding_lsh_clustered" -> embeddingLshClusteredSql,
+    "dedup_incr_embedding_clustered" -> embeddingLshClusteredSql,
   )
 }

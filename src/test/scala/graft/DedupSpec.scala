@@ -383,6 +383,24 @@ class DedupSpec extends SparkSpec {
     assert(first._2.map(_._1) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("incremental embedding-LSH == full rebuild on the fixture corpus; " +
+      "delta feed carries only new-endpoint pairs") {
+    import org.apache.spark.sql.functions.col
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = ps(Dedup.embeddingLsh(spark, sf).select(col("a_id"), col("b_id")))
+    val maxId = Tables.embeddings(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("vec_id"))).head.getLong(0)
+    val split = maxId / 2
+    val incr = ps(Dedup.embeddingLshIncremental(spark, sf, splitId = split)
+      .select(col("a_id"), col("b_id")))
+    assert(incr == full, s"incremental diverged: ${incr.diff(full)} / ${full.diff(incr)}")
+    val delta = ps(Dedup.embeddingLshIncremental(spark, sf, splitId = split,
+      deltaOnly = true).select(col("a_id"), col("b_id")))
+    assert(delta.subsetOf(full) && delta.forall(_._2 >= split))
+    assert((full -- delta).forall(_._2 < split))
+  }
+
   test("streaming simhash batch apply: survivor rule matches the batch " +
       "operator, index carries fingerprints, replay idempotent") {
     import org.apache.spark.sql.functions.col
