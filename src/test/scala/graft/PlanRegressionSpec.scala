@@ -165,6 +165,34 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("bm25: the candidate-postings -> doc-length join stays a sort-merge " +
+      "join (the merge hint versus Catalyst's fixture-true scale-false " +
+      "broadcast estimate)") {
+    val p = plan("text_bm25")
+    assert(p.contains("SortMergeJoin"),
+      "doc-length join must be SMJ — a broadcast of the candidate " +
+        "postings is corpus-sized at scale")
+    // the intended small-side broadcasts stay: query terms + stats + topk
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("substring dedup: gram digests come from a narrow per-doc map — " +
+      "no shuffle before the digest-pair aggregation, no gram strings on " +
+      "any exchange") {
+    val p = plan("dedup_substring")
+    // the rolling kernel replaced the windowed gram build: the ONLY
+    // collect_list left in the plan is the coverage-rebuild tail's
+    // ordered token rejoin — no collect_list window may feed a digest
+    assert(!p.contains("collect_list(tok") || !p.contains("windowspecdefinition(doc_id#"),
+      "gram build must not be a windowed collect_list over tokens")
+    // digests are produced by the per-doc kernel UDF, not xxhash64/md5
+    // over a materialized gram string
+    assert(!p.contains("xxhash64(gram") && !p.contains("md5(gram"),
+      "gram strings must not be materialized in the digest path")
+    assert(p.contains("pythonUDF") || p.contains("ScalaUDF") || p.contains("BatchEvalPython") || p.toLowerCase.contains("udf"),
+      "the rolling-digest kernel must appear in the plan")
+  }
+
   test("q70: unpivot adds no shuffle beyond the aggregation") {
     val p = plan("q70_unpivot")
     // one exchange for the groupBy, one for the final deterministic sort -
