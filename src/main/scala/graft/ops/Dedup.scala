@@ -549,6 +549,42 @@ object Dedup {
       |SELECT CAST(x AS BIGINT) AS doc_id FROM range(120, 140) t(x)
       |ORDER BY doc_id""".stripMargin
 
+  /** STREAMING minhash through the HASH GATE on the planted corpus —
+    * the deterministic-regime twin [[minhashStream]] (fixture-corpus,
+    * rows-only by §5.5) was missing (VERDICT r12 #2): four contiguous
+    * id-range batches drive [[minhashStreamApplyBatch]] directly; on
+    * exact replicas every band collides and the Jaccard verify is 1.0,
+    * so the survivor set is exact — the first copy of each of the 40
+    * bases plus the 20 sub-threshold probes (whose single shared
+    * shingle puts Jaccard at 1/19 < 0.5: a verify bug that passes them,
+    * a shingle-store prune that misses a candidate partition, or a
+    * replayed epoch publishing twice breaks the hash. Same oracle as
+    * [[simhashStreamClustered]] — on this corpus the two hash families'
+    * exact survivor sets coincide by construction. `dir` unused
+    * (regime, not scale). */
+  def minhashStreamClustered(spark: SparkSession, dir: String,
+                             epochs: Int = 4): DataFrame = {
+    val cdir = clusteredDocsDir(spark)
+    val base = graft.tools.TempDirs.createFast("graft-mhstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, cdir)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val width = 140 / epochs
+      (0 until epochs).foreach { k =>
+        minhashStreamApplyBatch(
+          all.filter(col("doc_id") >= k * width &&
+            (col("doc_id") < (k + 1) * width || lit(k == epochs - 1))),
+          k, statePath, jaccardThreshold = 0.5,
+          maxBucket = MinhashMaxBucket, compactEvery = 2, idSpan = 140)
+      }
+      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
+        epochs - 1L)
+      spark.read.parquet(paths: _*).localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** [[minhashIncremental]] / [[simhashIncremental]] through the HASH
     * GATE on the planted corpus (splitId 100 puts the third replica of
     * bases 20–39 and all 20 probes in the delta): the maintained index
@@ -1652,6 +1688,164 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** One micro-batch of STREAMING embedding-LSH dedup — the last
+    * near-dup tier without a streaming form (VERDICT r12 #1; minhash,
+    * simhash, and the span tier already stream), completing the 4×3
+    * batch/incremental/streaming matrix. The batch loop is the
+    * [[simhashStreamApplyBatch]] shape, justified by the same symmetry
+    * the incremental split rests on: multi-probe candidacy is the
+    * Hamming-ball relation probe(x) ∋ sig0(y) ⟺ Hamming(sig0(x),
+    * sig0(y)) ≤ probes ⟺ probe(y) ∋ sig0(x), so probing the DELTA side
+    * only and answering with the index's exact signatures covers every
+    * hist×delta pair — history is never re-probed.
+    *
+    * State is TWO append-only [[graft.tools.LogState]] logs: `index`
+    * rows carry (vec_id, table, sig0, embedding) — the vector RIDES the
+    * signature rows (the simhash fp-on-band-rows move), so the exact
+    * cosine verify needs NO separate vector store and no corpus re-read
+    * after ingest. The cost is a ×tables copy of each vector in state —
+    * a constant factor (tables = 4), bought back as zero extra state
+    * reads per batch: the touched-slice prune (broadcast semi-join on
+    * the batch's probe keys) delivers verify inputs directly. Candidate
+    * pairs stay SLIM (two ids) through the union + distinct — the
+    * 64-float vectors rejoin only from the already-pruned touched slice
+    * and the batch itself (the slim-shuffle discipline of the batch
+    * form). No bucket cap: this tier has none (matching the batch and
+    * incremental forms), so there is no crossing semantics and the
+    * streamed survivor set equals the batch rule whenever arrival order
+    * is id order. A vector is a duplicate iff it is the LATER side of a
+    * verified pair; writes are epoch-keyed overwrites derived from
+    * state < batchId — replay-idempotent. */
+  private[graft] def embeddingStreamApplyBatch(batch: DataFrame,
+                                               batchId: Long, statePath: String,
+                                               threshold: Double = 0.35,
+                                               tables: Int = 4, bits: Int = 10,
+                                               probes: Int = 2,
+                                               compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    val indexRoot = s"$statePath/index"
+    val survRoot = s"$statePath/survivors"
+    Seq(indexRoot, survRoot)
+      .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
+    val arriving = batch.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val newRows = (0 until tables).map { t =>
+      arriving.select(col("vec_id"), lit(t).as("table"),
+        graft.functions.LshSignature.lsh_sig(col("embedding"), t, bits)
+          .as("sig0"),
+        col("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
+    val hist =
+      if (histPaths.nonEmpty) sp.read.parquet(histPaths: _*)
+      else newRows.limit(0)
+    // delta-side multi-probe: (table, sig) keys within Hamming ≤ probes
+    // of each arriving vector's signature, slim (no embedding)
+    val dProbe = newRows.select(col("table"), col("vec_id").as("d_id"),
+      explode(graft.functions.VectorKernels.probeSigsUdf(
+        col("sig0"), lit(bits), lit(probes))).as("sig"))
+      .localCheckpoint()
+    // prune the historical index to the probe keys this batch touches
+    // BEFORE anything else reads it — per-batch cost is candidate
+    // locality, not index size
+    val probeKeys = dProbe.select(col("table"), col("sig").as("sig0"))
+      .distinct()
+    val touchedHist = hist
+      .join(broadcast(probeKeys), Seq("table", "sig0"), "left_semi")
+      .localCheckpoint()
+    // hist ids < delta ids under id-ordered arrival → (a, b) =
+    // (hist, delta) is already canonical; delta×delta orders by id
+    val hd = dProbe.join(touchedHist.select(col("table"),
+        col("sig0").as("sig"), col("vec_id").as("a_id")),
+      Seq("table", "sig"))
+      .select(col("a_id"), col("d_id").as("b_id"))
+    val dd = dProbe.join(newRows.select(col("table"),
+        col("sig0").as("sig"), col("vec_id").as("b_id")),
+      Seq("table", "sig"))
+      .filter(col("d_id") < col("b_id"))
+      .select(col("d_id").as("a_id"), col("b_id"))
+    // a-side vectors: the touched hist slice (hd pairs) ∪ the batch
+    // (dd pairs) — both already in memory, never the full index
+    val aEmb = touchedHist.select(col("vec_id"), col("embedding"))
+      .unionByName(arriving).dropDuplicates("vec_id")
+    val dupIds = hd.unionByName(dd).dropDuplicates("a_id", "b_id")
+      .join(aEmb.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb")), Seq("a_id"))
+      .join(arriving.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("b_id"))
+      .withColumn("cos", cosine("a_emb", "b_emb"))
+      .filter(col("cos") > threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    val batchSurvivors = arriving.select(col("vec_id"))
+      .join(dupIds, Seq("vec_id"), "left_anti")
+    newRows.write.mode("overwrite").parquet(s"$indexRoot/delta/v$batchId")
+    batchSurvivors.write.mode("overwrite")
+      .parquet(s"$survRoot/delta/v$batchId")
+    graft.tools.LogState.maintain(sp, Seq(indexRoot, survRoot), batchId,
+      compactEvery)(identity)
+  }
+
+  /** [[embeddingStreamApplyBatch]] under the shared event-time lateness
+    * wrapper ([[CdcUpsert.withLateness]]) — all FOUR streaming dedup
+    * tiers now share one watermark/quarantine protocol: late vectors
+    * quarantine instead of entering the signature index. */
+  private[graft] def embeddingStreamLateApplyBatch(
+      batch: DataFrame, epoch: Long, lateState: String,
+      dedupState: String, latenessMicros: Long,
+      threshold: Double = 0.35, tables: Int = 4,
+      bits: Int = 10, probes: Int = 2): Unit =
+    CdcUpsert.withLateness(batch, epoch, lateState, latenessMicros,
+      col("ts_us")) { onTime =>
+      embeddingStreamApplyBatch(
+        onTime.select(col("vec_id"), col("embedding")),
+        epoch, dedupState, threshold, tables, bits, probes)
+    }
+
+  /** STREAMING embedding-LSH through the HASH GATE on the clustered
+    * corpus: four contiguous id-range batches (arrival order = id
+    * order) over the 200-vector deterministic corpus, at the same
+    * (threshold 0.5, 4 tables, 10 bits, radius 2) parameters as the
+    * batch `_clustered` gate — the regime where every true pair
+    * survives the banding (recall 1.0 by construction), so the final
+    * survivor set is exactly the batch rule "keep v iff no earlier u
+    * with cosine > 0.5", which the oracle computes by brute force over
+    * the SQL-synthesized corpus (NOT EXISTS over the exact cosine
+    * chain). A probe-key prune that misses a touched slice, a broken
+    * delta×delta join, or a survivor published from a replayed epoch
+    * breaks the hash. `dir` unused (regime, not scale). */
+  def embeddingStreamClustered(spark: SparkSession, dir: String,
+                               epochs: Int = 4): DataFrame = {
+    val cdir = Similarity.clusteredCorpusDir(spark)
+    val base = graft.tools.TempDirs.createFast("graft-embstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.embeddings(spark, cdir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val width = 200 / epochs
+      (0 until epochs).foreach { k =>
+        embeddingStreamApplyBatch(
+          all.filter(col("vec_id") >= k * width &&
+            (col("vec_id") < (k + 1) * width || lit(k == epochs - 1))),
+          k, statePath, threshold = 0.5, tables = 4, bits = 10,
+          probes = 2, compactEvery = 2)
+      }
+      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
+        epochs - 1L)
+      spark.read.parquet(paths: _*).localCheckpoint()
+        .orderBy(col("vec_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val embeddingStreamClusteredSql: String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""WITH emb AS (
+       |  ${Similarity.clusteredEmbSql})
+       |SELECT a.vec_id FROM emb a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM emb b WHERE b.vec_id < a.vec_id AND $cos > 0.5)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Resolve near-dup PAIRS into dedup GROUPS: connected components over
     * the similarity graph by iterative min-label propagation — each round
     * is one shuffle join + one min-aggregation, state is one (node,label)
@@ -2715,6 +2909,8 @@ object Dedup {
     "dedup_minhash_clustered" -> (minhashClustered _),
     "dedup_incr_minhash_clustered" -> (minhashIncrementalClustered _),
     "dedup_stream_simhash_clustered" -> ((s: SparkSession, d: String) => simhashStreamClustered(s, d)),
+    "dedup_stream_minhash_clustered" -> ((s: SparkSession, d: String) => minhashStreamClustered(s, d)),
+    "dedup_stream_embedding_clustered" -> ((s: SparkSession, d: String) => embeddingStreamClustered(s, d)),
     "dedup_incr_simhash_clustered" -> (simhashIncrementalClustered _),
     "dedup_simhash_clustered" -> (simhashClustered _),
     "dedup_groups_clustered" -> (dedupGroupsClustered _),
@@ -2748,6 +2944,9 @@ object Dedup {
     "dedup_minhash_clustered" -> minhashClusteredSql,
     "dedup_incr_minhash_clustered" -> minhashClusteredSql,
     "dedup_stream_simhash_clustered" -> simhashStreamClusteredSql,
+    // same survivor set as the simhash stream gate by corpus construction
+    "dedup_stream_minhash_clustered" -> simhashStreamClusteredSql,
+    "dedup_stream_embedding_clustered" -> embeddingStreamClusteredSql,
     "dedup_incr_simhash_clustered" -> simhashClusteredSql,
     "dedup_simhash_clustered" -> simhashClusteredSql,
     "dedup_groups_clustered" -> dedupGroupsClusteredSql,

@@ -583,4 +583,98 @@ class DedupSpec extends SparkSpec {
       assert(shared >= 1 && shared <= math.min(at, bt))
     }
   }
+
+  /** Tiny embeddings.parquet fixture: (vec_id, 64-dim vector) rows. */
+  private def embCorpus(rows: (Long, Array[Float])*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-embs").toString
+    rows.toSeq.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private val vA = Array.tabulate(64)(i => (math.sin(i + 1) * 0.1).toFloat)
+  private val vB = Array.tabulate(64)(i => (math.cos(i + 1) * 0.1).toFloat)
+  private val vC = Array.tabulate(64)(i =>
+    (if (i % 2 == 0) 0.1 else -0.1).toFloat)
+
+  test("streaming embedding-LSH: survivor rule drops the later side of a " +
+      "verified pair, index carries vectors, replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    val dir = embCorpus((1L, vA), (2L, vB), (3L, vA), (4L, vC))
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-embstream-spec")
+        .toString + "/state"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    Dedup.embeddingStreamApplyBatch(vecs.filter(col("vec_id") <= 2), 0L,
+      statePath, threshold = 0.99, compactEvery = 2)
+    val b1 = vecs.filter(col("vec_id") > 2)
+    Dedup.embeddingStreamApplyBatch(b1, 1L, statePath,
+      threshold = 0.99, compactEvery = 2)
+    def surv() = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$statePath/survivors", 1L): _*)
+      .collect().map(_.getLong(0)).toSet
+    val first = surv()
+    // vec 3 is an exact copy of vec 1 (identical signatures in every
+    // table → candidate; cosine 1.0 > 0.99) → dropped; 2 and 4 are
+    // unrelated directions → kept
+    assert(first == Set(1L, 2L, 4L), s"survivors: $first")
+    // index rows carry the vector (the no-separate-store design)
+    val idx = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$statePath/index", 1L): _*)
+    assert(idx.columns.toSet == Set("vec_id", "table", "sig0", "embedding"))
+    assert(idx.select(col("vec_id")).distinct().count() == 4)
+    // at-least-once replay of the last batch rewrites identical state
+    Dedup.embeddingStreamApplyBatch(b1, 1L, statePath,
+      threshold = 0.99, compactEvery = 2)
+    assert(surv() == first)
+    graft.tools.TempDirs.deleteRecursively(statePath.stripSuffix("/state"))
+  }
+
+  test("streaming embedding-LSH under lateness: late vector quarantined, " +
+      "never indexed; survivors from on-time vectors only") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dir = embCorpus((1L, vA), (2L, vB), (3L, vC), (4L, vA))
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-lateemb").toString
+    val (lateState, dedupState) = (s"$root/late", s"$root/state")
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    Dedup.embeddingStreamLateApplyBatch(
+      vecs.filter(col("vec_id") <= 2)
+        .withColumn("ts_us", col("vec_id") * 1000000L + 9000000L),
+      0L, lateState, dedupState, latenessMicros = 2000000L,
+      threshold = 0.99)
+    // vec 3 arrives LATE (5s < wm(0)=9s); vec 4 (copy of 1) on time
+    Dedup.embeddingStreamLateApplyBatch(
+      vecs.filter(col("vec_id") > 2)
+        .withColumn("ts_us", when(col("vec_id") === 3L, lit(5000000L))
+          .otherwise(lit(12000000L))),
+      1L, lateState, dedupState, latenessMicros = 2000000L,
+      threshold = 0.99)
+    val idx = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$dedupState/index", 1L): _*)
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 2L, 4L), s"late vector leaked into the index: $idx")
+    val surv = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$dedupState/survivors", 1L): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(!surv.contains(3L) && !surv.contains(4L) && surv.contains(1L))
+    assert(graft.ops.CdcUpsert.quarantineAsOf(spark, lateState, 1L).get
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    graft.tools.TempDirs.deleteRecursively(root)
+  }
+
+  test("clustered streaming gates (minhash + embedding) reproduce the " +
+      "exact survivor sets their oracles synthesize") {
+    val mh = Dedup.minhashStreamClustered(spark, "")
+      .collect().map(_.getLong(0)).toSet
+    assert(mh == ((0L until 40L) ++ (120L until 140L)).toSet,
+      s"minhash stream survivors wrong: ${mh.size} ids")
+    val emb = Dedup.embeddingStreamClustered(spark, "")
+      .collect().map(_.getLong(0)).toSet
+    assert(emb == (0L until 10L).toSet,
+      s"embedding stream survivors wrong: $emb")
+  }
 }
