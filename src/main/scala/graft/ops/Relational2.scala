@@ -786,15 +786,46 @@ object Relational2 {
       |ORDER BY k""".stripMargin
 
   /** Deterministic global row numbering — the reference's positional
-    * pandas index (SURVEY §1 row identity), reproduced as row_number over
-    * a total order. (`monotonically_increasing_id` is partition-dependent;
-    * rank over an explicit order is the deterministic form.) */
+    * pandas index (SURVEY §1 row identity). (`monotonically_increasing_id`
+    * is partition-dependent; numbering over an explicit total order is the
+    * deterministic form.)
+    *
+    * NOT `row_number() OVER (ORDER BY ...)`: an unpartitioned window
+    * moves the whole table through ONE task (the r12 verdict's single
+    * scale-killer). Instead the classic zipWithIndex decomposition, all
+    * relational: (1) bucket rows by a monotone key range (bucket b's keys
+    * all precede bucket b+1's — floor-divide on the key, one narrow map);
+    * (2) per-bucket counts → prefix-sum OFFSETS, a ≤`RowIdBuckets`-row
+    * frame folded on the driver (k-bounded collect, same contract as the
+    * centroid collects) and broadcast back; (3) `row_number` per bucket —
+    * a PARTITIONED window, every bucket numbered in parallel — plus the
+    * bucket's offset. Deterministic for any key distribution (empty
+    * buckets simply contribute no offset mass); parallelism degrades only
+    * if the KEY ITSELF is skewed into few buckets, at which point a
+    * quantile-based bucketizer is the drop-in upgrade. */
+  private val RowIdBuckets = 32
+
   def q40RowIds(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("o_orderkey"))
-    Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
-      .withColumn("row_id", row_number().over(w) - 1)
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val bw = math.max(1L, (hi - lo) / RowIdBuckets + 1)
+    val bucketed = o.withColumn("b",
+      ((col("o_orderkey") - lo) / bw).cast("long"))
+    // ≤ RowIdBuckets rows: counts → exclusive prefix sums, on the driver
+    val counts = bucketed.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("b", "off"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("o_orderkey"))
+    bucketed.join(offDf, Seq("b"))
+      .withColumn("row_id",
+        col("off") + row_number().over(wB).cast("long") - 1L)
+      .select(col("o_orderkey"), col("o_custkey"), col("row_id"))
       .orderBy(col("row_id"))
   }
 

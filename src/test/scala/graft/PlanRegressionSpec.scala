@@ -199,4 +199,20 @@ class PlanRegressionSpec extends SparkSpec {
     // the wide-to-long expand itself must not repartition
     assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2)
   }
+
+  test("q40: global row numbering is bucket-parallel — no unpartitioned " +
+      "window over the table (the r12 scale-killer)") {
+    val p = plan("q40_row_ids")
+    // every window in the plan must carry a partition spec: the Window
+    // node's spec string lists partition columns before the order spec —
+    // an unpartitioned window renders as 'windowspecdefinition(ord...'
+    // with no partition expressions, and WindowExec warns 'No Partition
+    // Defined'. The bucket column keeps numbering parallel.
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("windowspecdefinition(b#") ||
+        l.contains("partitionBy") || l.contains("windowspecdefinition(b"),
+        s"q40 window must partition by the bucket column: $l")
+    }
+    assert(p.contains("row_number"), "row numbering must still be a window")
+  }
 }
