@@ -30,6 +30,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Temporal.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ EtlPipeline.oracles ++ Corpus.oracles ++ Graph.oracles ++
-      Analytics.oracles ++ Layout.oracles ++ Scale.oracles ++ Typed.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ EtlPipeline.oracles ++ KMeans.oracles ++ Corpus.oracles ++
+      Graph.oracles ++ Analytics.oracles ++ Layout.oracles ++ Scale.oracles ++ Typed.oracles
 }

@@ -227,7 +227,62 @@ object KMeans {
       .orderBy(col("cluster_id"))
   }
 
+  /** k-means through the HASH GATE in the deterministic regime (VERDICT
+    * r12 #5; the fixture entry stays rows-only): k = 10 on the clustered
+    * corpus, where the FULL trainer (k-means‖ init → weighted greedy
+    * pick → 2 Lloyd passes → assignment) must converge to the planted
+    * 10-direction partition — cross-direction cosine ≈ 0, within ≈ 0.99,
+    * so any init pool covering all directions yields one center per
+    * direction and Lloyd's assignment equals `vec_id % 10` thereafter.
+    * The gate emits each converged CENTROID component-by-component,
+    * keyed by the centroid's argmax direction (canonical — the
+    * hash-specific cluster_id pick order drops out), plus the cluster's
+    * member count. Bitwise determinism: every corpus component is an
+    * exact binary fraction × small integer, so the 20-member Lloyd sums
+    * are EXACT in double (order-independent) and the single /20 rounding
+    * is identical in both engines — a trainer bug that merges two
+    * directions, loses a member, or mis-means a component breaks the
+    * hash. `dir` unused (regime, not scale). */
+  def kmeansClustered(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = Similarity.clusteredCorpusDir(spark)
+    val corpus = Tables.embeddings(spark, cdir)
+    val centroids = fit(spark, corpus, k = 10, iterations = 2)
+    val vecs = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val sizes = assign(vecs, centroids)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    centroids.join(sizes, Seq("cluster_id"))
+      .withColumn("direction",
+        ((array_position(col("centroid"), array_max(col("centroid"))) - 1)
+          / lit(6)).cast("long"))
+      .select(col("direction"), col("n_members"),
+        posexplode(col("centroid")).as(Seq("pos", "x")))
+      .select(col("direction"), col("n_members"),
+        col("pos").cast("long").as("pos"), col("x"))
+      .orderBy(col("direction"), col("pos"))
+  }
+
+  val kmeansClusteredSql: String =
+    s"""WITH emb AS (
+       |  ${Similarity.clusteredEmbSql}),
+       |m AS (SELECT vec_id % 10 AS direction, embedding FROM emb),
+       |sizes AS (SELECT direction, COUNT(*) AS n_members
+       |          FROM m GROUP BY direction),
+       |cent AS (
+       |  SELECT direction, CAST(d AS BIGINT) AS pos,
+       |    AVG(embedding[d + 1]) AS x
+       |  FROM m, unnest(range(0, 64)) AS t(d)
+       |  GROUP BY direction, d)
+       |SELECT direction, n_members, pos, x
+       |FROM cent JOIN sizes USING (direction)
+       |ORDER BY direction, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_clusters" -> ((s: SparkSession, d: String) => clusterStats(s, d)),
+    "kmeans_clustered_gate" -> (kmeansClustered _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "kmeans_clustered_gate" -> kmeansClusteredSql,
   )
 }

@@ -90,4 +90,33 @@ class KMeansSpec extends SparkSpec {
     assert(centers.distinct.size == 256, "picked duplicate centers")
     assert(sec < 20.0, f"pickK took $sec%.1f s — complexity regression")
   }
+
+  test("clustered gate: k=10 training converges to the planted partition " +
+      "(assignments = vec_id % 10, every cluster 20 members)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.ops.Similarity
+    val cdir = Similarity.clusteredCorpusDir(spark)
+    val corpus = graft.Tables.embeddings(spark, cdir)
+    val centroids = KMeans.fit(spark, corpus, k = 10, iterations = 2)
+    assert(centroids.count() == 10)
+    val vecs = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val assigned = KMeans.assign(vecs, centroids)
+      .select(col("vec_id"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the trained clustering must BE the planted one: members of a
+    // direction all share a cluster_id, and distinct directions get
+    // distinct cluster_ids (the id↔direction mapping itself is pick-order)
+    val byDir = assigned.groupBy { case (id, _) => id % 10 }
+      .map { case (d, m) => d -> m.values.toSet }
+    assert(byDir.values.forall(_.size == 1),
+      s"a planted direction split across clusters: $byDir")
+    assert(byDir.values.map(_.head).toSet.size == 10,
+      "two planted directions merged into one cluster")
+    // gate shape: 640 rows, one per (direction, component), 20 members each
+    val gate = KMeans.kmeansClustered(spark, "")
+    assert(gate.count() == 640)
+    assert(gate.select(col("n_members")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(20L))
+  }
 }
