@@ -365,8 +365,17 @@ object Dedup {
   /** simhash over an injectable documents frame — the incremental path
     * runs it over corpus slices. */
   private[graft] def simhashOf(docs: DataFrame, maxHamming: Int,
-                               maxBucket: Int, sorted: Boolean): DataFrame = {
-    val withFp = simhashFps(docs)
+                               maxBucket: Int, sorted: Boolean): DataFrame =
+    fingerprintNearDup(simhashFps(docs), maxHamming, maxBucket, sorted)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint frame (doc_id, fp) —
+    * the banding + exact-Hamming-verify kernel shared by text simhash
+    * and the perceptual image hash ([[Multimodal]]'s dHash bridges into
+    * this): 4×16-bit band buckets (Hamming ≤ 3 collides on ≥1 band by
+    * pigeonhole), per-bucket skew cap, bit_count(xor) verify. */
+  private[graft] def fingerprintNearDup(withFp: DataFrame, maxHamming: Int,
+                                        maxBucket: Int,
+                                        sorted: Boolean): DataFrame = {
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_sig"))

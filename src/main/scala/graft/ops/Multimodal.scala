@@ -180,10 +180,15 @@ object Multimodal {
     }
 
   /** Encode the synthetic image as a REAL PNG via the JDK codec. */
-  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] =
+    encodePngPixels(syntheticPixels(id, w, h), w, h)
+
+  /** Encode an explicit ARGB raster as a REAL PNG via the JDK codec. */
+  private[graft] def encodePngPixels(px: Array[Int], w: Int,
+                                     h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    img.setRGB(0, 0, w, h, syntheticPixels(id, w, h), 0, w)
+    img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -570,6 +575,94 @@ object Multimodal {
       |GROUP BY doc_id, nf, fi
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Perceptual-hash image near-dup (bridges multimodal → dedup)
+  // ---------------------------------------------------------------------
+
+  /** Well-mixed deterministic ARGB raster (splitmix-style scramble of
+    * (seed, pixel index)): unlike [[syntheticPixels]]' linear-gradient
+    * formulas — whose dHash bits are mostly constant (the gradient sign
+    * rarely flips), putting DIFFERENT images within banding distance —
+    * each luminance comparison here is an independent coin flip, so two
+    * distinct seeds sit at Hamming ≈ 32 of 64, far above any verify
+    * threshold, while equal seeds are bit-identical. */
+  private[graft] def scrambledPixels(seed: Long, w: Int,
+                                     h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      var z = seed * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+      val r = (z & 0xff).toInt
+      val g = ((z >>> 8) & 0xff).toInt
+      val b = ((z >>> 16) & 0xff).toInt
+      0xFF000000 | (r << 16) | (g << 8) | b
+    }
+
+  /** 64-bit difference hash (dHash) of a decoded image: downsample to
+    * 9×8 with the deterministic nearest-neighbor kernel, then one bit
+    * per horizontally-adjacent luminance comparison — the standard
+    * perceptual fingerprint (gradient direction is what survives
+    * re-encoding/resizing, unlike raw bytes). Integer luminance
+    * (r+g+b), no floating point anywhere. */
+  private[graft] def dHash(img: java.awt.image.BufferedImage): Long = {
+    val small = resizeNearest(img, 9, 8)
+    def lum(x: Int, y: Int): Int = {
+      val p = small.getRGB(x, y)
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    var fp = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x + 1, y) > lum(x, y)) fp |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** Perceptual-hash image near-dup through the HASH GATE on a planted
+    * corpus (VERDICT r12 #7 — bridges the multimodal codec path into
+    * the dedup banding kernel): 140 REAL PNGs — ids 0..119 encode the
+    * raster of base id % 40 (three byte-identical payloads per base),
+    * ids 120..139 unique rasters — go through the FULL pipeline: JDK
+    * PNG encode → decode → 9×8 nearest-neighbor downsample → dHash →
+    * [[Dedup.fingerprintNearDup]] (4×16-bit banding, skew cap, exact
+    * Hamming ≤ 3 verify). Replica dHashes are bit-identical (Hamming 0,
+    * every band collides); distinct scrambled rasters sit at Hamming
+    * ≈ 32, so the output is exactly the 120 replica pairs the oracle
+    * synthesizes — a codec bug that decodes rasters unequally, a
+    * downsample/dHash bug that hashes replicas apart, or a banding bug
+    * that drops a pair breaks the hash. `dir` unused (regime, not
+    * scale). */
+  def imageDHashClustered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = spark.range(0, 140).as[Long]
+      .mapPartitions { ids =>
+        // ImageIO registry warms once per partition, not per row
+        ids.map { id =>
+          val seed = if (id < 120) id % 40 else 1000L + id
+          val png = encodePngPixels(scrambledPixels(seed, 18, 16), 18, 16)
+          (id, dHash(decodePng(png)))
+        }
+      }
+      .toDF("doc_id", "fp")
+    Dedup.fingerprintNearDup(fps, maxHamming = 3, maxBucket = 200,
+      sorted = true)
+  }
+
+  val imageDHashClusteredSql: String =
+    """WITH b AS (SELECT CAST(x AS BIGINT) AS b FROM range(0, 40) t(x)),
+      |p AS (
+      |  SELECT b AS a_id, b + 40 AS b_id FROM b
+      |  UNION ALL SELECT b, b + 80 FROM b
+      |  UNION ALL SELECT b + 40, b + 80 FROM b)
+      |SELECT a_id, b_id, CAST(0 AS BIGINT) AS hamming FROM p
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_video_real" -> (videoReal _),
     "mm_audio_real" -> (audioReal _),
@@ -579,6 +672,7 @@ object Multimodal {
     "mm_frames"   -> ((s: SparkSession, d: String) => sampleFrames(s, d)),
     "mm_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
     "mm_decode_real" -> (decodeReal _),
+    "mm_dedup_phash_clustered" -> (imageDHashClustered _),
   )
 
   /** All three real-codec paths are oracled: the ground truth of each is
@@ -590,6 +684,7 @@ object Multimodal {
     * (integer sums are exact in doubles at any fold order; round vs
     * round_even chosen to match Spark's round vs math.rint). */
   val oracles: Map[String, String] = Map(
+    "mm_dedup_phash_clustered" -> imageDHashClusteredSql,
     "mm_video_real" -> videoRealSql,
     "mm_audio_real" -> audioRealSql,
     "mm_audio_windows" -> audioWindowsSql,

@@ -96,6 +96,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(3) == Multimodal.lumSum(full).toDouble / (3.0 * 7 * 7))
   }
 
+  test("dHash: replicas bit-identical, distinct rasters far apart, " +
+      "invariant under 2x nearest-neighbor upscale") {
+    def fpOf(seed: Long, w: Int = 18, h: Int = 16): Long =
+      Multimodal.dHash(Multimodal.decodePng(
+        Multimodal.encodePngPixels(Multimodal.scrambledPixels(seed, w, h), w, h)))
+    // same raster → same fingerprint (the gate's replica claim)
+    assert(fpOf(7L) == fpOf(7L))
+    // distinct scrambled rasters: Hamming ≈ 32 of 64 — nowhere near the
+    // banding threshold (checked pairwise over a handful of seeds)
+    val fps = (0L until 8L).map(fpOf(_))
+    for (i <- fps.indices; j <- fps.indices if i < j) {
+      val d = java.lang.Long.bitCount(fps(i) ^ fps(j))
+      assert(d > 10, s"seeds $i,$j unexpectedly close: Hamming $d")
+    }
+    // the perceptual property: a 2x nearest-neighbor upscale samples the
+    // same source pixels at the 9x8 grid, so the fingerprint is unchanged
+    val img = Multimodal.decodePng(
+      Multimodal.encodePngPixels(Multimodal.scrambledPixels(5L, 18, 16), 18, 16))
+    val up = Multimodal.resizeNearest(img, 36, 32)
+    assert(Multimodal.dHash(up) == Multimodal.dHash(img),
+      "dHash must survive a lossless upscale")
+  }
+
   test("real WAV round-trip: decode(encode(x)) is sample-exact, header is 44 bytes") {
     // the audio path uses the JDK's actual RIFF/WAV codec — PCM is
     // lossless, so the decoded samples must equal the generated ones
