@@ -815,6 +815,302 @@ object Corpus {
        |ORDER BY source, doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Unigram-LM tokenizer trainer (SentencePiece-style, Kudo 2018)
+  // ---------------------------------------------------------------------
+
+  /** Viterbi segmentation of one word under a piece-count table: maximize
+    * Σ ln(max(count, 1) / total) over pieces of length ≤ maxLen (the
+    * hard-EM E-step and the application step share this). The count
+    * floor keeps zero-usage single characters usable as fallback pieces
+    * (SentencePiece's smoothing, simplified). Ties (exact score
+    * equality) break to fewer pieces, then the lexicographically
+    * smallest piece sequence — fully deterministic. A prefix unreachable
+    * through the vocab falls back to its raw characters (covers
+    * out-of-vocabulary characters at application time). */
+  private[graft] def viterbiSegment(word: String, counts: Map[String, Long],
+                                    total: Double,
+                                    maxLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    // dp(i): best (score, nPieces, pieces) for the length-i prefix
+    val score = Array.fill(n + 1)(Double.NegativeInfinity)
+    val nP = Array.fill(n + 1)(Int.MaxValue)
+    val segs = Array.fill[List[String]](n + 1)(Nil)
+    score(0) = 0.0; nP(0) = 0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (score(j) > Double.NegativeInfinity) {
+          val piece = word.substring(j, i)
+          counts.get(piece).foreach { c =>
+            val s = score(j) + math.log(math.max(c, 1L).toDouble / total)
+            val k = nP(j) + 1
+            val cand = (piece :: segs(j))
+            val better = s > score(i) || (s == score(i) && (k < nP(i) ||
+              (k == nP(i) && lexLess(cand, segs(i)))))
+            if (better) { score(i) = s; nP(i) = k; segs(i) = cand }
+          }
+        }
+        j += 1
+      }
+      // unreachable prefix: emit the raw character and continue — the
+      // out-of-vocab fallback (never triggers when training chars are in
+      // the vocab, which the trainer guarantees on its own corpus)
+      if (score(i) == Double.NegativeInfinity) {
+        score(i) = score(i - 1); nP(i) = nP(i - 1) + 1
+        segs(i) = word.substring(i - 1, i) :: segs(i - 1)
+      }
+      i += 1
+    }
+    segs(n).reverse
+  }
+
+  /** Reversed-list lexicographic compare (lists are built head-first). */
+  private def lexLess(a: List[String], b: List[String]): Boolean = {
+    val (ra, rb) = (a.reverse, b.reverse)
+    val it = ra.iterator.zip(rb.iterator)
+    while (it.hasNext) {
+      val (x, y) = it.next()
+      val c = x.compareTo(y)
+      if (c != 0) return c < 0
+    }
+    ra.size < rb.size
+  }
+
+  /** All substrings of length 1..maxLen with positional multiplicity —
+    * the unigram seed inventory of one word. */
+  private[graft] def substringsOf(word: String,
+                                  maxLen: Int): Seq[String] =
+    for {
+      i <- 0 until word.length
+      l <- 1 to math.min(maxLen, word.length - i)
+    } yield word.substring(i, i + l)
+
+  /** Train a unigram-LM tokenizer (the OTHER production tokenizer family
+    * beside BPE — VERDICT r12 #6) over any documents frame. Structure
+    * (Kudo 2018, hard-EM form):
+    *
+    *  1. SEED: every substring of length ≤ `seedMaxLen` of every word
+    *     type, weighted by occurrence (one explode + one aggregation);
+    *     keep all single characters plus the top `seedSize` multi-char
+    *     pieces by (count DESC, piece ASC).
+    *  2. EM × `emIters`: E-step — Viterbi-segment each word TYPE under
+    *     current counts (broadcast vocab map inside a UDF: a narrow map
+    *     over types, no shuffle); M-step — usage = Σ word_count over the
+    *     chosen segmentations (one aggregation), multi-char pieces with
+    *     zero usage drop out, characters always survive.
+    *  3. PRUNE to `vocabSize`: all characters + the top multi-char
+    *     pieces by (usage DESC, piece ASC). (True SentencePiece prunes
+    *     by likelihood LOSS; usage-rank is the deterministic
+    *     simplification, exact on corpora without usage near-ties.)
+    *
+    * Spark-job budget: 1 type aggregation + 1 seed aggregation +
+    * emIters × 1 usage aggregation — the bpeTrainUncached discipline;
+    * the driver only ever holds the vocabulary (≤ chars + seedSize
+    * rows), never word types. The float log-probs stay INSIDE the
+    * Scala Viterbi (both training and application run this exact code),
+    * so the fixture entries are rows-only and the hash gates run on the
+    * planted corpus where the converged result is provable by
+    * construction and the oracle SYNTHESIZES it (no cross-engine float
+    * replay — the dedup clustered-gate pattern). */
+  private[graft] def unigramTrainUncached(spark: SparkSession, docs: DataFrame,
+                                          vocabSize: Int, seedMaxLen: Int = 4,
+                                          seedSize: Int = 1000,
+                                          emIters: Int = 2): Seq[(String, Long)] = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val subUdf = udf((w: String) => substringsOf(w, seedMaxLen))
+    val seed = words
+      .select(col("cnt"), explode(subUdf(col("word"))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars0 = seed.filter(_._1.length == 1)
+    val multi0 = seed.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    var vocab: Map[String, Long] = (chars0 ++ multi0).toMap
+    for (_ <- 1 to emIters) {
+      val total = vocab.values.map(math.max(_, 1L)).sum.toDouble
+      val frozen = vocab
+      val segUdf = udf((w: String) =>
+        viterbiSegment(w, frozen, total, seedMaxLen))
+      val usage = words
+        .select(col("cnt"), explode(segUdf(col("word"))).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      vocab = vocab.keysIterator.filter(_.length == 1)
+        .map(ch => ch -> usage.getOrElse(ch, 0L)).toMap ++
+        usage.filter { case (p, u) => p.length > 1 && u > 0 }
+    }
+    val chars = vocab.toSeq.filter(_._1.length == 1)
+    val multi = vocab.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, u) => (-u, p) }
+      .take(math.max(0, vocabSize - chars.size))
+    (chars ++ multi).sortBy { case (p, u) => (-u, p) }
+  }
+
+  /** Production parameters for the fixture entries. */
+  val UnigramVocabSize = 64
+
+  /** ArtifactCache wrapper: the trained vocabulary is a deterministic
+    * function of the corpus — train once per session, shared by the
+    * vocab and tokenize entries (the bpeTrainCached pattern). */
+  private def unigramTrainCached(spark: SparkSession,
+                                 dir: String): DataFrame =
+    graft.tools.ArtifactCache.parquet(spark, dir,
+      s"unigram_vocab_v$UnigramVocabSize") { p =>
+      import spark.implicits._
+      unigramTrainUncached(spark, Tables.documents(spark, dir),
+        UnigramVocabSize)
+        .toDF("piece", "usage")
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** The trained unigram vocabulary — fixture entry (rows-only: the EM's
+    * internal log-probs are float, §5.5; the clustered gate below is the
+    * hash check). */
+  def unigramVocab(spark: SparkSession, dir: String): DataFrame =
+    unigramTrainCached(spark, dir).orderBy(col("usage").desc, col("piece"))
+
+  /** Tokenizer APPLICATION: segment every document under the trained
+    * unigram vocabulary — per word TYPE once (broadcast join, the
+    * tokenizeBpe discipline), never per occurrence. */
+  private def tokenizeUnigramOf(docs: DataFrame,
+                                vocabDf: DataFrame): DataFrame = {
+    val vocab = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = vocab.values.map(math.max(_, 1L)).sum.toDouble
+    val segUdf = udf((w: String) =>
+      viterbiSegment(w, vocab, total, 4).mkString(" "))
+    val types = docs.select(explode(tokens(col("text"))).as("word"))
+      .distinct()
+      .withColumn("wtoks", segUdf(col("word")))
+      .withColumn("n_p", size(split(col("wtoks"), " ")).cast("long"))
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(types), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("wtoks")))),
+          x => x.getField("wtoks"))).as("uni_text"),
+        sum(col("n_p")).as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  def tokenizeUnigram(spark: SparkSession, dir: String): DataFrame =
+    tokenizeUnigramOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      unigramTrainCached(spark, dir))
+
+  // ---- deterministic-regime gates (planted morpheme corpus) ----
+
+  private[graft] val UnigramAlphabet = "abcdefghijklmnopqrstuvwxyz0123"
+
+  /** Planted corpus where the unigram trainer's converged result is
+    * PROVABLE: 10 disjoint-charset 3-char morphemes (word i<140 = morpheme
+    * i%10 repeated 1+i%3 times), five docs of the CONCATENATION
+    * "abcdef" (EM must resolve it to [abc][def] — the likelihood
+    * redistribution that is the point of unigram training), and one
+    * singleton "axd" (survives EM with usage 1, then falls to the final
+    * vocab prune, so its application segmentation exercises the
+    * character fallback). Converged vocab = the 10 morphemes (usage =
+    * occurrence counts, +5 for morphemes 0/1 from the concat docs) +
+    * the 30 characters at usage 0 — which the oracle synthesizes from
+    * the same generative formulas. */
+  private[graft] def writeUnigramDocs(spark: SparkSession, d: String): Unit = {
+    val rows = (0 until 146).map { i =>
+      val text =
+        if (i < 140) {
+          val m = UnigramAlphabet.substring((i % 10) * 3, (i % 10) * 3 + 3)
+          Seq.fill(1 + i % 3)(m).mkString(" ")
+        } else if (i < 145) "abcdef"
+        else "axd"
+      (i.toLong, text, "en", "unigram", text.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+  }
+
+  private val unigramDirRef =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def unigramDocsDir(spark: SparkSession): String = {
+    val got = unigramDirRef.get()
+    if (got != null) got
+    else unigramDirRef.synchronized {
+      val again = unigramDirRef.get()
+      if (again != null) again
+      else {
+        val d = graft.tools.TempDirs.createFastForJvm("graft-uniclust")
+        writeUnigramDocs(spark, d)
+        unigramDirRef.set(d)
+        d
+      }
+    }
+  }
+
+  /** Unigram TRAINING through the HASH GATE on the planted corpus: the
+    * full pipeline (seed substrings → 2 hard-EM rounds → usage prune to
+    * 40) must converge to exactly the 10 morphemes + 30 characters with
+    * the synthesized usage counts — a seed bug that miscounts a
+    * substring, an E-step that splits a morpheme or fails to resolve
+    * the concatenation, or a prune that keeps the singleton breaks the
+    * hash. `dir` unused (regime, not scale). */
+  def unigramClustered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    unigramTrainUncached(spark,
+      Tables.documents(spark, unigramDocsDir(spark)), vocabSize = 40)
+      .toDF("piece", "usage")
+      .orderBy(col("usage").desc, col("piece"))
+  }
+
+  val unigramClusteredSql: String =
+    s"""WITH f AS (
+       |  SELECT i % 10 AS c, COUNT(*) + SUM(i % 3) AS cnt
+       |  FROM range(0, 140) t(i) GROUP BY i % 10),
+       |m AS (
+       |  SELECT substr('$UnigramAlphabet', CAST(c * 3 + 1 AS INT), 3) AS piece,
+       |    CAST(cnt + CASE WHEN c IN (0, 1) THEN 5 ELSE 0 END AS BIGINT) AS usage
+       |  FROM f),
+       |ch AS (
+       |  SELECT substr('$UnigramAlphabet', CAST(i + 1 AS INT), 1) AS piece,
+       |    CAST(0 AS BIGINT) AS usage
+       |  FROM range(0, 30) t(i))
+       |SELECT piece, usage FROM (SELECT * FROM m UNION ALL SELECT * FROM ch)
+       |ORDER BY usage DESC, piece""".stripMargin
+
+  /** Unigram APPLICATION through the HASH GATE: segmentation under the
+    * converged vocabulary — morpheme repeats stay single pieces, the
+    * concatenation splits into its two morphemes, and the pruned
+    * singleton falls back to characters. */
+  def tokenizeUnigramClustered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cdir = unigramDocsDir(spark)
+    val vocabDf = unigramTrainUncached(spark,
+      Tables.documents(spark, cdir), vocabSize = 40).toDF("piece", "usage")
+    tokenizeUnigramOf(
+      Tables.documents(spark, cdir).select(col("doc_id"), col("text")),
+      vocabDf)
+  }
+
+  val tokenizeUnigramClusteredSql: String =
+    s"""WITH d AS (SELECT CAST(i AS BIGINT) AS doc_id, i FROM range(0, 146) t(i))
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN i < 140 THEN rtrim(repeat(
+       |      substr('$UnigramAlphabet', CAST((i % 10) * 3 + 1 AS INT), 3) || ' ',
+       |      CAST(1 + i % 3 AS INT)))
+       |    WHEN i < 145 THEN 'abc def'
+       |    ELSE 'a x d' END AS uni_text,
+       |  CAST(CASE WHEN i < 140 THEN 1 + i % 3
+       |            WHEN i < 145 THEN 2 ELSE 3 END AS BIGINT) AS n_pieces
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shards"    -> (shardsPipeline _),
@@ -828,6 +1124,10 @@ object Corpus {
     "corpus_bpe"         -> (bpeMerges _),
     "corpus_pack_bpe"    -> ((s: SparkSession, d: String) => packSequencesBpe(s, d)),
     "corpus_tokenize_bpe" -> (tokenizeBpe _),
+    "corpus_unigram"     -> (unigramVocab _),
+    "corpus_tokenize_unigram" -> (tokenizeUnigram _),
+    "corpus_unigram_clustered" -> (unigramClustered _),
+    "corpus_tokenize_unigram_clustered" -> (tokenizeUnigramClustered _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -842,5 +1142,9 @@ object Corpus {
     "corpus_bpe"         -> bpeMergesSql,
     "corpus_pack_bpe"    -> packSequencesBpeSql,
     "corpus_tokenize_bpe" -> tokenizeBpeSql,
+    // fixture unigram entries are rows-only (float-internal EM, §5.5);
+    // the clustered gates carry the hash check
+    "corpus_unigram_clustered" -> unigramClusteredSql,
+    "corpus_tokenize_unigram_clustered" -> tokenizeUnigramClusteredSql,
   )
 }
