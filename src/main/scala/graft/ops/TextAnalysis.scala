@@ -683,13 +683,20 @@ object TextAnalysis {
     val k = 10
     val dfTbl = dfOpt.getOrElse(
       tf.groupBy(col("token")).agg(count(lit(1)).as("df")))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("df").desc, col("token"))
+    // query terms = df ranks 6..20: the top-20 comes back as a
+    // TakeOrderedAndProject (never a global sort) and the 15-row rank
+    // arithmetic folds on the DRIVER into a literal frame — the former
+    // post-limit row_number window was bounded (20 rows) but its
+    // unpartitioned WindowExec warned on every run AND its subtree
+    // (including the df aggregation) was duplicated under both perDoc
+    // references; a k-bounded collect removes both.
+    val sp = tf.sparkSession
+    import sp.implicits._
     val qt = dfTbl.orderBy(col("df").desc, col("token")).limit(20)
-      .withColumn("rnk", row_number().over(w)) // 20-row frame: the window's
-      .filter(col("rnk") >= 6)                 // one partition is trivial
-      .select(expr("CAST((rnk - 6) div 3 AS INT)").as("query_id"),
-        col("token"), col("df"))
+      .collect().iterator.zipWithIndex
+      .collect { case (r, i) if i + 1 >= 6 =>
+        ((i + 1 - 6) / 3, r.getString(0), r.getLong(1))
+      }.toSeq.toDF("query_id", "token", "df")
     // merge-hint the doc-length join: Catalyst's ratio estimate sees the
     // 15-row qt join and sizes the candidate-postings frame as tiny, so
     // it would BROADCAST it — correct at fixture stats, wrong at corpus

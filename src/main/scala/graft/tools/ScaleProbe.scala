@@ -491,6 +491,18 @@ object ScaleProbe {
       // O(1); the bounded-heap top-k ships O(queries·k) — time should
       // track the tf aggregation, i.e. near-linear in token mass
       "text_bm25"          -> (() => graft.ops.TextAnalysis.bm25(spark, outDir).count()),
+      // BM25 index lifecycle at corpus scale (VERDICT r12 #8): the cold
+      // arm above pays the tf/df/dl aggregations EVERY query; these two
+      // split the train-once cost from the recurring term. _index_build
+      // runs bm25Indexed with cold artifacts (aggregations + index
+      // writes); _indexed immediately reruns it against the now-warm
+      // artifacts — scoring-only, the cost a retrieval service pays per
+      // query once the index exists. The _indexed:_index_build ratio is
+      // the lifecycle claim's scale number.
+      "text_bm25_index_build" -> (() =>
+        graft.ops.TextAnalysis.bm25Indexed(spark, outDir).count()),
+      "text_bm25_indexed"  -> (() =>
+        graft.ops.TextAnalysis.bm25Indexed(spark, outDir).count()),
       // benchmark decontamination at corpus scale: banned set = ~12.5%
       // of docs' grams (md5 test buckets), train side scans once; cost
       // should track dedup_substring's symmetric pass
@@ -558,6 +570,17 @@ object ScaleProbe {
         RoutingMetrics.drain().get("bpe_spark_rounds").foreach(r =>
           println(s"probe   corpus_bpe_dist spark_rounds=$r merges=$n"))
         n
+      }),
+      // unigram-LM trainer at a production-shaped vocabulary (the BPE
+      // arms' derived vocabulary-rich corpus; the replica corpus's ~90
+      // types would make an 8k vocab vacuous): seed + 2 hard-EM rounds.
+      // Job count stays 2 + emIters regardless of vocab size — cost
+      // should track the corpus token mass, not the vocab
+      "corpus_unigram8k"   -> (() => {
+        val bdir = bpeRichCorpus(spark, outDir)
+        graft.ops.Corpus.unigramTrainUncached(spark,
+          spark.read.parquet(s"$bdir/documents.parquet"),
+          vocabSize = 8192, seedSize = 20000).size.toLong
       }),
       // forced pathological block: EVERY probe document lands in one
       // (lang, source, len_bucket) block — the shape that would hang the

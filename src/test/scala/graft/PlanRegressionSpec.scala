@@ -215,4 +215,33 @@ class PlanRegressionSpec extends SparkSpec {
     }
     assert(p.contains("row_number"), "row numbering must still be a window")
   }
+
+  test("NO query plans an unpartitioned window (fleet-wide single-task " +
+      "window ban — q40 and bm25's qt were the last two)") {
+    // a windowspecdefinition whose FIRST argument is an order spec
+    // (col ASC/DESC) has an empty partition list → WindowExec moves the
+    // input to one task. Every window in every plan must lead with
+    // partition columns. Plans are built at sf0.001 (shape, not scale).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = try {
+          fn(spark, "/root/testdata/sf0.001")
+            .queryExecution.executedPlan.toString
+        } catch { case _: Throwable => "" } // crash = another spec's job
+        p.linesIterator.flatMap { l =>
+          val i = l.indexOf("windowspecdefinition(")
+          if (i < 0) None
+          else {
+            val args = l.substring(i + "windowspecdefinition(".length)
+            val head = args.substring(0,
+              math.max(args.indexOf(','), 0).max(1))
+            if (head.contains(" ASC") || head.contains(" DESC"))
+              Some(s"$name: ${l.trim.take(120)}")
+            else None
+          }
+        }.toSeq.headOption
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows found:\n${offenders.mkString("\n")}")
+  }
 }
