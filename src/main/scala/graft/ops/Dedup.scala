@@ -1700,84 +1700,134 @@ object Dedup {
   /** One micro-batch of STREAMING embedding-LSH dedup — the last
     * near-dup tier without a streaming form (VERDICT r12 #1; minhash,
     * simhash, and the span tier already stream), completing the 4×3
-    * batch/incremental/streaming matrix. The batch loop is the
-    * [[simhashStreamApplyBatch]] shape, justified by the same symmetry
-    * the incremental split rests on: multi-probe candidacy is the
-    * Hamming-ball relation probe(x) ∋ sig0(y) ⟺ Hamming(sig0(x),
-    * sig0(y)) ≤ probes ⟺ probe(y) ∋ sig0(x), so probing the DELTA side
-    * only and answering with the index's exact signatures covers every
-    * hist×delta pair — history is never re-probed.
+    * batch/incremental/streaming matrix. Delta-side-only multi-probe is
+    * justified by the same symmetry the incremental split rests on:
+    * candidacy is the Hamming-ball relation probe(x) ∋ sig0(y) ⟺
+    * Hamming(sig0(x), sig0(y)) ≤ probes ⟺ probe(y) ∋ sig0(x), so
+    * probing the DELTA only and answering with the index's exact
+    * signatures covers every hist×delta pair — history is never
+    * re-probed.
     *
-    * State is TWO append-only [[graft.tools.LogState]] logs: `index`
-    * rows carry (vec_id, table, sig0, embedding) — the vector RIDES the
-    * signature rows (the simhash fp-on-band-rows move), so the exact
-    * cosine verify needs NO separate vector store and no corpus re-read
-    * after ingest. The cost is a ×tables copy of each vector in state —
-    * a constant factor (tables = 4), bought back as zero extra state
-    * reads per batch: the touched-slice prune (broadcast semi-join on
-    * the batch's probe keys) delivers verify inputs directly. Candidate
-    * pairs stay SLIM (two ids) through the union + distinct — the
-    * 64-float vectors rejoin only from the already-pruned touched slice
-    * and the batch itself (the slim-shuffle discipline of the batch
-    * form). No bucket cap: this tier has none (matching the batch and
-    * incremental forms), so there is no crossing semantics and the
-    * streamed survivor set equals the batch rule whenever arrival order
-    * is id order. A vector is a duplicate iff it is the LATER side of a
-    * verified pair; writes are epoch-keyed overwrites derived from
-    * state < batchId — replay-idempotent. */
+    * State layout is the MINHASH-STREAM architecture, not the simhash
+    * one: a SLIM signature index ((vec_id, table, sig0) LogState rows —
+    * ~16 B each, so the per-epoch touched-key semi-join scans stay
+    * cheap at any index size) plus a vec_id-range-partitioned VECTOR
+    * STORE ([[graft.tools.RangeState]]) the verify reads pruned to
+    * candidate buckets. The first cut rode the 256-byte vector on every
+    * signature row (the simhash fp-on-band-rows move): correct, but the
+    * 100× probe measured per-epoch cost GROWING 6→16 s over 16 epochs —
+    * the full-index scan was hauling ~1 KB/row of payload that the
+    * prune then threw away. An 8-byte fp can ride its band rows; a
+    * vector cannot. Candidate pairs stay SLIM (two ids) through the
+    * union + distinct; embeddings rejoin only for candidate a-ids (from
+    * the pruned store read) and the batch itself. No bucket cap: this
+    * tier has none (matching batch/incremental), so there is no
+    * crossing semantics and the streamed survivor set equals the batch
+    * rule whenever arrival order is id order. A vector is a duplicate
+    * iff it is the LATER side of a verified pair; writes are
+    * epoch-keyed overwrites derived from state < batchId —
+    * replay-idempotent. */
   private[graft] def embeddingStreamApplyBatch(batch: DataFrame,
                                                batchId: Long, statePath: String,
                                                threshold: Double = 0.35,
                                                tables: Int = 4, bits: Int = 10,
                                                probes: Int = 2,
-                                               compactEvery: Int = 4): Unit = {
+                                               compactEvery: Int = 4,
+                                               vecPartitions: Int = 16,
+                                               idSpan: Long = -1): Unit = {
     val sp = batch.sparkSession
     val indexRoot = s"$statePath/index"
     val survRoot = s"$statePath/survivors"
+    val vecRoot = s"$statePath/vectors"
     Seq(indexRoot, survRoot)
       .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
+    graft.tools.RangeState.requireNoFuture(vecRoot, batchId)
+    val t0 = System.nanoTime()
     val arriving = batch.select(col("vec_id"), col("embedding"))
       .localCheckpoint()
+    // the vector store's range boundaries: the id span when the caller
+    // knows it, else seeded from the first batch (id-ordered arrival
+    // parks later ids in the top partition — a pruning-balance cost,
+    // never correctness)
+    val bounds = graft.tools.RangeState.freezeUniform(vecRoot,
+      if (idSpan > 0) idSpan
+      else 2 * (arriving.agg(max(col("vec_id"))).head.getLong(0) + 1),
+      vecPartitions)
+    // publish the batch's vectors BEFORE the verify so the store as-of
+    // batchId covers both candidate sides; overwrite keyed by batchId —
+    // the shared replay contract
+    val touchedVec = graft.tools.RangeState.publishDelta(vecRoot, batchId,
+      arriving,
+      graft.tools.RangeState.bucketCol(bounds, col("vec_id")))
+    graft.tools.RoutingMetrics.add("emb_publish_parts",
+      touchedVec.size.toLong)
     val newRows = (0 until tables).map { t =>
       arriving.select(col("vec_id"), lit(t).as("table"),
         graft.functions.LshSignature.lsh_sig(col("embedding"), t, bits)
-          .as("sig0"),
-        col("embedding"))
+          .as("sig0"))
     }.reduce(_ unionByName _).localCheckpoint()
     val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
     val hist =
       if (histPaths.nonEmpty) sp.read.parquet(histPaths: _*)
       else newRows.limit(0)
     // delta-side multi-probe: (table, sig) keys within Hamming ≤ probes
-    // of each arriving vector's signature, slim (no embedding)
+    // of each arriving vector's signature. DELIBERATELY LAZY: at
+    // production bit widths the radius-2 ball is ~230 keys/signature, so
+    // this frame is ~1000× the batch — materializing it per epoch
+    // (localCheckpoint) piles hundreds of MB into the block manager
+    // every batch and later epochs pay the eviction/GC bill (measured:
+    // epochs grew 9→27 s over 16 batches at 100×). Recomputing the
+    // explode for its two consumers is a cheap narrow map off the
+    // already-checkpointed slim newRows.
     val dProbe = newRows.select(col("table"), col("vec_id").as("d_id"),
       explode(graft.functions.VectorKernels.probeSigsUdf(
         col("sig0"), lit(bits), lit(probes))).as("sig"))
-      .localCheckpoint()
     // prune the historical index to the probe keys this batch touches
-    // BEFORE anything else reads it — per-batch cost is candidate
-    // locality, not index size
+    // BEFORE anything else reads it — per-batch candidate cost follows
+    // locality; the scan itself stays cheap because rows are slim
     val probeKeys = dProbe.select(col("table"), col("sig").as("sig0"))
       .distinct()
     val touchedHist = hist
       .join(broadcast(probeKeys), Seq("table", "sig0"), "left_semi")
       .localCheckpoint()
     // hist ids < delta ids under id-ordered arrival → (a, b) =
-    // (hist, delta) is already canonical; delta×delta orders by id
-    val hd = dProbe.join(touchedHist.select(col("table"),
-        col("sig0").as("sig"), col("vec_id").as("a_id")),
+    // (hist, delta) is already canonical; delta×delta orders by id.
+    // Both joins BROADCAST their slim side (pruned hist slice / batch
+    // sigs) so the exploded probe frame streams through map-side hash
+    // joins and never shuffles — Catalyst's explode-output estimate is
+    // the INPUT size, so left alone it would broadcast the wrong
+    // (1000×-larger) side (measured: executor OOM unrolling it).
+    val hd = dProbe.join(broadcast(touchedHist.select(col("table"),
+        col("sig0").as("sig"), col("vec_id").as("a_id"))),
       Seq("table", "sig"))
       .select(col("a_id"), col("d_id").as("b_id"))
-    val dd = dProbe.join(newRows.select(col("table"),
-        col("sig0").as("sig"), col("vec_id").as("b_id")),
+    val dd = dProbe.join(broadcast(newRows.select(col("table"),
+        col("sig0").as("sig"), col("vec_id").as("b_id"))),
       Seq("table", "sig"))
       .filter(col("d_id") < col("b_id"))
       .select(col("d_id").as("a_id"), col("b_id"))
-    // a-side vectors: the touched hist slice (hd pairs) ∪ the batch
-    // (dd pairs) — both already in memory, never the full index
-    val aEmb = touchedHist.select(col("vec_id"), col("embedding"))
-      .unionByName(arriving).dropDuplicates("vec_id")
-    val dupIds = hd.unionByName(dd).dropDuplicates("a_id", "b_id")
+    val cands = hd.unionByName(dd).dropDuplicates("a_id", "b_id")
+      .localCheckpoint()
+    // a-side vectors from the store, PRUNED to the partitions holding
+    // candidate a-ids (the minhash shingle-store move): ≤ vecPartitions
+    // distinct buckets — a tiny collect bought back as a pruned read
+    val candIds = cands.select(col("a_id").as("vec_id")).distinct()
+    val buckets = candIds
+      .select(graft.tools.RangeState.bucketCol(bounds, col("vec_id"))
+        .as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val paths =
+      graft.tools.RangeState.pathsForBuckets(vecRoot, buckets, batchId)
+    graft.tools.RoutingMetrics.add("emb_buckets_read", buckets.size.toLong)
+    graft.tools.RoutingMetrics.add("emb_buckets_total",
+      graft.tools.RangeState.partDirs(vecRoot).size.toLong)
+    graft.tools.RoutingMetrics.add(f"emb_read_b$batchId%03d",
+      buckets.size.toLong)
+    val aEmb =
+      if (paths.isEmpty) arriving.limit(0)
+      else sp.read.parquet(paths: _*)
+        .join(candIds, Seq("vec_id"), "left_semi")
+    val dupIds = cands
       .join(aEmb.select(col("vec_id").as("a_id"),
         col("embedding").as("a_emb")), Seq("a_id"))
       .join(arriving.select(col("vec_id").as("b_id"),
@@ -1790,7 +1840,14 @@ object Dedup {
     newRows.write.mode("overwrite").parquet(s"$indexRoot/delta/v$batchId")
     batchSurvivors.write.mode("overwrite")
       .parquet(s"$survRoot/delta/v$batchId")
+    // per-batch cost vs index growth is the operator's scaling curve —
+    // recorded per micro-batch for the probes (name disjoint from the
+    // minhash stream's epochNNN so co-resident runs don't collide)
+    graft.tools.PhaseTiming.record(f"embepoch$batchId%03d",
+      (System.nanoTime() - t0) / 1e9)
     graft.tools.LogState.maintain(sp, Seq(indexRoot, survRoot), batchId,
+      compactEvery)(identity)
+    graft.tools.RangeState.maintainTouched(sp, touchedVec, batchId,
       compactEvery)(identity)
   }
 
@@ -1836,7 +1893,7 @@ object Dedup {
           all.filter(col("vec_id") >= k * width &&
             (col("vec_id") < (k + 1) * width || lit(k == epochs - 1))),
           k, statePath, threshold = 0.5, tables = 4, bits = 10,
-          probes = 2, compactEvery = 2)
+          probes = 2, compactEvery = 2, idSpan = 200)
       }
       val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
         epochs - 1L)

@@ -45,6 +45,46 @@ object ScaleProbe {
     bdir
   }
 
+  /** Streaming embedding-LSH at `mult`× vector scale: 16 id-local
+    * micro-batches over a replicated corpus (BASE-MAJOR ids: vec_id =
+    * base·mult + rep, so each batch carries whole near-dup families).
+    * Half the replicas are exact copies, half a reversed+jittered second
+    * family — realistic dup density on both sides of the verify.
+    * Per-batch embepochNNN phases are the scaling-curve evidence;
+    * `bits` ≤ 0 = adaptive. */
+  private def embStreamArm(spark: SparkSession, sfDir: String,
+                           reps: org.apache.spark.sql.DataFrame,
+                           mult: Int, bits: Int): Long = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nV = e.count()
+    val vecs = e.crossJoin(broadcast(reps))
+      .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+        when(col("rep") < mult / 2, col("embedding"))
+          .otherwise(expr(
+            s"""transform(reverse(embedding), (x, i) ->
+               |  CASE WHEN i = 0 THEN CAST(x + rep / $mult.0 AS FLOAT)
+               |  ELSE x END)""".stripMargin)).as("embedding"))
+      .localCheckpoint()
+    val base = TempDirs.createFast("graft-embstream-probe")
+    try {
+      val statePath = s"$base/state"
+      val span = nV * mult
+      val b = if (bits > 0) bits
+              else graft.ops.Similarity.adaptiveLshBits(span, 4, 2)
+      val width = span / 16 + 1
+      (0 until 16).foreach { k =>
+        graft.ops.Dedup.embeddingStreamApplyBatch(
+          vecs.filter(col("vec_id") >= k * width &&
+            col("vec_id") < (k + 1) * width),
+          k, statePath, threshold = 0.9, tables = 4, bits = b,
+          probes = 2, compactEvery = 4, idSpan = span)
+      }
+      val paths = graft.tools.LogState.pathsAsOf(
+        s"$statePath/survivors", 15L)
+      spark.read.parquet(paths: _*).count()
+    } finally TempDirs.deleteRecursively(base)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).flatMap(_.toIntOption).getOrElse(20)
@@ -534,6 +574,23 @@ object ScaleProbe {
       // shape; per-batch cost should track batch size + touched slice
       "dedup_stream_minhash" -> (() => graft.ops.Dedup.minhashStream(
         spark, outDir, chunks = 8).count()),
+      // streaming EMBEDDING-LSH at 100× vector scale: 200 k vectors in
+      // 16 id-local micro-batches (BASE-MAJOR ids: vec_id = base·mult +
+      // rep, so each batch carries whole near-dup families — the
+      // id-local regime where epochs must stay FLAT as the index
+      // grows; per-batch embepochNNN phases are the evidence). Half the
+      // replicas are exact copies, half a reversed+jittered second
+      // family — realistic dup density on both sides of the verify.
+      "dedup_stream_embedding" -> (() =>
+        embStreamArm(spark, sfDir, reps, mult, bits = -1)),
+      // the BIT-WIDTH DIAL arm: streaming LSH per-epoch cost has a
+      // hist×delta collision term ∝ ball/2^bits — adaptive bits (sized
+      // for a 5% candidate fraction over ALL pairs) admit per-epoch
+      // growth; widening the signature shrinks it ~2^Δbits× at zero
+      // recall cost on EXACT dups (identical vectors collide at any
+      // width). The two arms' epoch curves are the dial's evidence.
+      "dedup_stream_embedding_wide" -> (() =>
+        embStreamArm(spark, sfDir, reps, mult, bits = 24)),
       "dedup_simhash"      -> (() => graft.ops.Dedup.simhash(spark, outDir).count()),
       // source-pair shingle overlap at 500 k docs: the (source, shingle)
       // distinct + shingle-keyed pair join must stay linear-ish in corpus
