@@ -1697,6 +1697,275 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // SemDeDup-style semantic dedup (cluster-then-prune)
+  // ---------------------------------------------------------------------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding corpus, enumerate
+    * cosine pairs WITHIN each cluster only, and drop every vector that
+    * has an earlier (lower vec_id) cluster-mate with cosine ≥ eps — the
+    * cluster-bounded alternative to [[embeddingLsh]]'s banding when a
+    * trained coarse quantizer already exists (it is the IVF cell reused
+    * as the dedup block). Representative choice is keep-first-by-id, a
+    * deterministic deviation from the paper's lowest-centroid-similarity
+    * pick (documented; the paper itself notes the choice barely moves
+    * downstream accuracy). Dropping is by pair-anti-join, not sequential
+    * greedy — identical whenever ≥ eps is transitive on the corpus (it
+    * is in the exact regime the gate runs: eps separates identical from
+    * merely-near vectors).
+    *
+    * Scale shape: the only corpus-sized shuffles are the k-means
+    * assignment (narrow map, broadcast centroids) and one exchange on
+    * cluster_id; pair enumeration is O(Σ cluster²) — bounded by sizing k
+    * to the corpus (clusters of ~10⁴ at any n, the paper's own setting),
+    * with [[embeddingLsh]] as the banded escape for corpora where one
+    * semantic cluster is degenerate-hot. Survivors come from a left-anti
+    * join — no global sort until the final ORDER BY of the bounded
+    * survivor frame. */
+  def semanticDedup(spark: SparkSession, corpus: DataFrame, k: Int,
+                    iterations: Int, eps: Double): DataFrame = {
+    val centroids = KMeans.fit(spark, corpus, k, iterations)
+    val vecs = corpus.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val assigned = KMeans.assign(vecs, centroids)
+      .select(col("vec_id"), col("v"), col("cluster_id"))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("v").as("a_v"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),
+      col("v").as("b_v"))
+    val dups = a.join(b, Seq("cluster_id"))
+      .filter(col("b_id") < col("a_id"))
+      .filter(graft.functions.CosineSimilarity
+        .cosine_sim(col("a_v"), col("b_v")) >= eps)
+      .select(col("a_id")).distinct()
+    assigned
+      .join(dups, assigned("vec_id") === dups("a_id"), "left_anti")
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Fixture-corpus form (rows-only by §5.5: k-means labels on isotropic
+    * data are not oracle-expressible): embeddings table, k=8, eps=0.85 —
+    * on isotropic random vectors nothing clears 0.85, so this arm mostly
+    * witnesses that the operator runs end-to-end and drops nothing it
+    * should not. */
+  def semanticDedupFixture(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark, Tables.embeddings(spark, dir), k = 8,
+      iterations = 2, eps = 0.85)
+
+  /** [[semanticDedup]] through the HASH GATE in the deterministic
+    * regime: on the clustered corpus, k=10/iterations=2 k-means
+    * provably converges to the 10 planted directions (the
+    * `kmeans_clustered_gate` claim), and eps = 0.99999 sits between
+    * cosine 1.0 (the planted identical triples — vec_id ≡ mod 70, since
+    * i%5 is implied by i%10 the identity classes are mod lcm(10,7)=70)
+    * and the largest non-identical same-direction cosine (≈ 0.999972,
+    * an exact double both engines compute with the same IEEE chain). So
+    * the survivor set is exactly {0..69} ∪ {unique ids} — computed by
+    * the oracle as a NOT-EXISTS over the %10 blocks — and a bug in the
+    * quantizer assignment, the pair enumeration, or the anti-join
+    * breaks the hash. `dir` ignored by design. */
+  def semanticDedupClustered(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark, Tables.embeddings(spark,
+      Similarity.clusteredCorpusDir(spark)), k = 10, iterations = 2,
+      eps = 0.99999)
+
+  val semanticDedupClusteredSql: String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""WITH emb AS (
+       |  ${Similarity.clusteredEmbSql})
+       |SELECT a.vec_id FROM emb a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM emb b
+       |  WHERE b.vec_id < a.vec_id
+       |    AND b.vec_id % 10 = a.vec_id % 10
+       |    AND $cos >= 0.99999)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** Delta-side duplicate ids under the keep-first-by-id rule: `delta`
+    * vectors that have a SAME-CLUSTER mate with a smaller vec_id at
+    * cosine ≥ eps, where `mates` is every vector that may answer
+    * (history ∪ delta, each as (cluster_id, vec_id, v)). One equi-join
+    * on cluster_id, no all-pairs surface — the shared pair kernel of the
+    * incremental and streaming semantic forms. */
+  private def semanticDupIds(mates: DataFrame, delta: DataFrame,
+                             eps: Double): DataFrame =
+    mates.select(col("cluster_id"), col("vec_id").as("a_id"),
+        col("v").as("a_v"))
+      .join(delta.select(col("cluster_id"), col("vec_id").as("b_id"),
+        col("v").as("b_v")), Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(graft.functions.CosineSimilarity
+        .cosine_sim(col("a_v"), col("b_v")) >= eps)
+      .select(col("b_id").as("vec_id")).distinct()
+
+  /** Incremental SemDeDup maintenance — the cluster-then-prune tier
+    * under the same ingest contract as the other incremental near-dup
+    * forms: the QUANTIZER IS TRAINED ONCE on history and frozen (the
+    * paper's own deployment shape — re-clustering the corpus per ingest
+    * would dwarf the ingest cost), history persists its slim assignment
+    * (vec_id, cluster_id) and its survivor set as artifacts, and a
+    * delta pays nearest-centroid assignment (broadcast centroids,
+    * narrow map) plus pair enumeration against SAME-CLUSTER mates only.
+    * Keep-first-by-id is PREFIX-CLOSED — survival depends only on
+    * earlier ids — so history survivors are immutable under append and
+    * the delta's earlier-mate set is exactly (history assignment ∪
+    * delta mates with smaller id). Incremental == full rebuild whenever
+    * the frozen quantizer induces the same partition a retrain would —
+    * exact by construction in the deterministic regime the gate runs
+    * (every planted direction is represented in history); at fixture
+    * scale it carries the usual approximate-family caveat, which is why
+    * the hash gate is the clustered arm. */
+  def semanticDedupIncremental(spark: SparkSession, dir: String,
+                               k: Int, iterations: Int, eps: Double,
+                               splitId: Long): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val tag = s"lt${splitId}_k${k}_i$iterations"
+    val centroids = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"semdedup_centroids_$tag") { p =>
+      KMeans.saveIndex(KMeans.fit(spark,
+        Tables.embeddings(spark, dir).filter(col("vec_id") < splitId),
+        k, iterations), p)
+    }
+    // slim history artifacts: assignment carries NO vector payload (the
+    // corpus table re-supplies v by equi-join — the store stays
+    // O(16 B/row) however wide the embeddings are)
+    val histAssigned = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"semdedup_assign_$tag") { p =>
+      KMeans.assign(all.filter(col("vec_id") < splitId), centroids)
+        .select(col("vec_id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val histMates = histAssigned.join(all, Seq("vec_id"))
+      .select(col("cluster_id"), col("vec_id"), col("v"))
+    val histSurv = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"semdedup_surv_$tag") { p =>
+      histMates.select(col("vec_id"))
+        .join(semanticDupIds(histMates, histMates, eps),
+          Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(p)
+    }
+    val deltaAssigned = KMeans.assign(
+      all.filter(col("vec_id") >= splitId), centroids)
+      .select(col("cluster_id"), col("vec_id"), col("v"))
+      .localCheckpoint()
+    val deltaDups = semanticDupIds(
+      histMates.unionByName(deltaAssigned), deltaAssigned, eps)
+    histSurv.select(col("vec_id"))
+      .unionByName(deltaAssigned.select(col("vec_id"))
+        .join(deltaDups, Seq("vec_id"), "left_anti"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[semanticDedupIncremental]] through the HASH GATE: splitId 150
+    * puts a quarter of every planted direction in the delta; the frozen
+    * history-trained quantizer still assigns every vector to its
+    * planted direction (separation argument as the batch gate), so the
+    * maintained survivor set must equal the full-rebuild answer — the
+    * SAME oracle as `dedup_semantic_clustered` (q38/q34 precedent). A
+    * bug in the frozen-assignment path, the artifact reuse, or the
+    * prefix-closure reasoning breaks the hash. */
+  def semanticDedupIncrClustered(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupIncremental(spark, Similarity.clusteredCorpusDir(spark),
+      k = 10, iterations = 2, eps = 0.99999, splitId = 150)
+
+  /** One micro-batch of STREAMING SemDeDup — the semantic tier joins
+    * the other four streaming dedup forms on the same state contract:
+    * epoch-keyed overwrite writes (at-least-once replay rewrites
+    * identical state), `requireNoFuture` guards, compaction via the
+    * shared log maintenance. The quantizer trains ONCE on the first
+    * batch and freezes (deterministic trainer ⇒ replay-idempotent);
+    * members live in a RangeState store PARTITIONED BY cluster_id with
+    * the vector riding the member row — exactly one row per vector
+    * (unlike the LSH tiers there is no ×tables fan-out, so
+    * payload-on-state-rows is the compact layout here), and each batch
+    * reads only the partitions holding clusters it touches. Publish
+    * happens BEFORE the pair verify so the store as-of batchId answers
+    * both the history×delta and delta×delta terms in one pruned read.
+    * Keep-first-by-id prefix-closure makes earlier epochs' survivor
+    * logs immutable — the streamed union equals the batch answer. */
+  private[graft] def semanticStreamApplyBatch(batch: DataFrame,
+      batchId: Long, statePath: String, k: Int, iterations: Int,
+      eps: Double, compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    val memberRoot = s"$statePath/members"
+    val survRoot = s"$statePath/survivors"
+    graft.tools.LogState.requireNoFuture(survRoot, batchId)
+    graft.tools.RangeState.requireNoFuture(memberRoot, batchId)
+    val t0 = System.nanoTime()
+    val arriving = batch.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint()
+    val cpath = s"$statePath/centroids"
+    if (batchId == 0L)
+      KMeans.saveIndex(KMeans.fit(sp,
+        arriving.select(col("vec_id"), col("v").as("embedding")),
+        k, iterations), cpath)
+    val centroids = KMeans.loadIndex(sp, cpath)
+    val assigned = KMeans.assign(arriving, centroids)
+      .select(col("cluster_id"), col("vec_id"), col("v"))
+      .localCheckpoint()
+    val bounds = graft.tools.RangeState.freezeUniform(memberRoot,
+      k.toLong, math.min(k, 16))
+    val touched = graft.tools.RangeState.publishDelta(memberRoot, batchId,
+      assigned, graft.tools.RangeState.bucketCol(bounds, col("cluster_id")))
+    graft.tools.RoutingMetrics.add("sem_publish_parts", touched.size.toLong)
+    val buckets = assigned
+      .select(graft.tools.RangeState.bucketCol(bounds, col("cluster_id"))
+        .as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val paths =
+      graft.tools.RangeState.pathsForBuckets(memberRoot, buckets, batchId)
+    graft.tools.RoutingMetrics.add("sem_buckets_read", buckets.size.toLong)
+    graft.tools.RoutingMetrics.add("sem_buckets_total",
+      graft.tools.RangeState.partDirs(memberRoot).size.toLong)
+    val mates = sp.read.parquet(paths: _*)
+      .select(col("cluster_id"), col("vec_id"), col("v"))
+    val dups = semanticDupIds(mates, assigned, eps)
+    arriving.select(col("vec_id"))
+      .join(dups, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$survRoot/delta/v$batchId")
+    graft.tools.PhaseTiming.record(f"semepoch$batchId%03d",
+      (System.nanoTime() - t0) / 1e9)
+    graft.tools.LogState.maintain(sp, Seq(survRoot), batchId,
+      compactEvery)(identity)
+    graft.tools.RangeState.maintainTouched(sp, touched, batchId,
+      compactEvery)(identity)
+  }
+
+  /** Streaming SemDeDup through the HASH GATE: 4 id-range batches of
+    * the clustered corpus; the batch-0-trained quantizer (ids 0..49
+    * cover all 10 planted directions, 5 per direction) assigns every
+    * later vector to its planted direction, so the streamed survivor
+    * union must equal the batch answer — the SAME oracle as
+    * `dedup_semantic_clustered`. */
+  def semanticStreamClustered(spark: SparkSession, dir: String,
+                              epochs: Int = 4): DataFrame = {
+    val cdir = Similarity.clusteredCorpusDir(spark)
+    val base = graft.tools.TempDirs.createFast("graft-semstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.embeddings(spark, cdir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val width = 200 / epochs
+      (0 until epochs).foreach { b =>
+        semanticStreamApplyBatch(
+          all.filter(col("vec_id") >= b * width &&
+            (col("vec_id") < (b + 1) * width || lit(b == epochs - 1))),
+          b, statePath, k = 10, iterations = 2, eps = 0.99999,
+          compactEvery = 2)
+      }
+      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
+        epochs - 1L)
+      spark.read.parquet(paths: _*).localCheckpoint()
+        .orderBy(col("vec_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** One micro-batch of STREAMING embedding-LSH dedup — the last
     * near-dup tier without a streaming form (VERDICT r12 #1; minhash,
     * simhash, and the span tier already stream), completing the 4×3
@@ -2991,6 +3260,11 @@ object Dedup {
     "dedup_embedding_lsh" -> ((s: SparkSession, d: String) => embeddingLsh(s, d)),
     "dedup_embedding_lsh_clustered" -> (embeddingLshClustered _),
     "dedup_incr_embedding_clustered" -> (embeddingLshIncrClustered _),
+    "dedup_semantic" -> (semanticDedupFixture _),
+    "dedup_semantic_clustered" -> (semanticDedupClustered _),
+    "dedup_incr_semantic_clustered" -> (semanticDedupIncrClustered _),
+    "dedup_stream_semantic_clustered" ->
+      ((s: SparkSession, d: String) => semanticStreamClustered(s, d)),
   )
 
   /** minhash/simhash signatures are hash-family-specific → rows-only check
@@ -3026,5 +3300,10 @@ object Dedup {
     "dedup_embedding" -> embeddingCosineSql,
     "dedup_embedding_lsh_clustered" -> embeddingLshClusteredSql,
     "dedup_incr_embedding_clustered" -> embeddingLshClusteredSql,
+    "dedup_semantic_clustered" -> semanticDedupClusteredSql,
+    // incremental and streaming forms share the batch gate's oracle:
+    // equality-with-rebuild IS their claim (q38/q34 precedent)
+    "dedup_incr_semantic_clustered" -> semanticDedupClusteredSql,
+    "dedup_stream_semantic_clustered" -> semanticDedupClusteredSql,
   )
 }

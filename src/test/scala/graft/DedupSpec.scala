@@ -683,4 +683,77 @@ class DedupSpec extends SparkSpec {
     assert(emb == (0L until 10L).toSet,
       s"embedding stream survivors wrong: $emb")
   }
+
+  test("semantic dedup: anti-join keep-first drops the whole chain, " +
+      "orthogonal vectors survive") {
+    // θ-chain on a 2-plane: cos(u,v)=cos 18° ≈ 0.951 ≥ 0.95,
+    // cos(v,w)=cos 18° ≥ 0.95, cos(u,w)=cos 36° ≈ 0.809 < 0.95.
+    // Keep-first-by-id anti-join: 2 drops (earlier 1 is ≥ eps) and 3
+    // drops too (earlier 2 is ≥ eps even though 2 itself dropped) —
+    // the documented difference from sequential greedy, pinned here.
+    def planar(theta: Double): Array[Float] = {
+      val a = new Array[Float](64)
+      a(0) = math.cos(theta).toFloat; a(1) = math.sin(theta).toFloat
+      a
+    }
+    val ortho = { val a = new Array[Float](64); a(2) = 1.0f; a }
+    val rad = math.Pi / 10 // 18 degrees
+    val dir = embCorpus((1L, planar(0)), (2L, planar(rad)),
+      (3L, planar(2 * rad)), (4L, ortho))
+    val surv = Dedup.semanticDedup(spark, Tables.embeddings(spark, dir),
+      k = 1, iterations = 1, eps = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 4L), s"survivors: $surv")
+  }
+
+  test("semantic dedup clustered regime: survivors are exactly the first " +
+      "copy of each mod-70 identity class") {
+    val surv = Dedup.semanticDedupClustered(spark, "")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == (0L until 70L).toSet,
+      s"expected {0..69}, got ${surv.size} ids")
+  }
+
+  test("incremental semantic dedup equals the full rebuild under the " +
+      "frozen history-trained quantizer") {
+    val incr = Dedup.semanticDedupIncrClustered(spark, "")
+      .collect().map(_.getLong(0)).toSeq
+    val full = Dedup.semanticDedupClustered(spark, "")
+      .collect().map(_.getLong(0)).toSeq
+    assert(incr == full, s"incremental diverged: ${incr.size} vs ${full.size}")
+  }
+
+  test("streaming semantic dedup: batch-0-trained quantizer, pruned " +
+      "member reads, replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    // two tight directions (1≈3 at cosine 1.0, 2 separate, 4 separate)
+    val dir = embCorpus((1L, vA), (2L, vB), (3L, vA), (4L, vC))
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-semstream-spec")
+        .toString + "/state"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    Dedup.semanticStreamApplyBatch(vecs.filter(col("vec_id") <= 2), 0L,
+      statePath, k = 3, iterations = 2, eps = 0.9999, compactEvery = 2)
+    val b1 = vecs.filter(col("vec_id") > 2)
+    Dedup.semanticStreamApplyBatch(b1, 1L, statePath,
+      k = 3, iterations = 2, eps = 0.9999, compactEvery = 2)
+    def surv() = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$statePath/survivors", 1L): _*)
+      .collect().map(_.getLong(0)).toSet
+    val first = surv()
+    // vec 3 is an exact copy of vec 1: same cluster under any
+    // quantizer, cosine 1.0 ≥ eps → dropped; 2 and 4 survive
+    assert(first == Set(1L, 2L, 4L), s"survivors: $first")
+    // member store: one row per vector, vector rides the row
+    val store = spark.read.parquet(
+      graft.tools.RangeState.pathsAsOf(s"$statePath/members", 1L): _*)
+    assert(store.columns.toSet == Set("cluster_id", "vec_id", "v"))
+    assert(store.select(col("vec_id")).distinct().count() == 4)
+    // at-least-once replay of the last batch rewrites identical state
+    Dedup.semanticStreamApplyBatch(b1, 1L, statePath,
+      k = 3, iterations = 2, eps = 0.9999, compactEvery = 2)
+    assert(surv() == first)
+    graft.tools.TempDirs.deleteRecursively(statePath.stripSuffix("/state"))
+  }
 }
