@@ -252,4 +252,89 @@ object TextKernels {
     * positioned digest pairs (posexplode upstream). */
   def gramDigestsUdf(n: Int): UserDefinedFunction =
     udf((text: String) => gramDigests(text, n))
+
+  /** Gopher repetition statistics (Rae et al. 2021, table A1) — ALL
+    * per-document, so the scale-right plan is this zero-shuffle compiled
+    * pass, not the 5-shuffle explode/groupBy/window relational form the
+    * DuckDB oracle uses. One tokenization, one hash map per n.
+    *
+    * Returns 10 longs:
+    *   [0]    total characters (sum of token code-point lengths; spaces
+    *          and other separators excluded — the denominators),
+    *   [1..3] n = 2..4: characters covered by the MOST frequent n-gram
+    *          (count × gram token chars; ties on count break to the
+    *          LARGEST gram in UTF-8 binary order — the rule the oracle's
+    *          `ORDER BY cnt DESC, gram DESC` reproduces),
+    *   [4..9] n = 5..10: characters of tokens covered by any n-gram that
+    *          occurs more than once in the document (interval-union
+    *          coverage, chars counted once however many duplicated grams
+    *          overlap them — the paper's "taking care not to count
+    *          characters in overlapping n-grams more than once").
+    * Documents shorter than n tokens contribute 0 for that n. */
+  def gopherRepetition(text: String): Array[Long] = {
+    val toks = tokenize(text)
+    val m = toks.length
+    val lens = new Array[Long](m)
+    var i = 0
+    var total = 0L
+    while (i < m) {
+      lens(i) = toks(i).codePointCount(0, toks(i).length).toLong
+      total += lens(i); i += 1
+    }
+    val out = new Array[Long](10)
+    out(0) = total
+    var n = 2
+    while (n <= 10) {
+      if (m >= n) {
+        val starts = m - n + 1
+        val grams = new Array[String](starts)
+        val counts = new java.util.HashMap[String, Int](starts * 2)
+        var s = 0
+        while (s < starts) {
+          val sb = new java.lang.StringBuilder(toks(s))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(s + j)); j += 1 }
+          val g = sb.toString
+          grams(s) = g
+          counts.merge(g, 1, Integer.sum)
+          s += 1
+        }
+        if (n <= 4) {
+          var bestG: String = null
+          var bestC = 0
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue
+            if (c > bestC ||
+                (c == bestC && graft.ops.Corpus.utf8Compare(e.getKey, bestG) > 0)) {
+              bestC = c; bestG = e.getKey
+            }
+          }
+          // gram token chars = rendered code points minus the n-1 spaces
+          val gchars = bestG.codePointCount(0, bestG.length).toLong - (n - 1)
+          out(n - 1) = bestC.toLong * gchars
+        } else {
+          val covered = new Array[Boolean](m)
+          var s2 = 0
+          while (s2 < starts) {
+            if (counts.get(grams(s2)) > 1) {
+              var k = s2
+              while (k < s2 + n) { covered(k) = true; k += 1 }
+            }
+            s2 += 1
+          }
+          var chars = 0L
+          var k = 0
+          while (k < m) { if (covered(k)) chars += lens(k); k += 1 }
+          out(n - 1) = chars
+        }
+      }
+      n += 1
+    }
+    out
+  }
+
+  val gopherRepetitionUdf: UserDefinedFunction =
+    udf((text: String) => gopherRepetition(text))
 }

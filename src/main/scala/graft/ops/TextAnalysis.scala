@@ -331,6 +331,291 @@ object TextAnalysis {
       |FROM g
       |ORDER BY doc_id""".stripMargin
 
+  /** The full Gopher repetition-filter suite (Rae et al. 2021, table A1)
+    * beyond [[repRatio]]'s single 3-gram ratio: per document,
+    *   - top-n-gram character fraction for n = 2..4 (characters covered
+    *     by the most frequent n-gram; ties on count break to the largest
+    *     gram in binary order so the measure is deterministic), and
+    *   - duplicate-n-gram character fraction for n = 5..10
+    *     (interval-union coverage: a token's characters count once no
+    *     matter how many duplicated n-grams overlap it — the paper's
+    *     overlap rule).
+    * Numerators and the denominator are exact integer character counts
+    * (spaces excluded on both sides), so the whole suite sits behind the
+    * DuckDB hash gate; the fractions are single IEEE divisions of those
+    * integers. Thresholding (the paper gates at 0.2 / 0.18 / 0.16 for
+    * top-2/3/4 and 0.15..0.10 for dup-5..10) stays a downstream choice.
+    *
+    * Scale shape: every statistic is PER-DOCUMENT, so the plan is one
+    * zero-shuffle compiled pass ([[graft.functions.TextKernels
+    * .gopherRepetition]]) — tokenize once, one hash map per n — where the
+    * relational form the oracle uses (explode grams → groupBy → window →
+    * coverage join) would shuffle the corpus five times. At 100 TB this
+    * is a pure map stage: no exchange, no skew surface, output one row
+    * per input row. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val names = Seq("total_chars",
+      "top_2_chars", "top_3_chars", "top_4_chars",
+      "dup_5_chars", "dup_6_chars", "dup_7_chars", "dup_8_chars",
+      "dup_9_chars", "dup_10_chars")
+    val st = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.gopherRepetitionUdf(col("text")).as("st"))
+    val withCols = names.zipWithIndex.foldLeft(st) { case (df, (nm, i)) =>
+      df.withColumn(nm, col("st").getItem(i))
+    }
+    val fracs = names.drop(1).map { nm =>
+      when(col("total_chars") === 0L, lit(0.0))
+        .otherwise(col(nm).cast("double") / col("total_chars").cast("double"))
+        .as(nm.stripSuffix("_chars") + "_frac")
+    }
+    withCols
+      .select(col("doc_id") +: names.map(col) ++: fracs: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRepetitionSql: String = {
+    val tops = Seq(2, 3, 4)
+    val dups = Seq(5, 6, 7, 8, 9, 10)
+    val charCols = (tops.map(n => s"top_${n}_chars") ++
+      dups.map(n => s"dup_${n}_chars"))
+    val pivot = (tops.map(n =>
+      s"COALESCE(MAX(CASE WHEN kind = 'top' AND n = $n THEN chars END), 0) AS top_${n}_chars") ++
+      dups.map(n =>
+        s"COALESCE(MAX(CASE WHEN kind = 'dup' AND n = $n THEN chars END), 0) AS dup_${n}_chars"))
+      .mkString(",\n    ")
+    val outChars = charCols
+      .map(c => s"CAST(COALESCE(p.$c, 0) AS BIGINT) AS $c").mkString(",\n  ")
+    val outFracs = charCols.map { c =>
+      val f = c.stripSuffix("_chars") + "_frac"
+      s"CASE WHEN tot.total_chars = 0 THEN 0.0 ELSE CAST(COALESCE(p.$c, 0) AS DOUBLE) / CAST(tot.total_chars AS DOUBLE) END AS $f"
+    }.mkString(",\n  ")
+    s"""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |tot AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS total_chars
+      |  FROM t),
+      |tn AS (
+      |  SELECT doc_id, toks, ns.n
+      |  FROM t CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n)
+      |  WHERE len(toks) >= ns.n),
+      |g AS (
+      |  SELECT doc_id, n, u['s'] AS s, u['g'] AS gram
+      |  FROM (SELECT doc_id, n,
+      |          unnest([{'s': i, 'g': array_to_string(toks[i:i+n-1], ' ')}
+      |                  FOR i IN generate_series(1, len(toks) - n + 1)]) AS u
+      |        FROM tn)),
+      |topg AS (
+      |  SELECT doc_id, n,
+      |    cnt * (length(gram) - (n - 1)) AS chars
+      |  FROM (SELECT doc_id, n, gram, count(*) AS cnt,
+      |          row_number() OVER (PARTITION BY doc_id, n
+      |                             ORDER BY count(*) DESC, gram DESC) AS rn
+      |        FROM g WHERE n <= 4 GROUP BY doc_id, n, gram)
+      |  WHERE rn = 1),
+      |dupstart AS (
+      |  SELECT doc_id, n, s FROM (
+      |    SELECT doc_id, n, s,
+      |      count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+      |    FROM g WHERE n >= 5)
+      |  WHERE cnt > 1),
+      |covpos AS (
+      |  SELECT DISTINCT doc_id, n, pos FROM (
+      |    SELECT doc_id, n, unnest(generate_series(s, s + n - 1)) AS pos
+      |    FROM dupstart)),
+      |tl AS (
+      |  SELECT doc_id, u['p'] AS pos, u['l'] AS tlen FROM (
+      |    SELECT doc_id,
+      |      unnest([{'p': i, 'l': length(toks[i])} FOR i IN generate_series(1, len(toks))]) AS u
+      |    FROM t)),
+      |dupchars AS (
+      |  SELECT c.doc_id, c.n, sum(tl.tlen) AS chars
+      |  FROM covpos c JOIN tl ON c.doc_id = tl.doc_id AND c.pos = tl.pos
+      |  GROUP BY c.doc_id, c.n),
+      |allstats AS (
+      |  SELECT doc_id, n, chars, 'top' AS kind FROM topg
+      |  UNION ALL
+      |  SELECT doc_id, n, chars, 'dup' AS kind FROM dupchars),
+      |p AS (
+      |  SELECT doc_id,
+      |    $pivot
+      |  FROM allstats GROUP BY doc_id)
+      |SELECT tot.doc_id, tot.total_chars,
+      |  $outChars,
+      |  $outFracs
+      |FROM tot LEFT JOIN p USING (doc_id)
+      |ORDER BY tot.doc_id""".stripMargin
+  }
+
+  /** Gopher document-quality RULE FLAGS (Rae et al. 2021, §A1.1) — the
+    * decision layer over the raw statistics [[qualityScore]] and
+    * [[gopherRepetition]] expose: per document, each published rule as
+    * its own boolean (token-count window, mean-word-length window,
+    * symbol-to-word ratio, alphabetic-word fraction, stopword-hit
+    * minimum) plus the conjunction `keep`. Every flag derives from
+    * exact integer counts or a single IEEE division of them, so the
+    * whole decision table sits in the hash gate. Thresholds are the
+    * paper's (50..100k tokens, mean word length 3..10, symbol ratio
+    * < 0.1, ≥ 80% alphabetic words, ≥ 2 stopword hits). Per-document,
+    * zero-shuffle: the plan is one compiled projection pass. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0), (a, t) => a + length(t)).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val nSym = size(filter(toks,
+      t => t.contains("#") || t.contains("..."))).cast("long")
+    val nStop = size(filter(toks,
+      t => array_contains(array(stopwords.map(lit): _*), t))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"), sumLen.as("sum_len"),
+        nAlpha.as("n_alpha"), nSym.as("n_sym"), nStop.as("n_stop"))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("sum_len").cast("double") /
+            col("n_tokens").cast("double")))
+      .withColumn("ok_count",
+        col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_symbols", col("n_tokens") > 0L &&
+        col("n_sym").cast("double") < col("n_tokens").cast("double") * 0.1)
+      .withColumn("ok_alpha", col("n_tokens") > 0L &&
+        col("n_alpha").cast("double") >=
+          col("n_tokens").cast("double") * 0.8)
+      .withColumn("ok_stop", col("n_stop") >= 2L)
+      .withColumn("keep", col("ok_count") && col("ok_word_len") &&
+        col("ok_symbols") && col("ok_alpha") && col("ok_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherQualitySql: String =
+    s"""SELECT *,
+       |  ok_count AND ok_word_len AND ok_symbols AND ok_alpha AND ok_stop
+       |    AS keep
+       |FROM (
+       |  SELECT doc_id, n_tokens, sum_len, n_alpha, n_sym, n_stop,
+       |    CASE WHEN n_tokens = 0 THEN 0.0
+       |         ELSE CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    END AS mean_word_len,
+       |    n_tokens >= 50 AND n_tokens <= 100000 AS ok_count,
+       |    CASE WHEN n_tokens = 0 THEN 0.0
+       |         ELSE CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    END BETWEEN 3.0 AND 10.0 AS ok_word_len,
+       |    n_tokens > 0 AND
+       |      CAST(n_sym AS DOUBLE) < CAST(n_tokens AS DOUBLE) * 0.1
+       |      AS ok_symbols,
+       |    n_tokens > 0 AND
+       |      CAST(n_alpha AS DOUBLE) >= CAST(n_tokens AS DOUBLE) * 0.8
+       |      AS ok_alpha,
+       |    n_stop >= 2 AS ok_stop
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(toks) AS BIGINT) AS n_tokens,
+       |      CAST(COALESCE(list_aggregate(list_transform(toks,
+       |        t -> length(t)), 'sum'), 0) AS BIGINT) AS sum_len,
+       |      CAST(len(list_filter(toks,
+       |        t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |      CAST(len(list_filter(toks, t -> contains(t, '#')
+       |        OR contains(t, '...'))) AS BIGINT) AS n_sym,
+       |      CAST(len(list_filter(toks,
+       |        t -> list_contains($stopwordsSql, t))) AS BIGINT) AS n_stop
+       |    FROM (SELECT doc_id, $tokensSql AS toks FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+
+  /** C4-style page cleaning (Raffel et al. 2020, §2.2) — the LINE-level
+    * filter family the fixture corpus cannot exercise (single-line, no
+    * punctuation), so the pages are PLANTED as a pure function of
+    * (doc_id, text) in BOTH engines (the text_redact move): each doc
+    * becomes a multi-line page whose lines hit every rule — a good
+    * sentence line, a too-short fragment, a boilerplate `javascript`
+    * line (doc_id % 3), a `lorem ipsum` line (doc_id % 7), a `{` code
+    * line (doc_id % 11), and an extra closing sentence (doc_id % 2).
+    * Line rules: keep lines ending in terminal punctuation with ≥ 3
+    * words and no `javascript`; page rules: drop pages containing `{`
+    * or `lorem ipsum`, or with fewer than 3 surviving sentences. The
+    * kept text, every counter, and the keep decision are all in the
+    * hash. Per-document narrow pass — no shuffle, line fan-out stays
+    * inside the row. */
+  def c4Filter(spark: SparkSession, dir: String): DataFrame = {
+    val l1 = concat(array_join(slice(tokens(col("text")), 1, 6), " "),
+      lit("."))
+    val l2 = array_join(slice(tokens(col("text")), 7, 2), " ")
+    val l3 = when(col("doc_id") % 3 === 0,
+      lit("please enable javascript on your browser."))
+    val l4 = when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit amet."))
+    val l5 = when(col("doc_id") % 11 === 0, lit("var x = function() {"))
+    val l6 = concat(array_join(slice(tokens(col("text")), 9, 5), " "),
+      lit(" is finally done here?"))
+    val l7 = when(col("doc_id") % 2 === 0,
+      lit("it also works well today!"))
+    val keepLine = (l: Column) =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, " "), w => w =!= lit(""))) >= 3 &&
+        !l.contains("javascript")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat_ws("\n", l1, l2, l3, l4, l5, l6, l7).as("page"))
+      .withColumn("lines", split(col("page"), "\n"))
+      .withColumn("kept_lines", filter(col("lines"), keepLine))
+      .withColumn("kept_text", array_join(col("kept_lines"), "\n"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_kept_lines", size(col("kept_lines")).cast("long"))
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("kept_text"), lit("[.!?]"), lit(0)))
+          .cast("long"))
+      .withColumn("page_kept",
+        !col("page").contains("{") && !col("page").contains("lorem ipsum") &&
+          col("n_sentences") >= 3L)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("page_kept"),
+        when(col("page_kept"), col("kept_text")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c4FilterSql: String =
+    s"""SELECT doc_id, n_lines, n_kept_lines, n_sentences, page_kept,
+       |  CASE WHEN page_kept THEN kept_text END AS clean_text
+       |FROM (
+       |  SELECT doc_id, n_lines, n_kept_lines, n_sentences, kept_text,
+       |    NOT contains(page, '{') AND NOT contains(page, 'lorem ipsum')
+       |      AND n_sentences >= 3 AS page_kept
+       |  FROM (
+       |    SELECT doc_id, page,
+       |      CAST(len(lines) AS BIGINT) AS n_lines,
+       |      CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+       |      CAST(len(regexp_extract_all(array_to_string(kept_lines,
+       |        chr(10)), '[.!?]')) AS BIGINT) AS n_sentences,
+       |      array_to_string(kept_lines, chr(10)) AS kept_text
+       |    FROM (
+       |      SELECT doc_id, page, lines,
+       |        list_filter(lines, l ->
+       |          right(l, 1) IN ('.', '!', '?', '"')
+       |          AND len(list_filter(string_split(l, ' '),
+       |                w -> w <> '')) >= 3
+       |          AND NOT contains(l, 'javascript')) AS kept_lines
+       |      FROM (
+       |        SELECT doc_id, page, string_split(page, chr(10)) AS lines
+       |        FROM (
+       |          SELECT doc_id, concat_ws(chr(10),
+       |            array_to_string(toks[1:6], ' ') || '.',
+       |            array_to_string(toks[7:8], ' '),
+       |            CASE WHEN doc_id % 3 = 0
+       |              THEN 'please enable javascript on your browser.' END,
+       |            CASE WHEN doc_id % 7 = 0
+       |              THEN 'lorem ipsum dolor sit amet.' END,
+       |            CASE WHEN doc_id % 11 = 0
+       |              THEN 'var x = function() {' END,
+       |            array_to_string(toks[9:13], ' ')
+       |              || ' is finally done here?',
+       |            CASE WHEN doc_id % 2 = 0
+       |              THEN 'it also works well today!' END) AS page
+       |          FROM (SELECT doc_id, $tokensSql AS toks
+       |                FROM documents))))))
+       |ORDER BY doc_id""".stripMargin
+
   /** The composed pretraining-corpus pipeline — the end-to-end user
     * story, not a single operator: normalize text (tag strip + whitespace
     * collapse) → token-count quality filter → exact content dedup (keep
@@ -834,6 +1119,9 @@ object TextAnalysis {
     "text_redact"      -> (redact _),
     "pipeline_pretrain" -> (pretrainPipeline _),
     "text_rep_ratio"   -> (repRatio _),
+    "text_gopher_rep"  -> (gopherRepetition _),
+    "text_gopher_quality" -> (gopherQuality _),
+    "text_c4_filter"   -> (c4Filter _),
     "text_det_split"   -> (detSplit _),
     "text_clean"       -> (textClean _),
     "text_wordcount"   -> (wordCount _),
@@ -855,6 +1143,9 @@ object TextAnalysis {
     "text_redact"      -> redactSql,
     "pipeline_pretrain" -> pretrainPipelineSql,
     "text_rep_ratio"   -> repRatioSql,
+    "text_gopher_rep"  -> gopherRepetitionSql,
+    "text_gopher_quality" -> gopherQualitySql,
+    "text_c4_filter"   -> c4FilterSql,
     "text_det_split"   -> detSplitSql,
     "text_clean"       -> textCleanSql,
     "text_wordcount"   -> wordCountSql,

@@ -252,4 +252,76 @@ class TextAnalysisSpec extends SparkSpec {
       assert(inc == got, s"split $split diverged")
     }
   }
+
+  test("gopher repetition: top-gram chars, tie-break, and overlap coverage") {
+    val dir = docs(
+      (1L, "a b a b a b", "en"),     // top-2: "a b" x3, 2 chars -> 6
+      (2L, "c c c c c c", "en"),     // dup-5: both 5-grams equal -> all 6 covered
+      (3L, "bb bb aa aa", "en"),     // 2-gram tie (all cnt 1) -> largest "bb bb" -> 4
+      (4L, "", "en"),                // empty -> all zeros, fracs 0.0
+      (5L, "x y z", "en"))           // shorter than 5 -> dup cols 0
+    val rows = TextAnalysis.gopherRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val d1 = rows(1L)
+    assert(d1.getAs[Long]("total_chars") == 6L)
+    assert(d1.getAs[Long]("top_2_chars") == 6L)          // 3 x "ab"
+    assert(d1.getAs[Long]("dup_5_chars") == 0L)          // the two 5-grams differ
+    assert(d1.getAs[Double]("top_2_frac") == 1.0)
+
+    val d2 = rows(2L)
+    assert(d2.getAs[Long]("dup_5_chars") == 6L)          // overlap counted once
+    assert(d2.getAs[Long]("dup_6_chars") == 0L)          // single 6-gram, no dup
+    assert(d2.getAs[Double]("dup_5_frac") == 1.0)
+
+    val d3 = rows(3L)
+    assert(d3.getAs[Long]("top_2_chars") == 4L)          // tie -> "bb bb" (largest)
+
+    val d4 = rows(4L)
+    assert(d4.getAs[Long]("total_chars") == 0L)
+    assert(d4.getAs[Double]("top_2_frac") == 0.0)
+
+    val d5 = rows(5L)
+    assert(d5.getAs[Long]("top_2_chars") == 2L)          // any 2-gram once, 2 chars
+    assert((5 to 10).forall(n => d5.getAs[Long](s"dup_${n}_chars") == 0L))
+  }
+
+  test("gopher quality flags: each rule trips on its planted violator") {
+    val long = ("the of " + Seq.fill(60)("word").mkString(" ")) // 62 toks, 2 stops
+    val dir = docs(
+      (1L, long, "en"),                                   // all rules pass
+      (2L, "the of " + Seq.fill(10)("word").mkString(" "), "en"), // too short
+      (3L, ("the of " + Seq.fill(60)("ab").mkString(" ")), "en"), // mean len < 3
+      (4L, ("the of " + Seq.fill(60)("word#").mkString(" ")), "en"), // symbols
+      (5L, ("a " + Seq.fill(60)("word").mkString(" ")), "en"))    // 1 stop hit
+    val rows = TextAnalysis.gopherQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"))
+    assert(!rows(2L).getAs[Boolean]("ok_count") &&
+      !rows(2L).getAs[Boolean]("keep"))
+    assert(!rows(3L).getAs[Boolean]("ok_word_len"))
+    assert(!rows(4L).getAs[Boolean]("ok_symbols"))
+    assert(!rows(5L).getAs[Boolean]("ok_stop"))
+  }
+
+  test("c4 filter: line rules and page rules fire exactly as planted") {
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    // doc ids picked for rule isolation: 1 (odd, 2 sentences → dropped),
+    // 2 (even, 3 sentences → kept), 14 (lorem ipsum → dropped),
+    // 22 (curly brace → dropped), 6 (even + javascript line → line
+    // dropped but page kept)
+    val dir = docs(Seq(1L, 2L, 14L, 22L, 6L).map(id => (id, text, "en")): _*)
+    val rows = TextAnalysis.c4Filter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows(1L).getAs[Boolean]("page_kept")) // 2 sentences only
+    assert(rows(2L).getAs[Boolean]("page_kept"))
+    assert(rows(2L).getAs[String]("clean_text").count(_ == '\n') == 2)
+    assert(!rows(14L).getAs[Boolean]("page_kept")) // lorem ipsum
+    assert(!rows(22L).getAs[Boolean]("page_kept")) // { page rule
+    val d6 = rows(6L)
+    assert(d6.getAs[Boolean]("page_kept"))
+    // the javascript line ends in '.' but is excluded by the word rule
+    assert(!d6.getAs[String]("clean_text").contains("javascript"))
+    assert(d6.getAs[Long]("n_kept_lines") == 3L)
+  }
 }
