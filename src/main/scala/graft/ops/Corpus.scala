@@ -1111,6 +1111,330 @@ object Corpus {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // WordPiece tokenizer trainer (Schuster & Nakajima 2012; the BERT
+  // convention: no </w> marker, '##' continuation prefix, merge argmax
+  // by likelihood gain count(l,r)/(count(l)·count(r)) instead of raw
+  // pair count)
+  // ---------------------------------------------------------------------
+
+  val WordpieceMerges = 10
+
+  /** The WordPiece selection key, integer-exact in BOTH engines: the
+    * likelihood-gain score c/(cl·cr) quantized by floor(c·10¹⁸ /
+    * (cl·cr)). Products stay under DECIMAL(38)/HUGEINT range (c ≤ 10⁹
+    * tokens ⇒ numerator ≤ 10²⁷), and ties break (pair count DESC, l, r
+    * UTF-8 ASC) — a documented 10⁻¹⁸-quantization deviation from the
+    * real-valued argmax, TIGHTER than the f64 scores production
+    * trainers compare with. */
+  private val WpScale = BigInt("1000000000000000000")
+
+  private def wpFloorScore(c: Long, cl: Long, cr: Long): BigInt =
+    BigInt(c) * WpScale / (BigInt(cl) * BigInt(cr))
+
+  /** WordPiece merged symbol: the continuation marker of the right
+    * piece folds away (`a` + `##b` → `ab`, `ab` + `##c` → `abc`).
+    * Within-word adjacency means r is always a continuation piece. */
+  private def wpMerged(l: String, r: String): String =
+    l + (if (r.startsWith("##")) r.substring(2) else r)
+
+  /** In-memory WordPiece training over the collected type table — the
+    * [[bpeTrainLocalArrays]] architecture (incremental pair-count
+    * maintenance, affected-word rewrite) plus an incrementally
+    * maintained SYMBOL-count table, because the WordPiece score's
+    * denominators change with every rewrite (which is also why the BPE
+    * commuting-batch theory does NOT port: merging one pair moves every
+    * other pair's score through the shared symbol counts — selection is
+    * inherently sequential in this objective). Returns
+    * (round, l, r, merged, pair_count, left_count, right_count). */
+  private[graft] def wordpieceTrainLocalArrays(
+      types: Array[(Array[String], Long)], merges: Int)
+      : (Seq[(Int, String, String, String, Long, Long, Long)],
+         Array[Array[String]]) = {
+    val syms = types.map(_._1)
+    val cnts = types.map(_._2)
+    val pairCount = scala.collection.mutable.HashMap[(String, String), Long]()
+    val pairWords = scala.collection.mutable.HashMap[(String, String),
+      scala.collection.mutable.HashSet[Int]]()
+    val symCount = scala.collection.mutable.HashMap[String, Long]()
+    def addPairs(wid: Int, s: Array[String], sign: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * cnts(wid)
+        if (c == 0L) pairCount.remove(p) else pairCount.update(p, c)
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p,
+            scala.collection.mutable.HashSet[Int]()) += wid
+        i += 1
+      }
+    }
+    def addSyms(wid: Int, s: Array[String], sign: Long): Unit = {
+      var i = 0
+      while (i < s.length) {
+        val c = symCount.getOrElse(s(i), 0L) + sign * cnts(wid)
+        if (c == 0L) symCount.remove(s(i)) else symCount.update(s(i), c)
+        i += 1
+      }
+    }
+    syms.indices.foreach { w => addPairs(w, syms(w), 1L); addSyms(w, syms(w), 1L) }
+    val learned = scala.collection.mutable
+      .ArrayBuffer[(Int, String, String, String, Long, Long, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      var best: ((String, String), Long, Long, Long) = null
+      var bestScore: BigInt = null
+      pairCount.foreach { case (p, c) =>
+        val cl = symCount(p._1); val cr = symCount(p._2)
+        val sc = wpFloorScore(c, cl, cr)
+        val better = best == null || sc > bestScore ||
+          (sc == bestScore && (c > best._2 || (c == best._2 && {
+            val dl = utf8Compare(p._1, best._1._1)
+            dl < 0 || (dl == 0 && utf8Compare(p._2, best._1._2) < 0)
+          })))
+        if (better) { best = (p, c, cl, cr); bestScore = sc }
+      }
+      if (best == null) exhausted = true
+      else {
+        val ((l, r), c, cl, cr) = best
+        val m = wpMerged(l, r)
+        learned += ((round, l, r, m, c, cl, cr))
+        val affected = pairWords.remove((l, r))
+          .getOrElse(scala.collection.mutable.HashSet[Int]())
+        affected.foreach { wid =>
+          val s = syms(wid)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            has = s(i) == l && s(i + 1) == r; i += 1
+          }
+          if (has) {
+            addPairs(wid, s, -1L); addSyms(wid, s, -1L)
+            val ns = greedyMergeSym(s.toSeq, l, r, m).toArray
+            syms(wid) = ns
+            addPairs(wid, ns, 1L); addSyms(wid, ns, 1L)
+          }
+        }
+        round += 1
+      }
+    }
+    (learned.toSeq, syms)
+  }
+
+  /** [[greedyMerge]] with an explicit merged symbol (WordPiece's folds
+    * the '##' marker, so l+r is not the merged string). */
+  private[graft] def greedyMergeSym(syms: Seq[String], l: String,
+                                    r: String, m: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == l && x == r) {
+        out.remove(out.length - 1); out += m
+      } else out += x
+    }
+    out.toSeq
+  }
+
+  /** One deterministic WordPiece training run: word types weighted by
+    * count, initial pieces = first character plain + '##'-prefixed
+    * continuations (the BERT representation), `merges` rules of
+    * (pair counts + symbol counts → floor-score argmax → greedy
+    * rewrite). Vocabulary fits the driver (the SentencePiece posture —
+    * training input is vocabulary-sized by design): O(1) driver-blocking
+    * Spark actions. Over-budget: one distributed round per merge — the
+    * floor score is a COMPUTABLE COLUMN (DECIMAL(38,0) floor division),
+    * so the distributed argmax is an exact orderBy+limit(1), but rounds
+    * cannot batch (every merge moves every score through the shared
+    * symbol counts — see [[wordpieceTrainLocalArrays]]). */
+  private[graft] def wordpieceTrainUncached(spark: SparkSession, dir: String,
+                                            merges: Int,
+                                            localTypeBudget: Long = 1000000L)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      // slice length must be computed (start+length overflows Int at a
+      // MaxValue sentinel and silently yields an EMPTY slice)
+      .withColumn("syms", expr(
+        """concat(slice(split(word, ''), 1, 1),
+          |  transform(
+          |    slice(split(word, ''), 2, greatest(size(split(word, '')) - 1, 0)),
+          |    c -> concat('##', c)))""".stripMargin))
+      .localCheckpoint()
+    val nTypes = words.count()
+    if (nTypes > 0 && nTypes <= localTypeBudget) {
+      val rows = words.select(col("word"), col("cnt"), col("syms"))
+        .collect().map { r =>
+          (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray)
+        }
+      val (learned, finals) =
+        wordpieceTrainLocalArrays(rows.map(r => (r._3, r._2)), merges)
+      graft.tools.RoutingMetrics.add("wp_spark_rounds", 2L)
+      val mtDf = learned
+        .toDF("round", "l", "r", "merged", "pair_count", "left_count",
+          "right_count")
+      val wordsDf = rows.zip(finals)
+        .map { case ((wd, c, _), fs) => (wd, c, fs.toSeq) }.toSeq
+        .toDF("word", "cnt", "syms")
+      return (mtDf, wordsDf)
+    }
+    val learned = scala.collection.mutable
+      .ArrayBuffer[(Int, String, String, String, Long, Long, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val pos = words
+        .select(col("word"), col("cnt"),
+          posexplode(col("syms")).as(Seq("pos", "s")))
+        .localCheckpoint()
+      val sc = pos.groupBy(col("s").as("sym"))
+        .agg(sum(col("cnt")).as("sc"))
+      val top = pos
+        .withColumn("r", lead(col("s"), 1).over(w))
+        .filter(col("r").isNotNull)
+        .groupBy(col("s").as("l"), col("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .join(sc.select(col("sym").as("l"), col("sc").as("cl")), Seq("l"))
+        .join(sc.select(col("sym").as("r"), col("sc").as("cr")), Seq("r"))
+        .withColumn("score",
+          (col("c").cast("decimal(38,0)") *
+            lit(WpScale.toString).cast("decimal(38,0)")) /
+            (col("cl").cast("decimal(38,0)") * col("cr").cast("decimal(38,0)")))
+        .withColumn("score", expr("CAST(FLOOR(score) AS DECIMAL(38,0))"))
+        .orderBy(col("score").desc, col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .select(col("l"), col("r"), col("c"), col("cl"), col("cr"))
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val t = top.head
+        val (l, r, c) = (t.getString(0), t.getString(1), t.getLong(2))
+        val (cl, cr) = (t.getLong(3), t.getLong(4))
+        val m = wpMerged(l, r)
+        learned += ((round, l, r, m, c, cl, cr))
+        val mergeUdf = udf((syms: Seq[String]) => greedyMergeSym(syms, l, r, m))
+        words = words.withColumn("syms", mergeUdf(col("syms")))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    graft.tools.RoutingMetrics.add("wp_spark_rounds", round.toLong * 2)
+    (learned.toSeq.toDF("round", "l", "r", "merged", "pair_count",
+      "left_count", "right_count"), words)
+  }
+
+  private def wordpieceTrainCached(spark: SparkSession,
+                                   dir: String): (DataFrame, DataFrame) = {
+    val mt = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"wp_merges_m$WordpieceMerges") { p =>
+      val (m, w) = wordpieceTrainUncached(spark, dir, WordpieceMerges)
+      m.write.mode("overwrite").parquet(p)
+      w.select(col("word"), col("cnt"), col("syms"))
+        .write.mode("overwrite").parquet(p + "_words")
+    }
+    val wordsPath = graft.tools.ArtifactCache.pathOf(dir,
+      s"wp_merges_m$WordpieceMerges").get + "_words"
+    (mt, spark.read.parquet(wordsPath))
+  }
+
+  /** The learned WordPiece merge table — the gate query: the floor
+    * score's inputs (pair count AND both symbol counts at pick time)
+    * ride in the hash, so a maintenance bug in either table breaks the
+    * gate, not just a selection bug. */
+  def wordpieceMerges(spark: SparkSession, dir: String): DataFrame =
+    wordpieceTrainCached(spark, dir)._1.orderBy(col("round"))
+
+  /** Tokenizer APPLICATION: every document rewritten as its words'
+    * trained WordPiece sequences ('##' continuations preserved) — one
+    * broadcast join on the word type, the [[tokenizeBpe]] discipline. */
+  def tokenizeWordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val wt = wordpieceTrainCached(spark, dir)._2
+      .select(col("word"), array_join(col("syms"), " ").as("wtoks"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(wt), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("wtoks")))),
+          x => x.getField("wtoks"))).as("wp_text"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Stage CTEs are AS MATERIALIZED: each stage references its
+  // predecessor three times (symbol counts, pair counts, rewrite), so
+  // default CTE inlining expands 3^M scans of the documents parquet —
+  // measured as an fd-exhaustion failure at M=10 (BPE's 2-reference
+  // stages stayed under the limit; this oracle would not).
+  private def wpStagesSql(merges: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    string_split(word, '')[1:1] ||
+         |      list_transform(string_split(word, '')[2:], c -> '##' || c)
+         |      AS s
+         |  FROM (
+         |    SELECT word, COUNT(*) AS cnt FROM (
+         |      SELECT unnest($tokensSql) AS word FROM documents)
+         |    GROUP BY word))""".stripMargin
+    val stages = (1 to merges).map { k =>
+      s"""y$k AS MATERIALIZED (
+         |  SELECT x AS sym, CAST(SUM(cnt) AS BIGINT) AS sc
+         |  FROM w${k - 1}, unnest(s) AS t(x)
+         |  GROUP BY x),
+         |p$k AS MATERIALIZED (
+         |  SELECT l, r, c, yl.sc AS cl, yr.sc AS cr,
+         |    l || r[3:] AS m
+         |  FROM (
+         |    SELECT s[i] AS l, s[i + 1] AS r, SUM(cnt) AS c
+         |    FROM w${k - 1}, unnest(range(1, len(s))) AS t(i)
+         |    GROUP BY 1, 2) pc
+         |  JOIN y$k yl ON yl.sym = pc.l
+         |  JOIN y$k yr ON yr.sym = pc.r
+         |  ORDER BY CAST(c AS HUGEINT) * 1000000000000000000
+         |             / (CAST(yl.sc AS HUGEINT) * yr.sc) DESC,
+         |           c DESC, l, r
+         |  LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    list_reduce(list_transform(s, x -> [x]),
+         |      (acc, x) -> CASE WHEN acc[-1] = l AND x[1] = r
+         |                  THEN acc[1:len(acc) - 1] || [m]
+         |                  ELSE acc || x END) AS s
+         |  FROM w${k - 1} LEFT JOIN p$k ON TRUE)""".stripMargin
+    }
+    (w0 +: stages).mkString(",\n")
+  }
+
+  val wordpieceMergesSql: String = {
+    val arms = (1 to WordpieceMerges).map { k =>
+      s"""SELECT $k AS round, l, r, m AS merged, CAST(c AS BIGINT) AS pair_count,
+         |  cl AS left_count, cr AS right_count FROM p$k""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${wpStagesSql(WordpieceMerges)}
+       |SELECT * FROM (
+       |  $arms)
+       |ORDER BY round""".stripMargin
+  }
+
+  val tokenizeWordpieceSql: String =
+    s"""WITH ${wpStagesSql(WordpieceMerges)},
+       |wt AS (SELECT word, array_to_string(s, ' ') AS wtoks FROM w$WordpieceMerges),
+       |parts AS (SELECT doc_id, $tokensSql AS parts FROM documents),
+       |t AS (
+       |  SELECT doc_id, pos, parts[pos] AS word FROM (
+       |    SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos, parts
+       |    FROM parts))
+       |SELECT t.doc_id,
+       |  string_agg(wt.wtoks, ' ' ORDER BY t.pos) AS wp_text,
+       |  COUNT(*) AS n_words
+       |FROM t JOIN wt USING (word)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shards"    -> (shardsPipeline _),
@@ -1128,6 +1452,8 @@ object Corpus {
     "corpus_tokenize_unigram" -> (tokenizeUnigram _),
     "corpus_unigram_clustered" -> (unigramClustered _),
     "corpus_tokenize_unigram_clustered" -> (tokenizeUnigramClustered _),
+    "corpus_wordpiece"   -> (wordpieceMerges _),
+    "corpus_tokenize_wordpiece" -> (tokenizeWordpiece _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1146,5 +1472,7 @@ object Corpus {
     // the clustered gates carry the hash check
     "corpus_unigram_clustered" -> unigramClusteredSql,
     "corpus_tokenize_unigram_clustered" -> tokenizeUnigramClusteredSql,
+    "corpus_wordpiece"   -> wordpieceMergesSql,
+    "corpus_tokenize_wordpiece" -> tokenizeWordpieceSql,
   )
 }
