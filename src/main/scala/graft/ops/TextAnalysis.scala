@@ -616,6 +616,112 @@ object TextAnalysis {
        |                FROM documents))))))
        |ORDER BY doc_id""".stripMargin
 
+  /** The FineWeb-style filtering FUNNEL (Penedo et al. 2024) — the
+    * composed modern cascade over the operators this file already
+    * gates: language allow-list → Gopher quality rules
+    * ([[gopherQuality]]) → Gopher repetition thresholds (the paper's
+    * table-A1 cutoffs over [[gopherRepetition]]'s fractions) → exact
+    * content dedup (keep-first). Output is the attrition report every
+    * curation run publishes: per stage, surviving documents and tokens.
+    *
+    * Scale shape: ONE pass — the stage memberships are CUMULATIVE
+    * BOOLEAN FLAGS on each row and the funnel is a single conditional
+    * aggregation (count/sum per flag), not five filtered re-scans; the
+    * only shuffles are the per-text window for the dedup flag and the
+    * final 1-row aggregate. At 100 TB the repetition statistics ride
+    * the same compiled per-doc kernel, so the whole funnel costs one
+    * corpus scan + one dedup exchange. */
+  def finewebPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val q = gopherQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("keep").as("q_keep"))
+    val rep = gopherRepetition(spark, dir)
+      .select(col("doc_id") +: (Seq("top_2", "top_3", "top_4").map(c =>
+        col(c + "_frac")) ++ (5 to 10).map(n => col(s"dup_${n}_frac"))): _*)
+    val repOk = col("top_2_frac") <= 0.2 && col("top_3_frac") <= 0.18 &&
+      col("top_4_frac") <= 0.16 &&
+      Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10).zipWithIndex.map {
+        case (t, i) => col(s"dup_${i + 5}_frac") <= t
+      }.reduce(_ && _)
+    val flags = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .withColumn("s1", col("lang").isin("en", "de", "es", "fr"))
+      .withColumn("s2", col("s1") && col("q_keep"))
+      .withColumn("s3", col("s2") && repOk)
+      .withColumn("s4", col("s3") && col("doc_id") ===
+        min(when(col("s3"), col("doc_id")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("text"))))
+    val agg = flags.agg(
+      count(lit(1)).as("c0"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("t0"),
+      count(when(col("s1"), 1)).as("c1"),
+      coalesce(sum(when(col("s1"), col("n_tokens"))), lit(0L)).as("t1"),
+      count(when(col("s2"), 1)).as("c2"),
+      coalesce(sum(when(col("s2"), col("n_tokens"))), lit(0L)).as("t2"),
+      count(when(col("s3"), 1)).as("c3"),
+      coalesce(sum(when(col("s3"), col("n_tokens"))), lit(0L)).as("t3"),
+      count(when(col("s4"), 1)).as("c4"),
+      coalesce(sum(when(col("s4"), col("n_tokens"))), lit(0L)).as("t4"))
+    agg.selectExpr(
+      """stack(5,
+        |  '0_total',      c0, t0,
+        |  '1_lang',       c1, t1,
+        |  '2_quality',    c2, t2,
+        |  '3_repetition', c3, t3,
+        |  '4_dedup',      c4, t4)
+        |AS (stage, n_docs, total_tokens)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
+  val finewebPipelineSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, n_tokens, keep AS q_keep
+       |  FROM ($gopherQualitySql)),
+       |rep AS (
+       |  SELECT doc_id, top_2_frac, top_3_frac, top_4_frac,
+       |    dup_5_frac, dup_6_frac, dup_7_frac, dup_8_frac, dup_9_frac,
+       |    dup_10_frac
+       |  FROM ($gopherRepetitionSql)),
+       |flags AS (
+       |  SELECT d.doc_id, q.n_tokens, s1, s2, s3,
+       |    s3 AND d.doc_id = MIN(CASE WHEN s3 THEN d.doc_id END)
+       |      OVER (PARTITION BY d.text) AS s4
+       |  FROM (
+       |    SELECT d.doc_id, d.text,
+       |      d.lang IN ('en', 'de', 'es', 'fr') AS s1,
+       |      d.lang IN ('en', 'de', 'es', 'fr') AND q.q_keep AS s2,
+       |      d.lang IN ('en', 'de', 'es', 'fr') AND q.q_keep
+       |        AND rep.top_2_frac <= 0.2 AND rep.top_3_frac <= 0.18
+       |        AND rep.top_4_frac <= 0.16 AND rep.dup_5_frac <= 0.15
+       |        AND rep.dup_6_frac <= 0.14 AND rep.dup_7_frac <= 0.13
+       |        AND rep.dup_8_frac <= 0.12 AND rep.dup_9_frac <= 0.11
+       |        AND rep.dup_10_frac <= 0.10 AS s3
+       |    FROM documents d
+       |    JOIN q ON q.doc_id = d.doc_id
+       |    JOIN rep ON rep.doc_id = d.doc_id) d
+       |  JOIN q ON q.doc_id = d.doc_id),
+       |agg AS (
+       |  SELECT
+       |    CAST(COUNT(*) AS BIGINT) AS c0,
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t0,
+       |    CAST(COUNT(CASE WHEN s1 THEN 1 END) AS BIGINT) AS c1,
+       |    CAST(COALESCE(SUM(CASE WHEN s1 THEN n_tokens END), 0) AS BIGINT) AS t1,
+       |    CAST(COUNT(CASE WHEN s2 THEN 1 END) AS BIGINT) AS c2,
+       |    CAST(COALESCE(SUM(CASE WHEN s2 THEN n_tokens END), 0) AS BIGINT) AS t2,
+       |    CAST(COUNT(CASE WHEN s3 THEN 1 END) AS BIGINT) AS c3,
+       |    CAST(COALESCE(SUM(CASE WHEN s3 THEN n_tokens END), 0) AS BIGINT) AS t3,
+       |    CAST(COUNT(CASE WHEN s4 THEN 1 END) AS BIGINT) AS c4,
+       |    CAST(COALESCE(SUM(CASE WHEN s4 THEN n_tokens END), 0) AS BIGINT) AS t4
+       |  FROM flags)
+       |SELECT stage, n_docs, total_tokens FROM (
+       |  SELECT '0_total' AS stage, c0 AS n_docs, t0 AS total_tokens FROM agg
+       |  UNION ALL SELECT '1_lang', c1, t1 FROM agg
+       |  UNION ALL SELECT '2_quality', c2, t2 FROM agg
+       |  UNION ALL SELECT '3_repetition', c3, t3 FROM agg
+       |  UNION ALL SELECT '4_dedup', c4, t4 FROM agg)
+       |ORDER BY stage""".stripMargin
+
   /** The composed pretraining-corpus pipeline — the end-to-end user
     * story, not a single operator: normalize text (tag strip + whitespace
     * collapse) → token-count quality filter → exact content dedup (keep
@@ -1122,6 +1228,7 @@ object TextAnalysis {
     "text_gopher_rep"  -> (gopherRepetition _),
     "text_gopher_quality" -> (gopherQuality _),
     "text_c4_filter"   -> (c4Filter _),
+    "pipeline_fineweb" -> (finewebPipeline _),
     "text_det_split"   -> (detSplit _),
     "text_clean"       -> (textClean _),
     "text_wordcount"   -> (wordCount _),
@@ -1146,6 +1253,7 @@ object TextAnalysis {
     "text_gopher_rep"  -> gopherRepetitionSql,
     "text_gopher_quality" -> gopherQualitySql,
     "text_c4_filter"   -> c4FilterSql,
+    "pipeline_fineweb" -> finewebPipelineSql,
     "text_det_split"   -> detSplitSql,
     "text_clean"       -> textCleanSql,
     "text_wordcount"   -> wordCountSql,

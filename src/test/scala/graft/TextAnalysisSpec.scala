@@ -324,4 +324,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!d6.getAs[String]("clean_text").contains("javascript"))
     assert(d6.getAs[Long]("n_kept_lines") == 3L)
   }
+
+  test("fineweb funnel: every stage sheds its planted violator") {
+    // good docs must clear the quality gate: >= 50 tokens, >= 2
+    // stopword hits, mean word length in [3, 10]
+    def good(seed: Int) = "the of " +
+      (1 to 60).map(i => s"word${(i * seed) % 97}").mkString(" ")
+    val rep = "the of " + Seq.fill(60)("spam spam").mkString(" ")
+    val dir = docs(
+      (1L, good(1), "en"),
+      (2L, good(2), "xx"),   // sheds at 1_lang
+      (3L, "the of tiny", "en"), // sheds at 2_quality (token count)
+      (4L, rep, "en"),       // sheds at 3_repetition (top-2 "spam spam")
+      (5L, good(1), "en"),   // exact copy of 1 -> sheds at 4_dedup
+      (6L, good(3), "de"))
+    val rows = TextAnalysis.finewebPipeline(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("0_total" -> 6L, "1_lang" -> 5L, "2_quality" -> 4L,
+      "3_repetition" -> 3L, "4_dedup" -> 2L), s"funnel: $rows")
+  }
 }
