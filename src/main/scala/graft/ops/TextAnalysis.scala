@@ -722,6 +722,87 @@ object TextAnalysis {
        |  UNION ALL SELECT '4_dedup', c4, t4 FROM agg)
        |ORDER BY stage""".stripMargin
 
+  /** DSIR-style importance selection (Xie et al. 2023, hashed n-gram
+    * features) in the repo's INTEGER-EXACT ratio discipline: documents
+    * are scored by how target-like their hashed-bigram feature
+    * distribution is. Features are bigrams hashed to 64 buckets by the
+    * 31-ary polynomial hash both engines already share
+    * ([[fingerprint]]); target = the 'en' slice, raw = the whole
+    * corpus; +1/+B smoothing on both models. The paper's log-space
+    * importance weight Σ log(p_t(f)/p_r(f)) is replaced by the sum of
+    * floor-scaled PER-FEATURE likelihood ratios
+    * floor(10⁶·(tc+1)(R+B) / ((rc+1)(T+B))) — the same log-free move as
+    * BM25's integer form and [[lmScore]]'s ratio form (ln is not
+    * bit-reproducible across engines), documented as a monotone
+    * surrogate per feature; selection = per-gram average ratio ≥ 10⁶,
+    * i.e. "more target-like than raw on average", a fixed threshold
+    * that needs NO global sort. Scale shape: one explode, two O(B)
+    * count tables broadcast back, one per-doc aggregation — the
+    * corpus shuffles once by doc_id. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("gram"))
+      .withColumn("b", expr(
+        """aggregate(split(gram, ''), 0L,
+          |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) % 64""".stripMargin))
+    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgt = grams.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val totals = grams.agg(count(lit(1)).as("rt"),
+      count(when(col("lang") === "en", 1)).as("tt"))
+    grams.join(broadcast(raw), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left_outer")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(totals))
+      .withColumn("term", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * (tc + 1) * (rt + 64))
+          |  div ((rc + 1) * (tt + 64)) AS DECIMAL(38,0))""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("term")).as("score_sum"))
+      .withColumn("score_avg",
+        expr("CAST(score_sum div n_grams AS BIGINT)"))
+      .withColumn("selected", col("score_avg") >= 1000000L)
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(gram, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |    FROM d WHERE len(toks) >= 2)),
+       |raw AS (SELECT b, COUNT(*) AS rc FROM g GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS tc FROM g WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT COUNT(*) AS rt,
+       |        COUNT(CASE WHEN lang = 'en' THEN 1 END) AS tt FROM g),
+       |sc AS (
+       |  SELECT doc_id,
+       |    (CAST(1000000 AS HUGEINT) * (COALESCE(tc, 0) + 1) * (rt + 64))
+       |      // ((rc + 1) * (tt + 64)) AS term
+       |  FROM g
+       |  JOIN raw USING (b)
+       |  LEFT JOIN tgt USING (b)
+       |  CROSS JOIN tot)
+       |SELECT doc_id, n_grams, score_sum,
+       |  CAST(score_sum // n_grams AS BIGINT) AS score_avg,
+       |  CAST(score_sum // n_grams AS BIGINT) >= 1000000 AS selected
+       |FROM (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    SUM(term) AS score_sum
+       |  FROM sc GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** The composed pretraining-corpus pipeline — the end-to-end user
     * story, not a single operator: normalize text (tag strip + whitespace
     * collapse) → token-count quality filter → exact content dedup (keep
@@ -1229,6 +1310,7 @@ object TextAnalysis {
     "text_gopher_quality" -> (gopherQuality _),
     "text_c4_filter"   -> (c4Filter _),
     "pipeline_fineweb" -> (finewebPipeline _),
+    "text_dsir"        -> (dsirSelect _),
     "text_det_split"   -> (detSplit _),
     "text_clean"       -> (textClean _),
     "text_wordcount"   -> (wordCount _),
@@ -1254,6 +1336,7 @@ object TextAnalysis {
     "text_gopher_quality" -> gopherQualitySql,
     "text_c4_filter"   -> c4FilterSql,
     "pipeline_fineweb" -> finewebPipelineSql,
+    "text_dsir"        -> dsirSelectSql,
     "text_det_split"   -> detSplitSql,
     "text_clean"       -> textCleanSql,
     "text_wordcount"   -> wordCountSql,

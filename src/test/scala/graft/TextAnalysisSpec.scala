@@ -325,6 +325,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d6.getAs[Long]("n_kept_lines") == 3L)
   }
 
+  test("dsir: target-like documents outscore off-distribution ones; " +
+      "shared features wash out") {
+    // en docs repeat one bigram vocabulary, xx docs another; doc 5 is an
+    // xx-language doc WRITTEN in the en feature distribution — DSIR must
+    // select it anyway (feature-based, not label-based), and reject the
+    // off-distribution xx docs.
+    val enText = Seq.fill(30)("alpha beta").mkString(" ")
+    val xxText = Seq.fill(30)("gamma delta").mkString(" ")
+    val dir = docs(
+      (1L, enText, "en"), (2L, enText, "en"), (3L, xxText, "xx"),
+      (4L, xxText, "xx"), (5L, enText, "xx"))
+    val rows = TextAnalysis.dsirSelect(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("selected")).toMap
+    assert(rows(1L) && rows(2L) && rows(5L), s"target-like not selected: $rows")
+    assert(!rows(3L) && !rows(4L), s"off-distribution selected: $rows")
+  }
+
   test("fineweb funnel: every stage sheds its planted violator") {
     // good docs must clear the quality gate: >= 50 tokens, >= 2
     // stopword hits, mean word length in [3, 10]
