@@ -2432,6 +2432,69 @@ object Dedup {
        |FROM labels l JOIN sizes s USING (keep_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  /** Quality-aware retention over near-dup groups — the retention rule
+    * production curation pipelines actually apply (keep the BEST
+    * document of each duplicate cluster, not the lowest id; e.g.
+    * RefinedWeb and FineWeb keep the longest / highest-scoring copy):
+    * group labels come from the same oracled n-gram-Jaccard pair graph
+    * as [[dedupGroupsJaccard]] (so DuckDB closes the graph with WITH
+    * RECURSIVE and the composition is hash-checked end to end), per-doc
+    * quality is the integer alphabetic-token count (the Gopher n_alpha
+    * statistic — integer-exact, so the ranking sits in the hash), and
+    * the keeper is argmax (quality DESC, doc_id ASC) per group via a
+    * label-PARTITIONED row_number (bounded partitions — group size, not
+    * corpus size). Scale shape: the pair graph + components are the
+    * shared banded kernels; the ranking adds one label-keyed window
+    * over a (doc_id, label, quality) slim frame. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = cachedPairs(spark, dir, "jaccard")(ngramJaccardPairs(spark, dir))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val labels = components(pairs, ids)
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t.rlike("[a-zA-Z]")))
+          .cast("long").as("quality"))
+    labels.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("quality").desc, col("doc_id"))))
+      .select(col("doc_id"), col("label").as("group_id"), col("quality"),
+        (col("rk") === 1).cast("int").as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: dedupGroupsJaccard's recursive closure + the n_alpha
+    * quality recompute + ROW_NUMBER per component. */
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT lang, source, n_chars // 100 AS len_bucket, doc_id,
+       |         list_distinct($tokensSql) AS toks
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM toks a JOIN toks b
+       |    ON a.lang = b.lang AND a.source = b.source
+       |   AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node),
+       |labels AS (SELECT node AS doc_id, MIN(label) AS group_id FROM walk GROUP BY node),
+       |q AS (
+       |  SELECT doc_id, CAST(len(list_filter($tokensSql,
+       |    t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS quality
+       |  FROM documents)
+       |SELECT l.doc_id, l.group_id, q.quality,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY l.group_id
+       |    ORDER BY q.quality DESC, l.doc_id) = 1 AS INT) AS is_kept
+       |FROM labels l JOIN q USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Substring-level exact dedup (repeated-span removal)
   // ---------------------------------------------------------------------
@@ -3236,6 +3299,7 @@ object Dedup {
     "dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "dedup_overlap_matrix" -> (overlapMatrix _),
     "dedup_groups_jaccard" -> (dedupGroupsJaccard _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_groups"    -> (dedupGroups _),
     "dedup_exact"     -> (exact _),
     "dedup_keyed"     -> (keyed _),
@@ -3280,6 +3344,7 @@ object Dedup {
     "dedup_contamination" -> contaminationSql,
     "dedup_overlap_matrix" -> overlapMatrixSql,
     "dedup_groups_jaccard" -> dedupGroupsJaccardSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_decontaminate" -> decontaminateSql,
     "dedup_minhash_clustered" -> minhashClusteredSql,
     "dedup_incr_minhash_clustered" -> minhashClusteredSql,

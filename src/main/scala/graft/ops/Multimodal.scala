@@ -663,6 +663,70 @@ object Multimodal {
       |SELECT a_id, b_id, CAST(0 AS BIGINT) AS hamming FROM p
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Well-mixed deterministic 16-bit PCM (splitmix scramble of
+    * (seed, i)) — the audio analogue of [[scrambledPixels]]: window
+    * energies of distinct seeds are independent draws, so the
+    * sign-of-energy-gradient bits of two different seeds disagree about
+    * half the time, while equal seeds are sample-identical. */
+  private[graft] def scrambledPcm(seed: Long, n: Int): Array[Short] =
+    Array.tabulate(n) { i =>
+      var z = seed * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+      (z & 0xffff).toShort
+    }
+
+  /** 64-bit audio fingerprint over decoded PCM: 65 contiguous windows,
+    * integer energy (sum of squares) per window, one bit per adjacent
+    * energy comparison — the Haitsma–Kalman sign-of-energy-difference
+    * fingerprint reduced to a single band, all-integer (the audio twin
+    * of [[dHash]]'s luminance gradient). Depends only on the decoded
+    * samples, so it survives container round-trips. */
+  private[graft] def audioHash(s: Array[Short]): Long = {
+    val w = 65
+    val energies = new Array[Long](w)
+    var i = 0
+    while (i < s.length) {
+      val b = ((i.toLong * w) / s.length).toInt
+      val v = s(i).toLong
+      energies(b) += v * v
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (energies(k + 1) > energies(k)) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  /** Audio-fingerprint near-dup through the HASH GATE on a planted
+    * corpus — completes the multimodal↔dedup bridge for the audio
+    * codec path (image dHash landed first): 140 REAL WAVs — ids 0..119
+    * carry the PCM of seed id % 40 (three byte-identical payloads per
+    * base), ids 120..139 unique — through the FULL pipeline: JDK WAV
+    * encode → decode → windowed-energy [[audioHash]] →
+    * [[Dedup.fingerprintNearDup]] (4×16-bit banding, skew cap, exact
+    * Hamming ≤ 3 verify). Replica hashes are bit-identical; distinct
+    * scrambled PCM sits at Hamming ≈ 32 — output is exactly the 120
+    * replica pairs the oracle synthesizes. A codec bug that decodes
+    * samples unequally, a windowing/energy bug that hashes replicas
+    * apart, or a banding bug that drops a pair breaks the hash. */
+  def audioHashClustered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = spark.range(0, 140).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val seed = if (id < 120) id % 40 else 1000L + id
+          val wav = encodeWav(scrambledPcm(seed, 650))
+          (id, audioHash(decodeWav(wav)))
+        }
+      }
+      .toDF("doc_id", "fp")
+    Dedup.fingerprintNearDup(fps, maxHamming = 3, maxBucket = 200,
+      sorted = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_video_real" -> (videoReal _),
     "mm_audio_real" -> (audioReal _),
@@ -673,6 +737,7 @@ object Multimodal {
     "mm_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
     "mm_decode_real" -> (decodeReal _),
     "mm_dedup_phash_clustered" -> (imageDHashClustered _),
+    "mm_dedup_audiohash_clustered" -> (audioHashClustered _),
   )
 
   /** All three real-codec paths are oracled: the ground truth of each is
@@ -685,6 +750,8 @@ object Multimodal {
     * round_even chosen to match Spark's round vs math.rint). */
   val oracles: Map[String, String] = Map(
     "mm_dedup_phash_clustered" -> imageDHashClusteredSql,
+    // same planted replica structure as the image gate → same synthesis
+    "mm_dedup_audiohash_clustered" -> imageDHashClusteredSql,
     "mm_video_real" -> videoRealSql,
     "mm_audio_real" -> audioRealSql,
     "mm_audio_windows" -> audioWindowsSql,

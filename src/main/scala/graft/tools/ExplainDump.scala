@@ -47,6 +47,10 @@ object ExplainDump {
       "graph_pagerank_incr" -> "warm-started refresh: previous-ranks artifact seeds the iteration; each superstep is the same equi-join + partial/final SUM",
       "text_bm25" -> "BM25 retrieval: tf/df aggregations (map-side partial), 15-row query-term broadcast + 1-row stats broadcast onto the tf scan, integer-exact contribs inside codegen, bounded-heap top-k (shuffle ships O(queries*k))",
       "dedup_substring" -> "span removal, rolling-hash form: positioned digests from a NARROW per-doc kernel map (no shuffle, no gram strings), duplicate detection as 16-byte digest-pair groupBy, gram text re-materialized for COLLIDING pairs only (slice join), range-frame coverage sweep",
+      "text_gopher_rep" -> "Gopher repetition suite: ONE zero-shuffle compiled pass (per-doc kernel: tokenize once, one hash map per n) where the relational form would shuffle the corpus five times",
+      "pipeline_fineweb" -> "composed FineWeb funnel: cumulative stage flags in one corpus pass, per-text dedup window, single conditional aggregation — no per-stage re-scans",
+      "text_dsir" -> "DSIR selection: bigram explode narrow map, two O(64)-bucket count tables broadcast back, floor-scaled integer ratio terms inside codegen, one doc-keyed aggregation",
+      "dedup_semantic" -> "SemDeDup: broadcast-centroid assignment (narrow map), ONE exchange on cluster_id, bounded within-cluster pair enumeration, survivor anti-join",
     )
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -645,6 +645,39 @@ object ScaleProbe {
       // evidence (oversized blocks route to the minhash escape path)
       "dedup_jaccard_hotblock" -> (() =>
         graft.ops.Dedup.ngramJaccardHotBlock(spark, outDir).count()),
+      // zero-shuffle compiled kernels: wall time here should track the
+      // corpus linearly — any super-linear bend means the kernel left
+      // codegen or the plan grew a shuffle
+      "text_gopher_rep"    -> (() => graft.ops.TextAnalysis.queries("text_gopher_rep")(spark, outDir).count()),
+      "text_dsir"          -> (() => graft.ops.TextAnalysis.queries("text_dsir")(spark, outDir).count()),
+      // the composed funnel: one corpus pass + the per-text dedup window;
+      // cost should sit near text_gopher_rep + an exchange
+      "pipeline_fineweb"   -> (() => graft.ops.TextAnalysis.queries("pipeline_fineweb")(spark, outDir).count()),
+      // WordPiece at production merge counts through the driver path —
+      // the O(1)-Spark-actions claim at a 512-rule vocabulary
+      "corpus_wordpiece512" -> (() =>
+        graft.ops.Corpus.wordpieceTrainUncached(spark, outDir,
+          merges = 512)._1.count()),
+      // SemDeDup at probe scale: k sized so clusters stay ~1.5k vectors
+      // (the paper's own lever against the O(cluster²) pair term);
+      // exact replicas land in one cluster by identity, so the dropped
+      // count is a correctness witness, not just a timing
+      "dedup_semantic" -> (() => {
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val nV = e.count()
+        val edir = TempDirs.createFast("graft-semprobe")
+        try {
+          e.crossJoin(broadcast(reps))
+            .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+              col("embedding"), lit(0).as("label"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
+          val k = math.max(16, (nV * mult / 1500).toInt)
+          graft.ops.Dedup.semanticDedup(spark,
+            graft.Tables.embeddings(spark, edir), k = k, iterations = 2,
+            eps = 0.95).count()
+        } finally TempDirs.deleteRecursively(edir)
+      }),
       "text_tfidf"         -> (() => graft.ops.TextAnalysis.queries("text_tfidf")(spark, outDir).count()),
       "text_inverted_index"-> (() => graft.ops.TextAnalysis.queries("text_inverted_index")(spark, outDir).count()),
       "text_langid"        -> (() => graft.ops.TextAnalysis.queries("text_langid")(spark, outDir).count()),

@@ -207,6 +207,26 @@ class DedupSpec extends SparkSpec {
       (3L, 3L, 1L, 1))) // singleton keeps itself
   }
 
+  test("keep-best retention: the highest-quality group member wins, " +
+      "not the lowest id; quality counts alphabetic tokens only") {
+    // ids 0/3/6 share source src0: 6 is an exact copy of 0 (12 alpha
+    // tokens), 3 adds two alpha tokens (quality 14, jaccard 12/14 with
+    // the base) — the id-order rule would keep 0; keep-best must keep 3.
+    // id 9 (also src0) is an unrelated singleton whose digit tokens
+    // must NOT count toward quality.
+    val b = (0 until 12).map(i => s"tok$i").mkString(" ")
+    val dir = corpus(
+      (0L, b), (3L, b + " extra bonus"), (6L, b),
+      (9L, "99 42 777 zz11 only letters matter here right now ok yes"))
+    val out = Dedup.dedupKeepBest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSet == Set(
+      (0L, 0L, 12L, 0),  // old rule's keeper, outranked on quality
+      (3L, 0L, 14L, 1),  // highest quality in the group wins
+      (6L, 0L, 12L, 0),
+      (9L, 9L, 9L, 1)))  // 12 tokens, 3 pure-digit → quality 9; singleton
+  }
+
   test("ngramJaccard oversized blocks route to minhash with the same pairs") {
     // ONE pathological block (same lang/source/len_bucket) of 60 docs:
     // 30 planted near-dup pairs (Jaccard 19/20 = 0.95) on disjoint token

@@ -119,6 +119,26 @@ class TextAnalysisSpec extends SparkSpec {
       "dHash must survive a lossless upscale")
   }
 
+  test("audioHash: replicas bit-identical, distinct PCM far apart, " +
+      "invariant under sample duplication") {
+    def fpOf(seed: Long, n: Int = 650): Long =
+      Multimodal.audioHash(Multimodal.decodeWav(
+        Multimodal.encodeWav(Multimodal.scrambledPcm(seed, n))))
+    assert(fpOf(7L) == fpOf(7L))
+    val fps = (0L until 8L).map(fpOf(_))
+    for (i <- fps.indices; j <- fps.indices if i < j) {
+      val d = java.lang.Long.bitCount(fps(i) ^ fps(j))
+      assert(d > 10, s"seeds $i,$j unexpectedly close: Hamming $d")
+    }
+    // the perceptual property: duplicating every sample (a 2x
+    // "resample") doubles each window's energy — windows align exactly
+    // because 65 divides 650 — preserving all gradient signs
+    val pcm = Multimodal.scrambledPcm(5L, 650)
+    val doubled = pcm.flatMap(s => Array(s, s))
+    assert(Multimodal.audioHash(doubled) == Multimodal.audioHash(pcm),
+      "audioHash must survive sample duplication")
+  }
+
   test("real WAV round-trip: decode(encode(x)) is sample-exact, header is 44 bytes") {
     // the audio path uses the JDK's actual RIFF/WAV codec — PCM is
     // lossless, so the decoded samples must equal the generated ones
