@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Corpus, Dedup, EtlPipeline, Graph, KMeans, Layout, Multimodal, Relational, Relational2, Scale, Similarity, Temporal, TextAnalysis, Typed}
+import graft.ops.{Analytics, Corpus, Dedup, EtlPipeline, Graph, KMeans, Layout, Multimodal, Relational, Relational2, Scale, Similarity, Temporal, TextAnalysis, Typed, UrlCuration}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,12 +24,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Temporal.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EtlPipeline.queries ++ KMeans.queries ++ Corpus.queries ++
-      Graph.queries ++ Analytics.queries ++ Layout.queries ++ Scale.queries ++ Typed.queries
+      Graph.queries ++ Analytics.queries ++ Layout.queries ++ Scale.queries ++ Typed.queries ++ UrlCuration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Temporal.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ EtlPipeline.oracles ++ KMeans.oracles ++ Corpus.oracles ++
-      Graph.oracles ++ Analytics.oracles ++ Layout.oracles ++ Scale.oracles ++ Typed.oracles
+      Graph.oracles ++ Analytics.oracles ++ Layout.oracles ++ Scale.oracles ++ Typed.oracles ++ UrlCuration.oracles
 }

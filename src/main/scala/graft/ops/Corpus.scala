@@ -743,23 +743,31 @@ object Corpus {
     * rewrite CTE wk (the same greedy fold as [[greedyMerge]], as a
     * list_reduce over single-element lists; LEFT JOIN ON TRUE keeps
     * words intact if pairs ever run dry, matching the Scala loop's
-    * early stop). */
+    * early stop).
+    *
+    * Every stage is AS MATERIALIZED: DuckDB's default CTE inlining
+    * re-expands each referenced stage (~3x per reference), which is
+    * exponential in the merge count — the unmaterialized form cost
+    * 312 s (train) + 411 s (tokenize) at sf0.01 and blew the driver's
+    * oracle budget in round 13; materialized, the same queries run in
+    * well under a second (the WordPiece twin below already used this
+    * discipline and runs in 0.1 s). */
   private def bpeStagesSql(merges: Int): String = {
     val w0 =
-      s"""w0 AS (
+      s"""w0 AS MATERIALIZED (
          |  SELECT word, cnt, list_append(string_split(word, ''), '</w>') AS s
          |  FROM (
          |    SELECT word, COUNT(*) AS cnt FROM (
          |      SELECT unnest($tokensSql) AS word FROM documents)
          |    GROUP BY word))""".stripMargin
     val stages = (1 to merges).map { k =>
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          |  SELECT l, r, c FROM (
          |    SELECT s[i] AS l, s[i + 1] AS r, SUM(cnt) AS c
          |    FROM w${k - 1}, unnest(range(1, len(s))) AS t(i)
          |    GROUP BY 1, 2)
          |  ORDER BY c DESC, l, r LIMIT 1),
-         |w$k AS (
+         |w$k AS MATERIALIZED (
          |  SELECT word, cnt,
          |    list_reduce(list_transform(s, x -> [x]),
          |      (acc, x) -> CASE WHEN acc[-1] = l AND x[1] = r

@@ -1966,6 +1966,61 @@ object Dedup {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** Signature width for the STREAMING embedding tier, from EXPECTED
+    * FINAL corpus size N (the caller's `idSpan` when known, else
+    * 2·(first batch's max id + 1) — the same seed the vector store's
+    * range bounds use).
+    *
+    * Why not `Similarity.adaptiveLshBits(N)` alone: that sizes for a
+    * bounded candidate FRACTION (tables·probeCount/2^bits ≤ 3%), the
+    * right knob when one query probes one corpus once. A stream pays
+    * the hist×delta COLLISION TERM every epoch — expected candidates
+    * per arriving vector
+    *
+    *   E[cand/row] = |hist| · tables · probeCount(bits, probes) / 2^bits
+    *
+    * and |hist| grows toward N, so a fraction-sized width admits
+    * per-epoch cost that GROWS with the index (measured at 100× =
+    * 200 k vectors, BASELINE.md: adaptive 19–21 bits → epochs
+    * 7.5 → 21.9 s; bits = 24 → flat 5.1–7.9 s, identical survivors).
+    * Widening costs no recall for the near-exact dups this tier
+    * targets (per-bit flip prob θ/π → 0 as θ → 0, at any width), so we
+    * size for a CONSTANT per-row collision budget:
+    * 2^bits ≥ N·tables·probeCount/C with C = 16 — N = 200 k ⟹ 24 bits,
+    * exactly the probe-validated flat setting (pinned in DedupSpec). */
+  private[graft] def streamLshBits(expectedN: Long, tables: Int = 4,
+                                   probes: Int = 2,
+                                   candidatesPerRow: Double = 16.0): Int = {
+    // the signature is a 32-bit int — cap the occupancy-derived start
+    // (adaptiveLshBits's log2(n)+2 is uncapped for astronomical n)
+    var b = math.min(32, Similarity.adaptiveLshBits(expectedN, tables, probes))
+    while (b < 32 && expectedN.toDouble * tables *
+      Similarity.probeCount(b, probes) / math.pow(2.0, b) > candidatesPerRow)
+      b += 1
+    b
+  }
+
+  /** [[streamLshBits]] FROZEN in the state dir on first use: historical
+    * signatures were computed at that width, and a resumed or replayed
+    * stream must keep matching them bit-for-bit (the RangeState
+    * boundary-freeze discipline). By-name `expectedN` so the seeding
+    * job runs only when the file doesn't exist yet. */
+  private def frozenStreamBits(statePath: String, expectedN: => Long,
+                               tables: Int, probes: Int): Int = {
+    val f = java.nio.file.Paths.get(statePath, "_lsh_bits")
+    if (!java.nio.file.Files.exists(f)) {
+      java.nio.file.Files.createDirectories(f.getParent)
+      val tmp = java.nio.file.Paths.get(statePath, "_lsh_bits.tmp")
+      java.nio.file.Files.write(tmp,
+        streamLshBits(expectedN, tables, probes).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  }
+
   /** One micro-batch of STREAMING embedding-LSH dedup — the last
     * near-dup tier without a streaming form (VERDICT r12 #1; minhash,
     * simhash, and the span tier already stream), completing the 4×3
@@ -1995,11 +2050,17 @@ object Dedup {
     * rule whenever arrival order is id order. A vector is a duplicate
     * iff it is the LATER side of a verified pair; writes are
     * epoch-keyed overwrites derived from state < batchId —
-    * replay-idempotent. */
+    * replay-idempotent.
+    *
+    * `bits` ≤ 0 (the default) derives the signature width from EXPECTED
+    * corpus size via [[streamLshBits]] and freezes it in the state dir —
+    * see that method for the collision-term math (r13 probe: adaptive
+    * per-fraction widths made epochs GROW; the expected-N width is
+    * flat). */
   private[graft] def embeddingStreamApplyBatch(batch: DataFrame,
                                                batchId: Long, statePath: String,
                                                threshold: Double = 0.35,
-                                               tables: Int = 4, bits: Int = 10,
+                                               tables: Int = 4, bits: Int = -1,
                                                probes: Int = 2,
                                                compactEvery: Int = 4,
                                                vecPartitions: Int = 16,
@@ -2017,11 +2078,16 @@ object Dedup {
     // the vector store's range boundaries: the id span when the caller
     // knows it, else seeded from the first batch (id-ordered arrival
     // parks later ids in the top partition — a pruning-balance cost,
-    // never correctness)
-    val bounds = graft.tools.RangeState.freezeUniform(vecRoot,
+    // never correctness). The same span seeds the frozen signature
+    // width; lazy so the max() job runs at most once, and only when
+    // neither frozen artifact exists yet (batch 0 of a fresh stream).
+    lazy val seedSpan: Long =
       if (idSpan > 0) idSpan
-      else 2 * (arriving.agg(max(col("vec_id"))).head.getLong(0) + 1),
+      else 2 * (arriving.agg(max(col("vec_id"))).head.getLong(0) + 1)
+    val bounds = graft.tools.RangeState.freezeUniform(vecRoot, seedSpan,
       vecPartitions)
+    val bw = if (bits > 0) bits
+             else frozenStreamBits(statePath, seedSpan, tables, probes)
     // publish the batch's vectors BEFORE the verify so the store as-of
     // batchId covers both candidate sides; overwrite keyed by batchId —
     // the shared replay contract
@@ -2032,7 +2098,7 @@ object Dedup {
       touchedVec.size.toLong)
     val newRows = (0 until tables).map { t =>
       arriving.select(col("vec_id"), lit(t).as("table"),
-        graft.functions.LshSignature.lsh_sig(col("embedding"), t, bits)
+        graft.functions.LshSignature.lsh_sig(col("embedding"), t, bw)
           .as("sig0"))
     }.reduce(_ unionByName _).localCheckpoint()
     val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
@@ -2050,7 +2116,7 @@ object Dedup {
     // already-checkpointed slim newRows.
     val dProbe = newRows.select(col("table"), col("vec_id").as("d_id"),
       explode(graft.functions.VectorKernels.probeSigsUdf(
-        col("sig0"), lit(bits), lit(probes))).as("sig"))
+        col("sig0"), lit(bw), lit(probes))).as("sig"))
     // prune the historical index to the probe keys this batch touches
     // BEFORE anything else reads it — per-batch candidate cost follows
     // locality; the scan itself stays cheap because rows are slim
@@ -2128,7 +2194,7 @@ object Dedup {
       batch: DataFrame, epoch: Long, lateState: String,
       dedupState: String, latenessMicros: Long,
       threshold: Double = 0.35, tables: Int = 4,
-      bits: Int = 10, probes: Int = 2): Unit =
+      bits: Int = -1, probes: Int = 2): Unit =
     CdcUpsert.withLateness(batch, epoch, lateState, latenessMicros,
       col("ts_us")) { onTime =>
       embeddingStreamApplyBatch(
@@ -2173,11 +2239,21 @@ object Dedup {
 
   val embeddingStreamClusteredSql: String = {
     val cos = cosineSql("a.embedding", "b.embedding")
-    s"""WITH emb AS (
-       |  ${Similarity.clusteredEmbSql})
-       |SELECT a.vec_id FROM emb a
-       |WHERE NOT EXISTS (
-       |  SELECT 1 FROM emb b WHERE b.vec_id < a.vec_id AND $cos > 0.5)
+    // emb MATERIALIZED + decorrelated dup set: the first cut's
+    // correlated NOT EXISTS re-inlined the synthesis CTE and evaluated
+    // the 192-term cosine chain under a nested-loop subquery — 12 s in
+    // DuckDB, the single remaining over-budget oracle in the r14
+    // pre-flight (every sibling gate uses the plain-join shape and runs
+    // ~1 s). Same answer: a vector is dropped iff some EARLIER vector
+    // is within the threshold.
+    s"""WITH emb AS MATERIALIZED (
+       |  ${Similarity.clusteredEmbSql}),
+       |dup AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM emb a JOIN emb b ON b.vec_id < a.vec_id
+       |  WHERE $cos > 0.5)
+       |SELECT vec_id FROM emb
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
        |ORDER BY vec_id""".stripMargin
   }
 
@@ -3157,6 +3233,154 @@ object Dedup {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming decontamination (eval sets update mid-training)
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch of STREAMING benchmark decontamination (VERDICT
+    * r13 #6): [[decontaminate]]'s asymmetric span removal where BOTH
+    * sides stream — train documents arrive per batch, and the held-out
+    * eval/test set can gain documents mid-training (the practical
+    * reality: benchmarks are added while a run is in flight, and
+    * already-ingested train docs must be re-cleaned against them).
+    *
+    * State under `statePath` is [[substringStreamApplyBatch]]'s layout
+    * plus one log:
+    *  - `banned`  — DISTINCT test-gram digest pairs (d1, d2), the
+    *    16 B/gram banned set (distinct-fold on compaction);
+    *  - `occs` / `docs` / `results` — exactly the substring stream's
+    *    three logs over the TRAIN side (append-only positioned digests,
+    *    owned text snapshot, latest-wins per-doc results).
+    *
+    * Per batch: gram both sides (the only window work); affected
+    * history docs = hist occs ⋉ THIS batch's NEW banned digests — the
+    * banned set only grows and coverage is monotone in it, so an
+    * already-clean history doc's output can change only through a
+    * digest banned this epoch (the same unaffectedness argument as
+    * [[substringIncremental]], with growth one-sided); recompute
+    * affected ∪ arriving train docs against the FULL banned set as-of
+    * this epoch; append the four epoch-keyed deltas. Replay-safe by
+    * the shared contract (every write derives from the batch plus
+    * state strictly older than the epoch).
+    *
+    * Membership is DIGEST-keyed end to end (the incremental form's
+    * documented deviation: batch [[decontaminate]]'s exact-confirm
+    * needs both sides' gram TEXT, i.e. a corpus-sized string store in
+    * streaming state); digest and string keyings agree whenever
+    * neither collides, which the gate corpus exercises — the stream
+    * therefore shares the batch operator's oracle. */
+  def decontaminateStreamApplyBatch(trainBatch: DataFrame,
+                                    testBatch: DataFrame, epoch: Long,
+                                    statePath: String, n: Int = SubstringN,
+                                    compactEvery: Int = 4): Unit = {
+    val sp = trainBatch.sparkSession
+    Seq("banned", "occs", "docs", "results")
+      .foreach(r => graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
+    val batchDocs = trainBatch.select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val batchOccs = substrGramDigests(batchDocs, n)
+      .select(col("d1"), col("d2"), col("doc_id"), col("pos"))
+      .localCheckpoint()
+    val newBanned = substrGramDigests(
+        testBatch.select(col("doc_id"), col("text")), n)
+      .select(col("d1"), col("d2")).distinct().localCheckpoint()
+    val histBannedPaths =
+      graft.tools.LogState.pathsAsOf(s"$statePath/banned", epoch - 1)
+    val banned =
+      (if (histBannedPaths.isEmpty) newBanned
+       else sp.read.parquet(histBannedPaths: _*).unionByName(newBanned))
+        .distinct()
+    val histOccPaths =
+      graft.tools.LogState.pathsAsOf(s"$statePath/occs", epoch - 1)
+    val histOccs =
+      if (histOccPaths.isEmpty) batchOccs.limit(0)
+      else sp.read.parquet(histOccPaths: _*)
+    val affected = histOccs.join(newBanned, Seq("d1", "d2"), "left_semi")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val histDocPaths =
+      graft.tools.LogState.pathsAsOf(s"$statePath/docs", epoch - 1)
+    val affectedDocs =
+      if (histDocPaths.isEmpty) batchDocs.limit(0)
+      else sp.read.parquet(histDocPaths: _*)
+        .join(affected, Seq("doc_id"), "left_semi")
+    val rDocs = affectedDocs.unionByName(batchDocs)
+    val rOccs = histOccs.join(affected, Seq("doc_id"), "left_semi")
+      .unionByName(batchOccs)
+    val starts = rOccs.join(banned, Seq("d1", "d2"), "left_semi")
+      .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
+    val recomputed = substrCoverRebuild(substrToks(rDocs), starts, n)
+      .withColumn("epoch", lit(epoch))
+    newBanned.write.mode("overwrite")
+      .parquet(s"$statePath/banned/delta/v$epoch")
+    batchOccs.write.mode("overwrite")
+      .parquet(s"$statePath/occs/delta/v$epoch")
+    batchDocs.write.mode("overwrite")
+      .parquet(s"$statePath/docs/delta/v$epoch")
+    recomputed.write.mode("overwrite")
+      .parquet(s"$statePath/results/delta/v$epoch")
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/banned"), epoch,
+      compactEvery)(_.distinct())
+    graft.tools.LogState.maintain(sp,
+      Seq(s"$statePath/occs", s"$statePath/docs"), epoch,
+      compactEvery)(identity)
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/results"), epoch,
+      compactEvery)(substringResultsFold)
+  }
+
+  /** [[decontaminateStreamApplyBatch]] with the TRAIN side under the
+    * shared event-time lateness wrapper ([[CdcUpsert.withLateness]]):
+    * late train docs quarantine instead of entering the occs/docs
+    * logs. The test side is exempt by design — a late-arriving eval
+    * doc must still ban its grams (missing a contamination source is
+    * strictly worse than processing it late; the banned set is
+    * order-insensitive, so lateness cannot corrupt it). */
+  private[graft] def decontaminateStreamLateApplyBatch(
+      trainBatch: DataFrame, testBatch: DataFrame, epoch: Long,
+      lateState: String, dedupState: String, latenessMicros: Long,
+      n: Int = SubstringN): Unit =
+    CdcUpsert.withLateness(trainBatch, epoch, lateState, latenessMicros,
+      col("ts_us")) { onTime =>
+      decontaminateStreamApplyBatch(
+        onTime.select(col("doc_id"), col("text")), testBatch, epoch,
+        dedupState, n)
+    }
+
+  /** STREAMING decontamination through the HASH GATE: the batch
+    * operator's md5 split (bucket '0'/'1' = test), both sides arriving
+    * in pmod(doc_id, epochs) batches — worst-case cross-epoch
+    * affectedness, every test delta re-cleaning train docs from ALL
+    * earlier epochs. After the last epoch the folded results must
+    * equal batch [[decontaminate]] over the whole corpus — the SAME
+    * oracle ([[decontaminateSql]]): a missed re-clean after a banned
+    * delta, a stale superseded row, or a leaked test doc breaks the
+    * hash. */
+  def decontaminateStream(spark: SparkSession, dir: String,
+                          epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-decontamstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, dir)
+        .withColumn("bucket",
+          substring(md5(col("doc_id").cast("string")), 1, 1))
+      val test = all.filter(col("bucket").isin("0", "1"))
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val train = all.filter(!col("bucket").isin("0", "1"))
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      (0 until epochs).foreach { k =>
+        decontaminateStreamApplyBatch(
+          train.filter(pmod(col("doc_id"), lit(epochs)) === k),
+          test.filter(pmod(col("doc_id"), lit(epochs)) === k),
+          k, statePath, compactEvery = 2)
+      }
+      substringStreamState(spark, statePath, epochs - 1)
+        .getOrElse(sys.error("decontaminate stream: no state"))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"))
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** [[minhashStream]]'s id-chunk batches under the same lateness
     * wrapper — spec-verified (the base stream is itself a rows-only
     * entry: survivor choice is approximation-structure-specific): late
@@ -3294,6 +3518,7 @@ object Dedup {
     "dedup_substring_keepfirst" -> ((s: SparkSession, d: String) => substringDedupKeepFirst(s, d)),
     "dedup_incr_substring" -> ((s: SparkSession, d: String) => substringIncremental(s, d)),
     "dedup_stream_substring" -> ((s: SparkSession, d: String) => substringStream(s, d)),
+    "dedup_stream_decontaminate" -> ((s: SparkSession, d: String) => decontaminateStream(s, d)),
     "dedup_stream_substring_late" -> ((s: SparkSession, d: String) => substringStreamLate(s, d)),
     "dedup_incremental" -> ((s: SparkSession, d: String) => incremental(s, d)),
     "dedup_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -3339,6 +3564,7 @@ object Dedup {
     // the oracle IS the full recompute — equality is the incremental claim
     "dedup_incr_substring" -> substringIncrSql,
     "dedup_stream_substring" -> substringIncrSql,
+    "dedup_stream_decontaminate" -> decontaminateSql,
     "dedup_stream_substring_late" -> substringStreamLateSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_contamination" -> contaminationSql,

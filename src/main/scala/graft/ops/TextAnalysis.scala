@@ -618,19 +618,21 @@ object TextAnalysis {
 
   /** The FineWeb-style filtering FUNNEL (Penedo et al. 2024) — the
     * composed modern cascade over the operators this file already
-    * gates: language allow-list → Gopher quality rules
-    * ([[gopherQuality]]) → Gopher repetition thresholds (the paper's
-    * table-A1 cutoffs over [[gopherRepetition]]'s fractions) → exact
-    * content dedup (keep-first). Output is the attrition report every
-    * curation run publishes: per stage, surviving documents and tokens.
+    * gates: URL-level dedup (keep-first per canonical URL — the stage
+    * real pipelines run BEFORE any text pass; [[UrlCuration]]) →
+    * language allow-list → Gopher quality rules ([[gopherQuality]]) →
+    * Gopher repetition thresholds (the paper's table-A1 cutoffs over
+    * [[gopherRepetition]]'s fractions) → exact content dedup
+    * (keep-first). Output is the attrition report every curation run
+    * publishes: per stage, surviving documents and tokens.
     *
     * Scale shape: ONE pass — the stage memberships are CUMULATIVE
     * BOOLEAN FLAGS on each row and the funnel is a single conditional
-    * aggregation (count/sum per flag), not five filtered re-scans; the
-    * only shuffles are the per-text window for the dedup flag and the
-    * final 1-row aggregate. At 100 TB the repetition statistics ride
-    * the same compiled per-doc kernel, so the whole funnel costs one
-    * corpus scan + one dedup exchange. */
+    * aggregation (count/sum per flag), not six filtered re-scans; the
+    * only shuffles are the per-canonical-URL and per-text windows for
+    * the two dedup flags and the final 1-row aggregate. At 100 TB the
+    * repetition statistics ride the same compiled per-doc kernel, so
+    * the whole funnel costs one corpus scan + two dedup exchanges. */
   def finewebPipeline(spark: SparkSession, dir: String): DataFrame = {
     val q = gopherQuality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("keep").as("q_keep"))
@@ -644,12 +646,17 @@ object TextAnalysis {
       }.reduce(_ && _)
     val flags = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("canon_url",
+        graft.functions.UrlKernels.canonicalizeUrlUdf(UrlCuration.plantedUrl))
       .join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
-      .withColumn("s1", col("lang").isin("en", "de", "es", "fr"))
-      .withColumn("s2", col("s1") && col("q_keep"))
-      .withColumn("s3", col("s2") && repOk)
-      .withColumn("s4", col("s3") && col("doc_id") ===
-        min(when(col("s3"), col("doc_id")))
+      .withColumn("s1", col("doc_id") === min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canon_url"))))
+      .withColumn("s2", col("s1") && col("lang").isin("en", "de", "es", "fr"))
+      .withColumn("s3", col("s2") && col("q_keep"))
+      .withColumn("s4", col("s3") && repOk)
+      .withColumn("s5", col("s4") && col("doc_id") ===
+        min(when(col("s4"), col("doc_id")))
           .over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("text"))))
     val agg = flags.agg(
@@ -662,20 +669,25 @@ object TextAnalysis {
       count(when(col("s3"), 1)).as("c3"),
       coalesce(sum(when(col("s3"), col("n_tokens"))), lit(0L)).as("t3"),
       count(when(col("s4"), 1)).as("c4"),
-      coalesce(sum(when(col("s4"), col("n_tokens"))), lit(0L)).as("t4"))
+      coalesce(sum(when(col("s4"), col("n_tokens"))), lit(0L)).as("t4"),
+      count(when(col("s5"), 1)).as("c5"),
+      coalesce(sum(when(col("s5"), col("n_tokens"))), lit(0L)).as("t5"))
     agg.selectExpr(
-      """stack(5,
+      """stack(6,
         |  '0_total',      c0, t0,
-        |  '1_lang',       c1, t1,
-        |  '2_quality',    c2, t2,
-        |  '3_repetition', c3, t3,
-        |  '4_dedup',      c4, t4)
+        |  '1_url',        c1, t1,
+        |  '2_lang',       c2, t2,
+        |  '3_quality',    c3, t3,
+        |  '4_repetition', c4, t4,
+        |  '5_dedup',      c5, t5)
         |AS (stage, n_docs, total_tokens)""".stripMargin)
       .orderBy(col("stage"))
   }
 
   val finewebPipelineSql: String =
-    s"""WITH q AS (
+    s"""WITH u AS (${UrlCuration.withUrlSql}),
+       |${UrlCuration.canonSql},
+       |q AS (
        |  SELECT doc_id, n_tokens, keep AS q_keep
        |  FROM ($gopherQualitySql)),
        |rep AS (
@@ -683,24 +695,29 @@ object TextAnalysis {
        |    dup_5_frac, dup_6_frac, dup_7_frac, dup_8_frac, dup_9_frac,
        |    dup_10_frac
        |  FROM ($gopherRepetitionSql)),
+       |flags0 AS (
+       |  SELECT d.doc_id, d.text, q.n_tokens,
+       |    d.doc_id = MIN(d.doc_id) OVER (PARTITION BY c.canon_url) AS s1,
+       |    d.lang IN ('en', 'de', 'es', 'fr') AS langok,
+       |    q.q_keep AS qok,
+       |    rep.top_2_frac <= 0.2 AND rep.top_3_frac <= 0.18
+       |      AND rep.top_4_frac <= 0.16 AND rep.dup_5_frac <= 0.15
+       |      AND rep.dup_6_frac <= 0.14 AND rep.dup_7_frac <= 0.13
+       |      AND rep.dup_8_frac <= 0.12 AND rep.dup_9_frac <= 0.11
+       |      AND rep.dup_10_frac <= 0.10 AS repok
+       |  FROM documents d
+       |  JOIN canon c ON c.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN rep ON rep.doc_id = d.doc_id),
        |flags AS (
-       |  SELECT d.doc_id, q.n_tokens, s1, s2, s3,
-       |    s3 AND d.doc_id = MIN(CASE WHEN s3 THEN d.doc_id END)
-       |      OVER (PARTITION BY d.text) AS s4
-       |  FROM (
-       |    SELECT d.doc_id, d.text,
-       |      d.lang IN ('en', 'de', 'es', 'fr') AS s1,
-       |      d.lang IN ('en', 'de', 'es', 'fr') AND q.q_keep AS s2,
-       |      d.lang IN ('en', 'de', 'es', 'fr') AND q.q_keep
-       |        AND rep.top_2_frac <= 0.2 AND rep.top_3_frac <= 0.18
-       |        AND rep.top_4_frac <= 0.16 AND rep.dup_5_frac <= 0.15
-       |        AND rep.dup_6_frac <= 0.14 AND rep.dup_7_frac <= 0.13
-       |        AND rep.dup_8_frac <= 0.12 AND rep.dup_9_frac <= 0.11
-       |        AND rep.dup_10_frac <= 0.10 AS s3
-       |    FROM documents d
-       |    JOIN q ON q.doc_id = d.doc_id
-       |    JOIN rep ON rep.doc_id = d.doc_id) d
-       |  JOIN q ON q.doc_id = d.doc_id),
+       |  SELECT doc_id, n_tokens, s1,
+       |    s1 AND langok AS s2,
+       |    s1 AND langok AND qok AS s3,
+       |    s1 AND langok AND qok AND repok AS s4,
+       |    s1 AND langok AND qok AND repok AND doc_id =
+       |      MIN(CASE WHEN s1 AND langok AND qok AND repok THEN doc_id END)
+       |        OVER (PARTITION BY text) AS s5
+       |  FROM flags0),
        |agg AS (
        |  SELECT
        |    CAST(COUNT(*) AS BIGINT) AS c0,
@@ -712,14 +729,17 @@ object TextAnalysis {
        |    CAST(COUNT(CASE WHEN s3 THEN 1 END) AS BIGINT) AS c3,
        |    CAST(COALESCE(SUM(CASE WHEN s3 THEN n_tokens END), 0) AS BIGINT) AS t3,
        |    CAST(COUNT(CASE WHEN s4 THEN 1 END) AS BIGINT) AS c4,
-       |    CAST(COALESCE(SUM(CASE WHEN s4 THEN n_tokens END), 0) AS BIGINT) AS t4
+       |    CAST(COALESCE(SUM(CASE WHEN s4 THEN n_tokens END), 0) AS BIGINT) AS t4,
+       |    CAST(COUNT(CASE WHEN s5 THEN 1 END) AS BIGINT) AS c5,
+       |    CAST(COALESCE(SUM(CASE WHEN s5 THEN n_tokens END), 0) AS BIGINT) AS t5
        |  FROM flags)
        |SELECT stage, n_docs, total_tokens FROM (
        |  SELECT '0_total' AS stage, c0 AS n_docs, t0 AS total_tokens FROM agg
-       |  UNION ALL SELECT '1_lang', c1, t1 FROM agg
-       |  UNION ALL SELECT '2_quality', c2, t2 FROM agg
-       |  UNION ALL SELECT '3_repetition', c3, t3 FROM agg
-       |  UNION ALL SELECT '4_dedup', c4, t4 FROM agg)
+       |  UNION ALL SELECT '1_url', c1, t1 FROM agg
+       |  UNION ALL SELECT '2_lang', c2, t2 FROM agg
+       |  UNION ALL SELECT '3_quality', c3, t3 FROM agg
+       |  UNION ALL SELECT '4_repetition', c4, t4 FROM agg
+       |  UNION ALL SELECT '5_dedup', c5, t5 FROM agg)
        |ORDER BY stage""".stripMargin
 
   /** DSIR-style importance selection (Xie et al. 2023, hashed n-gram

@@ -69,6 +69,9 @@ object ScaleProbe {
     try {
       val statePath = s"$base/state"
       val span = nV * mult
+      // bits ≤ 0 keeps the HISTORICAL per-fraction width here as the
+      // contrast arm (19–21 at 100×, epochs grow) — the operator's own
+      // default is now Dedup.streamLshBits (= the flat 24-bit arm below)
       val b = if (bits > 0) bits
               else graft.ops.Similarity.adaptiveLshBits(span, 4, 2)
       val width = span / 16 + 1

@@ -618,6 +618,23 @@ class DedupSpec extends SparkSpec {
   private val vC = Array.tabulate(64)(i =>
     (if (i % 2 == 0) 0.1 else -0.1).toFloat)
 
+  test("streamLshBits: expected-corpus width lands on the probe-validated " +
+      "flat setting and is frozen per stream") {
+    // the r13 100x probe (BASELINE.md): N = 200k vectors — per-fraction
+    // adaptive widths (19-21) made epochs GROW via the hist x delta
+    // collision term; bits = 24 was flat with identical survivors. The
+    // constant-collision-budget formula must land exactly there.
+    assert(Dedup.streamLshBits(200000L, 4, 2) == 24)
+    // monotone in N; capped at 32 (the signature is an int)
+    assert(Dedup.streamLshBits(10L) <= Dedup.streamLshBits(200000L))
+    assert(Dedup.streamLshBits(200000L) <= Dedup.streamLshBits(20000000L))
+    assert(Dedup.streamLshBits(Long.MaxValue / 4) <= 32)
+    // never below the single-query adaptive width: the stream pays AT
+    // LEAST the one-shot candidate-fraction cost
+    assert(Dedup.streamLshBits(200000L, 4, 2) >=
+      graft.ops.Similarity.adaptiveLshBits(200000L, 4, 2))
+  }
+
   test("streaming embedding-LSH: survivor rule drops the later side of a " +
       "verified pair, index carries vectors, replay idempotent") {
     import org.apache.spark.sql.functions.col

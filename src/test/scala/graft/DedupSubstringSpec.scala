@@ -247,6 +247,89 @@ class DedupSubstringSpec extends SparkSpec {
     } finally graft.tools.TempDirs.deleteRecursively(tmp)
   }
 
+  test("streaming decontamination: a MID-TRAINING eval delta retro-cleans " +
+      "already-ingested train docs; train-internal repeats survive; replay " +
+      "idempotent") {
+    import spark.implicits._
+    val statePath = TempDirsSpecHelper.fresh("graft-dcstream-spec")
+    try {
+      val n = 4
+      def b(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      def state(): Map[Long, (Long, Long, String)] =
+        graft.ops.Dedup.substringStreamState(spark, statePath, Long.MaxValue)
+          .get.collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      // epoch 0: train doc 1 carries span S; the eval set is still empty
+      graft.ops.Dedup.decontaminateStreamApplyBatch(
+        b(1L -> "a1 a2 s1 s2 s3 s4 a3"), b(), 0L, statePath, n,
+        compactEvery = 2)
+      assert(state()(1L) == ((7L, 0L, "a1 a2 s1 s2 s3 s4 a3")))
+      // epoch 1: the eval set GAINS a doc containing S (the mid-training
+      // benchmark drop) — history doc 1 must be re-cleaned, and the
+      // arriving contaminated train doc 2 cleaned on ingest
+      graft.ops.Dedup.decontaminateStreamApplyBatch(
+        b(2L -> "b1 s1 s2 s3 s4 b2"), b(100L -> "tq1 s1 s2 s3 s4 tq2"),
+        1L, statePath, n, compactEvery = 2)
+      val s1 = state()
+      assert(s1(1L) == ((7L, 4L, "a1 a2 a3")),
+        "history train doc must be re-cleaned when the eval set gains its span")
+      assert(s1(2L) == ((6L, 4L, "b1 b2")))
+      assert(!s1.contains(100L), "eval docs never enter the results")
+      // epoch 2: a train-internal repeat arrives — decontamination is
+      // asymmetric, so it survives untouched
+      graft.ops.Dedup.decontaminateStreamApplyBatch(
+        b(3L -> "r1 r2 r3 r4 c1", 4L -> "r1 r2 r3 r4 c2"), b(),
+        2L, statePath, n, compactEvery = 2)
+      val s2 = state()
+      assert(s2(3L)._2 == 0L && s2(4L)._2 == 0L,
+        "train-internal repetition is not contamination")
+      assert(s2(1L) == s1(1L) && s2(2L) == s1(2L))
+      // at-least-once replay of the LAST epoch: identical state
+      graft.ops.Dedup.decontaminateStreamApplyBatch(
+        b(3L -> "r1 r2 r3 r4 c1", 4L -> "r1 r2 r3 r4 c2"), b(),
+        2L, statePath, n, compactEvery = 2)
+      assert(state() == s2, "replayed epoch must rewrite identical state")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
+  test("streaming decontamination under lateness: late train doc " +
+      "quarantined (never stored or cleaned); the eval side is exempt " +
+      "and still bans") {
+    import spark.implicits._
+    val root = graft.tools.TempDirs.createFast("graft-dclate")
+    try {
+      val (lateState, dedupState) = (s"$root/late", s"$root/state")
+      val n = 4
+      def bt(rows: (Long, String, Long)*) =
+        rows.toSeq.toDF("doc_id", "text", "ts_us")
+      def b(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      // epoch 0: on-time train doc at ts 9 s → watermark 7 s (lateness 2 s)
+      graft.ops.Dedup.decontaminateStreamLateApplyBatch(
+        bt((1L, "a1 a2 s1 s2 s3 s4 a3", 9000000L)), b(),
+        0L, lateState, dedupState, latenessMicros = 2000000L, n)
+      // epoch 1: doc 2 (ts 1 s) is below the carried watermark →
+      // quarantined; doc 3 on-time; the eval delta bans S
+      graft.ops.Dedup.decontaminateStreamLateApplyBatch(
+        bt((2L, "b1 s1 s2 s3 s4 b2", 1000000L),
+           (3L, "c1 s1 s2 s3 s4 c2", 9500000L)),
+        b(100L -> "tq1 s1 s2 s3 s4 tq2"),
+        1L, lateState, dedupState, latenessMicros = 2000000L, n)
+      val st = graft.ops.Dedup.substringStreamState(
+          spark, dedupState, Long.MaxValue).get.collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(!st.contains(2L), "late train doc must not reach the state")
+      assert(st(1L) == ((7L, 4L, "a1 a2 a3")),
+        "history doc re-cleaned by the epoch-1 eval delta")
+      assert(st(3L) == ((6L, 4L, "c1 c2")))
+      val quar = graft.ops.CdcUpsert.quarantineAsOf(spark, lateState, 1L)
+        .get.collect().map(r => r.getAs[Long]("doc_id")).toSet
+      assert(quar == Set(2L))
+    } finally graft.tools.TempDirs.deleteRecursively(root)
+  }
+
   test("rolling gram digests: the O(len) recurrence equals direct BigInt " +
       "polynomial evaluation per window; equal windows collide, others don't") {
     val text = "a b c a b c a b x y a b"

@@ -8,15 +8,26 @@ from oracle_sql.json in DuckDB over the same fixture tables, and compares:
 row count, column names (sorted), and cell values (columns sorted by name,
 rows in result order; floats compared bitwise-then-tolerance so we see HOW
 close a mismatch is).
+
+Also times each oracle's DuckDB execution and FAILS the pre-flight if any
+single oracle exceeds PER_QUERY_BUDGET_S or the DuckDB total exceeds
+TOTAL_BUDGET_S — round 13's correctness artifact came back empty because
+two unmaterialized BPE oracles cost 312 s + 411 s and blew the driver's
+budget; this guard catches that in-round. A per-query timing report is
+written to <verify_out_dir>/oracle_timing.json.
 """
 import json
 import math
 import sys
+import time
 
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+PER_QUERY_BUDGET_S = 10.0
+TOTAL_BUDGET_S = 240.0
 
 
 def norm(v):
@@ -32,6 +43,7 @@ def main(outdir, sfdir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    timing = {}
     for name, sql in sorted(oracle.items()):
         try:
             spark_tbl = pq.read_table(f"{outdir}/{name}")
@@ -40,7 +52,9 @@ def main(outdir, sfdir):
             n_fail += 1
             continue
         try:
+            t0 = time.monotonic()
             duck_tbl = con.execute(sql).fetch_arrow_table()
+            timing[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -83,10 +97,31 @@ def main(outdir, sfdir):
                   f"spark={bad[2]!r} duck={bad[3]!r} {bad[4:] or ''}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({spark_tbl.num_rows} rows)")
+            print(f"PASS {name} ({spark_tbl.num_rows} rows, duckdb {timing[name]:.2f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    total_s = sum(timing.values())
+    slow = {n: s for n, s in timing.items() if s > PER_QUERY_BUDGET_S}
+    with open(f"{outdir}/oracle_timing.json", "w") as f:
+        json.dump({"total_duckdb_s": round(total_s, 2),
+                   "per_query_budget_s": PER_QUERY_BUDGET_S,
+                   "total_budget_s": TOTAL_BUDGET_S,
+                   "over_budget": slow,
+                   "slowest": dict(sorted(timing.items(), key=lambda kv: -kv[1])[:15]),
+                   "timing": timing}, f, indent=1, sort_keys=True)
+    print(f"\nDuckDB oracle total: {total_s:.1f}s over {len(timing)} queries "
+          f"(budget {TOTAL_BUDGET_S:.0f}s)")
+    top = sorted(timing.items(), key=lambda kv: -kv[1])[:5]
+    print("slowest:", ", ".join(f"{n}={s:.2f}s" for n, s in top))
+    budget_fail = False
+    if slow:
+        print(f"BUDGET FAIL: {len(slow)} oracle(s) over {PER_QUERY_BUDGET_S:.0f}s "
+              f"per-query budget: {slow}")
+        budget_fail = True
+    if total_s > TOTAL_BUDGET_S:
+        print(f"BUDGET FAIL: DuckDB total {total_s:.1f}s exceeds {TOTAL_BUDGET_S:.0f}s")
+        budget_fail = True
+    print(f"{n_pass} pass, {n_fail} fail")
+    return 1 if (n_fail or budget_fail) else 0
 
 
 if __name__ == "__main__":
