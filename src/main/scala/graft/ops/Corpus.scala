@@ -931,15 +931,28 @@ object Corpus {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val subUdf = udf((w: String) => substringsOf(w, seedMaxLen))
-    val seed = words
+    val t0 = System.nanoTime()
+    // seed selection stays DISTRIBUTED through the top-k: at a long seed
+    // inventory (production SentencePiece runs maxLen ~8-16) the distinct
+    // substring count is word-types × maxLen-ish — collecting it whole
+    // breaks the "driver only ever holds the vocabulary" contract this
+    // trainer documents (the first cut did exactly that; fixed when the
+    // long-seed probe arm landed). (c, piece) is a total order, so the
+    // distributed limit is deterministic.
+    val seedAgg = words
       .select(col("cnt"), explode(subUdf(col("word"))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+    val chars0 = seedAgg.filter(length(col("piece")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val chars0 = seed.filter(_._1.length == 1)
-    val multi0 = seed.filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    val multi0 = seedAgg.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece"))
+      .limit(seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     var vocab: Map[String, Long] = (chars0 ++ multi0).toMap
-    for (_ <- 1 to emIters) {
+    graft.tools.PhaseTiming.record("unigram_seed",
+      (System.nanoTime() - t0) / 1e9)
+    for (it <- 1 to emIters) {
+      val tIt = System.nanoTime()
       val total = vocab.values.map(math.max(_, 1L)).sum.toDouble
       val frozen = vocab
       val segUdf = udf((w: String) =>
@@ -951,6 +964,11 @@ object Corpus {
       vocab = vocab.keysIterator.filter(_.length == 1)
         .map(ch => ch -> usage.getOrElse(ch, 0L)).toMap ++
         usage.filter { case (p, u) => p.length > 1 && u > 0 }
+      // per-round timing: the EM cost CURVE is the probe evidence — each
+      // round is one broadcast-vocab narrow map + one usage aggregation,
+      // so rounds should be flat in the iteration index
+      graft.tools.PhaseTiming.record(f"unigram_em$it%02d",
+        (System.nanoTime() - tIt) / 1e9)
     }
     val chars = vocab.toSeq.filter(_._1.length == 1)
     val multi = vocab.toSeq.filter(_._1.length > 1)

@@ -1730,6 +1730,17 @@ object Dedup {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val assigned = KMeans.assign(vecs, centroids)
       .select(col("vec_id"), col("v"), col("cluster_id"))
+    // Cluster-size SKEW, recorded per call (drained into bench routing /
+    // probe prints): the pair surface is Σ cluster² — the max cluster is
+    // the term that says whether k was sized right for the corpus, and a
+    // degenerate-hot cluster is this operator's one scale hazard (the
+    // banded embeddingLsh is the documented escape). One O(k)-row
+    // aggregate over the narrow assignment map.
+    val cs = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), count(lit(1)).as("nc")).head
+    graft.tools.RoutingMetrics.add("sem_cluster_max", cs.getLong(0))
+    graft.tools.RoutingMetrics.add("sem_clusters", cs.getLong(1))
     val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
       col("v").as("a_v"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),

@@ -240,6 +240,29 @@ object ScaleProbe {
       n
     }
 
+    /** Replicated embedding corpus for the SemDeDup arms — BASE-MAJOR
+      * ids (vec_id = base·mult + rep): replicas adjacent, identity
+      * clusters whole, so an id-tail delta touches ~delta-fraction of
+      * clusters. Cached in outDir like the text corpus, so repeat probe
+      * runs (and the incremental arm's ArtifactCache artifacts, which
+      * live beside it) measure operators, not corpus writes. */
+    def semEmbCorpus(): (String, Long) = {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nV = e.count()
+      val edir = s"$outDir/semprobe"
+      val sent = new java.io.File(edir, ".corpus-args")
+      if (!(sent.exists() &&
+          java.nio.file.Files.readString(sent.toPath).trim == wantArgs)) {
+        e.crossJoin(broadcast(reps))
+          .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+            col("embedding"), lit(0).as("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
+        java.nio.file.Files.writeString(sent.toPath, wantArgs)
+      }
+      (edir, nV * mult)
+    }
+
     def time(name: String)(f: => Long): (String, Double, Long) = {
       PhaseTiming.drain() // drop leftovers from the prior probe
       val t0 = System.nanoTime()
@@ -642,6 +665,20 @@ object ScaleProbe {
           spark.read.parquet(s"$bdir/documents.parquet"),
           vocabSize = 8192, seedSize = 20000).size.toLong
       }),
+      // unigram-LM with a LONG seed inventory (VERDICT r13 #8): maxLen
+      // 10 / seed 50k / vocab 32k — the production SentencePiece shape
+      // the ≤4-char default can't witness (it caps the survivable vocab
+      // at the short-substring inventory). Per-round unigram_em* phases
+      // are the EM cost curve next to BPE's 512-merge row; unigram_seed
+      // is the one-time inventory term (distributed top-k — the seed
+      // stage must not collect the full substring inventory).
+      "corpus_unigram_longseed" -> (() => {
+        val bdir = bpeRichCorpus(spark, outDir)
+        graft.ops.Corpus.unigramTrainUncached(spark,
+          spark.read.parquet(s"$bdir/documents.parquet"),
+          vocabSize = 32768, seedMaxLen = 10, seedSize = 50000,
+          emIters = 4).size.toLong
+      }),
       // forced pathological block: EVERY probe document lands in one
       // (lang, source, len_bucket) block — the shape that would hang the
       // unguarded O(block²) self-join; bounded time here IS the guard's
@@ -664,22 +701,35 @@ object ScaleProbe {
       // SemDeDup at probe scale: k sized so clusters stay ~1.5k vectors
       // (the paper's own lever against the O(cluster²) pair term);
       // exact replicas land in one cluster by identity, so the dropped
-      // count is a correctness witness, not just a timing
+      // count is a correctness witness, not just a timing. Prints the
+      // operator's recorded cluster-size skew (max vs mean) — the
+      // number that predicts the pair surface (VERDICT r13 #4).
       "dedup_semantic" -> (() => {
-        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        val nV = e.count()
-        val edir = TempDirs.createFast("graft-semprobe")
-        try {
-          e.crossJoin(broadcast(reps))
-            .select((col("vec_id") * mult + col("rep")).as("vec_id"),
-              col("embedding"), lit(0).as("label"))
-            .repartition(32)
-            .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
-          val k = math.max(16, (nV * mult / 1500).toInt)
-          graft.ops.Dedup.semanticDedup(spark,
-            graft.Tables.embeddings(spark, edir), k = k, iterations = 2,
-            eps = 0.95).count()
-        } finally TempDirs.deleteRecursively(edir)
+        val (edir, n) = semEmbCorpus()
+        RoutingMetrics.drain()
+        val k = math.max(16, (n / 1500).toInt)
+        val r = graft.ops.Dedup.semanticDedup(spark,
+          graft.Tables.embeddings(spark, edir), k = k, iterations = 2,
+          eps = 0.95).count()
+        val m = RoutingMetrics.drain()
+        val nc = math.max(1L, m.getOrElse("sem_clusters", 1L))
+        println(s"probe   dedup_semantic k=$k clusters=$nc " +
+          s"cluster_max=${m.getOrElse("sem_cluster_max", -1L)} " +
+          s"cluster_mean=${n / nc}")
+        r
+      }),
+      // frozen-quantizer INCREMENTAL SemDeDup: history = the first 95%
+      // of ids (whole identity clusters under base-major replication),
+      // delta = the id tail. One-time history artifacts surface as
+      // semdedup_*.build phases; the REMAINDER is the recurring ingest
+      // term a production refresh pays (centroids frozen — the paper's
+      // deployment shape; re-run against the cached artifacts to see
+      // the pure recurring number).
+      "dedup_incr_semantic" -> (() => {
+        val (edir, n) = semEmbCorpus()
+        val k = math.max(16, (n / 1500).toInt)
+        graft.ops.Dedup.semanticDedupIncremental(spark, edir, k = k,
+          iterations = 2, eps = 0.95, splitId = n - n / 20).count()
       }),
       "text_tfidf"         -> (() => graft.ops.TextAnalysis.queries("text_tfidf")(spark, outDir).count()),
       "text_inverted_index"-> (() => graft.ops.TextAnalysis.queries("text_inverted_index")(spark, outDir).count()),
