@@ -175,6 +175,120 @@ object UrlCuration {
        |FROM canon c JOIN w ON md5(c.canon_url) = w.digest
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Shared canonical frame: (doc_id, canon_url, digest). */
+  private def canonDigests(spark: SparkSession, dir: String): DataFrame =
+    withUrl(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.UrlKernels.canonicalizeUrlUdf(col("url"))
+          .as("canon_url"))
+      .withColumn("digest", md5(col("canon_url")))
+
+  /** INCREMENTAL URL dedup — the refresh path of the URL tier, under
+    * the same contract as the other incremental dedup forms: history
+    * (doc_id < splitId) summarizes ONCE into a winners artifact
+    * ((digest, keep_id) — 16 B + id per DISTINCT canonical URL, not per
+    * doc), and a delta ingest pays canonicalization of the delta plus
+    * one anti-join against the winners. Keep-first-by-id is
+    * PREFIX-CLOSED: an arriving doc can never evict an earlier keeper,
+    * so history decisions are immutable and incremental == full rebuild
+    * unconditionally (no approximation caveat in this tier — exact
+    * digests, no banding). Returns the full marked frame — the SAME
+    * oracle as `text_url_dedup`. */
+  def urlDedupIncremental(spark: SparkSession, dir: String,
+                          splitId: Long): DataFrame = {
+    val canon = canonDigests(spark, dir)
+    val histWinners = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"urldedup_winners_lt$splitId") { p =>
+      canon.filter(col("doc_id") < splitId)
+        .groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val deltaWinners = canon.filter(col("doc_id") >= splitId)
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("keep_id"))
+      .join(histWinners.select(col("digest")), Seq("digest"), "left_anti")
+    canon
+      .join(histWinners.unionByName(deltaWinners), Seq("digest"))
+      .select(col("doc_id"), col("canon_url"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One micro-batch of STREAMING URL dedup — the crawl-frontier form
+    * (a fetcher asks "have I seen this canonical URL?" per arriving
+    * page). State under `statePath`:
+    *  - `winners` — (digest, keep_id) per distinct canonical URL,
+    *    append-only (a later epoch can never claim an earlier digest);
+    *  - `results` — (doc_id, canon_url, keep, epoch), append-only:
+    *    keep-first prefix-closure means a doc's decision at arrival is
+    *    FINAL — no latest-wins fold needed, unlike the span tier.
+    * Per batch: canonicalize (per-row kernel), batch winners = min id
+    * per digest anti-joined against history winners, decisions from the
+    * union. Epoch-keyed overwrite writes derived from the batch + state
+    * strictly older than the epoch — replay rewrites identical files. */
+  def urlDedupStreamApplyBatch(batch: DataFrame, epoch: Long,
+                               statePath: String,
+                               compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    Seq("winners", "results").foreach(r =>
+      graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
+    val canon = batch
+      .select(col("doc_id"),
+        graft.functions.UrlKernels.canonicalizeUrlUdf(col("url"))
+          .as("canon_url"))
+      .withColumn("digest", md5(col("canon_url")))
+      .localCheckpoint()
+    val histPaths =
+      graft.tools.LogState.pathsAsOf(s"$statePath/winners", epoch - 1)
+    val hist =
+      if (histPaths.isEmpty)
+        canon.select(col("digest"), col("doc_id").as("keep_id")).limit(0)
+      else sp.read.parquet(histPaths: _*)
+    val batchWinners = canon.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .join(hist.select(col("digest")), Seq("digest"), "left_anti")
+    val res = canon
+      .join(hist.unionByName(batchWinners), Seq("digest"))
+      .select(col("doc_id"), col("canon_url"),
+        (col("doc_id") === col("keep_id")).as("keep"),
+        lit(epoch).as("epoch"))
+    batchWinners.write.mode("overwrite")
+      .parquet(s"$statePath/winners/delta/v$epoch")
+    res.write.mode("overwrite")
+      .parquet(s"$statePath/results/delta/v$epoch")
+    graft.tools.LogState.maintain(sp,
+      Seq(s"$statePath/winners", s"$statePath/results"), epoch,
+      compactEvery)(identity)
+  }
+
+  /** STREAMING URL dedup through the HASH GATE: contiguous id-range
+    * batches (arrival order = id order, the regime where keep-first
+    * streaming equals the batch rule), folded results must equal
+    * [[urlDedup]] — the SAME oracle. A digest claimed twice, a dropped
+    * within-batch loser, or a replay that double-publishes breaks the
+    * hash. */
+  def urlDedupStream(spark: SparkSession, dir: String,
+                     epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-urlstream")
+    try {
+      val statePath = s"$base/state"
+      val all = withUrl(spark, dir).select(col("doc_id"), col("url"))
+        .localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { k =>
+        urlDedupStreamApplyBatch(
+          all.filter(expr(s"(doc_id - $lo) div $width") === k),
+          k, statePath, compactEvery = 2)
+      }
+      spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/results", epochs - 1L): _*)
+        .select(col("doc_id"), col("canon_url"), col("keep"))
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** Per-domain document cap: at most [[DomainCapK]] docs per domain,
     * chosen by deterministic md5(doc_id) rank — an unbiased, seedless
     * sample that every engine reproduces (the corpus_balance pattern).
@@ -212,12 +326,22 @@ object UrlCuration {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_canon"   -> (urlCanonicalize _),
     "text_url_dedup"   -> (urlDedup _),
+    // splitId 302 lands MID-GROUP (groups are [4g, 4g+3], so ids
+    // 300-301 are history, 302-303 delta in the same canonical-URL
+    // group): the delta must defer to a history-claimed digest, not
+    // just to other delta members — the anti-join's load-bearing case
+    "text_url_dedup_incr" -> ((s: SparkSession, d: String) =>
+      urlDedupIncremental(s, d, splitId = 302)),
+    "text_url_dedup_stream" -> ((s: SparkSession, d: String) =>
+      urlDedupStream(s, d)),
     "corpus_domain_cap" -> (domainCap _),
   )
 
   val oracles: Map[String, String] = Map(
     "text_url_canon"   -> urlCanonicalizeSql,
     "text_url_dedup"   -> urlDedupSql,
+    "text_url_dedup_incr" -> urlDedupSql,
+    "text_url_dedup_stream" -> urlDedupSql,
     "corpus_domain_cap" -> domainCapSql,
   )
 }

@@ -368,16 +368,21 @@ class TextAnalysisSpec extends SparkSpec {
     def good(seed: Int) = "the of " +
       (1 to 60).map(i => s"word${(i * seed) % 97}").mkString(" ")
     val rep = "the of " + Seq.fill(60)("spam spam").mkString(" ")
+    // the planted URL groups docs by doc_id div 4, so ids are spaced one
+    // group apart; 1 and 2 share group 0 — the same canonical URL — and
+    // 2 must shed at the new 1_url stage (keep-first keeps 1)
     val dir = docs(
       (1L, good(1), "en"),
-      (2L, good(2), "xx"),   // sheds at 1_lang
-      (3L, "the of tiny", "en"), // sheds at 2_quality (token count)
-      (4L, rep, "en"),       // sheds at 3_repetition (top-2 "spam spam")
-      (5L, good(1), "en"),   // exact copy of 1 -> sheds at 4_dedup
-      (6L, good(3), "de"))
+      (2L, good(5), "en"),   // same canonical URL as 1 -> sheds at 1_url
+      (5L, good(2), "xx"),   // sheds at 2_lang
+      (9L, "the of tiny", "en"), // sheds at 3_quality (token count)
+      (13L, rep, "en"),      // sheds at 4_repetition (top-2 "spam spam")
+      (17L, good(1), "en"),  // exact text copy of 1 -> sheds at 5_dedup
+      (21L, good(3), "de"))
     val rows = TextAnalysis.finewebPipeline(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rows == Map("0_total" -> 6L, "1_lang" -> 5L, "2_quality" -> 4L,
-      "3_repetition" -> 3L, "4_dedup" -> 2L), s"funnel: $rows")
+    assert(rows == Map("0_total" -> 7L, "1_url" -> 6L, "2_lang" -> 5L,
+      "3_quality" -> 4L, "4_repetition" -> 3L, "5_dedup" -> 2L),
+      s"funnel: $rows")
   }
 }

@@ -65,6 +65,49 @@ class UrlCurationSpec extends SparkSpec {
     assert(out.count(_.getBoolean(2)) == byUrl.size)
   }
 
+  test("urlDedupIncremental == full rebuild at a mid-group split; " +
+      "history decisions immutable") {
+    val full = UrlCuration.urlDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val incr = UrlCuration.urlDedupIncremental(spark, sf, splitId = 302)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(incr.toSeq == full.toSeq)
+  }
+
+  test("urlDedupStream: cross-epoch duplicate defers to the history " +
+      "winner; within-batch min wins; replay idempotent; fold == batch") {
+    import spark.implicits._
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-urlstream-spec")
+        .toString + "/state"
+    try {
+      def b(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "url")
+      def res() = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/results", Long.MaxValue): _*)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      // epoch 0: two junk-variants of one URL + one distinct
+      UrlCuration.urlDedupStreamApplyBatch(
+        b(1L -> "HTTP://WWW.A.com/x?utm_source=z&q=1",
+          2L -> "http://a.com/x/?q=1#frag",
+          3L -> "http://b.com/y"), 0L, statePath, compactEvery = 2)
+      assert(res() == Map(1L -> true, 2L -> false, 3L -> true))
+      // epoch 1: another variant of the epoch-0 URL (must defer to the
+      // HISTORY winner) + a fresh one
+      UrlCuration.urlDedupStreamApplyBatch(
+        b(4L -> "http://a.com/x?q=1&gclid=g", 5L -> "http://c.com/z"),
+        1L, statePath, compactEvery = 2)
+      val r1 = res()
+      assert(r1 == Map(1L -> true, 2L -> false, 3L -> true,
+        4L -> false, 5L -> true))
+      // at-least-once replay of the last epoch: identical state
+      UrlCuration.urlDedupStreamApplyBatch(
+        b(4L -> "http://a.com/x?q=1&gclid=g", 5L -> "http://c.com/z"),
+        1L, statePath, compactEvery = 2)
+      assert(res() == r1, "replayed epoch must rewrite identical state")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("domainCap: at most K per domain, ranks contiguous from 1, " +
       "n_domain is the stratum total") {
     val out = UrlCuration.domainCap(spark, sf).collect()
