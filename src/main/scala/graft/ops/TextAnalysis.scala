@@ -353,12 +353,19 @@ object TextAnalysis {
     * coverage join) would shuffle the corpus five times. At 100 TB this
     * is a pure map stage: no exchange, no skew surface, output one row
     * per input row. */
-  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetitionDocs(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** [[gopherRepetition]] over any (doc_id, text) frame — the streaming
+    * funnel computes flags per micro-batch (the substringDedupDocs
+    * split-out pattern). */
+  private[ops] def gopherRepetitionDocs(documents: DataFrame): DataFrame = {
     val names = Seq("total_chars",
       "top_2_chars", "top_3_chars", "top_4_chars",
       "dup_5_chars", "dup_6_chars", "dup_7_chars", "dup_8_chars",
       "dup_9_chars", "dup_10_chars")
-    val st = Tables.documents(spark, dir)
+    val st = documents
       .select(col("doc_id"),
         graft.functions.TextKernels.gopherRepetitionUdf(col("text")).as("st"))
     val withCols = names.zipWithIndex.foldLeft(st) { case (df, (nm, i)) =>
@@ -371,7 +378,6 @@ object TextAnalysis {
     }
     withCols
       .select(col("doc_id") +: names.map(col) ++: fracs: _*)
-      .orderBy(col("doc_id"))
   }
 
   val gopherRepetitionSql: String = {
@@ -460,7 +466,12 @@ object TextAnalysis {
     * paper's (50..100k tokens, mean word length 3..10, symbol ratio
     * < 0.1, ≥ 80% alphabetic words, ≥ 2 stopword hits). Per-document,
     * zero-shuffle: the plan is one compiled projection pass. */
-  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherQualityDocs(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** [[gopherQuality]] over any (doc_id, text) frame. */
+  private[ops] def gopherQualityDocs(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0), (a, t) => a + length(t)).cast("long")
@@ -469,7 +480,7 @@ object TextAnalysis {
       t => t.contains("#") || t.contains("..."))).cast("long")
     val nStop = size(filter(toks,
       t => array_contains(array(stopwords.map(lit): _*), t))).cast("long")
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), nTok.as("n_tokens"), sumLen.as("sum_len"),
         nAlpha.as("n_alpha"), nSym.as("n_sym"), nStop.as("n_stop"))
       .withColumn("mean_word_len",
@@ -488,7 +499,6 @@ object TextAnalysis {
       .withColumn("ok_stop", col("n_stop") >= 2L)
       .withColumn("keep", col("ok_count") && col("ok_word_len") &&
         col("ok_symbols") && col("ok_alpha") && col("ok_stop"))
-      .orderBy(col("doc_id"))
   }
 
   val gopherQualitySql: String =
@@ -633,10 +643,16 @@ object TextAnalysis {
     * the two dedup flags and the final 1-row aggregate. At 100 TB the
     * repetition statistics ride the same compiled per-doc kernel, so
     * the whole funnel costs one corpus scan + two dedup exchanges. */
-  def finewebPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val q = gopherQuality(spark, dir)
+  /** Per-document STATELESS funnel flags over any (doc_id, lang, text)
+    * frame — everything the cascade decides without seeing other
+    * documents: canonical URL, token count, and the language/quality/
+    * repetition rule outcomes. The batch funnel adds its two dedup
+    * flags with windows; the streaming funnel adds them from winner
+    * logs. */
+  private def funnelDocFlags(documents: DataFrame): DataFrame = {
+    val q = gopherQualityDocs(documents)
       .select(col("doc_id"), col("n_tokens"), col("keep").as("q_keep"))
-    val rep = gopherRepetition(spark, dir)
+    val rep = gopherRepetitionDocs(documents)
       .select(col("doc_id") +: (Seq("top_2", "top_3", "top_4").map(c =>
         col(c + "_frac")) ++ (5 to 10).map(n => col(s"dup_${n}_frac"))): _*)
     val repOk = col("top_2_frac") <= 0.2 && col("top_3_frac") <= 0.18 &&
@@ -644,21 +660,22 @@ object TextAnalysis {
       Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10).zipWithIndex.map {
         case (t, i) => col(s"dup_${i + 5}_frac") <= t
       }.reduce(_ && _)
-    val flags = Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), col("lang"), col("text"))
       .withColumn("canon_url",
         graft.functions.UrlKernels.canonicalizeUrlUdf(UrlCuration.plantedUrl))
       .join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
-      .withColumn("s1", col("doc_id") === min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("canon_url"))))
-      .withColumn("s2", col("s1") && col("lang").isin("en", "de", "es", "fr"))
-      .withColumn("s3", col("s2") && col("q_keep"))
-      .withColumn("s4", col("s3") && repOk)
-      .withColumn("s5", col("s4") && col("doc_id") ===
-        min(when(col("s4"), col("doc_id")))
-          .over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("text"))))
+      .withColumn("langok", col("lang").isin("en", "de", "es", "fr"))
+      .withColumn("qok", col("q_keep"))
+      .withColumn("repok", repOk)
+      .select(col("doc_id"), col("text"), col("canon_url"),
+        col("n_tokens"), col("langok"), col("qok"), col("repok"))
+  }
+
+  /** The attrition report over a frame carrying (n_tokens, s1..s5):
+    * one conditional aggregation + stack — shared by the batch and
+    * streaming funnels. */
+  private def funnelReport(flags: DataFrame): DataFrame = {
     val agg = flags.agg(
       count(lit(1)).as("c0"),
       coalesce(sum(col("n_tokens")), lit(0L)).as("t0"),
@@ -682,6 +699,121 @@ object TextAnalysis {
         |  '5_dedup',      c5, t5)
         |AS (stage, n_docs, total_tokens)""".stripMargin)
       .orderBy(col("stage"))
+  }
+
+  def finewebPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val flags = funnelDocFlags(Tables.documents(spark, dir))
+      .withColumn("s1", col("doc_id") === min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canon_url"))))
+      .withColumn("s2", col("s1") && col("langok"))
+      .withColumn("s3", col("s2") && col("qok"))
+      .withColumn("s4", col("s3") && col("repok"))
+      .withColumn("s5", col("s4") && col("doc_id") ===
+        min(when(col("s4"), col("doc_id")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("text"))))
+    funnelReport(flags)
+  }
+
+  /** One micro-batch of the STREAMING funnel — the curation cascade as
+    * an ingest-time pipeline publishing a RUNNING attrition report
+    * (what a production crawl dashboard shows). Stateless flags come
+    * from [[funnelDocFlags]] on the batch alone; the two dedup stages
+    * read/extend append-only winner logs:
+    *  - `urlwin`  — md5(canonical URL) digests already claimed;
+    *  - `textwin` — md5(text) digests claimed by a STAGE-4-SURVIVING
+    *    doc (the batch rule's min is over s4 docs only, so only they
+    *    may claim);
+    *  - `flags`   — per-doc (n_tokens, s1..s5, epoch) rows, append-only:
+    *    under id-ordered arrival every flag depends only on earlier
+    *    arrivals (prefix-closure), so decisions at arrival are final
+    *    and the folded report equals the batch funnel. */
+  def finewebStreamApplyBatch(batch: DataFrame, epoch: Long,
+                              statePath: String,
+                              compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    Seq("urlwin", "textwin", "flags").foreach(r =>
+      graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
+    val flags0 = funnelDocFlags(batch)
+      .withColumn("udig", md5(col("canon_url")))
+      .withColumn("tdig", md5(col("text")))
+      .localCheckpoint()
+    def histOf(root: String): DataFrame = {
+      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/$root",
+        epoch - 1)
+      if (paths.isEmpty) flags0.select(col("udig").as("dig")).limit(0)
+      else sp.read.parquet(paths: _*)
+    }
+    val urlHist = histOf("urlwin")
+    val newUrlWin = flags0.groupBy(col("udig"))
+      .agg(min(col("doc_id")).as("u_keep"))
+      .join(urlHist.select(col("dig").as("udig")), Seq("udig"), "left_anti")
+      .localCheckpoint()
+    val s14 = flags0
+      .join(newUrlWin, Seq("udig"), "left_outer")
+      .withColumn("s1", col("u_keep") === col("doc_id"))
+      .na.fill(false, Seq("s1"))
+      .withColumn("s2", col("s1") && col("langok"))
+      .withColumn("s3", col("s2") && col("qok"))
+      .withColumn("s4", col("s3") && col("repok"))
+    val textHist = histOf("textwin")
+    val newTextWin = s14.filter(col("s4")).groupBy(col("tdig"))
+      .agg(min(col("doc_id")).as("t_keep"))
+      .join(textHist.select(col("dig").as("tdig")), Seq("tdig"), "left_anti")
+      .localCheckpoint()
+    val res = s14
+      .join(newTextWin, Seq("tdig"), "left_outer")
+      .withColumn("s5", col("s4") && col("t_keep") === col("doc_id"))
+      .na.fill(false, Seq("s5"))
+      .select(col("doc_id"), col("n_tokens"), col("s1"), col("s2"),
+        col("s3"), col("s4"), col("s5"), lit(epoch).as("epoch"))
+    newUrlWin.select(col("udig").as("dig")).write.mode("overwrite")
+      .parquet(s"$statePath/urlwin/delta/v$epoch")
+    newTextWin.select(col("tdig").as("dig")).write.mode("overwrite")
+      .parquet(s"$statePath/textwin/delta/v$epoch")
+    res.write.mode("overwrite")
+      .parquet(s"$statePath/flags/delta/v$epoch")
+    graft.tools.LogState.maintain(sp,
+      Seq(s"$statePath/urlwin", s"$statePath/textwin",
+        s"$statePath/flags"), epoch, compactEvery)(identity)
+  }
+
+  /** The running attrition report as of `upTo`; None before the first
+    * batch. */
+  def finewebStreamReport(sp: SparkSession, statePath: String,
+                          upTo: Long): Option[DataFrame] = {
+    val paths = graft.tools.LogState.pathsAsOf(s"$statePath/flags", upTo)
+    if (paths.isEmpty) None
+    else Some(funnelReport(sp.read.parquet(paths: _*)))
+  }
+
+  /** STREAMING funnel through the HASH GATE: contiguous id-range
+    * batches (arrival order = id order — the prefix-closure regime),
+    * final report must equal batch [[finewebPipeline]] — the SAME
+    * oracle. A winner double-claim, a non-s4 doc claiming a text
+    * digest, or a replay double-publish all move the attrition counts
+    * and break the hash. */
+  def finewebStream(spark: SparkSession, dir: String,
+                    epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-fwstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { k =>
+        finewebStreamApplyBatch(
+          all.filter(expr(s"(doc_id - $lo) div $width") === k),
+          k, statePath, compactEvery = 2)
+      }
+      finewebStreamReport(spark, statePath, epochs - 1L)
+        .getOrElse(sys.error("fineweb stream: no state"))
+        .localCheckpoint()
+        .orderBy(col("stage"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
   val finewebPipelineSql: String =
