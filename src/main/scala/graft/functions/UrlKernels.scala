@@ -27,13 +27,23 @@ import org.apache.spark.sql.functions.udf
   *   5. Path kept case-sensitive; trailing '/'s stripped.
   *   6. Query split on '&'; empty params dropped; tracking params
   *      dropped (key "utm_*" prefix or exactly one of fbclid, gclid,
-  *      ref, ref_src, mc_cid, mc_eid); remainder SORTED (codepoint
+  *      ref_src, mc_cid, mc_eid); remainder SORTED (codepoint
   *      order = DuckDB list_sort on ASCII) and rejoined with '&'.
+  *
+  * Bare `ref` is deliberately NOT a tracking key (precision over
+  * recall): unlike utm_* / gclid / fbclid it is commonly load-bearing —
+  * GitHub's `?ref=branch` selects the content served — so stripping it
+  * collapses distinct real pages into one canonical URL and the dedup
+  * then WRONGLY drops them; a missed social-share duplicate is
+  * recoverable by the content tiers (minhash/simhash run after URL
+  * dedup in the funnel), an over-merge is data loss. `ref_src` stays:
+  * it is Twitter's share-attribution key with no known content-routing
+  * use.
   */
 object UrlKernels {
 
   private val TrackingKeys =
-    Set("fbclid", "gclid", "ref", "ref_src", "mc_cid", "mc_eid")
+    Set("fbclid", "gclid", "ref_src", "mc_cid", "mc_eid")
 
   private def isTracking(param: String): Boolean = {
     val eq = param.indexOf('=')

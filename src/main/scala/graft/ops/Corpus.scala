@@ -939,9 +939,13 @@ object Corpus {
     // trainer documents (the first cut did exactly that; fixed when the
     // long-seed probe arm landed). (c, piece) is a total order, so the
     // distributed limit is deterministic.
+    // localCheckpoint: the inventory aggregation feeds TWO collect
+    // actions (single-char set + multi-char top-k) — without it the
+    // explode+groupBy runs twice, in the stage the seed probe times.
     val seedAgg = words
       .select(col("cnt"), explode(subUdf(col("word"))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .localCheckpoint()
     val chars0 = seedAgg.filter(length(col("piece")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val multi0 = seedAgg.filter(length(col("piece")) > 1)

@@ -1728,19 +1728,25 @@ object Dedup {
     val centroids = KMeans.fit(spark, corpus, k, iterations)
     val vecs = corpus.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // localCheckpoint: the assignment map is consumed THREE times (skew
+    // aggregate + both sides of the pair join) — without it the eager
+    // skew .head would force a full extra k-means assignment pass per
+    // call, inflating the very probe timing the metric exists to explain.
     val assigned = KMeans.assign(vecs, centroids)
       .select(col("vec_id"), col("v"), col("cluster_id"))
+      .localCheckpoint()
     // Cluster-size SKEW, recorded per call (drained into bench routing /
     // probe prints): the pair surface is Σ cluster² — the max cluster is
     // the term that says whether k was sized right for the corpus, and a
     // degenerate-hot cluster is this operator's one scale hazard (the
     // banded embeddingLsh is the documented escape). One O(k)-row
-    // aggregate over the narrow assignment map.
+    // aggregate over the checkpointed assignment map; recordMax keeps
+    // max-semantics across multiple calls between drains.
     val cs = assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), count(lit(1)).as("nc")).head
-    graft.tools.RoutingMetrics.add("sem_cluster_max", cs.getLong(0))
-    graft.tools.RoutingMetrics.add("sem_clusters", cs.getLong(1))
+    graft.tools.RoutingMetrics.recordMax("sem_cluster_max", cs.getLong(0))
+    graft.tools.RoutingMetrics.recordMax("sem_clusters", cs.getLong(1))
     val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
       col("v").as("a_v"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),
@@ -2011,25 +2017,48 @@ object Dedup {
     b
   }
 
-  /** [[streamLshBits]] FROZEN in the state dir on first use: historical
+  /** Signature width FROZEN in the state dir on first use: historical
     * signatures were computed at that width, and a resumed or replayed
     * stream must keep matching them bit-for-bit (the RangeState
-    * boundary-freeze discipline). By-name `expectedN` so the seeding
-    * job runs only when the file doesn't exist yet. */
-  private def frozenStreamBits(statePath: String, expectedN: => Long,
-                               tables: Int, probes: Int): Int = {
+    * boundary-freeze discipline). The freeze is UNCONDITIONAL — an
+    * explicitly-passed width is recorded too, so a later batch that
+    * falls back to the derived default (or passes a different explicit
+    * width) FAILS FAST instead of probing history at the wrong width
+    * and silently missing duplicates. Two hard errors:
+    *  - state exists but `_lsh_bits` doesn't (state built by a pre-
+    *    freeze build, or the file was lost) — refusing beats guessing;
+    *  - `_lsh_bits` conflicts with an explicit `requested` width.
+    * `requested` ≤ 0 means derive from `expectedN` via
+    * [[streamLshBits]]; by-name so the seeding job runs only when the
+    * file doesn't exist yet. */
+  private def frozenStreamBits(statePath: String, requested: Int,
+                               expectedN: => Long,
+                               tables: Int, probes: Int,
+                               stateExists: => Boolean): Int = {
     val f = java.nio.file.Paths.get(statePath, "_lsh_bits")
     if (!java.nio.file.Files.exists(f)) {
+      if (stateExists) throw new IllegalStateException(
+        s"embedding-LSH stream state at $statePath has historical " +
+          "signatures but no _lsh_bits width record: its signatures were " +
+          "built at an unknown width and cannot be probed safely. " +
+          "Rebuild the stream state (or restore _lsh_bits).")
       java.nio.file.Files.createDirectories(f.getParent)
       val tmp = java.nio.file.Paths.get(statePath, "_lsh_bits.tmp")
+      val w = if (requested > 0) requested
+              else streamLshBits(expectedN, tables, probes)
       java.nio.file.Files.write(tmp,
-        streamLshBits(expectedN, tables, probes).toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        w.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.move(tmp, f,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    new String(java.nio.file.Files.readAllBytes(f),
+    val frozen = new String(java.nio.file.Files.readAllBytes(f),
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    if (requested > 0 && requested != frozen)
+      throw new IllegalStateException(
+        s"embedding-LSH stream width conflict at $statePath: state is " +
+          s"frozen at $frozen bits but this batch requested $requested. " +
+          "Historical signatures only match at their build width.")
+    frozen
   }
 
   /** One micro-batch of STREAMING embedding-LSH dedup — the last
@@ -2097,8 +2126,9 @@ object Dedup {
       else 2 * (arriving.agg(max(col("vec_id"))).head.getLong(0) + 1)
     val bounds = graft.tools.RangeState.freezeUniform(vecRoot, seedSpan,
       vecPartitions)
-    val bw = if (bits > 0) bits
-             else frozenStreamBits(statePath, seedSpan, tables, probes)
+    val bw = frozenStreamBits(statePath, bits, seedSpan, tables, probes,
+      stateExists = graft.tools.LogState
+        .pathsAsOf(indexRoot, Long.MaxValue).nonEmpty)
     // publish the batch's vectors BEFORE the verify so the store as-of
     // batchId covers both candidate sides; overwrite keyed by batchId —
     // the shared replay contract

@@ -914,7 +914,13 @@ object TextAnalysis {
         """CAST((CAST(1000000 AS DECIMAL(38,0)) * (tc + 1) * (rt + 64))
           |  div ((rc + 1) * (tt + 64)) AS DECIMAL(38,0))""".stripMargin))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("term")).as("score_sum"))
+      // score_sum crosses the gate boundary, so it follows the BIGINT
+      // output-type rule (Relational2.scala) — a raw Spark DECIMAL(38,0)
+      // vs DuckDB HUGEINT hashes differently even when values agree.
+      // Per-doc sums fit comfortably: term ≈ 10⁶-scale, n_grams ≤ doc
+      // token count, so score_sum < 10¹² « 2⁶³.
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("term")).cast("long").as("score_sum"))
       .withColumn("score_avg",
         expr("CAST(score_sum div n_grams AS BIGINT)"))
       .withColumn("selected", col("score_avg") >= 1000000L)
@@ -951,7 +957,7 @@ object TextAnalysis {
        |  CAST(score_sum // n_grams AS BIGINT) >= 1000000 AS selected
        |FROM (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-       |    SUM(term) AS score_sum
+       |    CAST(SUM(term) AS BIGINT) AS score_sum
        |  FROM sc GROUP BY doc_id)
        |ORDER BY doc_id""".stripMargin
 
@@ -1462,6 +1468,8 @@ object TextAnalysis {
     "text_gopher_quality" -> (gopherQuality _),
     "text_c4_filter"   -> (c4Filter _),
     "pipeline_fineweb" -> (finewebPipeline _),
+    "pipeline_fineweb_stream" ->
+      ((s: SparkSession, d: String) => finewebStream(s, d)),
     "text_dsir"        -> (dsirSelect _),
     "text_det_split"   -> (detSplit _),
     "text_clean"       -> (textClean _),
@@ -1488,6 +1496,10 @@ object TextAnalysis {
     "text_gopher_quality" -> gopherQualitySql,
     "text_c4_filter"   -> c4FilterSql,
     "pipeline_fineweb" -> finewebPipelineSql,
+    // Streaming twin shares the batch oracle: id-contiguous batches give
+    // prefix-closure, so the folded winner logs must reproduce the batch
+    // funnel's attrition counts exactly.
+    "pipeline_fineweb_stream" -> finewebPipelineSql,
     "text_dsir"        -> dsirSelectSql,
     "text_det_split"   -> detSplitSql,
     "text_clean"       -> textCleanSql,

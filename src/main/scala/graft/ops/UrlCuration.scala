@@ -49,7 +49,7 @@ object UrlCuration {
       lit("/a/"), gs,
       when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
       when(col("doc_id") % 4 === 0,
-        concat(lit("?utm_campaign=x&id="), gs, lit("&ref=tw")))
+        concat(lit("?utm_campaign=x&id="), gs, lit("&ref_src=tw")))
         .when(col("doc_id") % 4 === 1,
           concat(lit("?id="), gs, lit("&utm_source=feed")))
         .when(col("doc_id") % 4 === 2, concat(lit("?id="), gs))
@@ -70,7 +70,7 @@ object UrlCuration {
       |      '/a/' || CAST(g AS VARCHAR) ||
       |      CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
       |      CASE WHEN doc_id % 4 = 0
-      |        THEN '?utm_campaign=x&id=' || CAST(g AS VARCHAR) || '&ref=tw'
+      |        THEN '?utm_campaign=x&id=' || CAST(g AS VARCHAR) || '&ref_src=tw'
       |        WHEN doc_id % 4 = 1
       |        THEN '?id=' || CAST(g AS VARCHAR) || '&utm_source=feed'
       |        WHEN doc_id % 4 = 2 THEN '?id=' || CAST(g AS VARCHAR)
@@ -117,7 +117,7 @@ object UrlCuration {
        |      regexp_replace(path0, '/+$$', '') AS path,
        |      array_to_string(list_sort(list_filter(string_split(q, '&'),
        |        x -> x <> '' AND NOT regexp_matches(x,
-       |          '^(utm_[^=&]*|fbclid|gclid|ref|ref_src|mc_cid|mc_eid)(=|$$)'))),
+       |          '^(utm_[^=&]*|fbclid|gclid|ref_src|mc_cid|mc_eid)(=|$$)'))),
        |        '&') AS qc
        |    FROM (
        |      SELECT doc_id, url, scheme, path0, q,

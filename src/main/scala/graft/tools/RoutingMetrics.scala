@@ -17,6 +17,12 @@ object RoutingMetrics {
   def add(name: String, n: Long): Unit =
     acc.updateWith(name) { prev => Some(prev.getOrElse(0L) + n) }
 
+  /** Max-semantics counter for gauges like sem_cluster_max where two
+    * calls between drains must report the WORST value seen, not a
+    * meaningless sum. */
+  def recordMax(name: String, n: Long): Unit =
+    acc.updateWith(name) { prev => Some(math.max(prev.getOrElse(n), n)) }
+
   /** Returns all recorded counters and clears them. Conditional remove
     * keeps a counter bumped concurrently between snapshot and sweep for
     * the next drain instead of dropping it (same contract as

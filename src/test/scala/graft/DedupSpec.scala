@@ -675,6 +675,44 @@ class DedupSpec extends SparkSpec {
     graft.tools.TempDirs.deleteRecursively(statePath.stripSuffix("/state"))
   }
 
+  test("embedding stream: signature width is frozen — a conflicting " +
+      "explicit width fails fast, and state without a width record " +
+      "refuses to run") {
+    import org.apache.spark.sql.functions.col
+    val dir = embCorpus((1L, vA), (2L, vB), (3L, vA), (4L, vC))
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-embfreeze-spec")
+        .toString + "/state"
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    Dedup.embeddingStreamApplyBatch(vecs.filter(col("vec_id") <= 2), 0L,
+      statePath, threshold = 0.99, bits = 10, compactEvery = 2)
+    // explicit width is recorded even when passed (not only derived)
+    val f = java.nio.file.Paths.get(statePath, "_lsh_bits")
+    assert(java.nio.file.Files.exists(f))
+    // conflicting explicit width on the next batch: historical
+    // signatures only match at their build width -> hard error, never a
+    // silent recall hole
+    val e1 = intercept[IllegalStateException] {
+      Dedup.embeddingStreamApplyBatch(vecs.filter(col("vec_id") > 2), 1L,
+        statePath, threshold = 0.99, bits = 12, compactEvery = 2)
+    }
+    assert(e1.getMessage.contains("width conflict"))
+    // same mismatch via the default (derived) width: derived != 10 here
+    // would also conflict — the frozen file wins either way; matching
+    // explicit width still runs
+    Dedup.embeddingStreamApplyBatch(vecs.filter(col("vec_id") > 2), 1L,
+      statePath, threshold = 0.99, bits = 10, compactEvery = 2)
+    // a lost width record with live state refuses to guess
+    java.nio.file.Files.delete(f)
+    val e2 = intercept[IllegalStateException] {
+      Dedup.embeddingStreamApplyBatch(vecs.filter(col("vec_id") > 2), 2L,
+        statePath, threshold = 0.99, compactEvery = 2)
+    }
+    assert(e2.getMessage.contains("no _lsh_bits"))
+    graft.tools.TempDirs.deleteRecursively(statePath.stripSuffix("/state"))
+  }
+
   test("streaming embedding-LSH under lateness: late vector quarantined, " +
       "never indexed; survivors from on-time vectors only") {
     import org.apache.spark.sql.functions.{col, lit, when}

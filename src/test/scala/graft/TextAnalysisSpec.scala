@@ -385,4 +385,58 @@ class TextAnalysisSpec extends SparkSpec {
       "3_quality" -> 4L, "4_repetition" -> 3L, "5_dedup" -> 2L),
       s"funnel: $rows")
   }
+
+  test("fineweb stream: folded winner logs reproduce the batch funnel " +
+      "(cross-epoch url + text dedup exercised)") {
+    def good(seed: Int) = "the of " +
+      (1 to 60).map(i => s"word${(i * seed) % 97}").mkString(" ")
+    val rep = "the of " + Seq.fill(60)("spam spam").mkString(" ")
+    // same planted fixture as the batch spec; at epochs=4 the id-range
+    // batching puts {1,2,5} / {9} / {13,17} / {21} in separate epochs, so
+    // doc 17 (text copy of 1) must defer to a CROSS-EPOCH text winner and
+    // doc 2 sheds at the url stage within its batch
+    val dir = docs(
+      (1L, good(1), "en"), (2L, good(5), "en"), (5L, good(2), "xx"),
+      (9L, "the of tiny", "en"), (13L, rep, "en"), (17L, good(1), "en"),
+      (21L, good(3), "de"))
+    val batch = TextAnalysis.finewebPipeline(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val stream = TextAnalysis.finewebStream(spark, dir, epochs = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream == batch, s"stream=$stream batch=$batch")
+  }
+
+  test("fineweb stream: mid-stream report covers only arrived epochs; " +
+      "at-least-once replay is idempotent") {
+    def good(seed: Int) = "the of " +
+      (1 to 60).map(i => s"word${(i * seed) % 97}").mkString(" ")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fwstream-spec").toString
+    val statePath = s"$base/state"
+    try {
+      def b(rows: (Long, String, String)*) =
+        rows.toSeq.toDF("doc_id", "lang", "text")
+      val e0 = Seq((1L, "en", good(1)), (2L, "xx", good(2)))
+      val e1 = Seq((5L, "en", good(1)), (9L, "de", good(4)))
+      TextAnalysis.finewebStreamApplyBatch(b(e0: _*), 0L, statePath)
+      // mid-stream: report as-of epoch 0 must equal the batch funnel run
+      // on the epoch-0 slice alone (prefix-closure)
+      val mid = TextAnalysis.finewebStreamReport(spark, statePath, 0L)
+        .get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dirE0 = docs(e0.map { case (id, l, t) => (id, t, l) }: _*)
+      val midBatch = TextAnalysis.finewebPipeline(spark, dirE0).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(mid == midBatch, s"mid=$mid batch=$midBatch")
+      // epoch 1: doc 5 is a text copy of the epoch-0 winner -> must defer
+      TextAnalysis.finewebStreamApplyBatch(b(e1: _*), 1L, statePath)
+      val r1 = TextAnalysis.finewebStreamReport(spark, statePath, 1L)
+        .get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r1("5_dedup") == 2L && r1("0_total") == 4L, s"r1=$r1")
+      // at-least-once replay of the last epoch rewrites identical state
+      TextAnalysis.finewebStreamApplyBatch(b(e1: _*), 1L, statePath)
+      val r2 = TextAnalysis.finewebStreamReport(spark, statePath, 1L)
+        .get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r2 == r1, s"replay changed the report: $r2 vs $r1")
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
 }

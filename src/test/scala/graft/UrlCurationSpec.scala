@@ -12,7 +12,7 @@ class UrlCurationSpec extends SparkSpec {
 
   test("canonicalizeUrl: full junk removal on a kitchen-sink URL") {
     assert(UrlKernels.canonicalizeUrl(
-      "HTTPS://WWW.Site3.Example.COM:443/a/5/?utm_campaign=x&id=5&ref=tw#s9")
+      "HTTPS://WWW.Site3.Example.COM:443/a/5/?utm_campaign=x&id=5&ref_src=tw#s9")
       == "https://site3.example.com/a/5?id=5")
   }
 
@@ -30,10 +30,14 @@ class UrlCurationSpec extends SparkSpec {
       "http://a.com:443/x")
     assert(UrlKernels.canonicalizeUrl("https://a.com:8080/x") ==
       "https://a.com:8080/x")
-    // params sorted; non-tracking 'refresh' key survives the 'ref' rule
+    // params sorted; non-tracking 'refresh' key survives the ref_src rule
     assert(UrlKernels.canonicalizeUrl("http://a.com/x?b=2&a=1&refresh=1") ==
       "http://a.com/x?a=1&b=2&refresh=1")
+    // bare 'ref' is LOAD-BEARING (GitHub ?ref=branch) — kept, not junk;
+    // ref_src (share attribution) is stripped
     assert(UrlKernels.canonicalizeUrl("http://a.com/x?ref=z&a=1") ==
+      "http://a.com/x?a=1&ref=z")
+    assert(UrlKernels.canonicalizeUrl("http://a.com/x?ref_src=z&a=1") ==
       "http://a.com/x?a=1")
     // empty query after tracking removal → no '?'
     assert(UrlKernels.canonicalizeUrl("http://a.com/x?utm_source=a&gclid=b")

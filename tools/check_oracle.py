@@ -22,7 +22,53 @@ import sys
 import time
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def type_category(t):
+    """Coarse type family for the parity check. The driver's hasher is
+    stricter than value comparison: a Spark DECIMAL(38,0) column hashes
+    differently from a DuckDB HUGEINT/BIGINT even when every value is
+    equal (round-14's text_dsir red row). Integer widths (int32 vs
+    int64) and signedness normalize fine in practice, so they share a
+    family; decimal is its own family and any decimal-vs-integer or
+    decimal-vs-float split across the two engines is a hard FAIL."""
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def type_parity_diffs(spark_tbl, duck_tbl):
+    """Return [(col, spark_type, duck_type), ...] for columns whose arrow
+    type FAMILIES differ between the Spark output and the DuckDB oracle."""
+    diffs = []
+    for c in spark_tbl.column_names:
+        if c not in duck_tbl.column_names:
+            continue
+        st = spark_tbl.schema.field(c).type
+        dt = duck_tbl.schema.field(c).type
+        if type_category(st) != type_category(dt):
+            diffs.append((c, str(st), str(dt)))
+    return diffs
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -67,6 +113,14 @@ def main(outdir, sfdir):
             continue
         if spark_tbl.num_rows != duck_tbl.num_rows:
             print(f"FAIL {name}: rows {spark_tbl.num_rows} vs {duck_tbl.num_rows}")
+            n_fail += 1
+            continue
+        tdiffs = type_parity_diffs(spark_tbl, duck_tbl)
+        if tdiffs:
+            print(f"FAIL {name}: type-parity "
+                  + "; ".join(f"col={c} spark={s} duck={d}" for c, s, d in tdiffs)
+                  + " (values may match but the driver's hasher is type-"
+                    "sensitive — cast to BIGINT/DOUBLE on both sides)")
             n_fail += 1
             continue
         bad = None
