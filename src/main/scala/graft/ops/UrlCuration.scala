@@ -323,6 +323,122 @@ object UrlCuration {
        |FROM r WHERE rk <= $DomainCapK
        |ORDER BY domain, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // STREAMING domain cap (crawl-frontier budget enforcement at ingest)
+  // ---------------------------------------------------------------------
+
+  /** The per-domain top-K fold over winner-candidate rows
+    * (domain, ord = md5(doc_id), doc_id): keep each domain's K smallest
+    * (ord, doc_id). Top-K-merge is a commutative, associative,
+    * idempotent monoid, so the fold is schedule-invariant — readers and
+    * compaction apply THIS function and any base/delta split gives the
+    * same answer (the LogState contract). Rank via the TwoLevel
+    * md5-bucket decomposition, same as batch [[domainCap]] — no
+    * per-domain global sort even when one domain dominates a batch. */
+  private def capTopK(cands: DataFrame, k: Int): DataFrame =
+    TwoLevel.rank(
+        cands.withColumn("__cb",
+          substring(col("ord"), 1, TwoLevel.Md5PrefixChars)),
+        Seq("domain"), "__cb", Seq(col("ord"), col("doc_id")), "__crk")
+      .filter(col("__crk") <= k)
+      .select(col("domain"), col("ord"), col("doc_id"))
+
+  /** One micro-batch of the STREAMING domain cap — per-domain budget
+    * enforcement on a crawl frontier. State under `statePath`:
+    *  - `cand`   — winner CANDIDATES (domain, ord, doc_id): each epoch
+    *    appends its batch's per-domain top-K (≤ K rows per touched
+    *    domain — only they can ever enter the final top-K); the fold is
+    *    [[capTopK]], so a later arrival with a smaller md5 rank
+    *    DISPLACES an earlier winner at fold time and compaction
+    *    physically drops the loser. The capped corpus is therefore a
+    *    materialized view maintained incrementally — admission is
+    *    revisable until compaction horizon, which is what makes the
+    *    stream equal the batch md5-rank sample exactly (md5 rank is NOT
+    *    prefix-closed under arrival order, so any final-at-arrival
+    *    admission rule would be a DIFFERENT operator; a frontier that
+    *    needs irrevocable admits ranks by arrival instead and loses the
+    *    unbiased-sample property).
+    *  - `domcnt` — (domain, n) per-epoch counts; fold = the count-sum
+    *    monoid. Feeds the report's n_domain stratum totals.
+    * Per-epoch cost: one narrow kernel pass over the batch + a
+    * batch-sized rank — state is touched only at compaction, whose input
+    * is bounded by K·domains + K·touched-domains·epochs-since-base.
+    * Writes derive from the batch alone, keyed by epoch — replay
+    * rewrites identical files. */
+  def domainCapStreamApplyBatch(batch: DataFrame, epoch: Long,
+                                statePath: String, k: Int = DomainCapK,
+                                compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    val candRoot = s"$statePath/cand"
+    val cntRoot = s"$statePath/domcnt"
+    Seq(candRoot, cntRoot)
+      .foreach(graft.tools.LogState.requireNoFuture(_, epoch))
+    val d = batch
+      .select(col("doc_id"),
+        graft.functions.UrlKernels.urlDomainUdf(col("url")).as("domain"))
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .localCheckpoint()
+    capTopK(d, k).write.mode("overwrite")
+      .parquet(s"$candRoot/delta/v$epoch")
+    d.groupBy(col("domain")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$cntRoot/delta/v$epoch")
+    graft.tools.LogState.maintain(sp, Seq(candRoot), epoch, compactEvery)(
+      capTopK(_, k))
+    graft.tools.LogState.maintain(sp, Seq(cntRoot), epoch, compactEvery)(
+      _.groupBy(col("domain")).agg(sum(col("n")).as("n")))
+  }
+
+  /** The capped corpus as of `upTo` — per-domain kept docs with
+    * contiguous ranks and the domain's running total; None before the
+    * first batch. Equals batch [[domainCap]] over the arrived prefix. */
+  def domainCapStreamReport(sp: SparkSession, statePath: String,
+                            upTo: Long,
+                            k: Int = DomainCapK): Option[DataFrame] = {
+    val candPaths =
+      graft.tools.LogState.pathsAsOf(s"$statePath/cand", upTo)
+    if (candPaths.isEmpty) return None
+    val folded = capTopK(sp.read.parquet(candPaths: _*), k)
+    val ranked = TwoLevel.rank(
+        folded.withColumn("__cb",
+          substring(col("ord"), 1, TwoLevel.Md5PrefixChars)),
+        Seq("domain"), "__cb", Seq(col("ord"), col("doc_id")), "rk")
+    val counts = sp.read.parquet(
+        graft.tools.LogState.pathsAsOf(s"$statePath/domcnt", upTo): _*)
+      .groupBy(col("domain")).agg(sum(col("n")).as("n_domain"))
+    Some(ranked.join(counts, Seq("domain"))
+      .select(col("doc_id"), col("domain"), col("rk"),
+        col("n_domain").cast("long").as("n_domain"))
+      .orderBy(col("domain"), col("rk")))
+  }
+
+  /** STREAMING domain cap through the HASH GATE: contiguous id-range
+    * batches over the planted corpus, final report must equal batch
+    * [[domainCap]] — the SAME oracle. A displacement the fold misses
+    * (an epoch-0 winner surviving a smaller-md5 epoch-2 arrival), a
+    * count double-published by a replay, or a rank gap breaks the
+    * hash. */
+  def domainCapStream(spark: SparkSession, dir: String,
+                      epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-domcapstream")
+    try {
+      val statePath = s"$base/state"
+      val all = withUrl(spark, dir).select(col("doc_id"), col("url"))
+        .localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { kk =>
+        domainCapStreamApplyBatch(
+          all.filter(expr(s"(doc_id - $lo) div $width") === kk),
+          kk, statePath, compactEvery = 2)
+      }
+      domainCapStreamReport(spark, statePath, epochs - 1L)
+        .getOrElse(sys.error("domain cap stream: no state"))
+        .localCheckpoint()
+        .orderBy(col("domain"), col("rk"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_canon"   -> (urlCanonicalize _),
     "text_url_dedup"   -> (urlDedup _),
@@ -335,6 +451,8 @@ object UrlCuration {
     "text_url_dedup_stream" -> ((s: SparkSession, d: String) =>
       urlDedupStream(s, d)),
     "corpus_domain_cap" -> (domainCap _),
+    "corpus_domain_cap_stream" -> ((s: SparkSession, d: String) =>
+      domainCapStream(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -343,5 +461,8 @@ object UrlCuration {
     "text_url_dedup_incr" -> urlDedupSql,
     "text_url_dedup_stream" -> urlDedupSql,
     "corpus_domain_cap" -> domainCapSql,
+    // the streaming form's folded winner sets must equal the batch
+    // md5-rank sample exactly — same oracle
+    "corpus_domain_cap_stream" -> domainCapSql,
   )
 }

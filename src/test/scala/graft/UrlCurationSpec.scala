@@ -112,6 +112,47 @@ class UrlCurationSpec extends SparkSpec {
       statePath.stripSuffix("/state"))
   }
 
+  test("domainCapStream: fold == batch on the planted corpus; " +
+      "later smaller-md5 arrival DISPLACES an earlier winner; " +
+      "replay idempotent") {
+    import spark.implicits._
+    val batch = UrlCuration.domainCap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val stream = UrlCuration.domainCapStream(spark, sf, epochs = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(stream.toSeq == batch.toSeq)
+    // displacement at k=1: md5("4") < md5("1") < md5("2"), so doc 1 wins
+    // epoch 0, doc 4 (arriving later) must evict it; doc 2 never wins
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-domcap-spec").toString + "/state"
+    try {
+      def b(ids: Long*) = ids.toSeq
+        .map(i => (i, s"http://d.example.com/p$i")).toDF("doc_id", "url")
+      UrlCuration.domainCapStreamApplyBatch(b(1L, 2L), 0L, statePath,
+        k = 1, compactEvery = 2)
+      val r0 = UrlCuration.domainCapStreamReport(spark, statePath, 0L,
+        k = 1).get.collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getLong(3))).toSeq
+      assert(r0 == Seq((1L, 1L, 2L)), s"epoch-0 report: $r0")
+      UrlCuration.domainCapStreamApplyBatch(b(4L), 1L, statePath,
+        k = 1, compactEvery = 2)
+      val r1 = UrlCuration.domainCapStreamReport(spark, statePath, 1L,
+        k = 1).get.collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getLong(3))).toSeq
+      assert(r1 == Seq((4L, 1L, 3L)),
+        s"doc 4 must displace doc 1, n_domain 3: $r1")
+      // at-least-once replay of the last epoch: identical report
+      UrlCuration.domainCapStreamApplyBatch(b(4L), 1L, statePath,
+        k = 1, compactEvery = 2)
+      val r2 = UrlCuration.domainCapStreamReport(spark, statePath, 1L,
+        k = 1).get.collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getLong(3))).toSeq
+      assert(r2 == r1, s"replay changed the report: $r2 vs $r1")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("domainCap: at most K per domain, ranks contiguous from 1, " +
       "n_domain is the stratum total") {
     val out = UrlCuration.domainCap(spark, sf).collect()
