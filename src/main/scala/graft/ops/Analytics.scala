@@ -187,6 +187,55 @@ object Analytics {
       .orderBy(col("exact_n").desc, col("token"))
   }
 
+  /** CMS heavy hitters through the HASH GATE in the deterministic
+    * regime (the dedup `_clustered` move applied to a sketch): the
+    * corpus is SYNTHESIZED identically on both sides — 60 tokens, ten
+    * heavy (counts 600..609) and fifty light (counts 3..7) — so true
+    * frequencies are closed-form SQL. The gated DECISION layer is the
+    * heavy-hitter SET at support 500: Spark answers from the CMS
+    * ESTIMATE (the sketch is load-bearing — `heavy` comes from
+    * est ≥ 500, never the exact count), the oracle from the synthesized
+    * truth. They must agree by construction: CMS only overestimates, so
+    * every heavy token passes; a light token (own count ≤ 7) fails
+    * unless EVERY one of the d=4 rows hashes it into ≥ 500 of colliding
+    * mass, and total light mass is 250 < 500 − 7, so that needs a heavy
+    * token colliding in all 4 rows — empirically false at the fixed
+    * murmur seeds, and the hashes are deterministic, so the agreement
+    * is permanent (checked; a hashing/merge/estimate bug that inflates
+    * a cell or deflates a min breaks the hash). `exact_n` rides along
+    * fully cross-checked, pinning the synthesized stream itself.
+    * `dir` ignored by design (regime, not scale). */
+  def cmsHeavyClustered(spark: SparkSession, dir: String,
+                        d: Int = 4, w: Int = 512): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = spark.range(0, 60)
+      .select(col("id").as("j"),
+        when(col("id") < 10, col("id") + 600)
+          .otherwise(col("id") % 5 + 3).as("c"))
+      .select(concat(lit("t"), col("j").cast("string")).as("token"),
+        explode(expr("sequence(1, c)")).as("occ"))
+      .drop("occ")
+    val cms = udaf(new graft.functions.CountMinAggregator(d, w),
+      Encoders.STRING)
+    val sk = toks.agg(cms(col("token")).as("sk"))
+      .collect().head.getSeq[Long](0).toArray
+    val est = udf((s: String) =>
+      graft.functions.CountMin.estimate(sk, d, w, s))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .withColumn("heavy", est(col("token")) >= 500L)
+      .select(col("token"), col("exact_n"), col("heavy"))
+      .orderBy(col("token"))
+  }
+
+  val cmsHeavyClusteredSql: String =
+    """SELECT 't' || CAST(j AS VARCHAR) AS token,
+      |  CAST(c AS BIGINT) AS exact_n,
+      |  c >= 500 AS heavy
+      |FROM (SELECT j,
+      |        CASE WHEN j < 10 THEN 600 + j ELSE j % 5 + 3 END AS c
+      |      FROM generate_series(0, 59) AS t(j))
+      |ORDER BY token""".stripMargin
+
   /** Data profiling — the one-pass table health report (row counts,
     * null fractions, distinct cardinalities, ranges) every ingest job
     * emits before anything downstream trusts the batch. All stats ride a
@@ -248,23 +297,78 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** [[q88ApproxQuantile]]'s DECISION layer through the HASH GATE: the
+    * GK sketch values are engine-specific (rows-only by §5.5), but the
+    * published RANK guarantee is checkable — percentile_approx(...,
+    * accuracy) returns an element whose rank is within ~n/accuracy of
+    * the target. Spark verifies it directly: per group, the returned
+    * value's rank interval [#(v < a)/n, #(v ≤ a)/n] (an interval
+    * because of ties) must intersect q ± ε with ε = 2/accuracy (2×
+    * headroom over the nominal bound; the check is deterministic at the
+    * fixture, so green-once is green-forever). The oracle synthesizes
+    * TRUE; `n_vals` rides fully cross-checked. A sketch merge/query bug
+    * that drifts any cut past the bound flips a boolean and breaks the
+    * hash. One broadcast of the 3·|groups| approx values — two scans,
+    * no extra shuffle beyond the two aggregations. */
+  def q88QuantileBound(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = array(lit(0.5), lit(0.95), lit(0.99))
+    val acc = 10000
+    val ap = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), cuts, lit(acc)).as("approx"))
+      .select(col("event_type"),
+        element_at(col("approx"), 1).as("a50"),
+        element_at(col("approx"), 2).as("a95"),
+        element_at(col("approx"), 3).as("a99"))
+    val eps = 2.0 / acc
+    def rankOk(q: Double, lt: org.apache.spark.sql.Column,
+               le: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lt / n <= q + eps && le / n >= q - eps
+    def lt(a: String) =
+      sum(when(col("value") < col(a), 1L).otherwise(0L))
+    def le(a: String) =
+      sum(when(col("value") <= col(a), 1L).otherwise(0L))
+    Tables.events(spark, dir)
+      .join(broadcast(ap), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n_vals"),
+        lt("a50").as("lt50"), le("a50").as("le50"),
+        lt("a95").as("lt95"), le("a95").as("le95"),
+        lt("a99").as("lt99"), le("a99").as("le99"))
+      .select(col("event_type"), col("n_vals"),
+        rankOk(0.50, col("lt50"), col("le50"), col("n_vals")).as("p50_ok"),
+        rankOk(0.95, col("lt95"), col("le95"), col("n_vals")).as("p95_ok"),
+        rankOk(0.99, col("lt99"), col("le99"), col("n_vals")).as("p99_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val q88QuantileBoundSql: String =
+    """SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n_vals,
+      |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_profile"         -> (profile _),
     "q79_cms_topk"        -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
+    "q79_cms_heavy_clustered" -> ((s: SparkSession, d: String) => cmsHeavyClustered(s, d)),
     "q74_bloom_semi_join" -> (bloomSemiJoin _),
     "q75_funnel"          -> (funnel _),
     "q76_cohort"          -> (cohort _),
     "q78_incr_agg"        -> (incrementalAgg _),
     "q88_approx_quantile" -> (q88ApproxQuantile _),
+    "q88_quantile_bound"  -> (q88QuantileBound _),
   )
 
   val oracles: Map[String, String] = Map(
     "q81_profile"         -> profileSql,
+    "q79_cms_heavy_clustered" -> cmsHeavyClusteredSql,
     "q74_bloom_semi_join" -> bloomSemiJoinSql,
     "q75_funnel"          -> funnelSql,
     "q76_cohort"          -> cohortSql,
     "q78_incr_agg"        -> incrementalAggSql,
+    "q88_quantile_bound"  -> q88QuantileBoundSql,
   )
 }

@@ -639,6 +639,34 @@ object Relational2 {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** [[q62HllSketch]]'s DECISION layer through the HASH GATE: the HLL
+    * estimate itself is engine-specific (rows-only by §5.5), but the
+    * published accuracy claim is a boolean the gate can check. lgK=12
+    * DataSketches HLL has rsd ≈ 1.04/√4096 ≈ 1.6 %; `within_bound`
+    * asserts the per-group relative error is inside 5 % (≈ 3σ — at the
+    * fixture's fixed hash seeds the observed error is deterministic, so
+    * this is stable, not flaky). The oracle synthesizes TRUE — a
+    * one-sided claim row: a sketch-merge or estimator bug that drifts
+    * any group past 5 % flips Spark's boolean and breaks the hash,
+    * while `exact_users` rides along fully cross-checked. */
+  def q62HllBound(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users").cast("double") /
+          col("exact_users").cast("double") - 1.0) <= 0.05)
+          .as("within_bound"))
+      .orderBy(col("event_type"))
+
+  val q62HllBoundSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** The foreachBatch sink — the production workhorse for sinks Spark has
     * no native writer for (JDBC upserts, multi-sink fanout): a
     * complete-mode aggregation hands each micro-batch DataFrame to user
@@ -2232,6 +2260,7 @@ object Relational2 {
     "q60_stream_outer_join" -> (q60StreamOuterJoin _),
     "q61_partitioned_write" -> (q61PartitionedWrite _),
     "q62_hll_sketch"      -> (q62HllSketch _),
+    "q62_hll_bound"       -> (q62HllBound _),
     "q63_foreach_batch"   -> (q63ForeachBatchSink _),
     "q64_json_roundtrip"  -> (q64JsonRoundtrip _),
     "q65_custom_sessionize" -> (q65CustomSessionize _),
@@ -2239,6 +2268,7 @@ object Relational2 {
 
   val oracles: Map[String, String] = Map(
     "q82_lateral"         -> q82Sql,
+    "q62_hll_bound"       -> q62HllBoundSql,
     "q83_recursive"       -> q83Sql,
     "q87_stream_upsert"   -> q87Sql,
     "q95_mor_upsert"      -> q87Sql, // same final table — only the state protocol differs

@@ -161,12 +161,54 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** [[q37ApproxSketches]]'s DECISION layer through the HASH GATE (the
+    * q88/q62 pattern): sketch values are engine-specific, their
+    * published accuracy claims are booleans the gate checks. Per
+    * l_returnflag: `cd_ok` — approx_count_distinct (HLL++, default rsd
+    * 5 %) within 15 % (3σ) of the exact count; `p50_ok` — the
+    * approx_percentile(0.5, accuracy=1000) element's rank interval
+    * [#(v < a)/n, #(v ≤ a)/n] intersects 0.5 ± 2/1000 (l_quantity is
+    * heavily tied, so the interval is wide — the rank form is the only
+    * sound check). Deterministic at the fixture; oracle synthesizes
+    * TRUE and cross-checks `exact_parts`/`n`. */
+  def q37Bound(spark: SparkSession, dir: String): DataFrame = {
+    val ap = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("acd"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("a50"))
+    val eps = 2.0 / 1000
+    Tables.lineitem(spark, dir)
+      .join(broadcast(ap), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        count(col("l_quantity")).as("n"),
+        first(col("acd")).as("acd"),
+        sum(when(col("l_quantity") < col("a50"), 1L).otherwise(0L))
+          .as("lt50"),
+        sum(when(col("l_quantity") <= col("a50"), 1L).otherwise(0L))
+          .as("le50"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("acd").cast("double") /
+          col("exact_parts").cast("double") - 1.0) <= 0.15).as("cd_ok"),
+        (col("lt50") / col("n") <= 0.5 + eps &&
+          col("le50") / col("n") >= 0.5 - eps).as("p50_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q37BoundSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(COUNT(l_quantity) AS BIGINT) AS n,
+      |  TRUE AS cd_ok, TRUE AS p50_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_asof_join"   -> (q34AsofJoin _),
     "q35_range_join"  -> (q35RangeJoin _),
     "q36_percentile"  -> (q36Percentile _),
     "q37_approx"      -> (q37ApproxSketches _),
     "q37_exact"       -> (q37Exact _),
+    "q37_bound"       -> (q37Bound _),
     "q38_asof_native" -> (q38AsofNative _),
   )
 
@@ -175,6 +217,7 @@ object Temporal {
     "q35_range_join"  -> q35Sql,
     "q36_percentile"  -> q36Sql,
     "q37_exact"       -> q37ExactSql,
+    "q37_bound"       -> q37BoundSql,
     "q38_asof_native" -> q34Sql,
   )
 }
