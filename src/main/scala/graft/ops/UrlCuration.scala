@@ -229,6 +229,7 @@ object UrlCuration {
                                statePath: String,
                                compactEvery: Int = 4): Unit = {
     val sp = batch.sparkSession
+    val tEpoch = System.nanoTime()
     Seq("winners", "results").foreach(r =>
       graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
     val canon = batch
@@ -258,6 +259,8 @@ object UrlCuration {
     graft.tools.LogState.maintain(sp,
       Seq(s"$statePath/winners", s"$statePath/results"), epoch,
       compactEvery)(identity)
+    graft.tools.PhaseTiming.record(f"urlepoch$epoch%03d",
+      (System.nanoTime() - tEpoch) / 1e9)
   }
 
   /** STREAMING URL dedup through the HASH GATE: contiguous id-range
@@ -369,6 +372,7 @@ object UrlCuration {
                                 statePath: String, k: Int = DomainCapK,
                                 compactEvery: Int = 4): Unit = {
     val sp = batch.sparkSession
+    val tEpoch = System.nanoTime()
     val candRoot = s"$statePath/cand"
     val cntRoot = s"$statePath/domcnt"
     Seq(candRoot, cntRoot)
@@ -386,6 +390,8 @@ object UrlCuration {
       capTopK(_, k))
     graft.tools.LogState.maintain(sp, Seq(cntRoot), epoch, compactEvery)(
       _.groupBy(col("domain")).agg(sum(col("n")).as("n")))
+    graft.tools.PhaseTiming.record(f"dcapepoch$epoch%03d",
+      (System.nanoTime() - tEpoch) / 1e9)
   }
 
   /** The capped corpus as of `upTo` — per-domain kept docs with

@@ -622,6 +622,38 @@ object ScaleProbe {
       // distinct + shingle-keyed pair join must stay linear-ish in corpus
       // shingle mass (per-shingle fan-out ≤ |sources| = 20 here)
       "dedup_overlap_matrix" -> (() => graft.ops.Dedup.overlapMatrix(spark, outDir).count()),
+      // URL tier at corpus scale (VERDICT r14 #4): canonicalization is a
+      // compiled per-row kernel (no shuffle), dedup groups on md5
+      // digests — cold cost should track corpus size linearly. Prints
+      // the distinct-canonical-URL count: the tier's winners artifact is
+      // O(distinct URLs), the state-size number worth pinning (the
+      // planted corpus has one canonical URL per 4 docs, so ~125k
+      // winners at 100×).
+      "text_url_dedup"     -> (() => {
+        val df = graft.ops.UrlCuration.queries("text_url_dedup")(
+          spark, outDir)
+        val n = df.count()
+        val kept = df.filter(col("keep")).count()
+        println(s"probe   text_url_dedup docs=$n distinct_urls=$kept " +
+          s"winners_frac=${kept.toDouble / n}")
+        n
+      }),
+      // streaming URL dedup over 16 id-local epochs: per-epoch
+      // urlepochNNN phases must stay FLAT — each epoch pays batch
+      // canonicalization + one anti-join against the slim (digest,
+      // keep_id) winners log; history never re-canonicalizes
+      "text_url_dedup_stream16" -> (() =>
+        graft.ops.UrlCuration.urlDedupStream(spark, outDir,
+          epochs = 16).count()),
+      // streaming domain cap over 16 epochs: per-epoch dcapepochNNN
+      // phases must stay flat — per-epoch work is one batch-sized
+      // TwoLevel rank; state is bounded at K·domains candidates plus
+      // the count-sum log, so compaction folds are O(K·domains), not
+      // O(corpus). The planted corpus's 7 domains at ~71k docs/domain
+      // is the extreme-skew regime the bucket-rank exists for.
+      "corpus_domain_cap_stream16" -> (() =>
+        graft.ops.UrlCuration.domainCapStream(spark, outDir,
+          epochs = 16).count()),
       "corpus_mix"         -> (() => graft.ops.Corpus.mixWeights(spark, outDir).count()),
       // BPE training at a production-shaped merge count (VERDICT r11 #1).
       // The replica corpus's ~90-type vocabulary exhausts after ~173
