@@ -733,6 +733,7 @@ object TextAnalysis {
                               statePath: String,
                               compactEvery: Int = 4): Unit = {
     val sp = batch.sparkSession
+    val tEpoch = System.nanoTime()
     Seq("urlwin", "textwin", "flags").foreach(r =>
       graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
     val flags0 = funnelDocFlags(batch)
@@ -777,6 +778,8 @@ object TextAnalysis {
     graft.tools.LogState.maintain(sp,
       Seq(s"$statePath/urlwin", s"$statePath/textwin",
         s"$statePath/flags"), epoch, compactEvery)(identity)
+    graft.tools.PhaseTiming.record(f"fwepoch$epoch%03d",
+      (System.nanoTime() - tEpoch) / 1e9)
   }
 
   /** The running attrition report as of `upTo`; None before the first

@@ -51,6 +51,9 @@ object ExplainDump {
       "pipeline_fineweb" -> "composed FineWeb funnel: cumulative stage flags in one corpus pass, per-text dedup window, single conditional aggregation — no per-stage re-scans",
       "text_dsir" -> "DSIR selection: bigram explode narrow map, two O(64)-bucket count tables broadcast back, floor-scaled integer ratio terms inside codegen, one doc-keyed aggregation",
       "dedup_semantic" -> "SemDeDup: broadcast-centroid assignment (narrow map), ONE exchange on cluster_id, bounded within-cluster pair enumeration, survivor anti-join",
+      "text_url_dedup" -> "URL dedup: compiled per-row canonicalization kernel (no shuffle), 16-byte md5-digest groupBy + winners equi-join — no URL strings in any exchange",
+      "corpus_domain_cap" -> "domain cap: TwoLevel md5-bucket rank (bucket-local windows + broadcast prefix counts) — no per-domain global sort at any stratum skew",
+      "q88_quantile_bound" -> "GK rank-bound check: 3-value-per-group approx broadcast onto the corpus scan, ONE conditional aggregation computes every tie interval",
     )
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")

@@ -725,6 +725,14 @@ object ScaleProbe {
       // the composed funnel: one corpus pass + the per-text dedup window;
       // cost should sit near text_gopher_rep + an exchange
       "pipeline_fineweb"   -> (() => graft.ops.TextAnalysis.queries("pipeline_fineweb")(spark, outDir).count()),
+      // streaming funnel over 16 id-local epochs: per-epoch fwepochNNN
+      // phases must stay flat — each epoch pays the stateless flag
+      // kernels on the batch plus two anti-joins against the slim
+      // (digest) winner logs; the running report is a fold of the flag
+      // log, never a corpus re-scan
+      "pipeline_fineweb_stream16" -> (() =>
+        graft.ops.TextAnalysis.finewebStream(spark, outDir,
+          epochs = 16).count()),
       // WordPiece at production merge counts through the driver path —
       // the O(1)-Spark-actions claim at a 512-rule vocabulary
       "corpus_wordpiece512" -> (() =>
