@@ -91,6 +91,92 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** One micro-batch of STREAMING token-budget selection — corpus
+    * assembly at INGEST time (a crawl keeps admitting documents per
+    * source until that source's token budget fills). The keep rule
+    * `cum_before < budget` is PREFIX-CLOSED under id-ordered arrival: a
+    * doc's cumulative-before depends only on earlier-id docs of its
+    * source, so decisions at arrival are final. State under
+    * `statePath`:
+    *  - `srctot`  — (source, n) per-epoch token totals; fold = the
+    *    count-sum monoid (totals count ALL arrived docs, kept or not —
+    *    the batch rule's running sum does);
+    *  - `results` — kept docs with their cum_before, append-only.
+    * Per-epoch cost: one within-batch TwoLevel prefix sum + a broadcast
+    * join against the O(|sources|) folded totals. Epoch-keyed
+    * overwrites derived from state < epoch — replay-idempotent. */
+  def budgetStreamApplyBatch(batch: DataFrame, epoch: Long,
+                             statePath: String, budget: Long = 300L,
+                             compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    val tEpoch = System.nanoTime()
+    Seq("srctot", "results").foreach(r =>
+      graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
+    val d = batch
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val local = TwoLevel.cumBefore(
+        TwoLevel.withIdRangeBucket(d, "source", "doc_id", "__b"),
+        Seq("source"), "__b", Seq(col("doc_id")), "n_tokens", "loc_before")
+      .drop("__b")
+    val histPaths =
+      graft.tools.LogState.pathsAsOf(s"$statePath/srctot", epoch - 1)
+    val hist =
+      if (histPaths.isEmpty)
+        d.select(col("source"), lit(0L).as("n")).limit(0)
+      else sp.read.parquet(histPaths: _*)
+    val histTot = hist.groupBy(col("source")).agg(sum(col("n")).as("h"))
+    val res = local
+      .join(broadcast(histTot), Seq("source"), "left_outer")
+      .na.fill(0L, Seq("h"))
+      .withColumn("cum_before", col("h") + col("loc_before"))
+      .filter(col("cum_before") < budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"), lit(epoch).as("epoch"))
+    d.groupBy(col("source")).agg(sum(col("n_tokens")).as("n"))
+      .write.mode("overwrite").parquet(s"$statePath/srctot/delta/v$epoch")
+    res.write.mode("overwrite")
+      .parquet(s"$statePath/results/delta/v$epoch")
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/srctot"), epoch,
+      compactEvery)(_.groupBy(col("source")).agg(sum(col("n")).as("n")))
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/results"), epoch,
+      compactEvery)(identity)
+    graft.tools.PhaseTiming.record(f"budepoch$epoch%03d",
+      (System.nanoTime() - tEpoch) / 1e9)
+  }
+
+  /** STREAMING budget select through the HASH GATE: contiguous id-range
+    * batches (arrival order = id order — the prefix-closure regime),
+    * folded kept set must equal batch [[budgetSelect]] — the SAME
+    * oracle. A history total that drops unkept docs' tokens, a
+    * double-counted replay, or a budget boundary crossed mid-batch all
+    * move cum_before and break the hash. */
+  def budgetSelectStream(spark: SparkSession, dir: String,
+                         budget: Long = 300L,
+                         epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-budstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { k =>
+        budgetStreamApplyBatch(
+          all.filter(expr(s"(doc_id - $lo) div $width") === k),
+          k, statePath, budget, compactEvery = 2)
+      }
+      spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/results", epochs - 1L): _*)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_before"))
+        .localCheckpoint()
+        .orderBy(col("source"), col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   val budgetSelectSql: String =
     s"""SELECT source, doc_id, n_tokens, cum_before FROM (
        |  SELECT source, doc_id, n_tokens,
@@ -1470,6 +1556,7 @@ object Corpus {
     "pipeline_shards"    -> (shardsPipeline _),
     "corpus_pack"        -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "corpus_budget"      -> ((s: SparkSession, d: String) => budgetSelect(s, d)),
+    "corpus_budget_stream" -> ((s: SparkSession, d: String) => budgetSelectStream(s, d)),
     "corpus_balance"     -> ((s: SparkSession, d: String) => balanceByLang(s, d)),
     "corpus_shard"       -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
     "corpus_vocab_prune" -> ((s: SparkSession, d: String) => vocabPrune(s, d)),
@@ -1490,6 +1577,9 @@ object Corpus {
     "pipeline_shards"    -> shardsPipelineSql,
     "corpus_pack"        -> packSequencesSql,
     "corpus_budget"      -> budgetSelectSql,
+    // streaming twin under id-ordered arrival: prefix-closed keep rule,
+    // same oracle
+    "corpus_budget_stream" -> budgetSelectSql,
     "corpus_balance"     -> balanceByLangSql,
     "corpus_shard"       -> shardShuffleSql,
     "corpus_vocab_prune" -> vocabPruneSql,

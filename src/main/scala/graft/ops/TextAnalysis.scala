@@ -894,8 +894,10 @@ object TextAnalysis {
     * that needs NO global sort. Scale shape: one explode, two O(B)
     * count tables broadcast back, one per-doc aggregation — the
     * corpus shuffles once by doc_id. */
-  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+  /** Hashed-bigram feature stream of a documents frame: one narrow
+    * explode, bucket = the shared 31-ary polynomial hash mod 64. */
+  private def dsirGrams(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -904,11 +906,13 @@ object TextAnalysis {
       .withColumn("b", expr(
         """aggregate(split(gram, ''), 0L,
           |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) % 64""".stripMargin))
-    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("rc"))
-    val tgt = grams.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val totals = grams.agg(count(lit(1)).as("rt"),
-      count(when(col("lang") === "en", 1)).as("tt"))
+
+  /** Scores a gram stream against the (raw, tgt, totals) importance
+    * model — all three model frames are O(B) and broadcast. Shared by
+    * the batch form and the frozen-model streaming form, so their
+    * scoring arithmetic cannot drift apart. */
+  private def dsirScore(grams: DataFrame, raw: DataFrame, tgt: DataFrame,
+                        totals: DataFrame): DataFrame =
     grams.join(broadcast(raw), Seq("b"))
       .join(broadcast(tgt), Seq("b"), "left_outer")
       .na.fill(0L, Seq("tc"))
@@ -927,7 +931,94 @@ object TextAnalysis {
       .withColumn("score_avg",
         expr("CAST(score_sum div n_grams AS BIGINT)"))
       .withColumn("selected", col("score_avg") >= 1000000L)
-      .orderBy(col("doc_id"))
+
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val grams = dsirGrams(Tables.documents(spark, dir))
+    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgt = grams.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val totals = grams.agg(count(lit(1)).as("rt"),
+      count(when(col("lang") === "en", 1)).as("tt"))
+    dsirScore(grams, raw, tgt, totals).orderBy(col("doc_id"))
+  }
+
+  /** Trains the DSIR importance model on a reference corpus and
+    * PERSISTS it (three tiny parquet tables: per-bucket raw counts,
+    * per-bucket target counts, 1-row totals) — the deployment split the
+    * paper's pipeline actually uses: the model is fit once on a held
+    * reference corpus, then applied at INGEST time to every arriving
+    * document. Model size is O(B) = 64 rows regardless of corpus
+    * size. */
+  def dsirModelTrain(spark: SparkSession, dir: String,
+                     modelPath: String): Unit = {
+    val grams = dsirGrams(Tables.documents(spark, dir))
+    grams.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/raw")
+    grams.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/tgt")
+    grams.agg(count(lit(1)).as("rt"),
+        count(when(col("lang") === "en", 1)).as("tt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/totals")
+  }
+
+  /** One micro-batch of STREAMING DSIR selection under a FROZEN model:
+    * scoring is a pure per-doc function of the persisted model (a
+    * 64-row broadcast), so decisions at arrival are final — no
+    * prefix-closure argument needed, no revision, no cross-doc state
+    * beyond the append-only results log. Per-epoch cost: one explode
+    * over the batch + the broadcast model join. Epoch-keyed overwrite —
+    * replay rewrites identical files. */
+  def dsirStreamApplyBatch(batch: DataFrame, epoch: Long,
+                           statePath: String, modelPath: String,
+                           compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    val tEpoch = System.nanoTime()
+    graft.tools.LogState.requireNoFuture(s"$statePath/results", epoch)
+    val res = dsirScore(dsirGrams(batch),
+      sp.read.parquet(s"$modelPath/raw"),
+      sp.read.parquet(s"$modelPath/tgt"),
+      sp.read.parquet(s"$modelPath/totals"))
+      .withColumn("epoch", lit(epoch))
+    res.write.mode("overwrite")
+      .parquet(s"$statePath/results/delta/v$epoch")
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/results"), epoch,
+      compactEvery)(identity)
+    graft.tools.PhaseTiming.record(f"dsirepoch$epoch%03d",
+      (System.nanoTime() - tEpoch) / 1e9)
+  }
+
+  /** STREAMING DSIR through the HASH GATE: the model trains once on the
+    * full corpus (the reference-corpus step), then the same corpus
+    * streams through frozen-model scoring in contiguous id-range
+    * batches — the folded results must equal batch [[dsirSelect]], the
+    * SAME oracle. A model drift between epochs, a double-published
+    * replay, or a scoring-path divergence from the batch arithmetic
+    * breaks the hash. */
+  def dsirStream(spark: SparkSession, dir: String,
+                 epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-dsirstream")
+    try {
+      val modelPath = s"$base/model"
+      val statePath = s"$base/state"
+      dsirModelTrain(spark, dir, modelPath)
+      val all = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { k =>
+        dsirStreamApplyBatch(
+          all.filter(expr(s"(doc_id - $lo) div $width") === k),
+          k, statePath, modelPath, compactEvery = 2)
+      }
+      spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/results", epochs - 1L): _*)
+        .select(col("doc_id"), col("n_grams"), col("score_sum"),
+          col("score_avg"), col("selected"))
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
   val dsirSelectSql: String =
@@ -1474,6 +1565,7 @@ object TextAnalysis {
     "pipeline_fineweb_stream" ->
       ((s: SparkSession, d: String) => finewebStream(s, d)),
     "text_dsir"        -> (dsirSelect _),
+    "text_dsir_stream" -> ((s: SparkSession, d: String) => dsirStream(s, d)),
     "text_det_split"   -> (detSplit _),
     "text_clean"       -> (textClean _),
     "text_wordcount"   -> (wordCount _),
@@ -1504,6 +1596,9 @@ object TextAnalysis {
     // funnel's attrition counts exactly.
     "pipeline_fineweb_stream" -> finewebPipelineSql,
     "text_dsir"        -> dsirSelectSql,
+    // frozen-model streaming twin: model trained on the full corpus,
+    // scoring is a pure per-doc function — fold == batch unconditionally
+    "text_dsir_stream" -> dsirSelectSql,
     "text_det_split"   -> detSplitSql,
     "text_clean"       -> textCleanSql,
     "text_wordcount"   -> wordCountSql,

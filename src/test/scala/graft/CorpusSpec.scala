@@ -60,6 +60,51 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 9L))
   }
 
+  test("budgetSelectStream: fold == batch; budget boundary crossed " +
+      "ACROSS epochs; replay idempotent") {
+    // the load-bearing case is the boundary CROSSING an epoch edge: the
+    // overshooting doc is kept in epoch 0 (cum_before 200 < 300), and
+    // the next doc arrives in a LATER epoch where only the history
+    // total — not any within-batch window — can prove it is over budget
+    val dir = docs(
+      (1L, words(200), "en", "s0"),
+      (2L, words(150), "en", "s0"),
+      (3L, words(10), "en", "s0"),
+      (9L, words(5), "en", "s1"))
+    val batch = Corpus.budgetSelect(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val stream = Corpus.budgetSelectStream(spark, dir, epochs = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stream.toSeq == batch.toSeq, s"stream=$stream batch=$batch")
+    // direct apply-batch: the cross-epoch history total is what drops
+    // the late doc — a fresh-state bug (treating a new epoch's source
+    // as empty) would keep it
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-budstream-spec").toString + "/state"
+    try {
+      def b(rows: (Long, Int)*) = rows.toSeq
+        .map { case (id, n) => (id, words(n), "s2") }
+        .toDF("doc_id", "text", "source")
+      // epoch 0: 250 kept + 100 kept-at-250 (overshoots to 350)
+      Corpus.budgetStreamApplyBatch(b(1L -> 250, 2L -> 100), 0L,
+        statePath, budget = 300L, compactEvery = 2)
+      // epoch 1: cum_before = 350 >= 300 -> dropped on history alone
+      Corpus.budgetStreamApplyBatch(b(3L -> 5), 1L, statePath,
+        budget = 300L, compactEvery = 2)
+      def res() = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/results", 1L): _*)
+        .collect().map(r => r.getLong(1)).toSet
+      val r1 = res()
+      assert(r1 == Set(1L, 2L), s"kept: $r1")
+      // replay of the last epoch rewrites identical state
+      Corpus.budgetStreamApplyBatch(b(3L -> 5), 1L, statePath,
+        budget = 300L, compactEvery = 2)
+      assert(res() == r1)
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("balanceByLang caps each language at perLang with a deterministic rank") {
     val dir = docs((1L to 10L).map(i => (i, words(3), if (i <= 7) "en" else "fr", "s0")): _*)
     val out = Corpus.balanceByLang(spark, dir, perLang = 4).collect()

@@ -362,6 +362,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!rows(3L) && !rows(4L), s"off-distribution selected: $rows")
   }
 
+  test("dsir stream: frozen-model scoring folds to the batch result; " +
+      "model persists as O(B) tables; replay idempotent") {
+    val enText = Seq.fill(30)("alpha beta").mkString(" ")
+    val xxText = Seq.fill(30)("gamma delta").mkString(" ")
+    val dir = docs(
+      (1L, enText, "en"), (2L, enText, "en"), (3L, xxText, "xx"),
+      (4L, xxText, "xx"), (5L, enText, "xx"))
+    val batch = TextAnalysis.dsirSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    val stream = TextAnalysis.dsirStream(spark, dir, epochs = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    // direct form: persisted model is bucket-count tables, and an
+    // at-least-once replay of a batch rewrites identical results
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dsirstream-spec").toString
+    try {
+      val modelPath = s"$base/model"
+      val statePath = s"$base/state"
+      TextAnalysis.dsirModelTrain(spark, dir, modelPath)
+      assert(spark.read.parquet(s"$modelPath/raw").count() <= 64)
+      assert(spark.read.parquet(s"$modelPath/totals").count() == 1)
+      val b0 = graft.Tables.documents(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") <= 2)
+      TextAnalysis.dsirStreamApplyBatch(b0, 0L, statePath, modelPath)
+      def res() = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/results", 0L): _*)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Boolean]("selected")).toMap
+      val r1 = res()
+      assert(r1 == Map(1L -> true, 2L -> true))
+      TextAnalysis.dsirStreamApplyBatch(b0, 0L, statePath, modelPath)
+      assert(res() == r1, "replay changed the results log")
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   test("fineweb funnel: every stage sheds its planted violator") {
     // good docs must clear the quality gate: >= 50 tokens, >= 2
     // stopword hits, mean word length in [3, 10]
