@@ -72,6 +72,12 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
     val phases = scala.collection.mutable.Map[String, Double]()
+    // The warm-in just paid the family's train-once artifact builds —
+    // keep their *.build phase timings under a "warm." prefix so the
+    // build-cost evidence still lands in bench_full.json (the timed
+    // loop's leading drain would otherwise discard them).
+    phases ++= graft.tools.PhaseTiming.drain()
+      .map { case (k, v) => s"warm.$k" -> v }
     // Per-query shuffle-bytes evidence: the collector aggregates each
     // action's shuffle writes; the per-iteration average lands in the
     // bench JSON so "the dedup shuffle carries digests, not documents"

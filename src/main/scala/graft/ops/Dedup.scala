@@ -1740,13 +1740,19 @@ object Dedup {
     // the term that says whether k was sized right for the corpus, and a
     // degenerate-hot cluster is this operator's one scale hazard (the
     // banded embeddingLsh is the documented escape). One O(k)-row
-    // aggregate over the checkpointed assignment map; recordMax keeps
-    // max-semantics across multiple calls between drains.
+    // aggregate over the checkpointed assignment map. The three gauges
+    // are recorded as ONE coherent group keyed on the worst max/mean
+    // skew (basis points): independent per-gauge maxes across two calls
+    // with different k would pair one call's max with another's cluster
+    // count and fabricate a skew neither call had.
     val cs = assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("c"))
-      .agg(max(col("c")).as("mx"), count(lit(1)).as("nc")).head
-    graft.tools.RoutingMetrics.recordMax("sem_cluster_max", cs.getLong(0))
-    graft.tools.RoutingMetrics.recordMax("sem_clusters", cs.getLong(1))
+      .agg(max(col("c")).as("mx"), count(lit(1)).as("nc"),
+        sum(col("c")).as("tot")).head
+    val (mx, nc, tot) = (cs.getLong(0), cs.getLong(1), cs.getLong(2))
+    graft.tools.RoutingMetrics.recordWorstGroup(
+      "sem_skew_bp", mx * nc * 10000L / math.max(tot, 1L),
+      "sem_cluster_max" -> mx, "sem_clusters" -> nc)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("a_id"),
       col("v").as("a_v"))
     val b = assigned.select(col("cluster_id"), col("vec_id").as("b_id"),

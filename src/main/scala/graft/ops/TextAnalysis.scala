@@ -913,7 +913,15 @@ object TextAnalysis {
     * scoring arithmetic cannot drift apart. */
   private def dsirScore(grams: DataFrame, raw: DataFrame, tgt: DataFrame,
                         totals: DataFrame): DataFrame =
-    grams.join(broadcast(raw), Seq("b"))
+    // BOTH model joins are left_outer + fill(0): under a frozen model a
+    // scored gram can hash to a bucket the reference corpus never
+    // produced (rc = 0 is exactly what +1 smoothing is for). An inner
+    // raw join would silently DROP such grams — and a doc whose grams
+    // all land in uncovered buckets would vanish from the results log,
+    // a curation decision never made. The batch form can't hit this
+    // (raw is built from the same grams) but shares the code path.
+    grams.join(broadcast(raw), Seq("b"), "left_outer")
+      .na.fill(0L, Seq("rc"))
       .join(broadcast(tgt), Seq("b"), "left_outer")
       .na.fill(0L, Seq("tc"))
       .crossJoin(broadcast(totals))

@@ -17,11 +17,25 @@ object RoutingMetrics {
   def add(name: String, n: Long): Unit =
     acc.updateWith(name) { prev => Some(prev.getOrElse(0L) + n) }
 
-  /** Max-semantics counter for gauges like sem_cluster_max where two
-    * calls between drains must report the WORST value seen, not a
-    * meaningless sum. */
+  /** Max-semantics counter for gauges where two calls between drains
+    * must report the WORST value seen, not a meaningless sum. */
   def recordMax(name: String, n: Long): Unit =
     acc.updateWith(name) { prev => Some(math.max(prev.getOrElse(n), n)) }
+
+  private val pairLock = new Object
+
+  /** Records a COHERENT gauge group: if `gauge` beats its stored value,
+    * the companion gauges are overwritten together with it — so a
+    * derived ratio (sem_cluster_max vs sem_clusters) always comes from
+    * ONE call, never a max-of-call-A paired with a count-of-call-B. */
+  def recordWorstGroup(gauge: String, value: Long,
+                       companions: (String, Long)*): Unit =
+    pairLock.synchronized {
+      if (value > acc.getOrElse(gauge, Long.MinValue)) {
+        acc(gauge) = value
+        companions.foreach { case (k, v) => acc(k) = v }
+      }
+    }
 
   /** Returns all recorded counters and clears them. Conditional remove
     * keeps a counter bumped concurrently between snapshot and sweep for

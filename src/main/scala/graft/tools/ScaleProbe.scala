@@ -630,10 +630,14 @@ object ScaleProbe {
       // planted corpus has one canonical URL per 4 docs, so ~125k
       // winners at 100×).
       "text_url_dedup"     -> (() => {
-        val df = graft.ops.UrlCuration.queries("text_url_dedup")(
-          spark, outDir)
-        val n = df.count()
-        val kept = df.filter(col("keep")).count()
+        // ONE execution for both numbers — a second .count() over the
+        // frame would re-run the kernel + dedup DAG and double the
+        // arm's wall clock
+        val r = graft.ops.UrlCuration.queries("text_url_dedup")(
+            spark, outDir)
+          .agg(count(lit(1)).as("n"),
+            sum(col("keep").cast("long")).as("kept")).head
+        val (n, kept) = (r.getLong(0), r.getLong(1))
         println(s"probe   text_url_dedup docs=$n distinct_urls=$kept " +
           s"winners_frac=${kept.toDouble / n}")
         n
