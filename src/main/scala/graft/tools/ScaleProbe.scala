@@ -737,6 +737,19 @@ object ScaleProbe {
       "pipeline_fineweb_stream16" -> (() =>
         graft.ops.TextAnalysis.finewebStream(spark, outDir,
           epochs = 16).count()),
+      // frozen-model streaming DSIR over 16 epochs: scoring is a pure
+      // per-doc broadcast join, so dsirepochNNN phases must be flat and
+      // the one-time model-train term shows up as the gap between total
+      // and Σ epochs
+      "text_dsir_stream16" -> (() =>
+        graft.ops.TextAnalysis.dsirStream(spark, outDir,
+          epochs = 16).count()),
+      // streaming token-budget admission over 16 epochs: per-epoch work
+      // is a batch-sized prefix sum + an O(|sources|) broadcast; state
+      // is one number per source — budepochNNN must be flat
+      "corpus_budget_stream16" -> (() =>
+        graft.ops.Corpus.budgetSelectStream(spark, outDir,
+          epochs = 16).count()),
       // WordPiece at production merge counts through the driver path —
       // the O(1)-Spark-actions claim at a 512-rule vocabulary
       "corpus_wordpiece512" -> (() =>

@@ -141,6 +141,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl is idempotent and its output carries no junk " +
+      "(generated URL-ish inputs)") {
+    import graft.functions.UrlKernels.canonicalizeUrl
+    val scheme = Gen.oneOf("http://", "https://", "HTTPS://", "ftp://", "")
+    val host = Gen.oneOf("A.com", "www.b.org", "WWW.C.D.com", "x.io")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val path = Gen.oneOf("", "/", "/P/q", "/a//b/", "/CaseSensitive")
+    val par = Gen.oneOf("a=1", "utm_x=9", "ref=br", "ref_src=tw",
+      "gclid=g", "b=2", "", "flag")
+    val query = Gen.listOfN(3, par).map { ps =>
+      val s = ps.filter(_.nonEmpty).mkString("&")
+      if (s.isEmpty) "" else "?" + s
+    }
+    val frag = Gen.oneOf("", "#sec", "#")
+    val urlGen = for {
+      s <- scheme; h <- host; po <- port; pa <- path; q <- query; f <- frag
+    } yield s + h + po + pa + q + f
+    forAll(urlGen, n = 60) { u =>
+      val c1 = canonicalizeUrl(u)
+      assert(c1 != null, s"null canon for '$u'")
+      // idempotence: the canonical form is a fixed point — re-ingesting
+      // already-canonical URLs (a crawl re-seeded from its own frontier)
+      // must not move digests
+      assert(canonicalizeUrl(c1) == c1, s"'$u' -> '$c1' not a fixed point")
+      // no junk survives: fragment, tracking keys, www., default port
+      assert(!c1.contains("#"), s"fragment in '$c1'")
+      assert(!c1.matches(".*[?&](utm_[^=&]*|fbclid|gclid|ref_src|mc_cid|mc_eid)(=|&|$).*"),
+        s"tracking key in '$c1'")
+      assert(!c1.contains("://www."), s"www. in '$c1'")
+      // query params sorted (codepoint order)
+      val qi = c1.indexOf('?')
+      if (qi >= 0) {
+        val ps = c1.substring(qi + 1).split("&").toSeq
+        assert(ps == ps.sorted, s"unsorted params in '$c1'")
+      }
+    }
+  }
+
   test("adaptiveLshBits is monotone in n and meets the scan-fraction target") {
     import graft.ops.Similarity
     val ns = Seq(10L, 100L, 1000L, 10000L, 1000000L, 1000000000L)
