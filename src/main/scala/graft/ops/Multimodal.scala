@@ -199,23 +199,6 @@ object Multimodal {
   private[graft] def decodePng(bytes: Array[Byte]): java.awt.image.BufferedImage =
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
 
-  /** Mean luminance ((r+g+b)/3 averaged in row-major order — fixed fold
-    * order keeps the double deterministic). */
-  private[graft] def meanLum(img: java.awt.image.BufferedImage): Double = {
-    var s = 0.0
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val p = img.getRGB(x, y)
-        s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0
-        x += 1
-      }
-      y += 1
-    }
-    s / (img.getWidth * img.getHeight)
-  }
-
   /** Integer sum of r+g+b over the raster — EXACT (no floating point until
     * the caller's single final division), so a SQL oracle summing the same
     * integers reproduces the derived mean bit-for-bit regardless of fold

@@ -35,16 +35,6 @@ object StreamingOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Sliding windows (every slide, length win). */
-  def slidingCounts(events: DataFrame, win: String = "10 minutes",
-                    slide: String = "5 minutes",
-                    watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), win, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
-
   /** Session windows: gap-based grouping per user, built-in state. */
   def sessionCounts(events: DataFrame, gap: String = "5 minutes",
                     watermark: String = "10 minutes"): DataFrame =
