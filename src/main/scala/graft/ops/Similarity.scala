@@ -662,11 +662,123 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Embedding distribution stats (drift monitor)
+  // ---------------------------------------------------------------------
+
+  /** Per-dimension embedding distribution statistics — the DRIFT-MONITOR
+    * primitive every production embedding pipeline runs beside ingest
+    * (count / sum / sum-of-squares / min / max per dimension; mean and
+    * variance derive downstream). A new encoder checkpoint, a corrupted
+    * batch, or a domain shift all move these before they move anything
+    * else. Integer-exact through the gate via the [[quantizeInt8]]
+    * floor-scale trick: q = floor(x·10⁶) is the same IEEE double chain
+    * in both engines, and every output is BIGINT arithmetic on q.
+    * sumsq bound: |q| ≲ 10⁷ ⇒ q² ≲ 10¹⁴, so int64 holds ~10⁴ vectors
+    * per dimension at full precision — at larger corpora the engine
+    * aggregates per-partition and the sum should move to DECIMAL(38,0)
+    * internally (documented, not needed at fixture scale).
+    * One explode + ONE partial-aggregated exchange on the 64-row dim
+    * key — the whole report is a single shuffle of O(dims) rows. */
+  def embStats(spark: SparkSession, dir: String): DataFrame =
+    embStatsOf(Tables.embeddings(spark, dir)).orderBy(col("dim"))
+
+  private def embStatsOf(embs: DataFrame): DataFrame =
+    embs
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("q",
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sumsq_q"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"))
+
+  val embStatsSql: String =
+    """SELECT CAST(i - 1 AS INT) AS dim,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  CAST(SUM(q * q) AS BIGINT) AS sumsq_q,
+      |  CAST(MIN(q) AS BIGINT) AS min_q,
+      |  CAST(MAX(q) AS BIGINT) AS max_q
+      |FROM (
+      |  SELECT i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+      |  FROM (
+      |    -- two unnests in one SELECT zip positionally (same length)
+      |    SELECT unnest(generate_series(1, len(embedding))) AS i,
+      |           unnest(embedding) AS x
+      |    FROM embeddings))
+      |GROUP BY i ORDER BY dim""".stripMargin
+
+  /** One micro-batch of the STREAMING drift monitor: the five stats are
+    * all commutative monoids (sum/sum/sum/min/max), so state is one
+    * 64-row frame folded per epoch — the running report needs no corpus
+    * re-scan and no revision machinery. Epoch-keyed overwrite derived
+    * from the batch alone — replay rewrites identical files. */
+  def embStatsStreamApplyBatch(batch: DataFrame, epoch: Long,
+                               statePath: String,
+                               compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    val tEpoch = System.nanoTime()
+    graft.tools.LogState.requireNoFuture(s"$statePath/stats", epoch)
+    embStatsOf(batch).write.mode("overwrite")
+      .parquet(s"$statePath/stats/delta/v$epoch")
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/stats"), epoch,
+      compactEvery)(embStatsFold)
+    graft.tools.PhaseTiming.record(f"embstatepoch$epoch%03d",
+      (System.nanoTime() - tEpoch) / 1e9)
+  }
+
+  /** The componentwise monoid fold readers and compaction share. */
+  private def embStatsFold(df: DataFrame): DataFrame =
+    df.groupBy(col("dim"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_q")).as("sum_q"),
+        sum(col("sumsq_q")).as("sumsq_q"), min(col("min_q")).as("min_q"),
+        max(col("max_q")).as("max_q"))
+
+  /** The running drift report as of `upTo`; None before the first
+    * batch. */
+  def embStatsStreamReport(sp: SparkSession, statePath: String,
+                           upTo: Long): Option[DataFrame] = {
+    val paths = graft.tools.LogState.pathsAsOf(s"$statePath/stats", upTo)
+    if (paths.isEmpty) None
+    else Some(embStatsFold(sp.read.parquet(paths: _*)).orderBy(col("dim")))
+  }
+
+  /** STREAMING drift monitor through the HASH GATE: contiguous id-range
+    * batches, folded stats must equal batch [[embStats]] — the SAME
+    * oracle. A lost epoch, a double-published replay, or a fold that
+    * sums a min breaks the hash. */
+  def embStatsStream(spark: SparkSession, dir: String,
+                     epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-embstats")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val mm = all.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { k =>
+        embStatsStreamApplyBatch(
+          all.filter(expr(s"(vec_id - $lo) div $width") === k),
+          k, statePath, compactEvery = 2)
+      }
+      embStatsStreamReport(spark, statePath, epochs - 1L)
+        .getOrElse(sys.error("emb stats stream: no state"))
+        .localCheckpoint()
+        .orderBy(col("dim"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_metrics" -> (recallMetrics _),
     "sim_recall_clustered" -> (recallClustered _),
     "emb_project"    -> (project _),
     "emb_quantize"   -> (quantizeInt8 _),
+    "emb_stats"      -> (embStats _),
+    "emb_stats_stream" -> ((s: SparkSession, d: String) => embStatsStream(s, d)),
     "sim_topk_brute" -> (bruteForceTopK _),
     "sim_topk_agg"   -> (aggTopK _),
     "sim_topk_ivf"   -> ((s: SparkSession, d: String) => ivfTopK(s, d)),
@@ -704,6 +816,9 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "emb_project"    -> projectSql,
     "emb_quantize"   -> quantizeInt8Sql,
+    "emb_stats"      -> embStatsSql,
+    // streaming twin folds a per-epoch monoid — same oracle
+    "emb_stats_stream" -> embStatsSql,
     "sim_topk_brute" -> bruteForceTopKSql,
     "sim_topk_agg"   -> bruteForceTopKSql,
     "sim_topk_ann"   -> bruteForceTopKSql,

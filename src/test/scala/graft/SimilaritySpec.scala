@@ -237,4 +237,43 @@ class SimilaritySpec extends SparkSpec {
     // ranks are ordered by cosine desc
     assert(got.map(_._2).toSeq == got.map(_._2).sorted(Ordering[Double].reverse).toSeq)
   }
+
+  test("embStats stream: monoid fold equals the batch report; replay " +
+      "idempotent; derived mean/variance are consistent") {
+    val dir = embDir()
+    val batch = Similarity.embStats(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val stream = Similarity.embStatsStream(spark, dir, epochs = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    // every vector contributes to every dim; min <= mean <= max; the
+    // variance derivation n*sumsq - sum^2 is non-negative (Cauchy-Schwarz)
+    batch.foreach { case (_, n, s, ss, mn, mx) =>
+      assert(n == 10L)
+      assert(mn * n <= s && s <= mx * n)
+      assert(n * ss - s * s >= 0L)
+    }
+    // replay: re-applying the last epoch rewrites identical state
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-embstats-spec").toString + "/state"
+    try {
+      val vecs = Tables.embeddings(spark, dir)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      Similarity.embStatsStreamApplyBatch(
+        vecs.filter("vec_id < 5"), 0L, statePath, compactEvery = 2)
+      Similarity.embStatsStreamApplyBatch(
+        vecs.filter("vec_id >= 5"), 1L, statePath, compactEvery = 2)
+      def rep() = Similarity.embStatsStreamReport(spark, statePath, 1L)
+        .get.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val r1 = rep()
+      Similarity.embStatsStreamApplyBatch(
+        vecs.filter("vec_id >= 5"), 1L, statePath, compactEvery = 2)
+      assert(rep() == r1, "replay changed the folded stats")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
 }
