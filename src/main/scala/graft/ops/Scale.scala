@@ -211,15 +211,33 @@ object Scale {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** [[detectHotKeys]]'s exact regime through the HASH GATE: the skew
+    * detector's DECISION (which keys are hot at a row threshold) is
+    * plain SQL when the sample fraction is 1.0, so the routing layer
+    * that q93 trusts gets its own oracle row. The sampled fast path
+    * (fraction < 1, seeded) stays spec-only — an oracle cannot
+    * reproduce Spark's sampler. */
+  def q102HotKeys(spark: SparkSession, dir: String): DataFrame =
+    detectHotKeys(graft.Tables.events(spark, dir), "user_id",
+      hotRowThreshold = 40L)
+      .orderBy(col("user_id"))
+
+  val q102Sql: String =
+    """SELECT user_id FROM events
+      |GROUP BY user_id HAVING COUNT(*) >= 40
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_salted_join"   -> (q86SaltedJoin _),
     "q93_targeted_salt" -> (q93TargetedSalt _),
     "q94_bucketed_join" -> (q94BucketedJoin _),
+    "q102_hot_keys"     -> (q102HotKeys _),
   )
 
   val oracles: Map[String, String] = Map(
     "q86_salted_join"   -> q86Sql,
     "q93_targeted_salt" -> q86Sql,
     "q94_bucketed_join" -> q86Sql,
+    "q102_hot_keys"     -> q102Sql,
   )
 }
