@@ -105,9 +105,18 @@ object Corpus {
     * Per-epoch cost: one within-batch TwoLevel prefix sum + a broadcast
     * join against the O(|sources|) folded totals. Epoch-keyed
     * overwrites derived from state < epoch — replay-idempotent. */
-  def budgetStreamApplyBatch(batch: DataFrame, epoch: Long,
-                             statePath: String, budget: Long = 300L,
-                             compactEvery: Int = 4): Unit = {
+  /** Shared core of the streaming per-source prefix-sum operators
+    * (budget admission, sequence packing): per-source running token
+    * totals (count-sum LogState monoid) + a within-batch TwoLevel
+    * prefix sum; `finish` maps the cum-annotated batch frame
+    * (source, doc_id, n_tokens, cum_before) to the epoch's result
+    * delta. Both operators' decisions are pure functions of cum_before,
+    * which is prefix-closed under id-ordered arrival — decisions at
+    * arrival are final. */
+  private def cumStreamApplyBatch(batch: DataFrame, epoch: Long,
+                                  statePath: String, phasePrefix: String,
+                                  compactEvery: Int)(
+                                  finish: DataFrame => DataFrame): Unit = {
     val sp = batch.sparkSession
     val tEpoch = System.nanoTime()
     Seq("srctot", "results").foreach(r =>
@@ -127,13 +136,13 @@ object Corpus {
         d.select(col("source"), lit(0L).as("n")).limit(0)
       else sp.read.parquet(histPaths: _*)
     val histTot = hist.groupBy(col("source")).agg(sum(col("n")).as("h"))
-    val res = local
-      .join(broadcast(histTot), Seq("source"), "left_outer")
-      .na.fill(0L, Seq("h"))
-      .withColumn("cum_before", col("h") + col("loc_before"))
-      .filter(col("cum_before") < budget)
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        col("cum_before"), lit(epoch).as("epoch"))
+    val res = finish(local
+        .join(broadcast(histTot), Seq("source"), "left_outer")
+        .na.fill(0L, Seq("h"))
+        .withColumn("cum_before", col("h") + col("loc_before"))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_before")))
+      .withColumn("epoch", lit(epoch))
     d.groupBy(col("source")).agg(sum(col("n_tokens")).as("n"))
       .write.mode("overwrite").parquet(s"$statePath/srctot/delta/v$epoch")
     res.write.mode("overwrite")
@@ -142,8 +151,60 @@ object Corpus {
       compactEvery)(_.groupBy(col("source")).agg(sum(col("n")).as("n")))
     graft.tools.LogState.maintain(sp, Seq(s"$statePath/results"), epoch,
       compactEvery)(identity)
-    graft.tools.PhaseTiming.record(f"budepoch$epoch%03d",
+    graft.tools.PhaseTiming.record(f"$phasePrefix$epoch%03d",
       (System.nanoTime() - tEpoch) / 1e9)
+  }
+
+  def budgetStreamApplyBatch(batch: DataFrame, epoch: Long,
+                             statePath: String, budget: Long = 300L,
+                             compactEvery: Int = 4): Unit =
+    cumStreamApplyBatch(batch, epoch, statePath, "budepoch",
+      compactEvery)(_.filter(col("cum_before") < budget))
+
+  /** One micro-batch of STREAMING sequence packing — slot assignment at
+    * INGEST: each arriving document gets its training-sequence span
+    * (seq_first / seq_offset / n_seqs) the moment it lands, because the
+    * per-source token prefix is prefix-closed under id-ordered arrival.
+    * This is how a shard writer packs on the fly instead of re-running
+    * a global prefix sum over the whole corpus per refresh. */
+  def packStreamApplyBatch(batch: DataFrame, epoch: Long,
+                           statePath: String, seqLen: Int = 64,
+                           compactEvery: Int = 4): Unit =
+    cumStreamApplyBatch(batch, epoch, statePath, "packepoch",
+      compactEvery)(
+      _.withColumn("seq_first", expr(s"cum_before div $seqLen"))
+        .withColumn("seq_offset", expr(s"cum_before % $seqLen"))
+        .withColumn("n_seqs",
+          expr(s"(cum_before + n_tokens - 1) div $seqLen")
+            - col("seq_first") + lit(1L)))
+
+  /** STREAMING sequence packing through the HASH GATE: id-range batches,
+    * folded slot assignments must equal batch [[packSequences]] — the
+    * SAME oracle. A history total lost across an epoch edge shifts every
+    * later doc's span and breaks the hash. */
+  def packSequencesStream(spark: SparkSession, dir: String,
+                          seqLen: Int = 64, epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-packstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { k =>
+        packStreamApplyBatch(
+          all.filter(expr(s"(doc_id - $lo) div $width") === k),
+          k, statePath, seqLen, compactEvery = 2)
+      }
+      spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/results", epochs - 1L): _*)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_before"), col("seq_first"), col("seq_offset"),
+          col("n_seqs"))
+        .localCheckpoint()
+        .orderBy(col("source"), col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
   /** STREAMING budget select through the HASH GATE: contiguous id-range
@@ -1555,6 +1616,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shards"    -> (shardsPipeline _),
     "corpus_pack"        -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "corpus_pack_stream" -> ((s: SparkSession, d: String) => packSequencesStream(s, d)),
     "corpus_budget"      -> ((s: SparkSession, d: String) => budgetSelect(s, d)),
     "corpus_budget_stream" -> ((s: SparkSession, d: String) => budgetSelectStream(s, d)),
     "corpus_balance"     -> ((s: SparkSession, d: String) => balanceByLang(s, d)),
@@ -1576,6 +1638,8 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "pipeline_shards"    -> shardsPipelineSql,
     "corpus_pack"        -> packSequencesSql,
+    // streaming twin: prefix-closed slot assignment, same oracle
+    "corpus_pack_stream" -> packSequencesSql,
     "corpus_budget"      -> budgetSelectSql,
     // streaming twin under id-ordered arrival: prefix-closed keep rule,
     // same oracle

@@ -1556,6 +1556,62 @@ object Relational2 {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** STATE TIME TRAVEL through the HASH GATE: every stream gate so far
+    * checks only the FINAL folded state; this one pins the as-of read
+    * path itself — the lakehouse "query the table as of version k"
+    * feature the LogState layout gives for free. Four deterministic
+    * event_id-range batches ingest under the MOR protocol with
+    * compaction OFF (every delta retained, so any as-of point stays
+    * readable); the gate reads state AS OF epoch 1 and the oracle
+    * recomputes latest-per-key over exactly the first two id ranges —
+    * the same width arithmetic in SQL. A fold that reads one delta too
+    * many/few, or a GC that eats a readable version, breaks the hash. */
+  def q103TimeTravel(spark: SparkSession, dir: String,
+                     epochs: Int = 4, asOf: Long = 1L): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-q103")
+    try {
+      val statePath = s"$base/state"
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .localCheckpoint()
+      val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      val noCompact = CdcUpsert.Mor(0)
+      (0 until epochs).foreach { k =>
+        CdcUpsert.applyBatch(
+          ev.filter(expr(s"(event_id - $lo) div $width") === k),
+          k, statePath, noCompact)
+      }
+      CdcUpsert.stateAsOf(spark, statePath, asOf, noCompact)
+        .getOrElse(sys.error(s"q103: no state as of $asOf"))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("last.ts")).as("last_us"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .localCheckpoint()
+        .orderBy(col("user_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  val q103Sql: String =
+    """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi
+      |           FROM events),
+      |e AS (
+      |  SELECT ev.* FROM events ev, b
+      |  WHERE (ev.event_id - b.lo) // ((b.hi - b.lo) // 4 + 1) < 2)
+      |SELECT user_id, n_events, epoch_us(ts) AS last_us,
+      |  event_type AS last_type, value AS last_value
+      |FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM e)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val q87Sql: String =
     """SELECT user_id, n_events, epoch_us(ts) AS last_us,
       |  event_type AS last_type, value AS last_value
@@ -2261,6 +2317,7 @@ object Relational2 {
     "q61_partitioned_write" -> (q61PartitionedWrite _),
     "q62_hll_sketch"      -> (q62HllSketch _),
     "q62_hll_bound"       -> (q62HllBound _),
+    "q103_time_travel"    -> ((s: SparkSession, d: String) => q103TimeTravel(s, d)),
     "q63_foreach_batch"   -> (q63ForeachBatchSink _),
     "q64_json_roundtrip"  -> (q64JsonRoundtrip _),
     "q65_custom_sessionize" -> (q65CustomSessionize _),
@@ -2269,6 +2326,7 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "q82_lateral"         -> q82Sql,
     "q62_hll_bound"       -> q62HllBoundSql,
+    "q103_time_travel"    -> q103Sql,
     "q83_recursive"       -> q83Sql,
     "q87_stream_upsert"   -> q87Sql,
     "q95_mor_upsert"      -> q87Sql, // same final table — only the state protocol differs

@@ -50,6 +50,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesStream: fold == batch; a document spanning a " +
+      "sequence boundary ACROSS epochs gets the history-derived offset") {
+    // ids land in separate epochs (4-way id-range batching over 1..21):
+    // doc 9 arrives with 80 tokens of s0 history -> seq_first 1,
+    // offset 16 — only the cross-epoch running total can produce that
+    val dir = docs(
+      (1L, words(40), "en", "s0"),
+      (2L, words(40), "en", "s0"),
+      (9L, words(50), "en", "s0"),
+      (21L, words(10), "en", "s1"))
+    val batch = Corpus.packSequences(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val stream = Corpus.packSequencesStream(spark, dir, epochs = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(stream.toSeq == batch.toSeq, s"stream=$stream batch=$batch")
+    val d9 = stream.find(_._2 == 9L).get
+    assert(d9 == ("s0", 9L, 80L, 1L, 16L, 2L), s"doc 9 span: $d9")
+  }
+
   test("budgetSelect keeps the greedy prefix per source and stops at the budget") {
     val dir = docs(
       (1L, words(200), "en", "s0"),
