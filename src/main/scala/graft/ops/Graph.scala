@@ -291,16 +291,56 @@ object Graph {
     * nodes would additionally be degree-ordered, which canonical id order
     * approximates on this id-uniform graph). Shares the cached pair
     * artifact with pagerank/dedup_groups — the graph is built once. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.tools.ArtifactCache.parquet(spark, dir, "pairs_jaccard") {
+  /** The two-join wedge closure over canonical (a<b) edge frames — each
+    * triangle a<b<c closes exactly once. Parameterized by position so the
+    * incremental form can pin one position to the delta. */
+  private def closeTriangles(eAB: DataFrame, eBC: DataFrame,
+                             eAC: DataFrame): DataFrame =
+    eAB.select(col("a_id").as("a"), col("b_id").as("b"))
+      .join(eBC.select(col("a_id").as("b"), col("b_id").as("c")), Seq("b"))
+      .join(eAC.select(col("a_id").as("a"), col("b_id").as("c")),
+        Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.tools.ArtifactCache.parquet(spark, dir, "pairs_jaccard") {
       p => Dedup.ngramJaccardPairs(spark, dir).select(col("a_id"), col("b_id"))
         .write.mode("overwrite").parquet(p)
     }
-    val e1 = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
-    val e2 = pairs.select(col("a_id").as("b"), col("b_id").as("c"))
-    val e3 = pairs.select(col("a_id").as("a"), col("b_id").as("c"))
-    e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(spark, dir)
+    closeTriangles(pairs, pairs, pairs)
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
+  /** INCREMENTAL triangle maintenance — the graph family's refresh path
+    * beside [[pagerankIncr]]: yesterday's triangle set is a persisted
+    * artifact over the old graph; an edge DELTA (the same ~3 % hash rule
+    * the pagerank refresh uses, here as additions) contributes only the
+    * triangles that TOUCH a delta edge — three wedge closures with the
+    * delta pinned to one position each, so the recurring cost is
+    * ∝ |delta| × degree, not corpus triangles. The union with the old
+    * set is distinct-deduped (a triangle with 2–3 delta edges closes in
+    * 2–3 positions). Result = the FULL graph's triangles — the SAME
+    * oracle as graph_triangles; a missed position or a stale old set
+    * breaks the hash. */
+  def trianglesIncr(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(spark, dir)
+    val deltaCond = pmod(col("a_id") + col("b_id"), lit(37L)) === 0L
+    val delta = pairs.filter(deltaCond)
+    val oldPairs = pairs.filter(!deltaCond)
+    val oldTris = graft.tools.ArtifactCache.parquet(spark, dir,
+      "tri_old_mod37") { p =>
+      closeTriangles(oldPairs, oldPairs, oldPairs)
+        .write.mode("overwrite").parquet(p)
+    }
+    val newTris = Seq(
+      closeTriangles(delta, pairs, pairs),
+      closeTriangles(pairs, delta, pairs),
+      closeTriangles(pairs, pairs, delta))
+      .reduce(_ unionByName _)
+    oldTris.unionByName(newTris).distinct()
       .orderBy(col("a"), col("b"), col("c"))
   }
 
@@ -331,11 +371,15 @@ object Graph {
     "graph_pagerank"  -> ((s: SparkSession, d: String) => pagerank(s, d)),
     "graph_pagerank_incr" -> ((s: SparkSession, d: String) => pagerankIncr(s, d)),
     "graph_triangles" -> ((s: SparkSession, d: String) => triangles(s, d)),
+    "graph_triangles_incr" -> ((s: SparkSession, d: String) => trianglesIncr(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank"  -> pagerankSql,
     "graph_pagerank_incr" -> pagerankIncrSql,
     "graph_triangles" -> trianglesSql,
+    // incremental form folds an old-graph artifact + delta-touching
+    // wedges into the SAME full-graph answer
+    "graph_triangles_incr" -> trianglesSql,
   )
 }

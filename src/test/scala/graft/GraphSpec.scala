@@ -128,4 +128,20 @@ class GraphSpec extends SparkSpec {
     } yield (a, b, c)
     assert(tris.toSet == brute.toSet)
   }
+
+  test("incremental triangles: old artifact + delta wedges == full " +
+      "recount, and the fixture delta actually contributes") {
+    val full = Graph.triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incr = Graph.trianglesIncr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == full, s"incr diff: ${(incr diff full) ++ (full diff incr)}")
+    // the gate is load-bearing only if the delta removes triangles from
+    // the old graph: at least one full triangle must touch a delta edge
+    val touched = full.exists { case (a, b, c) =>
+      Seq((a, b), (b, c), (a, c)).exists { case (x, y) =>
+        ((x + y) % 37 + 37) % 37 == 0 }
+    }
+    assert(touched, "fixture delta touches no triangle — gate vacuous")
+  }
 }
