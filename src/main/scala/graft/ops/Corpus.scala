@@ -333,6 +333,49 @@ object Corpus {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** One micro-batch of STREAMING per-language balancing — the mixture
+    * rebalance maintained at INGEST via the shared [[TopKStream]] core
+    * (per-language K smallest md5 ranks; displacement semantics keep the
+    * folded view equal to the batch sample — see TopKStream). */
+  def balanceStreamApplyBatch(batch: DataFrame, epoch: Long,
+                              statePath: String, perLang: Int = 40,
+                              compactEvery: Int = 4): Unit = {
+    val tEpoch = System.nanoTime()
+    TopKStream.applyBatch(
+      batch.select(col("lang"),
+        md5(col("doc_id").cast("string")).as("ord"), col("doc_id")),
+      epoch, statePath, "lang", perLang, compactEvery)
+    graft.tools.PhaseTiming.record(f"balepoch$epoch%03d",
+      (System.nanoTime() - tEpoch) / 1e9)
+  }
+
+  /** STREAMING balance through the HASH GATE: id-range batches, folded
+    * per-language winner sets must equal batch [[balanceByLang]] — the
+    * SAME oracle. A displacement the fold misses or a replay
+    * double-publish breaks the hash. */
+  def balanceByLangStream(spark: SparkSession, dir: String,
+                          perLang: Int = 40, epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-balstream")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, dir)
+        .select(col("lang"), col("doc_id")).localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { k =>
+        balanceStreamApplyBatch(
+          all.filter(expr(s"(doc_id - $lo) div $width") === k),
+          k, statePath, perLang, compactEvery = 2)
+      }
+      TopKStream.rankedAsOf(spark, statePath, epochs - 1L, "lang", perLang)
+        .getOrElse(sys.error("balance stream: no state"))
+        .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
+        .localCheckpoint()
+        .orderBy(col("lang"), col("rk"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   val balanceByLangSql: String =
     """SELECT lang, doc_id, rk FROM (
       |  SELECT lang, doc_id,
@@ -1620,6 +1663,7 @@ object Corpus {
     "corpus_budget"      -> ((s: SparkSession, d: String) => budgetSelect(s, d)),
     "corpus_budget_stream" -> ((s: SparkSession, d: String) => budgetSelectStream(s, d)),
     "corpus_balance"     -> ((s: SparkSession, d: String) => balanceByLang(s, d)),
+    "corpus_balance_stream" -> ((s: SparkSession, d: String) => balanceByLangStream(s, d)),
     "corpus_shard"       -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
     "corpus_vocab_prune" -> ((s: SparkSession, d: String) => vocabPrune(s, d)),
     "corpus_split"       -> ((s: SparkSession, d: String) => splitTrainValTest(s, d)),
@@ -1645,6 +1689,8 @@ object Corpus {
     // same oracle
     "corpus_budget_stream" -> budgetSelectSql,
     "corpus_balance"     -> balanceByLangSql,
+    // streaming twin: TopKStream displacement fold, same oracle
+    "corpus_balance_stream" -> balanceByLangSql,
     "corpus_shard"       -> shardShuffleSql,
     "corpus_vocab_prune" -> vocabPruneSql,
     "corpus_split"       -> splitTrainValTestSql,

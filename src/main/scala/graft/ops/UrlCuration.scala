@@ -330,64 +330,35 @@ object UrlCuration {
   // STREAMING domain cap (crawl-frontier budget enforcement at ingest)
   // ---------------------------------------------------------------------
 
-  /** The per-domain top-K fold over winner-candidate rows
-    * (domain, ord = md5(doc_id), doc_id): keep each domain's K smallest
-    * (ord, doc_id). Top-K-merge is a commutative, associative,
-    * idempotent monoid, so the fold is schedule-invariant — readers and
-    * compaction apply THIS function and any base/delta split gives the
-    * same answer (the LogState contract). Rank via the TwoLevel
-    * md5-bucket decomposition, same as batch [[domainCap]] — no
-    * per-domain global sort even when one domain dominates a batch. */
-  private def capTopK(cands: DataFrame, k: Int): DataFrame =
-    TwoLevel.rank(
-        cands.withColumn("__cb",
-          substring(col("ord"), 1, TwoLevel.Md5PrefixChars)),
-        Seq("domain"), "__cb", Seq(col("ord"), col("doc_id")), "__crk")
-      .filter(col("__crk") <= k)
-      .select(col("domain"), col("ord"), col("doc_id"))
-
   /** One micro-batch of the STREAMING domain cap — per-domain budget
     * enforcement on a crawl frontier. State under `statePath`:
-    *  - `cand`   — winner CANDIDATES (domain, ord, doc_id): each epoch
-    *    appends its batch's per-domain top-K (≤ K rows per touched
-    *    domain — only they can ever enter the final top-K); the fold is
-    *    [[capTopK]], so a later arrival with a smaller md5 rank
-    *    DISPLACES an earlier winner at fold time and compaction
-    *    physically drops the loser. The capped corpus is therefore a
-    *    materialized view maintained incrementally — admission is
-    *    revisable until compaction horizon, which is what makes the
-    *    stream equal the batch md5-rank sample exactly (md5 rank is NOT
-    *    prefix-closed under arrival order, so any final-at-arrival
-    *    admission rule would be a DIFFERENT operator; a frontier that
-    *    needs irrevocable admits ranks by arrival instead and loses the
-    *    unbiased-sample property).
+    *  - `cand`   — winner CANDIDATES via the shared [[TopKStream]] core
+    *    (see it for the displacement/monoid argument: md5 rank is NOT
+    *    prefix-closed, so admission is revisable, which is exactly what
+    *    makes the folded view equal the batch md5-rank sample; a
+    *    frontier that needs irrevocable admits ranks by arrival instead
+    *    and loses the unbiased-sample property);
     *  - `domcnt` — (domain, n) per-epoch counts; fold = the count-sum
     *    monoid. Feeds the report's n_domain stratum totals.
     * Per-epoch cost: one narrow kernel pass over the batch + a
-    * batch-sized rank — state is touched only at compaction, whose input
-    * is bounded by K·domains + K·touched-domains·epochs-since-base.
-    * Writes derive from the batch alone, keyed by epoch — replay
-    * rewrites identical files. */
+    * batch-sized rank. Writes derive from the batch alone, keyed by
+    * epoch — replay rewrites identical files. */
   def domainCapStreamApplyBatch(batch: DataFrame, epoch: Long,
                                 statePath: String, k: Int = DomainCapK,
                                 compactEvery: Int = 4): Unit = {
     val sp = batch.sparkSession
     val tEpoch = System.nanoTime()
-    val candRoot = s"$statePath/cand"
     val cntRoot = s"$statePath/domcnt"
-    Seq(candRoot, cntRoot)
-      .foreach(graft.tools.LogState.requireNoFuture(_, epoch))
+    graft.tools.LogState.requireNoFuture(cntRoot, epoch)
     val d = batch
       .select(col("doc_id"),
         graft.functions.UrlKernels.urlDomainUdf(col("url")).as("domain"))
       .withColumn("ord", md5(col("doc_id").cast("string")))
       .localCheckpoint()
-    capTopK(d, k).write.mode("overwrite")
-      .parquet(s"$candRoot/delta/v$epoch")
+    TopKStream.applyBatch(d.select(col("domain"), col("ord"),
+      col("doc_id")), epoch, statePath, "domain", k, compactEvery)
     d.groupBy(col("domain")).agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$cntRoot/delta/v$epoch")
-    graft.tools.LogState.maintain(sp, Seq(candRoot), epoch, compactEvery)(
-      capTopK(_, k))
     graft.tools.LogState.maintain(sp, Seq(cntRoot), epoch, compactEvery)(
       _.groupBy(col("domain")).agg(sum(col("n")).as("n")))
     graft.tools.PhaseTiming.record(f"dcapepoch$epoch%03d",
@@ -400,14 +371,8 @@ object UrlCuration {
   def domainCapStreamReport(sp: SparkSession, statePath: String,
                             upTo: Long,
                             k: Int = DomainCapK): Option[DataFrame] = {
-    val candPaths =
-      graft.tools.LogState.pathsAsOf(s"$statePath/cand", upTo)
-    if (candPaths.isEmpty) return None
-    val folded = capTopK(sp.read.parquet(candPaths: _*), k)
-    val ranked = TwoLevel.rank(
-        folded.withColumn("__cb",
-          substring(col("ord"), 1, TwoLevel.Md5PrefixChars)),
-        Seq("domain"), "__cb", Seq(col("ord"), col("doc_id")), "rk")
+    val ranked = TopKStream.rankedAsOf(sp, statePath, upTo, "domain", k)
+      .getOrElse(return None)
     val counts = sp.read.parquet(
         graft.tools.LogState.pathsAsOf(s"$statePath/domcnt", upTo): _*)
       .groupBy(col("domain")).agg(sum(col("n")).as("n_domain"))
