@@ -464,14 +464,28 @@ object Dedup {
                                              batchId: Long, statePath: String,
                                              maxHamming: Int = 3,
                                              maxBucket: Int = 200,
-                                             compactEvery: Int = 4): Unit = {
-    val sp = batch.sparkSession
+                                             compactEvery: Int = 4): Unit =
+    fingerprintStreamApplyBatch(
+      simhashFps(batch.select(col("doc_id"), col("text")).localCheckpoint()),
+      batchId, statePath, maxHamming, maxBucket, compactEvery)
+
+  /** The fingerprint-generic core of the streaming banded-Hamming dedup:
+    * takes an already-fingerprinted batch (doc_id, fp) — simhash feeds
+    * it text fingerprints, the multimodal tier feeds it dHash/audioHash
+    * fingerprints; the banding, touched-key prune, bucket cap, and
+    * keep-first survivor rule are identical (an 8-byte fp rides its band
+    * rows — the slim-index discipline). */
+  private[graft] def fingerprintStreamApplyBatch(fps0: DataFrame,
+                                                 batchId: Long, statePath: String,
+                                                 maxHamming: Int = 3,
+                                                 maxBucket: Int = 200,
+                                                 compactEvery: Int = 4): Unit = {
+    val sp = fps0.sparkSession
     val indexRoot = s"$statePath/index"
     val survRoot = s"$statePath/survivors"
     Seq(indexRoot, survRoot)
       .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
-    val arriving = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    val fps = simhashFps(arriving)
+    val fps = fps0.select(col("doc_id"), col("fp")).localCheckpoint()
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_sig"))
@@ -514,7 +528,7 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .filter(expr("bit_count(a_fp ^ b_fp)") <= maxHamming)
       .select(col("b_id").as("doc_id")).distinct()
-    val batchSurvivors = arriving.select(col("doc_id"))
+    val batchSurvivors = fps.select(col("doc_id"))
       .join(dupIds, Seq("doc_id"), "left_anti")
     newRows.write.mode("overwrite").parquet(s"$indexRoot/delta/v$batchId")
     batchSurvivors.write.mode("overwrite")

@@ -637,6 +637,55 @@ object Multimodal {
       sorted = true)
   }
 
+  /** STREAMING perceptual-hash dedup through the HASH GATE — the
+    * multimodal tier joining the streaming matrix: the same 140-image
+    * clustered corpus arrives in four contiguous id-range batches; each
+    * batch's REAL PNG round-trip feeds its dHash fingerprints into the
+    * fingerprint-generic banded stream core ([[Dedup
+    * .fingerprintStreamApplyBatch]] — the simhash machinery; an 8-byte
+    * fp rides its band rows). Keep-first under id-ordered arrival means
+    * the survivor set is exactly the first copy of each image family
+    * plus the uniques, which the oracle synthesizes from `range()` —
+    * a codec drift, a pruning miss, or a replay double-publish breaks
+    * the hash. */
+  def imageDHashStreamClustered(spark: SparkSession, dir: String,
+                                epochs: Int = 4): DataFrame = {
+    import spark.implicits._
+    val base = graft.tools.TempDirs.createFast("graft-mmstream")
+    try {
+      val statePath = s"$base/state"
+      val fps = spark.range(0, 140).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val seed = if (id < 120) id % 40 else 1000L + id
+            val png = encodePngPixels(scrambledPixels(seed, 18, 16), 18, 16)
+            (id, dHash(decodePng(png)))
+          }
+        }
+        .toDF("doc_id", "fp").localCheckpoint()
+      val width = 140 / epochs
+      (0 until epochs).foreach { k =>
+        graft.ops.Dedup.fingerprintStreamApplyBatch(
+          fps.filter(col("doc_id") >= k * width &&
+            (col("doc_id") < (k + 1) * width || lit(k == epochs - 1))),
+          k, statePath, maxHamming = 3, maxBucket = 200, compactEvery = 2)
+      }
+      spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/survivors", epochs - 1L): _*)
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Survivors are provable by construction: ids 0..119 are three copies
+    * of 40 families (seed = id %% 40), 120..139 unique — keep-first
+    * keeps exactly {0..39} ∪ {120..139}. */
+  val imageDHashStreamClusteredSql: String =
+    """SELECT CAST(x AS BIGINT) AS doc_id FROM range(0, 40) t(x)
+      |UNION ALL
+      |SELECT CAST(x AS BIGINT) FROM range(120, 140) t(x)
+      |ORDER BY doc_id""".stripMargin
+
   val imageDHashClusteredSql: String =
     """WITH b AS (SELECT CAST(x AS BIGINT) AS b FROM range(0, 40) t(x)),
       |p AS (
@@ -720,6 +769,8 @@ object Multimodal {
     "mm_resize"   -> ((s: SparkSession, d: String) => resize(s, d)),
     "mm_decode_real" -> (decodeReal _),
     "mm_dedup_phash_clustered" -> (imageDHashClustered _),
+    "mm_dedup_phash_stream" -> ((s: SparkSession, d: String) =>
+      imageDHashStreamClustered(s, d)),
     "mm_dedup_audiohash_clustered" -> (audioHashClustered _),
   )
 
@@ -733,6 +784,7 @@ object Multimodal {
     * round_even chosen to match Spark's round vs math.rint). */
   val oracles: Map[String, String] = Map(
     "mm_dedup_phash_clustered" -> imageDHashClusteredSql,
+    "mm_dedup_phash_stream" -> imageDHashStreamClusteredSql,
     // same planted replica structure as the image gate → same synthesis
     "mm_dedup_audiohash_clustered" -> imageDHashClusteredSql,
     "mm_video_real" -> videoRealSql,
