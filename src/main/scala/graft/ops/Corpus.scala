@@ -56,8 +56,14 @@ object Corpus {
       .drop("__b")
       .withColumn("seq_first", expr(s"cum_before div $seqLen"))
       .withColumn("seq_offset", expr(s"cum_before % $seqLen"))
-      .withColumn("n_seqs",
-        expr(s"(cum_before + n_tokens - 1) div $seqLen") - col("seq_first") + lit(1L))
+      // zero-token docs span no sequences — guarded explicitly because
+      // at cum_before = 0 the unguarded (c + n - 1) term goes NEGATIVE,
+      // where Spark's `div` truncates toward zero but DuckDB's `//`
+      // floors (0 vs -1): the one input where the engines' integer
+      // division disagrees
+      .withColumn("n_seqs", when(col("n_tokens") === 0L, lit(0L))
+        .otherwise(expr(s"(cum_before + n_tokens - 1) div $seqLen")
+          - col("seq_first") + lit(1L)))
       .orderBy(col("source"), col("doc_id"))
   }
 
@@ -66,7 +72,9 @@ object Corpus {
        |  cum_before,
        |  cum_before // 64 AS seq_first,
        |  cum_before % 64 AS seq_offset,
-       |  (cum_before + n_tokens - 1) // 64 - cum_before // 64 + 1 AS n_seqs
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE (cum_before + n_tokens - 1) // 64 - cum_before // 64 + 1
+       |  END AS n_seqs
        |FROM (
        |  SELECT source, doc_id, n_tokens,
        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -174,9 +182,10 @@ object Corpus {
       compactEvery)(
       _.withColumn("seq_first", expr(s"cum_before div $seqLen"))
         .withColumn("seq_offset", expr(s"cum_before % $seqLen"))
-        .withColumn("n_seqs",
-          expr(s"(cum_before + n_tokens - 1) div $seqLen")
-            - col("seq_first") + lit(1L)))
+        // zero-token guard — see packSequences (div-vs-floor divergence)
+        .withColumn("n_seqs", when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr(s"(cum_before + n_tokens - 1) div $seqLen")
+            - col("seq_first") + lit(1L))))
 
   /** STREAMING sequence packing through the HASH GATE: id-range batches,
     * folded slot assignments must equal batch [[packSequences]] — the
@@ -900,8 +909,14 @@ object Corpus {
       .drop("__b")
       .withColumn("seq_first", expr(s"cum_before div $seqLen"))
       .withColumn("seq_offset", expr(s"cum_before % $seqLen"))
-      .withColumn("n_seqs",
-        expr(s"(cum_before + n_tokens - 1) div $seqLen") - col("seq_first") + lit(1L))
+      // zero-token docs span no sequences — guarded explicitly because
+      // at cum_before = 0 the unguarded (c + n - 1) term goes NEGATIVE,
+      // where Spark's `div` truncates toward zero but DuckDB's `//`
+      // floors (0 vs -1): the one input where the engines' integer
+      // division disagrees
+      .withColumn("n_seqs", when(col("n_tokens") === 0L, lit(0L))
+        .otherwise(expr(s"(cum_before + n_tokens - 1) div $seqLen")
+          - col("seq_first") + lit(1L)))
       .orderBy(col("source"), col("doc_id"))
   }
 
@@ -1004,7 +1019,9 @@ object Corpus {
        |SELECT source, doc_id, n_tokens, cum_before,
        |  cum_before // 64 AS seq_first,
        |  cum_before % 64 AS seq_offset,
-       |  (cum_before + n_tokens - 1) // 64 - cum_before // 64 + 1 AS n_seqs
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE (cum_before + n_tokens - 1) // 64 - cum_before // 64 + 1
+       |  END AS n_seqs
        |FROM (
        |  SELECT source, doc_id, n_tokens,
        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

@@ -465,21 +465,32 @@ object Dedup {
                                              maxHamming: Int = 3,
                                              maxBucket: Int = 200,
                                              compactEvery: Int = 4): Unit =
+    // survivorIds = ALL arriving ids: a null-fp doc (empty/punctuation-
+    // only text) can never appear in a verified pair, so under the
+    // batch keep-rule it SURVIVES — deriving survivors from the
+    // fp-filtered frame would silently drop it from the log. No text
+    // checkpoint here: the fp frame is the only multiply-consumed input
+    // and the core checkpoints it (the slim frame, not the raw text).
     fingerprintStreamApplyBatch(
-      simhashFps(batch.select(col("doc_id"), col("text")).localCheckpoint()),
-      batchId, statePath, maxHamming, maxBucket, compactEvery)
+      simhashFps(batch.select(col("doc_id"), col("text"))),
+      batchId, statePath, maxHamming, maxBucket, compactEvery,
+      survivorIds = Some(batch.select(col("doc_id"))))
 
   /** The fingerprint-generic core of the streaming banded-Hamming dedup:
     * takes an already-fingerprinted batch (doc_id, fp) — simhash feeds
     * it text fingerprints, the multimodal tier feeds it dHash/audioHash
     * fingerprints; the banding, touched-key prune, bucket cap, and
     * keep-first survivor rule are identical (an 8-byte fp rides its band
-    * rows — the slim-index discipline). */
+    * rows — the slim-index discipline). `survivorIds` overrides the id
+    * frame survivors derive from, for callers whose fingerprint step can
+    * DROP rows (simhash's null-fp filter): such docs pair with nothing
+    * and must still survive. */
   private[graft] def fingerprintStreamApplyBatch(fps0: DataFrame,
                                                  batchId: Long, statePath: String,
                                                  maxHamming: Int = 3,
                                                  maxBucket: Int = 200,
-                                                 compactEvery: Int = 4): Unit = {
+                                                 compactEvery: Int = 4,
+                                                 survivorIds: Option[DataFrame] = None): Unit = {
     val sp = fps0.sparkSession
     val indexRoot = s"$statePath/index"
     val survRoot = s"$statePath/survivors"
@@ -528,7 +539,7 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       .filter(expr("bit_count(a_fp ^ b_fp)") <= maxHamming)
       .select(col("b_id").as("doc_id")).distinct()
-    val batchSurvivors = fps.select(col("doc_id"))
+    val batchSurvivors = survivorIds.getOrElse(fps.select(col("doc_id")))
       .join(dupIds, Seq("doc_id"), "left_anti")
     newRows.write.mode("overwrite").parquet(s"$indexRoot/delta/v$batchId")
     batchSurvivors.write.mode("overwrite")

@@ -50,6 +50,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: a zero-token document spans no sequences and " +
+      "does not shift its successors") {
+    // doc 1 has no tokens at cum_before = 0 — the input where Spark's
+    // truncating `div` and DuckDB's flooring `//` disagree on the
+    // unguarded formula (0 vs -1); the guard pins n_seqs = 0
+    val dir = docs(
+      (1L, "", "en", "s0"),
+      (2L, words(40), "en", "s0"))
+    val rows = Corpus.packSequences(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))
+      .toSeq
+    assert(rows == Seq((1L, 0L, 0L, 0L), (2L, 40L, 0L, 1L)), s"$rows")
+  }
+
   test("packSequencesStream: fold == batch; a document spanning a " +
       "sequence boundary ACROSS epochs gets the history-derived offset") {
     // ids land in separate epochs (4-way id-range batching over 1..21):

@@ -456,6 +456,25 @@ class DedupSpec extends SparkSpec {
       statePath.stripSuffix("/state"))
   }
 
+  test("streaming simhash: a null-fingerprint (empty-text) doc pairs " +
+      "with nothing and must SURVIVE, not vanish from the log") {
+    import org.apache.spark.sql.functions.col
+    val dir = corpus((1L, base), (2L, ""), (3L, "...\t "))
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-simnull-spec")
+        .toString + "/state"
+    Dedup.simhashStreamApplyBatch(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      0L, statePath, compactEvery = 2)
+    val surv = spark.read.parquet(
+      graft.tools.LogState.pathsAsOf(s"$statePath/survivors", 0L): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 2L, 3L),
+      s"empty-text docs dropped from the survivors log: $surv")
+    graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("streaming simhash under lateness: late doc quarantined, never " +
       "indexed; survivors from on-time docs only") {
     import org.apache.spark.sql.functions.{col, lit, when}
