@@ -468,13 +468,19 @@ object Dedup {
     // survivorIds = ALL arriving ids: a null-fp doc (empty/punctuation-
     // only text) can never appear in a verified pair, so under the
     // batch keep-rule it SURVIVES — deriving survivors from the
-    // fp-filtered frame would silently drop it from the log. No text
-    // checkpoint here: the fp frame is the only multiply-consumed input
-    // and the core checkpoints it (the slim frame, not the raw text).
-    fingerprintStreamApplyBatch(
-      simhashFps(batch.select(col("doc_id"), col("text"))),
-      batchId, statePath, maxHamming, maxBucket, compactEvery,
-      survivorIds = Some(batch.select(col("doc_id"))))
+    // fp-filtered frame would silently drop it from the log. The slim
+    // (doc_id, text) projection is checkpointed ONCE and both consumers
+    // (fingerprint input, survivor ids) derive from it: a
+    // non-deterministic foreachBatch source evaluated twice could
+    // otherwise log a survivor that was never indexed, or vice versa
+    // (ADVICE r15).
+    {
+      val slim = batch.select(col("doc_id"), col("text")).localCheckpoint()
+      fingerprintStreamApplyBatch(
+        simhashFps(slim),
+        batchId, statePath, maxHamming, maxBucket, compactEvery,
+        survivorIds = Some(slim.select(col("doc_id"))))
+    }
 
   /** The fingerprint-generic core of the streaming banded-Hamming dedup:
     * takes an already-fingerprinted batch (doc_id, fp) — simhash feeds

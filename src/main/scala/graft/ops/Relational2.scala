@@ -1567,7 +1567,8 @@ object Relational2 {
     * the same width arithmetic in SQL. A fold that reads one delta too
     * many/few, or a GC that eats a readable version, breaks the hash. */
   def q103TimeTravel(spark: SparkSession, dir: String,
-                     epochs: Int = 4, asOf: Long = 1L): DataFrame = {
+                     epochs: Int = Q103Epochs,
+                     asOf: Long = Q103AsOf): DataFrame = {
     val base = graft.tools.TempDirs.createFast("graft-q103")
     try {
       val statePath = s"$base/state"
@@ -1595,12 +1596,19 @@ object Relational2 {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** One definition for both sides of the q103 gate: the Scala defaults
+    * and the oracle's width divisor / as-of cutoff derive from these, so
+    * a non-default call can't silently desynchronize query from oracle
+    * (ADVICE r15). */
+  val Q103Epochs: Int = 4
+  val Q103AsOf: Long = 1L
+
   val q103Sql: String =
-    """WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi
+    s"""WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi
       |           FROM events),
       |e AS (
       |  SELECT ev.* FROM events ev, b
-      |  WHERE (ev.event_id - b.lo) // ((b.hi - b.lo) // 4 + 1) < 2)
+      |  WHERE (ev.event_id - b.lo) // ((b.hi - b.lo) // $Q103Epochs + 1) < ${Q103AsOf + 1})
       |SELECT user_id, n_events, epoch_us(ts) AS last_us,
       |  event_type AS last_type, value AS last_value
       |FROM (

@@ -40,8 +40,11 @@ object RoutingMetrics {
   /** Returns all recorded counters and clears them. Conditional remove
     * keeps a counter bumped concurrently between snapshot and sweep for
     * the next drain instead of dropping it (same contract as
-    * PhaseTiming.drain). */
-  def drain(): Map[String, Long] = {
+    * PhaseTiming.drain). Takes `pairLock` so a drain cannot interleave
+    * with a recordWorstGroup update and tear the gauge/companion group
+    * apart (gauge from one call, companions from another, or split
+    * across two drains). */
+  def drain(): Map[String, Long] = pairLock.synchronized {
     val m = acc.toMap
     m.foreach { case (k, v) => acc.remove(k, v) }
     m

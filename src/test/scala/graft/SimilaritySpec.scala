@@ -170,16 +170,20 @@ class SimilaritySpec extends SparkSpec {
     assert(m.values.forall { case (r, f) => r >= 0 && r <= 1 && f > 0 && f <= 1 })
   }
 
-  test("sim_recall_clustered: gate query clears the 0.9 floors and exports counters") {
-    // The driver-visible clustered arm (VERDICT r9 #5): the query must
-    // synthesize its own corpus (dir-independent), clear the documented
-    // recall floors, and put *_recall_clustered_bp >= 9000 into the
-    // routing counters the bench artifact drains.
+  test("sim_recall_clustered: gate query hits recall 1.0 exactly and exports counters") {
+    // The driver-visible clustered arm, hash-gated since r16 (VERDICT
+    // r15 #2): the query synthesizes its own corpus (dir-independent)
+    // and ships exact integers (tier, recall_num, recall_den); on the
+    // structured corpus every tier's candidate set covers the true
+    // top-k, so num == den — the same claim the SQL oracle encodes.
     graft.tools.RoutingMetrics.drain() // isolate this test's counters
     val m = Similarity.recallClustered(spark, "/root/testdata/sf0.001").collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    assert(m("ivf")._1 >= 0.9 && m("lsh")._1 >= 0.9 && m("pq")._1 >= 0.9,
-      s"clustered recall below floor: $m")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.keySet == Set("ivf", "lsh", "pq"))
+    m.foreach { case (tier, (num, den)) =>
+      assert(den > 0 && num == den,
+        s"$tier recall not 1.0 on the clustered corpus: $num/$den")
+    }
     val c = graft.tools.RoutingMetrics.drain()
     assert(c("ivf_recall_clustered_bp") >= 9000L, s"counters: $c")
     assert(c("lsh_recall_clustered_bp") >= 9000L, s"counters: $c")
@@ -268,11 +272,49 @@ class SimilaritySpec extends SparkSpec {
       Similarity.embStatsStreamApplyBatch(
         vecs.filter("vec_id >= 5"), 1L, statePath, compactEvery = 2)
       def rep() = Similarity.embStatsStreamReport(spark, statePath, 1L)
-        .get.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+        .get.collect().map(r => r.getInt(0) -> r.getDecimal(2)).toMap
       val r1 = rep()
       Similarity.embStatsStreamApplyBatch(
         vecs.filter("vec_id >= 5"), 1L, statePath, compactEvery = 2)
       assert(rep() == r1, "replay changed the folded stats")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
+  test("embStats accumulates in DECIMAL(38,0): per-dim sumsq past the " +
+      "int64 envelope is exact, in the batch op AND through the stream " +
+      "fold (r15 verdict #1)") {
+    import spark.implicits._
+    // q = floor(4000·10⁶) = 4×10⁹ ⇒ q² = 1.6×10¹⁹ > Long.MaxValue
+    // (9.22×10¹⁸): even ONE row wraps an int64 sumsq, three rows make
+    // the wrap unmissable. The planted value stands in for the real
+    // envelope break (~10⁷ vectors/dim at |q| ≈ 10⁶) at unit cost.
+    val vecs = Seq((0L, Seq(4000.0f)), (1L, Seq(4000.0f)),
+        (2L, Seq(4000.0f)))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.embStatsOf(vecs)
+    val sumsqField = stats.schema("sumsq_q")
+    assert(sumsqField.dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0),
+      s"sumsq_q must accumulate in DECIMAL(38,0), got ${sumsqField.dataType}")
+    val row = stats.collect().head
+    assert(row.getDecimal(2).toBigInteger ==
+      new java.math.BigInteger("12000000000"))      // 3 × 4×10⁹
+    assert(row.getDecimal(3).toBigInteger ==
+      new java.math.BigInteger("48000000000000000000")) // 3 × 1.6×10¹⁹
+    // the streaming fold merges two such deltas without wrapping
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-embstats-ovf").toString + "/state"
+    try {
+      Similarity.embStatsStreamApplyBatch(vecs, 0L, statePath,
+        compactEvery = 2)
+      Similarity.embStatsStreamApplyBatch(vecs, 1L, statePath,
+        compactEvery = 2)
+      val folded = Similarity.embStatsStreamReport(spark, statePath, 1L)
+        .get.collect().head
+      assert(folded.getDecimal(3).toBigInteger ==
+        new java.math.BigInteger("96000000000000000000"),
+        s"fold wrapped: ${folded.getDecimal(3)}")
     } finally graft.tools.TempDirs.deleteRecursively(
       statePath.stripSuffix("/state"))
   }

@@ -139,6 +139,46 @@ class TextAnalysisSpec extends SparkSpec {
       "audioHash must survive sample duplication")
   }
 
+  test("mm_dedup_audiohash_stream: survivors equal the planted keep-first " +
+      "set; replaying the last epoch rewrites identical state") {
+    // The gate's claim end-to-end: four id-range WAV batches through the
+    // fingerprint-generic stream core keep exactly the first copy of
+    // each PCM family plus the uniques.
+    val surv = Multimodal.audioHashStreamClustered(spark, "")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == ((0L until 40L) ++ (120L until 140L)).toSet,
+      s"audio stream survivors wrong: ${surv.size} ids")
+    // replay idempotence of the shared core under the AUDIO feed: apply
+    // epoch 1 twice — folded survivors must not change (epoch-keyed
+    // overwrite, derived from state < batchId only).
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-audiostream-spec").toString + "/state"
+    try {
+      val fps = spark.range(0, 20).as[Long]
+        .map { id =>
+          val seed = if (id < 10) id % 5 else 100L + id
+          (id, Multimodal.audioHash(Multimodal.decodeWav(
+            Multimodal.encodeWav(Multimodal.scrambledPcm(seed, 650)))))
+        }
+        .toDF("doc_id", "fp").localCheckpoint()
+      val b0 = fps.filter("doc_id < 10")
+      val b1 = fps.filter("doc_id >= 10")
+      graft.ops.Dedup.fingerprintStreamApplyBatch(b0, 0L, statePath,
+        compactEvery = 2)
+      graft.ops.Dedup.fingerprintStreamApplyBatch(b1, 1L, statePath,
+        compactEvery = 2)
+      def surv1() = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/survivors", 1L): _*)
+        .collect().map(_.getLong(0)).toSet
+      val first = surv1()
+      graft.ops.Dedup.fingerprintStreamApplyBatch(b1, 1L, statePath,
+        compactEvery = 2)
+      assert(surv1() == first, "replay changed the audio survivor fold")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("real WAV round-trip: decode(encode(x)) is sample-exact, header is 44 bytes") {
     // the audio path uses the JDK's actual RIFF/WAV codec — PCM is
     // lossless, so the decoded samples must equal the generated ones
