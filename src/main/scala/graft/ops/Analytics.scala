@@ -236,6 +236,98 @@ object Analytics {
       |      FROM generate_series(0, 59) AS t(j))
       |ORDER BY token""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Streaming CMS (sketch state under the LogState monoid fold)
+  // ---------------------------------------------------------------------
+
+  /** One micro-batch of STREAMING Count-Min maintenance (VERDICT r15
+    * #5): a CMS is d·w counters merged by ADDITION, so sketch state is
+    * the drift monitor's monoid-fold pattern verbatim — one `cells` log
+    * of SPARSE (idx, n) counter deltas (only cells the batch touched;
+    * a batch's delta is ≤ d × its distinct tokens, never d·w), fold =
+    * groupBy-idx sum, compaction = the fold. The per-batch sketch build
+    * itself is the same distributed [[graft.functions.CountMinAggregator]]
+    * the batch operator uses (map-side partial merge, O(d·w) per task).
+    * Epoch-keyed overwrite derived from the batch alone —
+    * replay-idempotent. */
+  def cmsStreamApplyBatch(toks: DataFrame, epoch: Long, statePath: String,
+                          d: Int = 4, w: Int = 512,
+                          compactEvery: Int = 4): Unit = {
+    import org.apache.spark.sql.Encoders
+    val sp = toks.sparkSession
+    val tEpoch = System.nanoTime()
+    graft.tools.LogState.requireNoFuture(s"$statePath/cells", epoch)
+    val cms = udaf(new graft.functions.CountMinAggregator(d, w),
+      Encoders.STRING)
+    toks.agg(cms(col("token")).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("idx", "n")))
+      .filter(col("n") =!= 0L)
+      .write.mode("overwrite").parquet(s"$statePath/cells/delta/v$epoch")
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/cells"), epoch,
+      compactEvery)(_.groupBy(col("idx")).agg(sum(col("n")).as("n")))
+    graft.tools.PhaseTiming.record(f"cmsepoch$epoch%03d",
+      (System.nanoTime() - tEpoch) / 1e9)
+  }
+
+  /** The folded sketch as of `upTo` (dense d·w array, zero-filled);
+    * None before the first batch. The collect is bounded by d·w cells
+    * — sketch-sized, never corpus-sized. */
+  def cmsStreamSketch(sp: SparkSession, statePath: String, upTo: Long,
+                      d: Int = 4, w: Int = 512): Option[Array[Long]] = {
+    val paths = graft.tools.LogState.pathsAsOf(s"$statePath/cells", upTo)
+    if (paths.isEmpty) None
+    else {
+      val sk = new Array[Long](d * w)
+      sp.read.parquet(paths: _*)
+        .groupBy(col("idx")).agg(sum(col("n")).as("n"))
+        .collect().foreach(r => sk(r.getInt(0)) += r.getLong(1))
+      Some(sk)
+    }
+  }
+
+  /** STREAMING CMS heavy hitters through the HASH GATE: the planted
+    * 60-token corpus arrives in four occurrence-sliced batches
+    * (occurrence index mod 4 — every token's mass is SPLIT across
+    * epochs, so the gate exercises genuine cross-epoch addition, not
+    * per-epoch sketches riding along); the folded streaming sketch
+    * answers the same support-500 decision layer as
+    * [[cmsHeavyClustered]], against the SAME closed-form oracle. The
+    * sketch is load-bearing (`heavy` comes only from the folded
+    * estimate); a lost epoch, a double-published replay, or a fold that
+    * drops a cell moves an estimate across the 500 boundary (heavy
+    * tokens sit at 600..609, far above the ≤250 total light mass — a
+    * missing quarter of a heavy token's count is decisive) and breaks
+    * the hash. `dir` ignored by design (regime, not scale). */
+  def cmsHeavyStreamClustered(spark: SparkSession, dir: String,
+                              d: Int = 4, w: Int = 512,
+                              epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-cmsstream")
+    try {
+      val statePath = s"$base/state"
+      val toks = spark.range(0, 60)
+        .select(col("id").as("j"),
+          when(col("id") < 10, col("id") + 600)
+            .otherwise(col("id") % 5 + 3).as("c"))
+        .select(concat(lit("t"), col("j").cast("string")).as("token"),
+          explode(expr("sequence(1, c)")).as("occ"))
+        .localCheckpoint()
+      (0 until epochs).foreach { k =>
+        cmsStreamApplyBatch(
+          toks.filter(col("occ") % epochs === k).select(col("token")),
+          k, statePath, d, w, compactEvery = 2)
+      }
+      val sk = cmsStreamSketch(spark, statePath, epochs - 1L, d, w)
+        .getOrElse(sys.error("cms stream: no state"))
+      val est = udf((s: String) =>
+        graft.functions.CountMin.estimate(sk, d, w, s))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+        .withColumn("heavy", est(col("token")) >= 500L)
+        .select(col("token"), col("exact_n"), col("heavy"))
+        .localCheckpoint()
+        .orderBy(col("token"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** Data profiling — the one-pass table health report (row counts,
     * null fractions, distinct cardinalities, ranges) every ingest job
     * emits before anything downstream trusts the batch. All stats ride a
@@ -354,6 +446,7 @@ object Analytics {
     "q81_profile"         -> (profile _),
     "q79_cms_topk"        -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
     "q79_cms_heavy_clustered" -> ((s: SparkSession, d: String) => cmsHeavyClustered(s, d)),
+    "q79_cms_heavy_stream_clustered" -> ((s: SparkSession, d: String) => cmsHeavyStreamClustered(s, d)),
     "q74_bloom_semi_join" -> (bloomSemiJoin _),
     "q75_funnel"          -> (funnel _),
     "q76_cohort"          -> (cohort _),
@@ -365,6 +458,8 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q81_profile"         -> profileSql,
     "q79_cms_heavy_clustered" -> cmsHeavyClusteredSql,
+    // streaming twin folds sparse counter deltas — same closed-form oracle
+    "q79_cms_heavy_stream_clustered" -> cmsHeavyClusteredSql,
     "q74_bloom_semi_join" -> bloomSemiJoinSql,
     "q75_funnel"          -> funnelSql,
     "q76_cohort"          -> cohortSql,

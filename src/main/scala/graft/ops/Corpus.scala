@@ -127,12 +127,38 @@ object Corpus {
                                   finish: DataFrame => DataFrame): Unit = {
     val sp = batch.sparkSession
     val tEpoch = System.nanoTime()
-    Seq("srctot", "results").foreach(r =>
+    Seq("srctot", "results", "maxid").foreach(r =>
       graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
     val d = batch
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .localCheckpoint()
+    // ADMISSION CONTRACT, enforced (VERDICT r15 #4): the keep rules
+    // downstream are prefix-closed only under PER-SOURCE id-ordered
+    // arrival — a doc arriving after a larger-id doc of its source
+    // would silently shift every later cum_before. Rather than corrupt
+    // state, fail fast: the `maxid` log folds each source's high-water
+    // doc_id (max monoid), and a batch carrying doc_id ≤ that mark is
+    // rejected before any state write. Upstream has two remedies:
+    // deliver in id order, or quarantine stragglers with the shared
+    // [[graft.ops.CdcUpsert.withLateness]] wrapper the way
+    // [[budgetSelectStreamLate]] does. Replay stays legal: the guard
+    // reads state strictly OLDER than this epoch, so re-applying epoch
+    // k compares against the same marks it saw the first time.
+    val maxPaths =
+      graft.tools.LogState.pathsAsOf(s"$statePath/maxid", epoch - 1)
+    if (maxPaths.nonEmpty) {
+      val marks = sp.read.parquet(maxPaths: _*)
+        .groupBy(col("source")).agg(max(col("mx")).as("mx"))
+      val nBad = d.join(broadcast(marks), Seq("source"))
+        .filter(col("doc_id") <= col("mx")).count()
+      if (nBad > 0) throw new IllegalStateException(
+        s"cum stream epoch $epoch: $nBad docs arrive at or below their " +
+          "source's high-water doc_id — per-source id-ordered admission " +
+          "violated; deliver in order or quarantine via withLateness")
+    }
+    d.groupBy(col("source")).agg(max(col("doc_id")).as("mx"))
+      .write.mode("overwrite").parquet(s"$statePath/maxid/delta/v$epoch")
     val local = TwoLevel.cumBefore(
         TwoLevel.withIdRangeBucket(d, "source", "doc_id", "__b"),
         Seq("source"), "__b", Seq(col("doc_id")), "n_tokens", "loc_before")
@@ -159,6 +185,8 @@ object Corpus {
       compactEvery)(_.groupBy(col("source")).agg(sum(col("n")).as("n")))
     graft.tools.LogState.maintain(sp, Seq(s"$statePath/results"), epoch,
       compactEvery)(identity)
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/maxid"), epoch,
+      compactEvery)(_.groupBy(col("source")).agg(max(col("mx")).as("mx")))
     graft.tools.PhaseTiming.record(f"$phasePrefix$epoch%03d",
       (System.nanoTime() - tEpoch) / 1e9)
   }
@@ -257,6 +285,114 @@ object Corpus {
        |WHERE cum_before < 300
        |ORDER BY source, doc_id""".stripMargin
 
+  /** STREAMING budget select under EVENT-TIME LATENESS (VERDICT r15 #4
+    * — the assembly tier where the hazard is sharpest: a late doc that
+    * slipped into the fold would shift every later doc's running total
+    * for its source). Same protocol as the four dedup streaming tiers:
+    * each id-range batch passes through [[CdcUpsert.withLateness]]
+    * before touching the budget state — rows whose event time sits
+    * below the carried watermark are quarantined (epoch-keyed,
+    * auditable, replay-idempotent) and NEVER enter the running totals;
+    * on-time rows flow to [[budgetStreamApplyBatch]] unchanged, and
+    * because batches are contiguous id ranges the on-time stream stays
+    * id-ordered, so the prefix-closure argument (and the admission
+    * guard) hold over exactly the admitted docs. Event times are a
+    * planted deterministic function of doc_id (the substring-late
+    * recipe: docs with doc_id % 7 == 3 arriving in epoch ≥ 2 carry an
+    * event time two epochs old — some fall under the watermark, some
+    * are tolerated disorder, so both paths are exercised). Output =
+    * folded kept set over on-time docs UNION quarantine rows
+    * (budget fields null, quarantine epoch carried); the oracle
+    * replays the dense watermark recurrence in SQL and recomputes the
+    * prefix-sum over exactly the on-time docs — a leaked late doc, a
+    * misclassified tolerated doc, or a dropped quarantine row breaks
+    * the hash. */
+  def budgetSelectStreamLate(spark: SparkSession, dir: String,
+                             budget: Long = 300L, epochs: Int = 4,
+                             latenessMicros: Long = 1500000L): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-budstreamlate")
+    try {
+      val budState = s"$base/state"
+      val lateState = s"$base/late"
+      val all = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      val staged = all
+        .withColumn("arr_epoch", expr(s"(doc_id - $lo) div $width"))
+        .withColumn("src_epoch",
+          when(col("doc_id") % 7 === 3 && col("arr_epoch") >= 2,
+            col("arr_epoch") - 2).otherwise(col("arr_epoch")))
+        .withColumn("ts_us",
+          col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
+        .localCheckpoint()
+      (0 until epochs).foreach { k =>
+        CdcUpsert.withLateness(
+          staged.filter(col("arr_epoch") === k)
+            .select(col("doc_id"), col("source"), col("text"), col("ts_us")),
+          k, lateState, latenessMicros, col("ts_us")) { onTime =>
+          budgetStreamApplyBatch(
+            onTime.select(col("doc_id"), col("source"), col("text")),
+            k, budState, budget, compactEvery = 2)
+        }
+      }
+      val kept = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$budState/results", epochs - 1L): _*)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_before"),
+          lit(null).cast("long").as("quarantine_epoch"))
+      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
+        .map(_.select(col("source"), col("doc_id"),
+          lit(null).cast("long").as("n_tokens"),
+          lit(null).cast("long").as("cum_before"),
+          col("quarantine_epoch").cast("long")))
+        .getOrElse(kept.limit(0))
+      kept.unionByName(quar).localCheckpoint().orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Oracle of [[budgetSelectStreamLate]]: dense watermark recurrence
+    * (the q100/substring-late pattern) over the SAME derived event
+    * times, then the per-source prefix-sum keep rule over exactly the
+    * on-time docs, UNION the late rows with their quarantine epoch. */
+  val budgetSelectStreamLateSql: String =
+    s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+       |           FROM documents),
+       |d0 AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    (d.doc_id - b.lo) // ((b.hi - b.lo) // 4 + 1) AS arr_epoch
+       |  FROM documents d, b),
+       |t AS (
+       |  SELECT doc_id, source, text, arr_epoch,
+       |    (CASE WHEN doc_id % 7 = 3 AND arr_epoch >= 2
+       |          THEN arr_epoch - 2 ELSE arr_epoch END) * 1000000
+       |      + (doc_id * 131 % 997) * 1000 AS ts_us
+       |  FROM d0),
+       |m AS (SELECT arr_epoch, MAX(ts_us) AS mx FROM t GROUP BY arr_epoch),
+       |w AS (SELECT g.epoch,
+       |        MAX(m.mx) OVER (ORDER BY g.epoch
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - 1500000 AS wm
+       |      FROM range(0, 4) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |lt AS (SELECT t.*, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
+       |              THEN 1 ELSE 0 END AS late
+       |       FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
+       |sel AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM (SELECT source, doc_id, len($tokensSql) AS n_tokens
+       |        FROM lt WHERE late = 0))
+       |SELECT source, doc_id, n_tokens, cum_before,
+       |  CAST(NULL AS BIGINT) AS quarantine_epoch
+       |FROM sel WHERE cum_before < 300
+       |UNION ALL
+       |SELECT source, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(arr_epoch AS BIGINT)
+       |FROM lt WHERE late = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** Mixture weighting — the data-MIXING step of a pretraining recipe
     * (fixed source weights à la The Pile, Gao et al. 2020; learned
     * variants like DoReMi produce the same artifact): given target token
@@ -345,7 +481,13 @@ object Corpus {
   /** One micro-batch of STREAMING per-language balancing — the mixture
     * rebalance maintained at INGEST via the shared [[TopKStream]] core
     * (per-language K smallest md5 ranks; displacement semantics keep the
-    * folded view equal to the batch sample — see TopKStream). */
+    * folded view equal to the batch sample — see TopKStream).
+    * LATENESS CONTRACT (r16): unlike the prefix-sum assembly ops, the
+    * top-K-merge fold is commutative/associative/idempotent over ALL
+    * arrivals, so the folded winners are ARRIVAL-ORDER-INDEPENDENT — a
+    * late document simply folds in (possibly displacing a winner, the
+    * spec'd behavior); no quarantine or admission guard is needed for
+    * correctness. */
   def balanceStreamApplyBatch(batch: DataFrame, epoch: Long,
                               statePath: String, perLang: Int = 40,
                               compactEvery: Int = 4): Unit = {
@@ -1679,6 +1821,7 @@ object Corpus {
     "corpus_pack_stream" -> ((s: SparkSession, d: String) => packSequencesStream(s, d)),
     "corpus_budget"      -> ((s: SparkSession, d: String) => budgetSelect(s, d)),
     "corpus_budget_stream" -> ((s: SparkSession, d: String) => budgetSelectStream(s, d)),
+    "corpus_budget_stream_late" -> ((s: SparkSession, d: String) => budgetSelectStreamLate(s, d)),
     "corpus_balance"     -> ((s: SparkSession, d: String) => balanceByLang(s, d)),
     "corpus_balance_stream" -> ((s: SparkSession, d: String) => balanceByLangStream(s, d)),
     "corpus_shard"       -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
@@ -1705,6 +1848,7 @@ object Corpus {
     // streaming twin under id-ordered arrival: prefix-closed keep rule,
     // same oracle
     "corpus_budget_stream" -> budgetSelectSql,
+    "corpus_budget_stream_late" -> budgetSelectStreamLateSql,
     "corpus_balance"     -> balanceByLangSql,
     // streaming twin: TopKStream displacement fold, same oracle
     "corpus_balance_stream" -> balanceByLangSql,

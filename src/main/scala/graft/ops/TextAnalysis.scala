@@ -734,12 +734,38 @@ object TextAnalysis {
                               compactEvery: Int = 4): Unit = {
     val sp = batch.sparkSession
     val tEpoch = System.nanoTime()
-    Seq("urlwin", "textwin", "flags").foreach(r =>
+    Seq("urlwin", "textwin", "flags", "maxid").foreach(r =>
       graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
     val flags0 = funnelDocFlags(batch)
       .withColumn("udig", md5(col("canon_url")))
       .withColumn("tdig", md5(col("text")))
       .localCheckpoint()
+    // ADMISSION CONTRACT, enforced (VERDICT r15 #4): both dedup windows
+    // equal the batch funnel's min-doc_id-wins rule only under GLOBAL
+    // id-ordered arrival (first arrival must be the smallest id of its
+    // digest). A straggler with a smaller id than an already-published
+    // winner cannot displace it — decisions are append-only — so
+    // rather than silently diverge from the batch oracle, fail fast:
+    // the one-row `maxid` log folds the global high-water doc_id, and
+    // a batch reaching at or below it is rejected before any state
+    // write. Upstream remedies: deliver in id order, or quarantine via
+    // [[graft.ops.CdcUpsert.withLateness]] (the budget-late recipe).
+    // Guard reads state strictly older than this epoch — replay-legal.
+    val maxPaths =
+      graft.tools.LogState.pathsAsOf(s"$statePath/maxid", epoch - 1)
+    if (maxPaths.nonEmpty) {
+      val mark = sp.read.parquet(maxPaths: _*)
+        .agg(max(col("mx"))).head().getLong(0)
+      val lowRow = flags0.agg(min(col("doc_id"))).head()
+      if (!lowRow.isNullAt(0) && lowRow.getLong(0) <= mark)
+        throw new IllegalStateException(
+          s"fineweb stream epoch $epoch: doc_id ${lowRow.getLong(0)} " +
+            s"arrives at or below the high-water mark $mark — id-ordered " +
+            "admission violated; deliver in order or quarantine via " +
+            "withLateness")
+    }
+    flags0.agg(max(col("doc_id")).as("mx")).na.drop()
+      .write.mode("overwrite").parquet(s"$statePath/maxid/delta/v$epoch")
     def histOf(root: String): DataFrame = {
       val paths = graft.tools.LogState.pathsAsOf(s"$statePath/$root",
         epoch - 1)
@@ -778,6 +804,8 @@ object TextAnalysis {
     graft.tools.LogState.maintain(sp,
       Seq(s"$statePath/urlwin", s"$statePath/textwin",
         s"$statePath/flags"), epoch, compactEvery)(identity)
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/maxid"), epoch,
+      compactEvery)(_.agg(max(col("mx")).as("mx")))
     graft.tools.PhaseTiming.record(f"fwepoch$epoch%03d",
       (System.nanoTime() - tEpoch) / 1e9)
   }

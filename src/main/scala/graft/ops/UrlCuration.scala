@@ -342,7 +342,12 @@ object UrlCuration {
     *    monoid. Feeds the report's n_domain stratum totals.
     * Per-epoch cost: one narrow kernel pass over the batch + a
     * batch-sized rank. Writes derive from the batch alone, keyed by
-    * epoch — replay rewrites identical files. */
+    * epoch — replay rewrites identical files.
+    * LATENESS CONTRACT (r16): both logs fold commutative/associative/
+    * idempotent monoids (top-K-merge, count-sum), so winners and totals
+    * are ARRIVAL-ORDER-INDEPENDENT — a late document folds in correctly
+    * (displacement is the spec'd behavior); no quarantine or admission
+    * guard is needed, unlike the prefix-sum assembly tiers. */
   def domainCapStreamApplyBatch(batch: DataFrame, epoch: Long,
                                 statePath: String, k: Int = DomainCapK,
                                 compactEvery: Int = 4): Unit = {

@@ -111,6 +111,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS: folded sketch equals the one-pass sketch exactly; " +
+      "replay idempotent; gate decision matches batch (r15 verdict #5)") {
+    import spark.implicits._
+    // cross-epoch addition is the claim: every token's mass is split
+    // across both batches, so neither per-epoch sketch alone suffices
+    val toks = Seq.tabulate(40)(i => s"w${i % 8}").toDF("token")
+      .withColumn("occ", monotonically_increasing_id())
+      .localCheckpoint()
+    val (d, w) = (4, 64)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-cmsstream-spec").toString + "/state"
+    try {
+      Analytics.cmsStreamApplyBatch(
+        toks.filter(col("occ") % 2 === 0).select(col("token")),
+        0L, statePath, d, w, compactEvery = 2)
+      Analytics.cmsStreamApplyBatch(
+        toks.filter(col("occ") % 2 === 1).select(col("token")),
+        1L, statePath, d, w, compactEvery = 2)
+      val folded = Analytics.cmsStreamSketch(spark, statePath, 1L, d, w).get
+      // one-pass reference via the aggregator itself
+      val agg = new graft.functions.CountMinAggregator(d, w)
+      val onePass = toks.select(col("token")).collect().map(_.getString(0))
+        .foldLeft(agg.zero)(agg.reduce)
+      assert(folded.toSeq == onePass.toSeq,
+        "folded streaming sketch differs from the one-pass sketch")
+      // replay of the last epoch rewrites identical cells
+      Analytics.cmsStreamApplyBatch(
+        toks.filter(col("occ") % 2 === 1).select(col("token")),
+        1L, statePath, d, w, compactEvery = 2)
+      val replayed = Analytics.cmsStreamSketch(spark, statePath, 1L, d, w).get
+      assert(replayed.toSeq == folded.toSeq, "replay changed the fold")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+    // the gated decision layer agrees with the batch gate bitwise
+    val stream = Analytics.cmsHeavyStreamClustered(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val batch = Analytics.cmsHeavyClustered(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(stream == batch, "streaming CMS gate diverges from batch gate")
+  }
+
   test("redaction leaves no live email or digit run behind") {
     val rows = graft.ops.TextAnalysis.redact(spark, sf).collect()
     assert(rows.nonEmpty)

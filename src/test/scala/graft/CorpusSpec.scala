@@ -141,6 +141,54 @@ class CorpusSpec extends SparkSpec {
       statePath.stripSuffix("/state"))
   }
 
+  test("cum-stream admission guard: an out-of-id-order batch fails fast " +
+      "and leaves the kept set unchanged (r15 verdict #4)") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-budguard-spec").toString + "/state"
+    try {
+      def b(rows: (Long, Int)*) = rows.toSeq
+        .map { case (id, n) => (id, words(n), "s0") }
+        .toDF("doc_id", "text", "source")
+      Corpus.budgetStreamApplyBatch(b(5L -> 10), 0L, statePath,
+        budget = 300L, compactEvery = 2)
+      // doc 3 arrives AFTER doc 5 of its source: the prefix-sum keep
+      // rule is no longer prefix-closed — must throw, not mis-fold
+      val e = intercept[IllegalStateException] {
+        Corpus.budgetStreamApplyBatch(b(3L -> 5), 1L, statePath,
+          budget = 300L, compactEvery = 2)
+      }
+      assert(e.getMessage.contains("id-ordered admission"))
+      val kept = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/results", 1L): _*)
+        .collect().map(_.getLong(1)).toSet
+      assert(kept == Set(5L), s"state corrupted by rejected batch: $kept")
+      // a DIFFERENT source is an independent prefix: same ids are fine
+      Corpus.budgetStreamApplyBatch(
+        Seq((3L, words(5), "s1")).toDF("doc_id", "text", "source"),
+        1L, statePath, budget = 300L, compactEvery = 2)
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
+  test("budgetSelectStreamLate: planted late doc quarantined with its " +
+      "epoch; kept set equals the batch rule over on-time docs only") {
+    // ids 0..15, 4 epochs -> width 4; the one late candidate is doc 10
+    // (10 % 7 = 3, arr_epoch 2, src_epoch 0): ts 313ms < wm(1) = 417ms.
+    val rows = (0L to 15L).map(i => (i, words(10), "en", s"s${i % 2}"))
+    val dir = docs(rows: _*)
+    val out = Corpus.budgetSelectStreamLate(spark, dir, budget = 1000L)
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val quar = out.filter(_._2 >= 0L)
+    assert(quar.toSeq == Seq((10L, 2L)),
+      s"expected exactly doc 10 quarantined at epoch 2: ${quar.toSeq}")
+    val kept = out.filter(_._2 < 0L).map(_._1).toSet
+    val noLate = docs(rows.filterNot(_._1 == 10L): _*)
+    val batchKept = Corpus.budgetSelect(spark, noLate, budget = 1000L)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == batchKept, s"kept=$kept batch-over-on-time=$batchKept")
+  }
+
   test("balanceByLang caps each language at perLang with a deterministic rank") {
     val dir = docs((1L to 10L).map(i => (i, words(3), if (i <= 7) "en" else "fr", "s0")): _*)
     val out = Corpus.balanceByLang(spark, dir, perLang = 4).collect()

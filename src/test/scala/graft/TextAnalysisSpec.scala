@@ -516,6 +516,17 @@ class TextAnalysisSpec extends SparkSpec {
       val r2 = TextAnalysis.finewebStreamReport(spark, statePath, 1L)
         .get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(r2 == r1, s"replay changed the report: $r2 vs $r1")
+      // ADMISSION GUARD (r15 verdict #4): both dedup windows assume
+      // global id-ordered arrival — a straggler below the high-water
+      // mark must fail fast, and the report must be unchanged
+      val e = intercept[IllegalStateException] {
+        TextAnalysis.finewebStreamApplyBatch(
+          b((3L, "en", good(7))), 2L, statePath)
+      }
+      assert(e.getMessage.contains("id-ordered admission"))
+      val r3 = TextAnalysis.finewebStreamReport(spark, statePath, 2L)
+        .get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r3 == r1, s"rejected batch mutated state: $r3 vs $r1")
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 }
