@@ -759,6 +759,122 @@ object Multimodal {
       sorted = true)
   }
 
+  /** Well-mixed deterministic GRAYSCALE raster (splitmix scramble of
+    * (seed, pixel)) — the single-channel twin of [[scrambledPixels]]
+    * for GIF's palette-safe gray frames: each luminance comparison is
+    * an independent coin flip, so distinct seeds sit at dHash Hamming
+    * ≈ 32 while equal seeds are bit-identical through the lossless
+    * container round trip. */
+  private[graft] def scrambledGray(seed: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      var z = seed * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+      (z & 0xff).toInt
+    }
+
+  /** Mux caller-supplied grayscale rasters into ONE animated GIF (the
+    * [[encodeGif]] sequence writer generalized from its synthetic-frame
+    * generator to injectable frames — the video dedup tier plants
+    * scrambled rasters, whose dHashes separate, where the gradient-ish
+    * synthetic frames would collide). */
+  private[graft] def encodeGifFrames(frames: Seq[Array[Int]], w: Int,
+                                     h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var i = 0
+        while (i < px.length) {
+          img.getRaster.setSample(i % w, i / w, 0, px(i)); i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** VIDEO near-dup through the HASH GATE on a planted replicated-clip
+    * corpus (VERDICT r15 #7 — the video surface gains its dedup tier;
+    * decode existed since mm_video_real): per-frame dHash + SEQUENCE-
+    * LEVEL banding — two clips are near-dups iff ≥ `minAligned` frames
+    * at the SAME frame index collide under the banded-Hamming rule, the
+    * temporal analogue of simhash's "≥1 band collides" pigeonhole. 140
+    * REAL GIF containers — ids 0..119 mux the frame sequence of base
+    * id % 40 (three container-identical clips per base, 3–5 scrambled
+    * gray frames each), ids 120..139 unique sequences — go through the
+    * FULL pipeline: GIF mux → JDK demux → per-frame 9×8 downsample +
+    * dHash → the SHARED banding kernel [[Dedup.fingerprintNearDup]]
+    * over frame-composite keys (doc_id·64 + frame_idx — the videos'
+    * frame counts are < 64, so keys are collision-free and `key % 64`
+    * recovers alignment) → aligned-frame filter → per-pair collision
+    * count. Replica clips collide at EVERY aligned frame (n_aligned =
+    * the base's frame count); distinct scrambled sequences collide
+    * nowhere, so the output is exactly the 120 replica pairs with
+    * closed-form counts the oracle synthesizes. A container demux bug,
+    * a frame-order scramble (alignment breaks), a dHash drift, or a
+    * banding bug that drops a frame pair breaks the hash. At scale the
+    * frame fan-out is a narrow flatMap (8 B fp per frame rides its band
+    * rows; no raster ever shuffles) and the aligned-count aggregation
+    * shuffles only verified frame pairs. `dir` unused (regime, not
+    * scale). */
+  def videoDHashClustered(spark: SparkSession, dir: String,
+                          minAligned: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (w, h) = (18, 16)
+    val frameFps = spark.range(0, 140).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val seed = if (id < 120) id % 40 else 1000L + id
+          val nf = (seed % 3 + 3).toInt // 3..5 frames, base-determined
+          // seed*131+f is unique per (seed, f): f < 131 < seed spacing
+          val gif = encodeGifFrames(
+            (0 until nf).map(f => scrambledGray(seed * 131 + f, w, h)), w, h)
+          decodeGifFrames(gif).zipWithIndex.map { case (img, f) =>
+            (id * 64 + f, dHash(img))
+          }
+        }
+      }
+      .toDF("doc_id", "fp")
+    videoNearDupPairs(frameFps, minAligned)
+  }
+
+  /** The sequence-banding stage over frame-composite-keyed fingerprints
+    * (video_id·64 + frame_idx, fp): shared banded-Hamming frame pairs →
+    * aligned-frame filter → per-clip-pair collision count ≥ threshold.
+    * Split out so the spec can feed a SHIFTED clip (same frames, offset
+    * indices) and prove the temporal rule rejects it. */
+  private[graft] def videoNearDupPairs(frameFps: DataFrame,
+                                       minAligned: Int): DataFrame =
+    Dedup.fingerprintNearDup(frameFps, maxHamming = 3, maxBucket = 200,
+        sorted = false)
+      .filter(col("a_id") % 64 === col("b_id") % 64) // aligned frames only
+      .select(expr("a_id div 64").as("va"), expr("b_id div 64").as("vb"))
+      .filter(col("va") =!= col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .filter(col("n_aligned") >= minAligned)
+      .select(col("va").as("a_id"), col("vb").as("b_id"), col("n_aligned"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Pairs provable by construction: 3 copies per base ⇒ 3 pairs × 40
+    * bases, every aligned frame collides ⇒ n_aligned = the base's frame
+    * count (base % 3 + 3). */
+  val videoDHashClusteredSql: String =
+    """WITH b AS (SELECT CAST(x AS BIGINT) AS b,
+      |             CAST(x % 3 + 3 AS BIGINT) AS nf FROM range(0, 40) t(x)),
+      |p AS (
+      |  SELECT b AS a_id, b + 40 AS b_id, nf FROM b
+      |  UNION ALL SELECT b, b + 80, nf FROM b
+      |  UNION ALL SELECT b + 40, b + 80, nf FROM b)
+      |SELECT a_id, b_id, nf AS n_aligned FROM p
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** STREAMING audio-fingerprint dedup through the HASH GATE —
     * completes the multimodal streaming row (images joined in r15;
     * VERDICT r15 #3): the same 140-WAV clustered corpus arrives in four
@@ -816,6 +932,8 @@ object Multimodal {
     "mm_dedup_audiohash_clustered" -> (audioHashClustered _),
     "mm_dedup_audiohash_stream" -> ((s: SparkSession, d: String) =>
       audioHashStreamClustered(s, d)),
+    "mm_dedup_video_clustered" -> ((s: SparkSession, d: String) =>
+      videoDHashClustered(s, d)),
   )
 
   /** All three real-codec paths are oracled: the ground truth of each is
@@ -832,6 +950,7 @@ object Multimodal {
     // same planted replica structure as the image gate → same synthesis
     "mm_dedup_audiohash_clustered" -> imageDHashClusteredSql,
     "mm_dedup_audiohash_stream" -> imageDHashStreamClusteredSql,
+    "mm_dedup_video_clustered" -> videoDHashClusteredSql,
     "mm_video_real" -> videoRealSql,
     "mm_audio_real" -> audioRealSql,
     "mm_audio_windows" -> audioWindowsSql,

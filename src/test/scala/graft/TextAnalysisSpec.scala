@@ -179,6 +179,33 @@ class TextAnalysisSpec extends SparkSpec {
       statePath.stripSuffix("/state"))
   }
 
+  test("mm_dedup_video_clustered: replica pairs with closed-form aligned " +
+      "counts; a SHIFTED clip shares frames but never aligns") {
+    // the gate query reproduces the planted 120 pairs exactly
+    val got = Multimodal.videoDHashClustered(spark, "").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (0L until 40L).flatMap { b =>
+      val nf = b % 3 + 3
+      Seq((b, b + 40L, nf), (b, b + 80L, nf), (b + 40L, b + 80L, nf))
+    }.toSet
+    assert(got == want, s"${got.size} pairs, expected ${want.size}")
+    // the temporal rule: clip 0 = [A,B,C], clip 1 = [B,C,D] (one-frame
+    // shift — 2 shared frames, ZERO aligned), clip 2 = copy of clip 0
+    import spark.implicits._
+    def fp(seed: Long): Long = Multimodal.dHash(Multimodal.decodePng(
+      Multimodal.encodePngPixels(Multimodal.scrambledPixels(seed, 18, 16), 18, 16)))
+    val (a, b, c, d) = (fp(1L), fp(2L), fp(3L), fp(4L))
+    val frames = Seq(
+      (0L * 64 + 0, a), (0L * 64 + 1, b), (0L * 64 + 2, c),
+      (1L * 64 + 0, b), (1L * 64 + 1, c), (1L * 64 + 2, d),
+      (2L * 64 + 0, a), (2L * 64 + 1, b), (2L * 64 + 2, c))
+      .toDF("doc_id", "fp")
+    val pairs = Multimodal.videoNearDupPairs(frames, minAligned = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((0L, 2L, 3L)),
+      s"shifted clip must not pair; replica must, with all 3 frames: $pairs")
+  }
+
   test("real WAV round-trip: decode(encode(x)) is sample-exact, header is 44 bytes") {
     // the audio path uses the JDK's actual RIFF/WAV codec — PCM is
     // lossless, so the decoded samples must equal the generated ones
