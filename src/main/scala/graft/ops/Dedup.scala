@@ -2813,6 +2813,15 @@ object Dedup {
       .select(col("doc_id"), col("text"))
     val train = all.filter(!col("bucket").isin("0", "1"))
       .select(col("doc_id"), col("text"))
+    decontaminateDocs(train, test, n).orderBy(col("doc_id"))
+  }
+
+  /** Core of [[decontaminate]] over injectable (doc_id, text) frames —
+    * split out (r16) so the composed curation pipeline can clean the
+    * funnel's survivors against the planted benchmark split with the
+    * exact operator the standalone gate checks. */
+  private[graft] def decontaminateDocs(train: DataFrame, test: DataFrame,
+                                       n: Int = SubstringN): DataFrame = {
     val testOccs = substrGramDigests(test, n)
     val banned = testOccs.select(col("d1"), col("d2")).distinct()
     val trainOccs = substrGramDigests(train, n)
@@ -2828,7 +2837,6 @@ object Dedup {
     val starts = candGrams.join(testGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos"), lit(1).as("is_start"))
     substrCoverRebuild(substrToks(train), starts, n)
-      .orderBy(col("doc_id"))
   }
 
   /** DuckDB twin of [[decontaminate]]: same md5 split, same positioned

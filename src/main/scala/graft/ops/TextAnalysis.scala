@@ -1091,6 +1091,363 @@ object TextAnalysis {
        |  FROM sc GROUP BY doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** The FULL curation pipeline, end to end (VERDICT r15 #6 — the
+    * integration test for everything built in 16 rounds): the
+    * production shape the north star describes, composed from this
+    * library's gate-checked operators in their deployment order:
+    *
+    *   URL canon+dedup → language → Gopher quality → Gopher repetition
+    *   → exact text dedup (the FineWeb funnel, stages 01–05)
+    *   → substring DECONTAMINATION against the planted benchmark split
+    *     (stage 06 — survivors are s5 docs outside the test split with
+    *     ≥1 token left after banned-span removal; tokens become CLEAN
+    *     counts from here on)
+    *   → DSIR importance selection on the CLEAN text under the frozen
+    *     full-corpus reference model (stage 07 — the deployment split:
+    *     model from the reference corpus, scoring per arriving doc; a
+    *     doc left with <2 tokens has no bigram features and is not
+    *     selected)
+    *   → per-domain cap at [[UrlCuration.DomainCapK]] by md5 rank among
+    *     the survivors (stage 08)
+    *   → mixture plan (per-language integer repeats against the fixed
+    *     share table and `mixBudget`, stage 09 = docs with ≥1 planned
+    *     pass and their PLANNED tokens)
+    *   → sequence packing (stage 10 — n_docs is the total training
+    *     sequences ceil(planned/seqLen) summed per source; tokens = the
+    *     packed planned tokens).
+    *
+    * Output is the per-stage attrition report (stage, n_docs,
+    * total_tokens), zero-padded so the stage order is lexicographic.
+    * Scale shape: stages 0–5 are ONE scan + two dedup windows (the
+    * funnel's audited plan); each later stage runs the already-audited
+    * operator shape over a strictly SHRINKING survivor frame — the
+    * cumulative-flag trick keeps the report a bounded number of passes
+    * (no per-stage re-scan of the raw corpus; the raw text is read
+    * once by the funnel and once by the frozen-model trainer). The
+    * oracle recomposes every stage's existing SQL twin over the same
+    * chain — a drift in ANY stage's semantics, or in how stages hand
+    * survivors forward, breaks the hash. */
+  def curationPipeline(spark: SparkSession, dir: String,
+                       mixBudget: Long = 20000L,
+                       seqLen: Int = 64): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val docsRaw = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // stages 00-05: the FineWeb funnel flags (same chain the
+    // pipeline_fineweb gate pins)
+    val flags = funnelDocFlags(docsRaw)
+      .withColumn("s1", col("doc_id") === min(col("doc_id"))
+        .over(W.partitionBy(col("canon_url"))))
+      .withColumn("s2", col("s1") && col("langok"))
+      .withColumn("s3", col("s2") && col("qok"))
+      .withColumn("s4", col("s3") && col("repok"))
+      .withColumn("s5", col("s4") && col("doc_id") ===
+        min(when(col("s4"), col("doc_id"))).over(W.partitionBy(col("text"))))
+      .withColumn("is_test",
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .localCheckpoint()
+    // stage 06: decontaminate the survivors against the planted
+    // benchmark split (the standalone text_decontaminate operator over
+    // injectable frames)
+    val test = docsRaw
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1"))
+      .select(col("doc_id"), col("text"))
+    val cleaned = Dedup.decontaminateDocs(
+        flags.filter(col("s5") && !col("is_test"))
+          .select(col("doc_id"), col("text")),
+        test)
+      .withColumn("rem", col("n_tokens") - col("n_removed"))
+    val s6 = cleaned.filter(col("rem") >= 1)
+      .join(docsRaw.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("rem"),
+        col("clean_text"))
+      .localCheckpoint()
+    // stage 07: DSIR selection on clean text, frozen reference model
+    // trained on the full original corpus (dsirModelTrain's split)
+    val mg = dsirGrams(docsRaw)
+    val raw = mg.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgt = mg.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val totals = mg.agg(count(lit(1)).as("rt"),
+      count(when(col("lang") === "en", 1)).as("tt"))
+    val scored = dsirScore(
+      dsirGrams(s6.select(col("doc_id"), col("lang"),
+        col("clean_text").as("text"))),
+      raw, tgt, totals)
+    val s7 = s6
+      .join(scored.filter(col("selected")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // stage 08: per-domain cap among survivors (md5-rank sample, the
+    // corpus_domain_cap arithmetic, ranked within the SURVIVOR set)
+    val s8 = TwoLevel.rank(
+        TwoLevel.withMd5Bucket(
+          s7.withColumn("domain",
+            graft.functions.UrlKernels.urlDomainUdf(UrlCuration.plantedUrl)),
+          col("doc_id").cast("string"), "__o", "__b"),
+        Seq("domain"), "__b", Seq(col("__o"), col("doc_id")), "rk")
+      .filter(col("rk") <= UrlCuration.DomainCapK)
+      .select(col("doc_id"), col("lang"), col("source"), col("rem"))
+      .localCheckpoint()
+    // stage 09: mixture plan over the curated corpus (corpus_mix
+    // arithmetic on CLEAN token counts)
+    val weights = Seq(("de", 1500L), ("en", 4000L), ("es", 1000L),
+      ("fr", 1000L), ("zh", 2500L)).toDF("lang", "w_bp")
+    val tgt2 = s8.groupBy(col("lang")).agg(sum(col("rem")).as("pool"))
+      .join(broadcast(weights), Seq("lang"))
+      .withColumn("target", expr(s"w_bp * $mixBudget div 10000"))
+      .select(col("lang"), col("pool"), col("target"))
+    val mixed = TwoLevel.cumBefore(
+        TwoLevel.withMd5Bucket(s8, col("doc_id").cast("string"), "__o", "__b"),
+        Seq("lang"), "__b", Seq(col("__o"), col("doc_id")), "rem",
+        "cum_before")
+      .join(broadcast(tgt2), Seq("lang"))
+      .withColumn("repeats", expr("target div pool") +
+        when(col("cum_before") < expr("target % pool"), lit(1L))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("source"), col("rem"), col("repeats"))
+      .localCheckpoint()
+    // stage 10: packing, closed form per source over planned tokens
+    val packed = mixed.groupBy(col("source"))
+      .agg(sum(col("repeats") * col("rem")).as("planned"))
+      .agg(coalesce(sum(expr(s"(planned + ${seqLen - 1}) div $seqLen")),
+          lit(0L)).as("n_seqs"),
+        coalesce(sum(col("planned")), lit(0L)).as("tokens"))
+    // the attrition report
+    val r05 = flags.agg(
+        count(lit(1)).as("c0"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("t0"),
+        count(when(col("s1"), 1)).as("c1"),
+        coalesce(sum(when(col("s1"), col("n_tokens"))), lit(0L)).as("t1"),
+        count(when(col("s2"), 1)).as("c2"),
+        coalesce(sum(when(col("s2"), col("n_tokens"))), lit(0L)).as("t2"),
+        count(when(col("s3"), 1)).as("c3"),
+        coalesce(sum(when(col("s3"), col("n_tokens"))), lit(0L)).as("t3"),
+        count(when(col("s4"), 1)).as("c4"),
+        coalesce(sum(when(col("s4"), col("n_tokens"))), lit(0L)).as("t4"),
+        count(when(col("s5"), 1)).as("c5"),
+        coalesce(sum(when(col("s5"), col("n_tokens"))), lit(0L)).as("t5"))
+      .selectExpr(
+        """stack(6,
+          |  '00_total',      c0, t0,
+          |  '01_url',        c1, t1,
+          |  '02_lang',       c2, t2,
+          |  '03_quality',    c3, t3,
+          |  '04_repetition', c4, t4,
+          |  '05_dedup',      c5, t5)
+          |AS (stage, n_docs, total_tokens)""".stripMargin)
+    def row(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("rem")), lit(0L)).as("total_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("total_tokens"))
+    val r9 = mixed.agg(
+        count(when(col("repeats") >= 1L, 1)).as("n_docs"),
+        coalesce(sum(col("repeats") * col("rem")), lit(0L))
+          .as("total_tokens"))
+      .select(lit("09_mix").as("stage"), col("n_docs"), col("total_tokens"))
+    val r10 = packed
+      .select(lit("10_pack").as("stage"), col("n_seqs").as("n_docs"),
+        col("tokens").as("total_tokens"))
+    r05
+      .unionByName(row("06_decontam", s6))
+      .unionByName(row("07_dsir", s7))
+      .unionByName(row("08_domain_cap", s8))
+      .unionByName(r9)
+      .unionByName(r10)
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle of [[curationPipeline]]: every stage's existing SQL twin,
+    * recomposed over the same survivor chain. Shared CTEs are
+    * MATERIALIZED: DuckDB inlines CTEs per reference by default, and
+    * the report reads each survivor stage 2–3 times — inlined, the
+    * decontamination chain re-executes per read and the oracle blows
+    * the 10 s pre-flight budget (measured 10.8 s → 0.45 s at sf0.01). */
+  lazy val curationPipelineSql: String = {
+    val n = Dedup.SubstringN
+    val gramHash =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(gram, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 64""".stripMargin
+    s"""WITH u AS (${UrlCuration.withUrlSql}),
+       |${UrlCuration.canonSql.replace("canon AS (", "canon AS MATERIALIZED (")},
+       |q AS (
+       |  SELECT doc_id, n_tokens, keep AS q_keep
+       |  FROM ($gopherQualitySql)),
+       |rep AS (
+       |  SELECT doc_id, top_2_frac, top_3_frac, top_4_frac,
+       |    dup_5_frac, dup_6_frac, dup_7_frac, dup_8_frac, dup_9_frac,
+       |    dup_10_frac
+       |  FROM ($gopherRepetitionSql)),
+       |flags0 AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.text, q.n_tokens,
+       |    d.doc_id = MIN(d.doc_id) OVER (PARTITION BY c.canon_url) AS s1,
+       |    d.lang IN ('en', 'de', 'es', 'fr') AS langok,
+       |    q.q_keep AS qok,
+       |    rep.top_2_frac <= 0.2 AND rep.top_3_frac <= 0.18
+       |      AND rep.top_4_frac <= 0.16 AND rep.dup_5_frac <= 0.15
+       |      AND rep.dup_6_frac <= 0.14 AND rep.dup_7_frac <= 0.13
+       |      AND rep.dup_8_frac <= 0.12 AND rep.dup_9_frac <= 0.11
+       |      AND rep.dup_10_frac <= 0.10 AS repok
+       |  FROM documents d
+       |  JOIN canon c ON c.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN rep ON rep.doc_id = d.doc_id),
+       |flags AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, text, n_tokens, s1,
+       |    s1 AND langok AS s2,
+       |    s1 AND langok AND qok AS s3,
+       |    s1 AND langok AND qok AND repok AS s4,
+       |    s1 AND langok AND qok AND repok AND doc_id =
+       |      MIN(CASE WHEN s1 AND langok AND qok AND repok THEN doc_id END)
+       |        OVER (PARTITION BY text) AS s5,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_test
+       |  FROM flags0),
+       |tr AS (SELECT doc_id, $tokensSql AS tk FROM flags
+       |       WHERE s5 AND NOT is_test),
+       |te AS (SELECT doc_id, $tokensSql AS tk FROM documents
+       |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')),
+       |banned AS (
+       |  SELECT DISTINCT array_to_string(tk[s + 1 : s + $n], ' ') AS gram
+       |  FROM te, unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS t(s)),
+       |occ AS (
+       |  SELECT doc_id, s AS start,
+       |    array_to_string(tk[s + 1 : s + $n], ' ') AS gram
+       |  FROM tr, unnest(range(0, greatest(len(tk) - ${n - 1}, 0))) AS t(s)),
+       |starts AS (SELECT o.doc_id, o.start FROM occ o JOIN banned USING (gram)),
+       |toksx AS (
+       |  SELECT doc_id, p AS pos, tk[p + 1] AS tok
+       |  FROM tr, unnest(range(0, len(tk))) AS t(p)),
+       |cov AS (
+       |  SELECT doc_id, pos, tok,
+       |    MAX(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      RANGE BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) = 1 AS c
+       |  FROM (
+       |    SELECT t.doc_id, t.pos, t.tok,
+       |      CASE WHEN s.start IS NOT NULL THEN 1 ELSE 0 END AS is_start
+       |    FROM toksx t LEFT JOIN starts s
+       |      ON s.doc_id = t.doc_id AND s.start = t.pos)),
+       |clean AS (
+       |  SELECT doc_id, COUNT(*) AS n_toks,
+       |    CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    COALESCE(string_agg(CASE WHEN NOT c THEN tok END, ' '
+       |      ORDER BY pos), '') AS clean_text
+       |  FROM cov GROUP BY doc_id),
+       |s6 AS MATERIALIZED (
+       |  SELECT cl.doc_id, d.lang, d.source,
+       |    CAST(cl.n_toks - cl.n_removed AS BIGINT) AS rem, cl.clean_text
+       |  FROM clean cl JOIN documents d ON d.doc_id = cl.doc_id
+       |  WHERE cl.n_toks - cl.n_removed >= 1),
+       |md AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+       |mg AS MATERIALIZED (
+       |  SELECT doc_id, lang, $gramHash AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |    FROM md WHERE len(toks) >= 2)),
+       |raw AS (SELECT b, COUNT(*) AS rc FROM mg GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*) AS tc FROM mg WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT COUNT(*) AS rt,
+       |        COUNT(CASE WHEN lang = 'en' THEN 1 END) AS tt FROM mg),
+       |sd AS (SELECT doc_id,
+       |         list_filter(string_split(clean_text, ' '), t -> t <> '')
+       |           AS toks
+       |       FROM s6),
+       |sg AS (
+       |  SELECT doc_id, $gramHash AS b
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |    FROM sd WHERE len(toks) >= 2)),
+       |sc AS (
+       |  SELECT doc_id,
+       |    (CAST(1000000 AS HUGEINT) * (COALESCE(tc, 0) + 1) * (rt + 64))
+       |      // ((COALESCE(rc, 0) + 1) * (tt + 64)) AS term
+       |  FROM sg
+       |  LEFT JOIN raw USING (b)
+       |  LEFT JOIN tgt USING (b)
+       |  CROSS JOIN tot),
+       |s7sel AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, SUM(term) AS ssum, COUNT(*) AS ng
+       |    FROM sc GROUP BY doc_id)
+       |  WHERE CAST(ssum // ng AS BIGINT) >= 1000000),
+       |s7 AS MATERIALIZED (SELECT s6.* FROM s6 JOIN s7sel USING (doc_id)),
+       |dcp AS (
+       |  SELECT s7.doc_id, s7.lang, s7.source, s7.rem,
+       |    ROW_NUMBER() OVER (PARTITION BY c.domain
+       |      ORDER BY md5(CAST(s7.doc_id AS VARCHAR)), s7.doc_id) AS rk
+       |  FROM s7 JOIN canon c ON c.doc_id = s7.doc_id),
+       |s8 AS MATERIALIZED (SELECT doc_id, lang, source, rem FROM dcp
+       |       WHERE rk <= ${UrlCuration.DomainCapK}),
+       |w(lang, w_bp) AS (VALUES
+       |  ('de', 1500), ('en', 4000), ('es', 1000), ('fr', 1000), ('zh', 2500)),
+       |pool AS (SELECT lang, SUM(rem) AS pool FROM s8 GROUP BY lang),
+       |tg2 AS (SELECT pool.lang, pool.pool, w.w_bp * 20000 // 10000 AS target
+       |        FROM pool JOIN w ON pool.lang = w.lang),
+       |cb AS (
+       |  SELECT s8.*, CAST(COALESCE(SUM(rem) OVER (PARTITION BY lang
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before
+       |  FROM s8),
+       |mixd AS MATERIALIZED (
+       |  SELECT cb.doc_id, cb.source, cb.rem,
+       |    tg2.target // tg2.pool +
+       |      CASE WHEN cb.cum_before < tg2.target % tg2.pool
+       |           THEN 1 ELSE 0 END AS repeats
+       |  FROM cb JOIN tg2 ON cb.lang = tg2.lang),
+       |pk AS (SELECT source, SUM(repeats * rem) AS planned
+       |       FROM mixd GROUP BY source),
+       |fa AS (
+       |  SELECT
+       |    CAST(COUNT(*) AS BIGINT) AS c0,
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t0,
+       |    CAST(COUNT(CASE WHEN s1 THEN 1 END) AS BIGINT) AS c1,
+       |    CAST(COALESCE(SUM(CASE WHEN s1 THEN n_tokens END), 0) AS BIGINT) AS t1,
+       |    CAST(COUNT(CASE WHEN s2 THEN 1 END) AS BIGINT) AS c2,
+       |    CAST(COALESCE(SUM(CASE WHEN s2 THEN n_tokens END), 0) AS BIGINT) AS t2,
+       |    CAST(COUNT(CASE WHEN s3 THEN 1 END) AS BIGINT) AS c3,
+       |    CAST(COALESCE(SUM(CASE WHEN s3 THEN n_tokens END), 0) AS BIGINT) AS t3,
+       |    CAST(COUNT(CASE WHEN s4 THEN 1 END) AS BIGINT) AS c4,
+       |    CAST(COALESCE(SUM(CASE WHEN s4 THEN n_tokens END), 0) AS BIGINT) AS t4,
+       |    CAST(COUNT(CASE WHEN s5 THEN 1 END) AS BIGINT) AS c5,
+       |    CAST(COALESCE(SUM(CASE WHEN s5 THEN n_tokens END), 0) AS BIGINT) AS t5
+       |  FROM flags),
+       |r6 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+       |         CAST(COALESCE(SUM(rem), 0) AS BIGINT) AS t FROM s6),
+       |r7 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+       |         CAST(COALESCE(SUM(rem), 0) AS BIGINT) AS t FROM s7),
+       |r8 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+       |         CAST(COALESCE(SUM(rem), 0) AS BIGINT) AS t FROM s8),
+       |r9 AS (SELECT CAST(COUNT(CASE WHEN repeats >= 1 THEN 1 END) AS BIGINT)
+       |           AS c,
+       |         CAST(COALESCE(SUM(repeats * rem), 0) AS BIGINT) AS t
+       |       FROM mixd),
+       |r10 AS (SELECT CAST(COALESCE(SUM((planned + 63) // 64), 0) AS BIGINT)
+       |            AS c,
+       |          CAST(COALESCE(SUM(planned), 0) AS BIGINT) AS t FROM pk)
+       |SELECT stage, n_docs, total_tokens FROM (
+       |  SELECT '00_total' AS stage, c0 AS n_docs, t0 AS total_tokens FROM fa
+       |  UNION ALL SELECT '01_url', c1, t1 FROM fa
+       |  UNION ALL SELECT '02_lang', c2, t2 FROM fa
+       |  UNION ALL SELECT '03_quality', c3, t3 FROM fa
+       |  UNION ALL SELECT '04_repetition', c4, t4 FROM fa
+       |  UNION ALL SELECT '05_dedup', c5, t5 FROM fa
+       |  UNION ALL SELECT '06_decontam', c, t FROM r6
+       |  UNION ALL SELECT '07_dsir', c, t FROM r7
+       |  UNION ALL SELECT '08_domain_cap', c, t FROM r8
+       |  UNION ALL SELECT '09_mix', c, t FROM r9
+       |  UNION ALL SELECT '10_pack', c, t FROM r10)
+       |ORDER BY stage""".stripMargin
+  }
+
   /** The composed pretraining-corpus pipeline — the end-to-end user
     * story, not a single operator: normalize text (tag strip + whitespace
     * collapse) → token-count quality filter → exact content dedup (keep
@@ -1598,6 +1955,7 @@ object TextAnalysis {
     "text_gopher_quality" -> (gopherQuality _),
     "text_c4_filter"   -> (c4Filter _),
     "pipeline_fineweb" -> (finewebPipeline _),
+    "pipeline_curation" -> ((s: SparkSession, d: String) => curationPipeline(s, d)),
     "pipeline_fineweb_stream" ->
       ((s: SparkSession, d: String) => finewebStream(s, d)),
     "text_dsir"        -> (dsirSelect _),
@@ -1627,6 +1985,7 @@ object TextAnalysis {
     "text_gopher_quality" -> gopherQualitySql,
     "text_c4_filter"   -> c4FilterSql,
     "pipeline_fineweb" -> finewebPipelineSql,
+    "pipeline_curation" -> curationPipelineSql,
     // Streaming twin shares the batch oracle: id-contiguous batches give
     // prefix-closure, so the folded winner logs must reproduce the batch
     // funnel's attrition counts exactly.

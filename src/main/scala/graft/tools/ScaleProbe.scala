@@ -729,6 +729,12 @@ object ScaleProbe {
       // the composed funnel: one corpus pass + the per-text dedup window;
       // cost should sit near text_gopher_rep + an exchange
       "pipeline_fineweb"   -> (() => graft.ops.TextAnalysis.queries("pipeline_fineweb")(spark, outDir).count()),
+      // the FULL curation composition (r16): funnel → decontam → DSIR
+      // → domain cap → mix → pack. Cost should sit near
+      // pipeline_fineweb + text_dsir + the decontam gram windows over
+      // the SHRINKING survivor chain — a superlinear bend means a
+      // stage re-scanned the raw corpus instead of its survivors
+      "pipeline_curation"  -> (() => graft.ops.TextAnalysis.queries("pipeline_curation")(spark, outDir).count()),
       // streaming funnel over 16 id-local epochs: per-epoch fwepochNNN
       // phases must stay flat — each epoch pays the stateless flag
       // kernels on the batch plus two anti-joins against the slim

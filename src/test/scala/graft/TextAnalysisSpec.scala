@@ -179,6 +179,33 @@ class TextAnalysisSpec extends SparkSpec {
       statePath.stripSuffix("/state"))
   }
 
+  test("pipeline_curation: stage chain is monotone where it must be, " +
+      "planned tokens respect the mix arithmetic, pack covers mix tokens") {
+    val rows = TextAnalysis.curationPipeline(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stages = Seq("00_total", "01_url", "02_lang", "03_quality",
+      "04_repetition", "05_dedup", "06_decontam", "07_dsir",
+      "08_domain_cap", "09_mix", "10_pack")
+    assert(rows.keySet == stages.toSet, s"stages: ${rows.keySet}")
+    // docs are non-increasing through the selection stages 00..08
+    val docCounts = stages.take(9).map(rows(_)._1)
+    assert(docCounts.zip(docCounts.tail).forall { case (a, b) => b <= a },
+      s"doc attrition not monotone: $docCounts")
+    // decontamination can only REMOVE tokens from the s5 survivors
+    assert(rows("06_decontam")._2 <= rows("05_dedup")._2)
+    // something must survive the whole funnel on the fixture corpus
+    assert(rows("08_domain_cap")._1 > 0, "pipeline killed the whole corpus")
+    // mix plans over exactly the stage-8 corpus: planned tokens are
+    // >= one full pass for any language whose target >= pool, and the
+    // pack row packs exactly the planned tokens
+    assert(rows("09_mix")._2 == rows("10_pack")._2)
+    // sequences cover the planned tokens at seqLen 64: n_seqs is within
+    // one sequence per source of planned/64
+    val (nSeqs, planned) = rows("10_pack")
+    assert(nSeqs >= (planned + 63) / 64 / 5 && nSeqs <= planned / 64 + 5,
+      s"n_seqs $nSeqs vs planned $planned")
+  }
+
   test("mm_dedup_video_clustered: replica pairs with closed-form aligned " +
       "counts; a SHIFTED clip shares frames but never aligns") {
     // the gate query reproduces the planted 120 pairs exactly
