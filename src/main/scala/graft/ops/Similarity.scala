@@ -733,11 +733,10 @@ object Similarity {
     * One explode + ONE partial-aggregated exchange on the 64-row dim
     * key — the whole report is a single shuffle of O(dims) rows. */
   def embStats(spark: SparkSession, dir: String): DataFrame =
-    embStatsGate(embStatsOf(Tables.embeddings(spark, dir)))
-      .orderBy(col("dim"))
+    embStatsGate(embStatsRaw(spark, dir)).orderBy(col("dim"))
 
   /** The production (overflow-proof) form: per-dim stats with sum_q /
-    * sumsq_q as DECIMAL(38,0). */
+    * sumsq_q as DECIMAL(38,0). The gated twin derives from this. */
   def embStatsRaw(spark: SparkSession, dir: String): DataFrame =
     embStatsOf(Tables.embeddings(spark, dir)).orderBy(col("dim"))
 

@@ -54,6 +54,7 @@ object ExplainDump {
       "text_url_dedup" -> "URL dedup: compiled per-row canonicalization kernel (no shuffle), 16-byte md5-digest groupBy + winners equi-join — no URL strings in any exchange",
       "corpus_domain_cap" -> "domain cap: TwoLevel md5-bucket rank (bucket-local windows + broadcast prefix counts) — no per-domain global sort at any stratum skew",
       "q88_quantile_bound" -> "GK rank-bound check: 3-value-per-group approx broadcast onto the corpus scan, ONE conditional aggregation computes every tie interval",
+      "pipeline_curation" -> "end-to-end curation composition: funnel flags in ONE raw-corpus pass, then decontam digest windows, broadcast frozen DSIR model, TwoLevel domain-cap rank and mix prefix sum over the SHRINKING survivor chain, closed-form pack aggregate — no stage re-scans the raw corpus",
     )
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
