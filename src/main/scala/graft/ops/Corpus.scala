@@ -127,7 +127,7 @@ object Corpus {
                                   finish: DataFrame => DataFrame): Unit = {
     val sp = batch.sparkSession
     val tEpoch = System.nanoTime()
-    Seq("srctot", "results", "maxid").foreach(r =>
+    Seq("srctot", "results").foreach(r =>
       graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
     val d = batch
       .select(col("source"), col("doc_id"),
@@ -137,28 +137,33 @@ object Corpus {
     // downstream are prefix-closed only under PER-SOURCE id-ordered
     // arrival — a doc arriving after a larger-id doc of its source
     // would silently shift every later cum_before. Rather than corrupt
-    // state, fail fast: the `maxid` log folds each source's high-water
-    // doc_id (max monoid), and a batch carrying doc_id ≤ that mark is
-    // rejected before any state write. Upstream has two remedies:
-    // deliver in id order, or quarantine stragglers with the shared
-    // [[graft.ops.CdcUpsert.withLateness]] wrapper the way
+    // state, fail fast: epoch-keyed high-water-mark FILES (the CdcUpsert
+    // watermark pattern — a LogState log here charged every epoch an
+    // extra write + fold job, 2.2× on the tiny-scale bench) record each
+    // source's max doc_id; a batch carrying doc_id ≤ its source's mark
+    // is rejected before any state write. The per-epoch cost is ONE
+    // bounded aggregate (O(|sources|) rows collected). Upstream has two
+    // remedies: deliver in id order, or quarantine stragglers with the
+    // shared [[graft.ops.CdcUpsert.withLateness]] wrapper the way
     // [[budgetSelectStreamLate]] does. Replay stays legal: the guard
-    // reads state strictly OLDER than this epoch, so re-applying epoch
-    // k compares against the same marks it saw the first time.
-    val maxPaths =
-      graft.tools.LogState.pathsAsOf(s"$statePath/maxid", epoch - 1)
-    if (maxPaths.nonEmpty) {
-      val marks = sp.read.parquet(maxPaths: _*)
-        .groupBy(col("source")).agg(max(col("mx")).as("mx"))
-      val nBad = d.join(broadcast(marks), Seq("source"))
-        .filter(col("doc_id") <= col("mx")).count()
-      if (nBad > 0) throw new IllegalStateException(
-        s"cum stream epoch $epoch: $nBad docs arrive at or below their " +
-          "source's high-water doc_id — per-source id-ordered admission " +
-          "violated; deliver in order or quarantine via withLateness")
-    }
-    d.groupBy(col("source")).agg(max(col("doc_id")).as("mx"))
-      .write.mode("overwrite").parquet(s"$statePath/maxid/delta/v$epoch")
+    // reads marks strictly OLDER than this epoch, and the epoch's file
+    // derives from those marks + the batch alone.
+    val marksRoot = s"$statePath/maxid"
+    val marks = graft.tools.HighWaterMarks.readAsOf(marksRoot, epoch - 1)
+    val ranges = d.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bad = ranges.filter { case (s, lo, _) =>
+      marks.get(s).exists(lo <= _) }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"cum stream epoch $epoch: sources ${bad.map(_._1).mkString(",")} " +
+        "arrive at or below their high-water doc_id — per-source " +
+        "id-ordered admission violated; deliver in order or quarantine " +
+        "via withLateness")
+    if (ranges.nonEmpty)
+      graft.tools.HighWaterMarks.write(marksRoot, epoch,
+        marks ++ ranges.map { case (s, _, hi) =>
+          s -> math.max(marks.getOrElse(s, Long.MinValue), hi) })
     val local = TwoLevel.cumBefore(
         TwoLevel.withIdRangeBucket(d, "source", "doc_id", "__b"),
         Seq("source"), "__b", Seq(col("doc_id")), "n_tokens", "loc_before")
@@ -185,8 +190,6 @@ object Corpus {
       compactEvery)(_.groupBy(col("source")).agg(sum(col("n")).as("n")))
     graft.tools.LogState.maintain(sp, Seq(s"$statePath/results"), epoch,
       compactEvery)(identity)
-    graft.tools.LogState.maintain(sp, Seq(s"$statePath/maxid"), epoch,
-      compactEvery)(_.groupBy(col("source")).agg(max(col("mx")).as("mx")))
     graft.tools.PhaseTiming.record(f"$phasePrefix$epoch%03d",
       (System.nanoTime() - tEpoch) / 1e9)
   }

@@ -734,7 +734,7 @@ object TextAnalysis {
                               compactEvery: Int = 4): Unit = {
     val sp = batch.sparkSession
     val tEpoch = System.nanoTime()
-    Seq("urlwin", "textwin", "flags", "maxid").foreach(r =>
+    Seq("urlwin", "textwin", "flags").foreach(r =>
       graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
     val flags0 = funnelDocFlags(batch)
       .withColumn("udig", md5(col("canon_url")))
@@ -746,26 +746,28 @@ object TextAnalysis {
     // digest). A straggler with a smaller id than an already-published
     // winner cannot displace it — decisions are append-only — so
     // rather than silently diverge from the batch oracle, fail fast:
-    // the one-row `maxid` log folds the global high-water doc_id, and
-    // a batch reaching at or below it is rejected before any state
-    // write. Upstream remedies: deliver in id order, or quarantine via
-    // [[graft.ops.CdcUpsert.withLateness]] (the budget-late recipe).
-    // Guard reads state strictly older than this epoch — replay-legal.
-    val maxPaths =
-      graft.tools.LogState.pathsAsOf(s"$statePath/maxid", epoch - 1)
-    if (maxPaths.nonEmpty) {
-      val mark = sp.read.parquet(maxPaths: _*)
-        .agg(max(col("mx"))).head().getLong(0)
-      val lowRow = flags0.agg(min(col("doc_id"))).head()
-      if (!lowRow.isNullAt(0) && lowRow.getLong(0) <= mark)
-        throw new IllegalStateException(
-          s"fineweb stream epoch $epoch: doc_id ${lowRow.getLong(0)} " +
-            s"arrives at or below the high-water mark $mark — id-ordered " +
+    // epoch-keyed high-water-mark FILES (the CdcUpsert watermark
+    // pattern; metadata-priced, one bounded aggregate per epoch) record
+    // the global max doc_id, and a batch reaching at or below it is
+    // rejected before any state write. Upstream remedies: deliver in id
+    // order, or quarantine via [[graft.ops.CdcUpsert.withLateness]]
+    // (the budget-late recipe). Guard reads marks strictly older than
+    // this epoch — replay-legal.
+    val marksRoot = s"$statePath/maxid"
+    val mark = graft.tools.HighWaterMarks.readAsOf(marksRoot, epoch - 1)
+      .get("")
+    val mm = flags0.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (!mm.isNullAt(0)) {
+      mark.foreach { m =>
+        if (mm.getLong(0) <= m) throw new IllegalStateException(
+          s"fineweb stream epoch $epoch: doc_id ${mm.getLong(0)} " +
+            s"arrives at or below the high-water mark $m — id-ordered " +
             "admission violated; deliver in order or quarantine via " +
             "withLateness")
+      }
+      graft.tools.HighWaterMarks.write(marksRoot, epoch,
+        Map("" -> math.max(mark.getOrElse(Long.MinValue), mm.getLong(1))))
     }
-    flags0.agg(max(col("doc_id")).as("mx")).na.drop()
-      .write.mode("overwrite").parquet(s"$statePath/maxid/delta/v$epoch")
     def histOf(root: String): DataFrame = {
       val paths = graft.tools.LogState.pathsAsOf(s"$statePath/$root",
         epoch - 1)
@@ -804,8 +806,6 @@ object TextAnalysis {
     graft.tools.LogState.maintain(sp,
       Seq(s"$statePath/urlwin", s"$statePath/textwin",
         s"$statePath/flags"), epoch, compactEvery)(identity)
-    graft.tools.LogState.maintain(sp, Seq(s"$statePath/maxid"), epoch,
-      compactEvery)(_.agg(max(col("mx")).as("mx")))
     graft.tools.PhaseTiming.record(f"fwepoch$epoch%03d",
       (System.nanoTime() - tEpoch) / 1e9)
   }
