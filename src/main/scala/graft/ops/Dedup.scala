@@ -554,6 +554,91 @@ object Dedup {
       compactEvery)(identity)
   }
 
+  /** SEQUENCE-level variant of the fingerprint stream core (r16 — the
+    * streaming form of the video near-dup tier): rows are MEMBER
+    * fingerprints under composite keys (entity·span + position, fp);
+    * the banding, touched-key prune, combined bucket cap, and exact
+    * Hamming verify are the shared machinery verbatim, but the
+    * keep-first rule lifts to ENTITIES: an arriving entity is a dup iff
+    * ≥ `minAligned` of its members collide AT THE SAME POSITION with
+    * one earlier-arriving entity (the temporal banded rule
+    * [[graft.ops.Multimodal.videoDHashClustered]] gates in batch).
+    * State: `index` = member band rows (fp rides its band rows),
+    * `survivors` = entity ids. Id-ordered ENTITY arrival (batches
+    * partition entity ranges) makes the rule prefix-closed; writes are
+    * epoch-keyed overwrites derived from state < batchId —
+    * replay-idempotent. */
+  private[graft] def sequenceFingerprintStreamApplyBatch(
+      memberFps: DataFrame, batchId: Long, statePath: String,
+      span: Int = 64, minAligned: Int = 2,
+      maxHamming: Int = 3, maxBucket: Int = 200,
+      compactEvery: Int = 4): Unit = {
+    val sp = memberFps.sparkSession
+    val indexRoot = s"$statePath/index"
+    val survRoot = s"$statePath/survivors"
+    Seq(indexRoot, survRoot)
+      .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
+    val fps = memberFps.select(col("doc_id"), col("fp")).localCheckpoint()
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_sig"))
+    }
+    val newRows = fps
+      .select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("fp"),
+        col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .localCheckpoint()
+    val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
+    val hist =
+      if (histPaths.nonEmpty) sp.read.parquet(histPaths: _*)
+      else newRows.limit(0)
+    val bandCols = Seq("band", "band_sig")
+    val newKeys = newRows.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("d_n")).localCheckpoint()
+    val touchedHist = hist
+      .join(broadcast(newKeys.select(bandCols.map(col): _*)),
+        bandCols, "left_semi")
+      .localCheckpoint()
+    val okKeys = broadcast(newKeys
+      .join(touchedHist.groupBy(bandCols.map(col): _*)
+          .agg(count(lit(1)).as("h_n")),
+        bandCols, "left_outer")
+      .filter(coalesce(col("h_n"), lit(0L)) + col("d_n") <= maxBucket)
+      .select(bandCols.map(col): _*))
+    val hOk = touchedHist.join(okKeys, bandCols, "left_semi")
+    val dOk = newRows.join(okKeys, bandCols, "left_semi")
+    val dupVids = hOk
+      .select(col("band"), col("band_sig"),
+        col("doc_id").as("a_id"), col("fp").as("a_fp"))
+      .join(dOk.select(col("band"), col("band_sig"),
+        col("doc_id").as("b_id"), col("fp").as("b_fp")), bandCols)
+      .unionByName(dOk
+        .select(col("band"), col("band_sig"),
+          col("doc_id").as("a_id"), col("fp").as("a_fp"))
+        .join(dOk.select(col("band"), col("band_sig"),
+          col("doc_id").as("b_id"), col("fp").as("b_fp")), bandCols))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("a_id") % span === col("b_id") % span) // ALIGNED members
+      .filter(expr("bit_count(a_fp ^ b_fp)") <= maxHamming)
+      .select(expr(s"a_id div $span").as("va"),
+        expr(s"b_id div $span").as("vb"))
+      .filter(col("va") =!= col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .filter(col("n_aligned") >= minAligned)
+      .select(col("vb").as("vid")).distinct()
+    val batchSurvivors = fps
+      .select(expr(s"doc_id div $span").as("doc_id")).distinct()
+      .join(dupVids.select(col("vid").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+    newRows.write.mode("overwrite").parquet(s"$indexRoot/delta/v$batchId")
+    batchSurvivors.write.mode("overwrite")
+      .parquet(s"$survRoot/delta/v$batchId")
+    graft.tools.LogState.maintain(sp, Seq(indexRoot, survRoot), batchId,
+      compactEvery)(identity)
+  }
+
   /** STREAMING simhash through the HASH GATE on the planted corpus:
     * four contiguous id-range batches (arrival order = id order, so the
     * survivor rule is exact) — the final survivor set must be precisely

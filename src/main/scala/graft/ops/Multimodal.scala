@@ -862,6 +862,52 @@ object Multimodal {
       .select(col("va").as("a_id"), col("vb").as("b_id"), col("n_aligned"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** STREAMING video near-dup through the HASH GATE — the video tier
+    * joins the streaming matrix the epoch its batch form lands: the
+    * same 140-clip corpus arrives in four contiguous VIDEO-id-range
+    * batches; each batch's real GIF round-trip feeds per-frame dHashes
+    * under composite keys into the SEQUENCE stream core
+    * ([[Dedup.sequenceFingerprintStreamApplyBatch]] — shared banding /
+    * prune / cap / verify, entity-level keep-first under the ≥k-aligned
+    * temporal rule). Survivors are exactly the first copy of each clip
+    * family plus the uniques — the SAME synthesized oracle as the image
+    * and audio stream gates. */
+  def videoDHashStreamClustered(spark: SparkSession, dir: String,
+                                epochs: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (w, h) = (18, 16)
+    val base = graft.tools.TempDirs.createFast("graft-mmvideostream")
+    try {
+      val statePath = s"$base/state"
+      val fps = spark.range(0, 140).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val seed = if (id < 120) id % 40 else 1000L + id
+            val nf = (seed % 3 + 3).toInt
+            val gif = encodeGifFrames(
+              (0 until nf).map(f => scrambledGray(seed * 131 + f, w, h)),
+              w, h)
+            decodeGifFrames(gif).zipWithIndex.map { case (img, f) =>
+              (id * 64 + f, dHash(img))
+            }
+          }
+        }
+        .toDF("doc_id", "fp").localCheckpoint()
+      val width = 140 / epochs
+      (0 until epochs).foreach { k =>
+        graft.ops.Dedup.sequenceFingerprintStreamApplyBatch(
+          fps.filter(col("doc_id") >= k.toLong * width * 64 &&
+            (col("doc_id") < (k + 1).toLong * width * 64 ||
+              lit(k == epochs - 1))),
+          k, statePath, span = 64, minAligned = 2, compactEvery = 2)
+      }
+      spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/survivors", epochs - 1L): _*)
+        .localCheckpoint()
+        .orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** Pairs provable by construction: 3 copies per base ⇒ 3 pairs × 40
     * bases, every aligned frame collides ⇒ n_aligned = the base's frame
     * count (base % 3 + 3). */
@@ -934,6 +980,8 @@ object Multimodal {
       audioHashStreamClustered(s, d)),
     "mm_dedup_video_clustered" -> ((s: SparkSession, d: String) =>
       videoDHashClustered(s, d)),
+    "mm_dedup_video_stream" -> ((s: SparkSession, d: String) =>
+      videoDHashStreamClustered(s, d)),
   )
 
   /** All three real-codec paths are oracled: the ground truth of each is
@@ -951,6 +999,9 @@ object Multimodal {
     "mm_dedup_audiohash_clustered" -> imageDHashClusteredSql,
     "mm_dedup_audiohash_stream" -> imageDHashStreamClusteredSql,
     "mm_dedup_video_clustered" -> videoDHashClusteredSql,
+    // entity-level keep-first over the same planted families → the
+    // image/audio stream gates' synthesized survivor oracle
+    "mm_dedup_video_stream" -> imageDHashStreamClusteredSql,
     "mm_video_real" -> videoRealSql,
     "mm_audio_real" -> audioRealSql,
     "mm_audio_windows" -> audioWindowsSql,

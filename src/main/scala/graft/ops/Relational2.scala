@@ -667,6 +667,69 @@ object Relational2 {
       |  TRUE AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** One micro-batch of STREAMING HLL maintenance (r16 — the second
+    * mergeable-sketch family under the LogState monoid fold, beside the
+    * CMS counter table): state is one `sk` log of per-group DataSketches
+    * HLL binaries (a few KB per group per epoch); fold = `hll_union_agg`
+    * per group — HLL union is the commutative/associative merge the
+    * sketch was designed around, so compaction and readers share it.
+    * Epoch-keyed overwrite derived from the batch alone —
+    * replay-idempotent. */
+  def q62HllStreamApplyBatch(batch: DataFrame, epoch: Long,
+                             statePath: String,
+                             compactEvery: Int = 4): Unit = {
+    val sp = batch.sparkSession
+    graft.tools.LogState.requireNoFuture(s"$statePath/sk", epoch)
+    batch.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(s"$statePath/sk/delta/v$epoch")
+    graft.tools.LogState.maintain(sp, Seq(s"$statePath/sk"), epoch,
+      compactEvery)(
+      _.groupBy(col("event_type")).agg(hll_union_agg(col("sk")).as("sk")))
+  }
+
+  /** STREAMING HLL through the HASH GATE via the decision layer:
+    * contiguous event_id-range batches sketch per epoch; the FOLDED
+    * union answers the same ≤5 % accuracy claim as [[q62HllBound]],
+    * against the SAME oracle (within_bound TRUE + exact_users fully
+    * cross-checked). The folded sketch is load-bearing — a lost epoch
+    * drops that id-range's users and the affected groups' estimates
+    * fall ~25 % short, far outside the bound; a double-published
+    * replay is absorbed by design (HLL union is idempotent — the gate
+    * pins that too, via the replay spec). */
+  def q62HllBoundStream(spark: SparkSession, dir: String,
+                        epochs: Int = 4): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-hllstream")
+    try {
+      val statePath = s"$base/state"
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .localCheckpoint()
+      val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      (0 until epochs).foreach { k =>
+        q62HllStreamApplyBatch(
+          ev.filter(expr(s"(event_id - $lo) div $width") === k),
+          k, statePath, compactEvery = 2)
+      }
+      val folded = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/sk", epochs - 1L): _*)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_users"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(folded, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users").cast("double") /
+            col("exact_users").cast("double") - 1.0) <= 0.05)
+            .as("within_bound"))
+        .localCheckpoint()
+        .orderBy(col("event_type"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** The foreachBatch sink — the production workhorse for sinks Spark has
     * no native writer for (JDBC upserts, multi-sink fanout): a
     * complete-mode aggregation hands each micro-batch DataFrame to user
@@ -2325,6 +2388,7 @@ object Relational2 {
     "q61_partitioned_write" -> (q61PartitionedWrite _),
     "q62_hll_sketch"      -> (q62HllSketch _),
     "q62_hll_bound"       -> (q62HllBound _),
+    "q62_hll_bound_stream" -> ((s: SparkSession, d: String) => q62HllBoundStream(s, d)),
     "q103_time_travel"    -> ((s: SparkSession, d: String) => q103TimeTravel(s, d)),
     "q63_foreach_batch"   -> (q63ForeachBatchSink _),
     "q64_json_roundtrip"  -> (q64JsonRoundtrip _),
@@ -2334,6 +2398,8 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "q82_lateral"         -> q82Sql,
     "q62_hll_bound"       -> q62HllBoundSql,
+    // streaming twin folds per-epoch sketches via HLL union — same oracle
+    "q62_hll_bound_stream" -> q62HllBoundSql,
     "q103_time_travel"    -> q103Sql,
     "q83_recursive"       -> q83Sql,
     "q87_stream_upsert"   -> q87Sql,

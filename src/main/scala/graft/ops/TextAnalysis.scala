@@ -847,6 +847,152 @@ object TextAnalysis {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** STREAMING funnel under EVENT-TIME LATENESS (r16 — the remedy the
+    * admission guard's error message advertises, composed end to end):
+    * each id-range batch passes through [[CdcUpsert.withLateness]]
+    * before the funnel — rows below the carried watermark quarantine
+    * (epoch-keyed, auditable) and never touch the winner logs, so the
+    * on-time stream stays id-ordered and the admission guard holds
+    * over exactly the admitted docs. Event times are the planted
+    * budget-late recipe (docs with doc_id % 7 == 3 arriving in epoch
+    * ≥ 2 carry a two-epoch-old event time; some fall under the
+    * watermark, some are tolerated disorder). Output = the attrition
+    * report over ON-TIME docs + a `6_late` row (quarantined docs and
+    * their token mass — what a crawl dashboard shows as "held for
+    * backfill"). The oracle replays the dense watermark recurrence and
+    * runs the funnel SQL over exactly the on-time docs: a late doc
+    * leaking into a dedup window, or a dropped quarantine row, breaks
+    * the hash. */
+  def finewebStreamLate(spark: SparkSession, dir: String,
+                        epochs: Int = 4,
+                        latenessMicros: Long = 1500000L): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-fwstreamlate")
+    try {
+      val statePath = s"$base/state"
+      val lateState = s"$base/late"
+      val all = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      val staged = all
+        .withColumn("arr_epoch", expr(s"(doc_id - $lo) div $width"))
+        .withColumn("src_epoch",
+          when(col("doc_id") % 7 === 3 && col("arr_epoch") >= 2,
+            col("arr_epoch") - 2).otherwise(col("arr_epoch")))
+        .withColumn("ts_us",
+          col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
+        .localCheckpoint()
+      (0 until epochs).foreach { k =>
+        CdcUpsert.withLateness(
+          staged.filter(col("arr_epoch") === k)
+            .select(col("doc_id"), col("lang"), col("text"), col("ts_us")),
+          k, lateState, latenessMicros, col("ts_us")) { onTime =>
+          finewebStreamApplyBatch(
+            onTime.select(col("doc_id"), col("lang"), col("text")),
+            k, statePath, compactEvery = 2)
+        }
+      }
+      val report = finewebStreamReport(spark, statePath, epochs - 1L)
+        .getOrElse(sys.error("fineweb stream late: no state"))
+      val lateRow = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
+        .map(q => funnelDocFlags(q.select(col("doc_id"), col("lang"),
+            col("text")))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"))
+          .select(lit("6_late").as("stage"), col("n_docs"),
+            col("total_tokens")))
+        .getOrElse(report.limit(0))
+      report.unionByName(lateRow).localCheckpoint().orderBy(col("stage"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Oracle of [[finewebStreamLate]]: watermark recurrence over the
+    * derived event times, the funnel twin over on-time docs only, plus
+    * the quarantine row. */
+  lazy val finewebStreamLateSql: String =
+    s"""WITH u AS (${UrlCuration.withUrlSql}),
+       |${UrlCuration.canonSql},
+       |q AS (
+       |  SELECT doc_id, n_tokens, keep AS q_keep
+       |  FROM ($gopherQualitySql)),
+       |rep AS (
+       |  SELECT doc_id, top_2_frac, top_3_frac, top_4_frac,
+       |    dup_5_frac, dup_6_frac, dup_7_frac, dup_8_frac, dup_9_frac,
+       |    dup_10_frac
+       |  FROM ($gopherRepetitionSql)),
+       |b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       |t AS (
+       |  SELECT d.doc_id, arr_epoch,
+       |    (CASE WHEN d.doc_id % 7 = 3 AND arr_epoch >= 2
+       |          THEN arr_epoch - 2 ELSE arr_epoch END) * 1000000
+       |      + (d.doc_id * 131 % 997) * 1000 AS ts_us
+       |  FROM (SELECT doc_id,
+       |          (doc_id - b.lo) // ((b.hi - b.lo) // 4 + 1) AS arr_epoch
+       |        FROM documents, b) d),
+       |m AS (SELECT arr_epoch, MAX(ts_us) AS mx FROM t GROUP BY arr_epoch),
+       |w AS (SELECT g.epoch,
+       |        MAX(m.mx) OVER (ORDER BY g.epoch
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - 1500000 AS wm
+       |      FROM range(0, 4) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |lt AS (SELECT t.doc_id, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
+       |              THEN 1 ELSE 0 END AS late
+       |       FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
+       |flags0 AS (
+       |  SELECT d.doc_id, d.text, q.n_tokens,
+       |    d.doc_id = MIN(d.doc_id) OVER (PARTITION BY c.canon_url) AS s1,
+       |    d.lang IN ('en', 'de', 'es', 'fr') AS langok,
+       |    q.q_keep AS qok,
+       |    rep.top_2_frac <= 0.2 AND rep.top_3_frac <= 0.18
+       |      AND rep.top_4_frac <= 0.16 AND rep.dup_5_frac <= 0.15
+       |      AND rep.dup_6_frac <= 0.14 AND rep.dup_7_frac <= 0.13
+       |      AND rep.dup_8_frac <= 0.12 AND rep.dup_9_frac <= 0.11
+       |      AND rep.dup_10_frac <= 0.10 AS repok
+       |  FROM documents d
+       |  JOIN canon c ON c.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN rep ON rep.doc_id = d.doc_id
+       |  JOIN lt ON lt.doc_id = d.doc_id
+       |  WHERE lt.late = 0),
+       |flags AS (
+       |  SELECT doc_id, n_tokens, s1,
+       |    s1 AND langok AS s2,
+       |    s1 AND langok AND qok AS s3,
+       |    s1 AND langok AND qok AND repok AS s4,
+       |    s1 AND langok AND qok AND repok AND doc_id =
+       |      MIN(CASE WHEN s1 AND langok AND qok AND repok THEN doc_id END)
+       |        OVER (PARTITION BY text) AS s5
+       |  FROM flags0),
+       |agg AS (
+       |  SELECT
+       |    CAST(COUNT(*) AS BIGINT) AS c0,
+       |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t0,
+       |    CAST(COUNT(CASE WHEN s1 THEN 1 END) AS BIGINT) AS c1,
+       |    CAST(COALESCE(SUM(CASE WHEN s1 THEN n_tokens END), 0) AS BIGINT) AS t1,
+       |    CAST(COUNT(CASE WHEN s2 THEN 1 END) AS BIGINT) AS c2,
+       |    CAST(COALESCE(SUM(CASE WHEN s2 THEN n_tokens END), 0) AS BIGINT) AS t2,
+       |    CAST(COUNT(CASE WHEN s3 THEN 1 END) AS BIGINT) AS c3,
+       |    CAST(COALESCE(SUM(CASE WHEN s3 THEN n_tokens END), 0) AS BIGINT) AS t3,
+       |    CAST(COUNT(CASE WHEN s4 THEN 1 END) AS BIGINT) AS c4,
+       |    CAST(COALESCE(SUM(CASE WHEN s4 THEN n_tokens END), 0) AS BIGINT) AS t4,
+       |    CAST(COUNT(CASE WHEN s5 THEN 1 END) AS BIGINT) AS c5,
+       |    CAST(COALESCE(SUM(CASE WHEN s5 THEN n_tokens END), 0) AS BIGINT) AS t5
+       |  FROM flags),
+       |lr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(COALESCE(SUM(q.n_tokens), 0) AS BIGINT) AS t
+       |  FROM lt JOIN q ON q.doc_id = lt.doc_id WHERE lt.late = 1)
+       |SELECT stage, n_docs, total_tokens FROM (
+       |  SELECT '0_total' AS stage, c0 AS n_docs, t0 AS total_tokens FROM agg
+       |  UNION ALL SELECT '1_url', c1, t1 FROM agg
+       |  UNION ALL SELECT '2_lang', c2, t2 FROM agg
+       |  UNION ALL SELECT '3_quality', c3, t3 FROM agg
+       |  UNION ALL SELECT '4_repetition', c4, t4 FROM agg
+       |  UNION ALL SELECT '5_dedup', c5, t5 FROM agg
+       |  UNION ALL SELECT '6_late', c, t FROM lr)
+       |ORDER BY stage""".stripMargin
+
   val finewebPipelineSql: String =
     s"""WITH u AS (${UrlCuration.withUrlSql}),
        |${UrlCuration.canonSql},
@@ -1956,6 +2102,7 @@ object TextAnalysis {
     "text_c4_filter"   -> (c4Filter _),
     "pipeline_fineweb" -> (finewebPipeline _),
     "pipeline_curation" -> ((s: SparkSession, d: String) => curationPipeline(s, d)),
+    "pipeline_fineweb_stream_late" -> ((s: SparkSession, d: String) => finewebStreamLate(s, d)),
     "pipeline_fineweb_stream" ->
       ((s: SparkSession, d: String) => finewebStream(s, d)),
     "text_dsir"        -> (dsirSelect _),
@@ -1986,6 +2133,7 @@ object TextAnalysis {
     "text_c4_filter"   -> c4FilterSql,
     "pipeline_fineweb" -> finewebPipelineSql,
     "pipeline_curation" -> curationPipelineSql,
+    "pipeline_fineweb_stream_late" -> finewebStreamLateSql,
     // Streaming twin shares the batch oracle: id-contiguous batches give
     // prefix-closure, so the folded winner logs must reproduce the batch
     // funnel's attrition counts exactly.

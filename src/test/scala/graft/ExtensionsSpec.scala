@@ -68,6 +68,43 @@ class ExtensionsSpec extends SparkSpec {
       s"merged partial sketches ($merged) != direct global sketch ($direct)")
   }
 
+  test("streaming HLL: folded union answers the bound gate; replaying " +
+      "the last epoch leaves the folded estimate unchanged (r16)") {
+    import org.apache.spark.sql.functions._
+    // gate decision matches batch bitwise on the fixture
+    val stream = graft.ops.Relational2.q62HllBoundStream(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val batch = graft.ops.Relational2.q62HllBound(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(stream.toSeq == batch.toSeq,
+      s"stream=${stream.toSeq} batch=${batch.toSeq}")
+    assert(stream.forall(_._3), "a group fell outside the 5% bound")
+    // replay idempotence of the sketch log (HLL union absorbs the
+    // double-published epoch — the estimate cannot move)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-hllstream-spec").toString + "/state"
+    try {
+      val ev = graft.Tables.events(spark, sf)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val b0 = ev.filter(col("event_id") % 2 === 0)
+      val b1 = ev.filter(col("event_id") % 2 === 1)
+      graft.ops.Relational2.q62HllStreamApplyBatch(b0, 0L, statePath,
+        compactEvery = 2)
+      graft.ops.Relational2.q62HllStreamApplyBatch(b1, 1L, statePath,
+        compactEvery = 2)
+      def est() = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/sk", 1L): _*)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val first = est()
+      graft.ops.Relational2.q62HllStreamApplyBatch(b1, 1L, statePath,
+        compactEvery = 2)
+      assert(est() == first, "replay moved the folded HLL estimate")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("cosine_sim null propagation") {
     val df = Seq((Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]))
       .toDF("a", "b")

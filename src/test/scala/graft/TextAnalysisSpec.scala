@@ -233,6 +233,61 @@ class TextAnalysisSpec extends SparkSpec {
       s"shifted clip must not pair; replica must, with all 3 frames: $pairs")
   }
 
+  test("pipeline_fineweb_stream_late: quarantined docs counted in the " +
+      "6_late row and excluded from every funnel stage") {
+    val rows = TextAnalysis.finewebStreamLate(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("0_total", "1_url", "2_lang", "3_quality",
+      "4_repetition", "5_dedup", "6_late"))
+    val nDocs = Tables.documents(spark, sf).count()
+    // every doc is either funneled or quarantined, never both/neither
+    assert(rows("0_total")._1 + rows("6_late")._1 == nDocs,
+      s"on-time + late != corpus: $rows vs $nDocs")
+    assert(rows("6_late")._1 >= 1, "planted lateness produced no late doc")
+    // stage docs monotone over the on-time population
+    val st = Seq("0_total", "1_url", "2_lang", "3_quality",
+      "4_repetition", "5_dedup").map(rows(_)._1)
+    assert(st.zip(st.tail).forall { case (a, b) => b <= a }, s"$st")
+  }
+
+  test("mm_dedup_video_stream: survivors equal the planted keep-first " +
+      "set; a shifted clip never aligns cross-epoch; replay idempotent") {
+    val surv = Multimodal.videoDHashStreamClustered(spark, "")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == ((0L until 40L) ++ (120L until 140L)).toSet,
+      s"video stream survivors wrong: ${surv.size} ids")
+    // direct core drive: clip 0 = [A,B,C] epoch 0; epoch 1 brings
+    // clip 1 = [B,C,D] (one-frame shift — shares frames with history
+    // but aligns nowhere) and clip 2 = copy of clip 0 (all 3 aligned)
+    import spark.implicits._
+    def fp(seed: Long): Long = Multimodal.dHash(Multimodal.decodePng(
+      Multimodal.encodePngPixels(Multimodal.scrambledPixels(seed, 18, 16), 18, 16)))
+    val (a, b, c, d) = (fp(1L), fp(2L), fp(3L), fp(4L))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-videostream-spec").toString + "/state"
+    try {
+      val e0 = Seq((0L * 64 + 0, a), (0L * 64 + 1, b), (0L * 64 + 2, c))
+        .toDF("doc_id", "fp")
+      val e1 = Seq((1L * 64 + 0, b), (1L * 64 + 1, c), (1L * 64 + 2, d),
+          (2L * 64 + 0, a), (2L * 64 + 1, b), (2L * 64 + 2, c))
+        .toDF("doc_id", "fp")
+      graft.ops.Dedup.sequenceFingerprintStreamApplyBatch(e0, 0L,
+        statePath, compactEvery = 2)
+      graft.ops.Dedup.sequenceFingerprintStreamApplyBatch(e1, 1L,
+        statePath, compactEvery = 2)
+      def surv1() = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/survivors", 1L): _*)
+        .collect().map(_.getLong(0)).toSet
+      val first = surv1()
+      assert(first == Set(0L, 1L),
+        s"shifted clip must survive, the replica must not: $first")
+      graft.ops.Dedup.sequenceFingerprintStreamApplyBatch(e1, 1L,
+        statePath, compactEvery = 2)
+      assert(surv1() == first, "replay changed the video survivor fold")
+    } finally graft.tools.TempDirs.deleteRecursively(
+      statePath.stripSuffix("/state"))
+  }
+
   test("real WAV round-trip: decode(encode(x)) is sample-exact, header is 44 bytes") {
     // the audio path uses the JDK's actual RIFF/WAV codec — PCM is
     // lossless, so the decoded samples must equal the generated ones
