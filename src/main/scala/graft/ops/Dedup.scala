@@ -443,6 +443,35 @@ object Dedup {
     }
   }
 
+  /** INCREMENTAL near-dup refresh over ANY injectable (doc_id, fp)
+    * frames (r16 — the fingerprint-generic twin of
+    * [[simhashIncremental]]'s refresh body, so the multimodal tiers
+    * complete their incremental axis through the same machinery):
+    * history pairs + delta-involved pairs through the shared candidate
+    * kernel (touched-slice pruning, COMBINED-bucket cap, crossing
+    * retraction), exact Hamming verify. Returns the FULL pair set,
+    * equal to a from-scratch [[fingerprintNearDup]] over hist ∪ delta
+    * — the incremental form's defining claim. Callers with a real
+    * history cache the hist side (ArtifactCache); the planted
+    * multimodal corpora are synthesized per run, so their gates
+    * compute it inline. */
+  private[graft] def fingerprintIncremental(histFp: DataFrame,
+                                            deltaFp: DataFrame,
+                                            maxHamming: Int = 3,
+                                            maxBucket: Int = 200,
+                                            sorted: Boolean = true): DataFrame = {
+    val histIdx = simhashBandRows(histFp)
+    val deltaIdx = simhashBandRows(deltaFp)
+    val dp = deltaHammingPairs(histIdx, deltaIdx,
+      histFp.unionByName(deltaFp), maxHamming, maxBucket)
+    val histPairs = fingerprintNearDup(histFp, maxHamming, maxBucket,
+      sorted = false)
+    val full = retractCrossedPairs(histPairs, histIdx, deltaIdx,
+        dp.crossingKeys, maxBucket)
+      .unionByName(dp.pairs)
+    if (sorted) full.orderBy(col("a_id"), col("b_id")) else full
+  }
+
   /** One micro-batch of STREAMING simhash dedup — the third near-dup
     * tier's ingest-time form, completing its axis (batch/incremental
     * exist; minhash and the span tier already stream). State is TWO

@@ -621,11 +621,13 @@ object Multimodal {
     * downsample/dHash bug that hashes replicas apart, or a banding bug
     * that drops a pair breaks the hash. `dir` unused (regime, not
     * scale). */
-  def imageDHashClustered(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted image corpus's dHash fingerprints through the REAL
+    * PNG round trip — shared by the batch / incremental / streaming
+    * gates (ImageIO registry warms once per partition, not per row). */
+  private def imageFps(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val fps = spark.range(0, 140).as[Long]
+    spark.range(0, 140).as[Long]
       .mapPartitions { ids =>
-        // ImageIO registry warms once per partition, not per row
         ids.map { id =>
           val seed = if (id < 120) id % 40 else 1000L + id
           val png = encodePngPixels(scrambledPixels(seed, 18, 16), 18, 16)
@@ -633,8 +635,25 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fp")
-    Dedup.fingerprintNearDup(fps, maxHamming = 3, maxBucket = 200,
-      sorted = true)
+  }
+
+  def imageDHashClustered(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintNearDup(imageFps(spark), maxHamming = 3,
+      maxBucket = 200, sorted = true)
+
+  /** INCREMENTAL perceptual-hash image dedup through the HASH GATE
+    * (r16 — the multimodal tiers complete their incremental axis):
+    * history = ids < 100 (two full copies of every family + the third
+    * copies of bases 0..19), delta = ids 100..139 (the remaining third
+    * copies + all uniques — a MID-FAMILY split, so delta copies must
+    * pair against two history copies each through the shared candidate
+    * kernel). Full pair set must equal the batch rebuild — the same
+    * closed-form oracle. */
+  def imageDHashIncrClustered(spark: SparkSession, dir: String,
+                              splitId: Long = 100): DataFrame = {
+    val fps = imageFps(spark).localCheckpoint()
+    Dedup.fingerprintIncremental(fps.filter(col("doc_id") < splitId),
+      fps.filter(col("doc_id") >= splitId))
   }
 
   /** STREAMING perceptual-hash dedup through the HASH GATE — the
@@ -650,19 +669,10 @@ object Multimodal {
     * the hash. */
   def imageDHashStreamClustered(spark: SparkSession, dir: String,
                                 epochs: Int = 4): DataFrame = {
-    import spark.implicits._
     val base = graft.tools.TempDirs.createFast("graft-mmstream")
     try {
       val statePath = s"$base/state"
-      val fps = spark.range(0, 140).as[Long]
-        .mapPartitions { ids =>
-          ids.map { id =>
-            val seed = if (id < 120) id % 40 else 1000L + id
-            val png = encodePngPixels(scrambledPixels(seed, 18, 16), 18, 16)
-            (id, dHash(decodePng(png)))
-          }
-        }
-        .toDF("doc_id", "fp").localCheckpoint()
+      val fps = imageFps(spark).localCheckpoint()
       val width = 140 / epochs
       (0 until epochs).foreach { k =>
         graft.ops.Dedup.fingerprintStreamApplyBatch(
@@ -744,9 +754,12 @@ object Multimodal {
     * replica pairs the oracle synthesizes. A codec bug that decodes
     * samples unequally, a windowing/energy bug that hashes replicas
     * apart, or a banding bug that drops a pair breaks the hash. */
-  def audioHashClustered(spark: SparkSession, dir: String): DataFrame = {
+  /** The planted audio corpus's fingerprints through the REAL WAV
+    * round trip — shared by the batch / incremental / streaming
+    * gates. */
+  private def audioFps(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val fps = spark.range(0, 140).as[Long]
+    spark.range(0, 140).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val seed = if (id < 120) id % 40 else 1000L + id
@@ -755,8 +768,20 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fp")
-    Dedup.fingerprintNearDup(fps, maxHamming = 3, maxBucket = 200,
-      sorted = true)
+  }
+
+  def audioHashClustered(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintNearDup(audioFps(spark), maxHamming = 3,
+      maxBucket = 200, sorted = true)
+
+  /** INCREMENTAL audio-fingerprint dedup — the audio twin of
+    * [[imageDHashIncrClustered]] (same mid-family split, same
+    * equality-with-rebuild claim, same closed-form oracle). */
+  def audioHashIncrClustered(spark: SparkSession, dir: String,
+                             splitId: Long = 100): DataFrame = {
+    val fps = audioFps(spark).localCheckpoint()
+    Dedup.fingerprintIncremental(fps.filter(col("doc_id") < splitId),
+      fps.filter(col("doc_id") >= splitId))
   }
 
   /** Well-mixed deterministic GRAYSCALE raster (splitmix scramble of
@@ -823,16 +848,18 @@ object Multimodal {
     * rows; no raster ever shuffles) and the aligned-count aggregation
     * shuffles only verified frame pairs. `dir` unused (regime, not
     * scale). */
-  def videoDHashClustered(spark: SparkSession, dir: String,
-                          minAligned: Int = 2): DataFrame = {
+  /** The planted clip corpus's per-frame dHashes under frame-composite
+    * keys (vid·64 + frame_idx), through the REAL GIF mux/demux — shared
+    * by the batch / incremental / streaming gates. seed·131+f is unique
+    * per (seed, f): f < 131 < seed spacing. */
+  private def videoFrameFps(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val (w, h) = (18, 16)
-    val frameFps = spark.range(0, 140).as[Long]
+    spark.range(0, 140).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val seed = if (id < 120) id % 40 else 1000L + id
           val nf = (seed % 3 + 3).toInt // 3..5 frames, base-determined
-          // seed*131+f is unique per (seed, f): f < 131 < seed spacing
           val gif = encodeGifFrames(
             (0 until nf).map(f => scrambledGray(seed * 131 + f, w, h)), w, h)
           decodeGifFrames(gif).zipWithIndex.map { case (img, f) =>
@@ -841,7 +868,29 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "fp")
-    videoNearDupPairs(frameFps, minAligned)
+  }
+
+  def videoDHashClustered(spark: SparkSession, dir: String,
+                          minAligned: Int = 2): DataFrame =
+    videoNearDupPairs(videoFrameFps(spark), minAligned)
+
+  /** INCREMENTAL video near-dup: frame-level pairs refresh through the
+    * shared incremental kernel ([[Dedup.fingerprintIncremental]] over
+    * frame-composite keys — hist pairs + delta-involved pairs with
+    * crossing retraction), then the SAME aligned-count aggregation as
+    * the batch gate; the aggregation is a pure function of the frame
+    * pair set, so frame-level equality-with-rebuild lifts to the video
+    * pairs. History = clips with vid < 100, delta = the rest (the
+    * mid-family split). Same closed-form oracle as the batch gate. */
+  def videoDHashIncrClustered(spark: SparkSession, dir: String,
+                              splitVid: Long = 100,
+                              minAligned: Int = 2): DataFrame = {
+    val fps = videoFrameFps(spark).localCheckpoint()
+    val cut = splitVid * 64
+    aggregateAligned(
+      Dedup.fingerprintIncremental(fps.filter(col("doc_id") < cut),
+        fps.filter(col("doc_id") >= cut), sorted = false),
+      span = 64, minAligned = minAligned)
   }
 
   /** The sequence-banding stage over frame-composite-keyed fingerprints
@@ -851,10 +900,21 @@ object Multimodal {
     * indices) and prove the temporal rule rejects it. */
   private[graft] def videoNearDupPairs(frameFps: DataFrame,
                                        minAligned: Int): DataFrame =
-    Dedup.fingerprintNearDup(frameFps, maxHamming = 3, maxBucket = 200,
-        sorted = false)
-      .filter(col("a_id") % 64 === col("b_id") % 64) // aligned frames only
-      .select(expr("a_id div 64").as("va"), expr("b_id div 64").as("vb"))
+    aggregateAligned(
+      Dedup.fingerprintNearDup(frameFps, maxHamming = 3, maxBucket = 200,
+        sorted = false),
+      span = 64, minAligned = minAligned)
+
+  /** Frame pairs → clip pairs: aligned filter, per-pair collision
+    * count, threshold. A pure function of the frame pair set — which
+    * is what lets the incremental form inherit the frame kernel's
+    * equality-with-rebuild claim. */
+  private def aggregateAligned(framePairs: DataFrame, span: Int,
+                               minAligned: Int): DataFrame =
+    framePairs
+      .filter(col("a_id") % span === col("b_id") % span) // aligned only
+      .select(expr(s"a_id div $span").as("va"),
+        expr(s"b_id div $span").as("vb"))
       .filter(col("va") =!= col("vb"))
       .groupBy(col("va"), col("vb"))
       .agg(count(lit(1)).as("n_aligned"))
@@ -874,25 +934,10 @@ object Multimodal {
     * and audio stream gates. */
   def videoDHashStreamClustered(spark: SparkSession, dir: String,
                                 epochs: Int = 4): DataFrame = {
-    import spark.implicits._
-    val (w, h) = (18, 16)
     val base = graft.tools.TempDirs.createFast("graft-mmvideostream")
     try {
       val statePath = s"$base/state"
-      val fps = spark.range(0, 140).as[Long]
-        .mapPartitions { ids =>
-          ids.flatMap { id =>
-            val seed = if (id < 120) id % 40 else 1000L + id
-            val nf = (seed % 3 + 3).toInt
-            val gif = encodeGifFrames(
-              (0 until nf).map(f => scrambledGray(seed * 131 + f, w, h)),
-              w, h)
-            decodeGifFrames(gif).zipWithIndex.map { case (img, f) =>
-              (id * 64 + f, dHash(img))
-            }
-          }
-        }
-        .toDF("doc_id", "fp").localCheckpoint()
+      val fps = videoFrameFps(spark).localCheckpoint()
       val width = 140 / epochs
       (0 until epochs).foreach { k =>
         graft.ops.Dedup.sequenceFingerprintStreamApplyBatch(
@@ -936,19 +981,10 @@ object Multimodal {
     * breaks the hash. */
   def audioHashStreamClustered(spark: SparkSession, dir: String,
                                epochs: Int = 4): DataFrame = {
-    import spark.implicits._
     val base = graft.tools.TempDirs.createFast("graft-mmaudiostream")
     try {
       val statePath = s"$base/state"
-      val fps = spark.range(0, 140).as[Long]
-        .mapPartitions { ids =>
-          ids.map { id =>
-            val seed = if (id < 120) id % 40 else 1000L + id
-            val wav = encodeWav(scrambledPcm(seed, 650))
-            (id, audioHash(decodeWav(wav)))
-          }
-        }
-        .toDF("doc_id", "fp").localCheckpoint()
+      val fps = audioFps(spark).localCheckpoint()
       val width = 140 / epochs
       (0 until epochs).foreach { k =>
         graft.ops.Dedup.fingerprintStreamApplyBatch(
@@ -982,6 +1018,12 @@ object Multimodal {
       videoDHashClustered(s, d)),
     "mm_dedup_video_stream" -> ((s: SparkSession, d: String) =>
       videoDHashStreamClustered(s, d)),
+    "mm_dedup_phash_incr" -> ((s: SparkSession, d: String) =>
+      imageDHashIncrClustered(s, d)),
+    "mm_dedup_audiohash_incr" -> ((s: SparkSession, d: String) =>
+      audioHashIncrClustered(s, d)),
+    "mm_dedup_video_incr" -> ((s: SparkSession, d: String) =>
+      videoDHashIncrClustered(s, d)),
   )
 
   /** All three real-codec paths are oracled: the ground truth of each is
@@ -1002,6 +1044,11 @@ object Multimodal {
     // entity-level keep-first over the same planted families → the
     // image/audio stream gates' synthesized survivor oracle
     "mm_dedup_video_stream" -> imageDHashStreamClusteredSql,
+    // incremental forms: full pair set must equal the batch rebuild —
+    // the batch gates' closed-form oracles verbatim
+    "mm_dedup_phash_incr" -> imageDHashClusteredSql,
+    "mm_dedup_audiohash_incr" -> imageDHashClusteredSql,
+    "mm_dedup_video_incr" -> videoDHashClusteredSql,
     "mm_video_real" -> videoRealSql,
     "mm_audio_real" -> audioRealSql,
     "mm_audio_windows" -> audioWindowsSql,

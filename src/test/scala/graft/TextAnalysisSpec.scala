@@ -233,6 +233,26 @@ class TextAnalysisSpec extends SparkSpec {
       s"shifted clip must not pair; replica must, with all 3 frames: $pairs")
   }
 
+  test("multimodal incremental forms equal their batch rebuilds " +
+      "bitwise (image / audio / video, r16)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).asInstanceOf[Number].longValue)).toSeq
+    assert(pairs(Multimodal.imageDHashIncrClustered(spark, "")) ==
+      pairs(Multimodal.imageDHashClustered(spark, "")))
+    assert(pairs(Multimodal.audioHashIncrClustered(spark, "")) ==
+      pairs(Multimodal.audioHashClustered(spark, "")))
+    assert(pairs(Multimodal.videoDHashIncrClustered(spark, "")) ==
+      pairs(Multimodal.videoDHashClustered(spark, "")))
+    // a WITHIN-DELTA-only family must also pair (delta×delta arm):
+    // split at 120 puts the uniques alone in the delta — no pairs from
+    // them — and at 40 the second+third copies in the delta
+    val p40 = pairs(Multimodal.imageDHashIncrClustered(spark, "",
+      splitId = 40))
+    assert(p40 == pairs(Multimodal.imageDHashClustered(spark, "")),
+      "splitId=40 (two copies per family in the delta) diverged")
+  }
+
   test("pipeline_fineweb_stream_late: quarantined docs counted in the " +
       "6_late row and excluded from every funnel stage") {
     val rows = TextAnalysis.finewebStreamLate(spark, sf).collect()
