@@ -895,6 +895,9 @@ object TextAnalysis {
       }
       val report = finewebStreamReport(spark, statePath, epochs - 1L)
         .getOrElse(sys.error("fineweb stream late: no state"))
+      // the 6_late row is ALWAYS present (the oracle emits a zero row
+      // when nothing quarantined — an absent row would hash-mismatch
+      // on a corpus with no late arrivals)
       val lateRow = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
         .map(q => funnelDocFlags(q.select(col("doc_id"), col("lang"),
             col("text")))
@@ -902,7 +905,10 @@ object TextAnalysis {
             coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"))
           .select(lit("6_late").as("stage"), col("n_docs"),
             col("total_tokens")))
-        .getOrElse(report.limit(0))
+        .getOrElse {
+          import spark.implicits._
+          Seq(("6_late", 0L, 0L)).toDF("stage", "n_docs", "total_tokens")
+        }
       report.unionByName(lateRow).localCheckpoint().orderBy(col("stage"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }

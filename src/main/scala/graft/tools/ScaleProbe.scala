@@ -743,6 +743,18 @@ object ScaleProbe {
       "pipeline_fineweb_stream16" -> (() =>
         graft.ops.TextAnalysis.finewebStream(spark, outDir,
           epochs = 16).count()),
+      // the lateness-wrapped funnel (r16): vs the row above, the extra
+      // per-epoch cost must be the watermark split + quarantine write
+      // (O(batch)), never a state re-scan — fwepoch phases stay flat
+      "pipeline_fineweb_stream_late16" -> (() =>
+        graft.ops.TextAnalysis.finewebStreamLate(spark, outDir,
+          epochs = 16).count()),
+      // streaming HLL (r16): per-epoch cost is the batch's sketch agg;
+      // state is |groups| sketch binaries per epoch, fold = HLL union —
+      // a sketch-sized op at any corpus size
+      "hll_stream16" -> (() =>
+        graft.ops.Relational2.q62HllBoundStream(spark, outDir,
+          epochs = 16).count()),
       // frozen-model streaming DSIR over 16 epochs: scoring is a pure
       // per-doc broadcast join, so dsirepochNNN phases must be flat and
       // the one-time model-train term shows up as the gap between total
