@@ -355,6 +355,110 @@ object Corpus {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** STREAMING sequence packing under EVENT-TIME LATENESS (r16 — the
+    * pack tier's twin of [[budgetSelectStreamLate]]; a late doc slipping
+    * into the fold would shift every later doc's slot assignment for
+    * its source): same protocol — id-range batches through
+    * [[CdcUpsert.withLateness]], late docs quarantined before the
+    * prefix-sum state, on-time stream stays id-ordered so the admission
+    * guard and prefix-closure hold over admitted docs. Output = folded
+    * slot assignments over on-time docs UNION quarantine rows (pack
+    * fields null, quarantine epoch carried). */
+  def packSequencesStreamLate(spark: SparkSession, dir: String,
+                              seqLen: Int = 64, epochs: Int = 4,
+                              latenessMicros: Long = 1500000L): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-packstreamlate")
+    try {
+      val packState = s"$base/state"
+      val lateState = s"$base/late"
+      val all = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+      val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = (hi - lo) / epochs + 1
+      val staged = all
+        .withColumn("arr_epoch", expr(s"(doc_id - $lo) div $width"))
+        .withColumn("src_epoch",
+          when(col("doc_id") % 7 === 3 && col("arr_epoch") >= 2,
+            col("arr_epoch") - 2).otherwise(col("arr_epoch")))
+        .withColumn("ts_us",
+          col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
+        .localCheckpoint()
+      (0 until epochs).foreach { k =>
+        CdcUpsert.withLateness(
+          staged.filter(col("arr_epoch") === k)
+            .select(col("doc_id"), col("source"), col("text"), col("ts_us")),
+          k, lateState, latenessMicros, col("ts_us")) { onTime =>
+          packStreamApplyBatch(
+            onTime.select(col("doc_id"), col("source"), col("text")),
+            k, packState, seqLen, compactEvery = 2)
+        }
+      }
+      val kept = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$packState/results", epochs - 1L): _*)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_before"), col("seq_first"), col("seq_offset"),
+          col("n_seqs"),
+          lit(null).cast("long").as("quarantine_epoch"))
+      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
+        .map(_.select(col("source"), col("doc_id"),
+          lit(null).cast("long").as("n_tokens"),
+          lit(null).cast("long").as("cum_before"),
+          lit(null).cast("long").as("seq_first"),
+          lit(null).cast("long").as("seq_offset"),
+          lit(null).cast("long").as("n_seqs"),
+          col("quarantine_epoch").cast("long")))
+        .getOrElse(kept.limit(0))
+      kept.unionByName(quar).localCheckpoint().orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Oracle of [[packSequencesStreamLate]]: the budget-late watermark
+    * recurrence, then the packing arithmetic over on-time docs only,
+    * UNION the quarantine rows. */
+  val packSequencesStreamLateSql: String =
+    s"""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+       |           FROM documents),
+       |d0 AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    (d.doc_id - b.lo) // ((b.hi - b.lo) // 4 + 1) AS arr_epoch
+       |  FROM documents d, b),
+       |t AS (
+       |  SELECT doc_id, source, text, arr_epoch,
+       |    (CASE WHEN doc_id % 7 = 3 AND arr_epoch >= 2
+       |          THEN arr_epoch - 2 ELSE arr_epoch END) * 1000000
+       |      + (doc_id * 131 % 997) * 1000 AS ts_us
+       |  FROM d0),
+       |m AS (SELECT arr_epoch, MAX(ts_us) AS mx FROM t GROUP BY arr_epoch),
+       |w AS (SELECT g.epoch,
+       |        MAX(m.mx) OVER (ORDER BY g.epoch
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - 1500000 AS wm
+       |      FROM range(0, 4) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |lt AS (SELECT t.*, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
+       |              THEN 1 ELSE 0 END AS late
+       |       FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
+       |sel AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM (SELECT source, doc_id, len($tokensSql) AS n_tokens
+       |        FROM lt WHERE late = 0))
+       |SELECT source, doc_id, n_tokens, cum_before,
+       |  cum_before // 64 AS seq_first,
+       |  cum_before % 64 AS seq_offset,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE (cum_before + n_tokens - 1) // 64 - cum_before // 64 + 1
+       |  END AS n_seqs,
+       |  CAST(NULL AS BIGINT) AS quarantine_epoch
+       |FROM sel
+       |UNION ALL
+       |SELECT source, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(arr_epoch AS BIGINT)
+       |FROM lt WHERE late = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle of [[budgetSelectStreamLate]]: dense watermark recurrence
     * (the q100/substring-late pattern) over the SAME derived event
     * times, then the per-source prefix-sum keep rule over exactly the
@@ -395,6 +499,44 @@ object Corpus {
        |  CAST(arr_epoch AS BIGINT)
        |FROM lt WHERE late = 1
        |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global shuffle + shard assignment — the dataloader
+    * SHARDING step of a pretraining recipe (r16): every training run
+    * needs the corpus in a shuffled order, split into S equal shards,
+    * reproducible across reruns and engines with NO seed file. The
+    * permutation is the seedless md5(doc_id) order this repo
+    * standardizes (det_split / balanceByLang), the global rank comes
+    * from the [[TwoLevel]] md5-prefix bucket decomposition — bucket-
+    * local windows + broadcast prefix counts, NO global sort at any
+    * corpus size — and shards fill ROUND-ROBIN over that rank, so
+    * shard sizes differ by ≤1 and each shard is itself an unbiased
+    * sample of the corpus (an interleave of the permutation, not a
+    * contiguous block — the property that lets a run train on a shard
+    * subset without distribution shift). At 100 TB the output is
+    * written partitioned by `shard`; pos gives the within-shard read
+    * order. */
+  def shuffleShards(spark: SparkSession, dir: String,
+                    shards: Int = 8): DataFrame =
+    TwoLevel.rank(
+        TwoLevel.withMd5Bucket(
+          Tables.documents(spark, dir).select(col("doc_id"))
+            .withColumn("__g", lit(1)),
+          col("doc_id").cast("string"), "__o", "__b"),
+        Seq("__g"), "__b", Seq(col("__o"), col("doc_id")), "rk")
+      .withColumn("shard", ((col("rk") - 1) % shards).cast("long"))
+      .withColumn("pos", expr(s"(rk - 1) div $shards"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  val shuffleShardsSql: String =
+    """SELECT doc_id,
+      |  CAST((rk - 1) % 8 AS BIGINT) AS shard,
+      |  CAST((rk - 1) // 8 AS BIGINT) AS pos
+      |FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |ORDER BY shard, pos""".stripMargin
 
   /** Mixture weighting — the data-MIXING step of a pretraining recipe
     * (fixed source weights à la The Pile, Gao et al. 2020; learned
@@ -1825,12 +1967,14 @@ object Corpus {
     "corpus_budget"      -> ((s: SparkSession, d: String) => budgetSelect(s, d)),
     "corpus_budget_stream" -> ((s: SparkSession, d: String) => budgetSelectStream(s, d)),
     "corpus_budget_stream_late" -> ((s: SparkSession, d: String) => budgetSelectStreamLate(s, d)),
+    "corpus_pack_stream_late" -> ((s: SparkSession, d: String) => packSequencesStreamLate(s, d)),
     "corpus_balance"     -> ((s: SparkSession, d: String) => balanceByLang(s, d)),
     "corpus_balance_stream" -> ((s: SparkSession, d: String) => balanceByLangStream(s, d)),
     "corpus_shard"       -> ((s: SparkSession, d: String) => shardShuffle(s, d)),
     "corpus_vocab_prune" -> ((s: SparkSession, d: String) => vocabPrune(s, d)),
     "corpus_split"       -> ((s: SparkSession, d: String) => splitTrainValTest(s, d)),
     "corpus_mix"         -> ((s: SparkSession, d: String) => mixWeights(s, d)),
+    "corpus_shuffle_shards" -> ((s: SparkSession, d: String) => shuffleShards(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
     "corpus_pack_bpe"    -> ((s: SparkSession, d: String) => packSequencesBpe(s, d)),
     "corpus_tokenize_bpe" -> (tokenizeBpe _),
@@ -1852,6 +1996,7 @@ object Corpus {
     // same oracle
     "corpus_budget_stream" -> budgetSelectSql,
     "corpus_budget_stream_late" -> budgetSelectStreamLateSql,
+    "corpus_pack_stream_late" -> packSequencesStreamLateSql,
     "corpus_balance"     -> balanceByLangSql,
     // streaming twin: TopKStream displacement fold, same oracle
     "corpus_balance_stream" -> balanceByLangSql,
@@ -1859,6 +2004,7 @@ object Corpus {
     "corpus_vocab_prune" -> vocabPruneSql,
     "corpus_split"       -> splitTrainValTestSql,
     "corpus_mix"         -> mixWeightsSql,
+    "corpus_shuffle_shards" -> shuffleShardsSql,
     "corpus_bpe"         -> bpeMergesSql,
     "corpus_pack_bpe"    -> packSequencesBpeSql,
     "corpus_tokenize_bpe" -> tokenizeBpeSql,

@@ -189,6 +189,46 @@ class CorpusSpec extends SparkSpec {
     assert(kept == batchKept, s"kept=$kept batch-over-on-time=$batchKept")
   }
 
+  test("packSequencesStreamLate: late doc quarantined; slot assignments " +
+      "equal the batch rule over on-time docs only") {
+    // same planted recipe as the budget-late spec: doc 10 is the one
+    // late arrival (arr_epoch 2, event time from epoch 0)
+    val rows = (0L to 15L).map(i => (i, words(10), "en", s"s${i % 2}"))
+    val dir = docs(rows: _*)
+    val out = Corpus.packSequencesStreamLate(spark, dir).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(7)) -1L else r.getLong(7)))
+    assert(out.filter(_._2 >= 0L).toSeq == Seq((10L, 2L)),
+      s"expected exactly doc 10 quarantined at epoch 2")
+    val noLate = docs(rows.filterNot(_._1 == 10L): _*)
+    val batch = Corpus.packSequences(spark, noLate).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val onTime = Corpus.packSequencesStreamLate(spark, dir).collect()
+      .filter(_.isNullAt(7))
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    assert(onTime == batch, "slot assignments diverge from batch-over-on-time")
+  }
+
+  test("shuffleShards: every doc exactly once, shards balanced within 1, " +
+      "positions contiguous, deterministic across runs (r16)") {
+    val dir = docs((1L to 17L).map(i => (i, words(2), "en", "s0")): _*)
+    def run() = Corpus.shuffleShards(spark, dir, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val out = run()
+    assert(out.map(_._1).toSet == (1L to 17L).toSet, "not a permutation")
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.size).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+    assert(run() == out, "shuffle not deterministic across runs")
+    // round-robin interleave: global md5 rank r lands in shard (r-1)%4
+    val byRank = out.sortBy(r => (r._3, r._2))
+    assert(byRank.map(_._2).take(8).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 0L, 1L, 2L, 3L))
+  }
+
   test("balanceByLang caps each language at perLang with a deterministic rank") {
     val dir = docs((1L to 10L).map(i => (i, words(3), if (i <= 7) "en" else "fr", "s0")): _*)
     val out = Corpus.balanceByLang(spark, dir, perLang = 4).collect()

@@ -33,6 +33,31 @@ class PropertiesSpec extends SparkSpec {
   private def rowSet(d: org.apache.spark.sql.DataFrame) =
     d.collect().map(_.toSeq).toSet
 
+  test("HighWaterMarks: write/read round-trips arbitrary key strings " +
+      "and the walk-back carries marks over unwritten epochs") {
+    val keyGen = Gen.listOfN(4, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("a\tb", "c\nd", "s p a c e", "ünïcødé/источник", "",
+        "%2F%09", "v3")))
+    forAll(keyGen) { keys =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hwm-prop").toString
+      try {
+        val m0 = keys.distinct.zipWithIndex
+          .map { case (k, i) => k -> (i * 7L - 3L) }.toMap
+        graft.tools.HighWaterMarks.write(root, 0L, m0)
+        assert(graft.tools.HighWaterMarks.readAsOf(root, 0L) == m0)
+        // epoch 3 written, 1-2 skipped: readAsOf walks back correctly
+        val m3 = m0.map { case (k, v) => k -> (v + 100L) }
+        graft.tools.HighWaterMarks.write(root, 3L, m3)
+        assert(graft.tools.HighWaterMarks.readAsOf(root, 2L) == m0)
+        assert(graft.tools.HighWaterMarks.readAsOf(root, 9L) == m3)
+        // nothing at or below an epoch before the first write
+        assert(graft.tools.HighWaterMarks.readAsOf(root, -1L).isEmpty)
+      } finally graft.tools.TempDirs.deleteRecursively(root)
+    }
+  }
+
   test("union+dedup is commutative in the set of rows") {
     forAll(framesGen) { case (a, b) =>
       val ab = df(a).unionByName(df(b)).dropDuplicates()
