@@ -516,17 +516,37 @@ object Corpus {
     * written partitioned by `shard`; pos gives the within-shard read
     * order. */
   def shuffleShards(spark: SparkSession, dir: String,
-                    shards: Int = 8): DataFrame =
-    TwoLevel.rank(
+                    shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    // GLOBAL rank with no unpartitioned window anywhere (the fleet-wide
+    // ban PlanRegressionSpec enforces): stratify by the md5's LEADING
+    // hex char (16 real strata — a constant stratum would constant-fold
+    // out of the window spec and leave the bucket-offset prefix sum
+    // unpartitioned), rank within strata via TwoLevel, then lift to the
+    // global order with a 16-row driver-side offset fold (bounded by
+    // construction — the k-limited-collect discipline). The md5 order
+    // is unchanged: the stratum is a prefix of the sort key.
+    val ranked = TwoLevel.rank(
         TwoLevel.withMd5Bucket(
-          Tables.documents(spark, dir).select(col("doc_id"))
-            .withColumn("__g", lit(1)),
-          col("doc_id").cast("string"), "__o", "__b"),
-        Seq("__g"), "__b", Seq(col("__o"), col("doc_id")), "rk")
-      .withColumn("shard", ((col("rk") - 1) % shards).cast("long"))
-      .withColumn("pos", expr(s"(rk - 1) div $shards"))
+          Tables.documents(spark, dir).select(col("doc_id")),
+          col("doc_id").cast("string"), "__o", "__b")
+          .withColumn("__s", substring(col("__o"), 1, 1)),
+        Seq("__s"), "__b", Seq(col("__o"), col("doc_id")), "rk",
+        stratumTotalOut = Some("__tot"))
+      .localCheckpoint()
+    val totals = ranked.select(col("__s"), col("__tot")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (s, t) =>
+      val o = (s, acc); acc += t; o }
+    ranked
+      .join(broadcast(offsets.toSeq.toDF("__s", "__off")), Seq("__s"))
+      .withColumn("gr", col("__off") + col("rk"))
+      .withColumn("shard", ((col("gr") - 1) % shards).cast("long"))
+      .withColumn("pos", expr(s"(gr - 1) div $shards"))
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
+  }
 
   val shuffleShardsSql: String =
     """SELECT doc_id,
