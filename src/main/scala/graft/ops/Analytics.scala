@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Product-analytics operators over the event stream — funnel conversion,
   * cohort retention, and Bloom-prefiltered semi joins. These are the
@@ -310,7 +311,7 @@ object Analytics {
             .otherwise(col("id") % 5 + 3).as("c"))
         .select(concat(lit("t"), col("j").cast("string")).as("token"),
           explode(expr("sequence(1, c)")).as("occ"))
-        .localCheckpoint()
+        .stage()
       (0 until epochs).foreach { k =>
         cmsStreamApplyBatch(
           toks.filter(col("occ") % epochs === k).select(col("token")),
@@ -323,7 +324,7 @@ object Analytics {
       toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
         .withColumn("heavy", est(col("token")) >= 500L)
         .select(col("token"), col("exact_n"), col("heavy"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("token"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tools.Stage._
 
 /** ONE operator surface for the CDC upsert spectrum (VERDICT r9 item 8).
   *
@@ -241,7 +242,7 @@ object CdcUpsert {
       graft.tools.RangeState.requireNoFuture(statePath, epoch)
       val t0 = System.nanoTime()
       val bounds = boundaries(batch, statePath, inner.numPartitions)
-      val d = deltaOf(batch).localCheckpoint()
+      val d = deltaOf(batch).stage()
       // Prior latest value of the batch's keys, read from ONLY the
       // primary partitions the batch touches, as of epoch-1 (strictly
       // older than this epoch — the replay contract; GC keeps that
@@ -257,7 +258,7 @@ object CdcUpsert {
         if (priorPaths.isEmpty) None
         else Some(fold(sp.read.parquet(priorPaths: _*))
           .join(d.select(col("user_id")), Seq("user_id"), "left_semi")
-          .localCheckpoint())
+          .stage())
       val newV = prior.map(p => fold(d.unionByName(p))).getOrElse(d)
         .select(col("user_id"), col("last.event_type").as("v"))
       val withOld = prior match {
@@ -277,7 +278,7 @@ object CdcUpsert {
       // primary, the same contract as a SQL index's NULL exclusion.
       val changed = withOld
         .filter(!(col("old_v") <=> col("v")))
-        .localCheckpoint()
+        .stage()
       val entries = changed.filter(col("v").isNotNull)
         .select(col("user_id"), col("v"), lit(epoch).as("epoch"),
           lit(false).as("del"))

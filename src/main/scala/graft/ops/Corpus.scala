@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Corpus-assembly operators — the steps between "filtered documents" and
   * "tensors on a trainer": sequence packing, token-budget selection,
@@ -132,7 +133,7 @@ object Corpus {
     val d = batch
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .localCheckpoint()
+      .stage()
     // ADMISSION CONTRACT, enforced (VERDICT r15 #4): the keep rules
     // downstream are prefix-closed only under PER-SOURCE id-ordered
     // arrival — a doc arriving after a larger-id doc of its source
@@ -228,7 +229,7 @@ object Corpus {
     try {
       val statePath = s"$base/state"
       val all = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("source"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -242,7 +243,7 @@ object Corpus {
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("cum_before"), col("seq_first"), col("seq_offset"),
           col("n_seqs"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("source"), col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -260,7 +261,7 @@ object Corpus {
     try {
       val statePath = s"$base/state"
       val all = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("source"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -273,7 +274,7 @@ object Corpus {
           s"$statePath/results", epochs - 1L): _*)
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("cum_before"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("source"), col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -318,7 +319,7 @@ object Corpus {
       val budState = s"$base/state"
       val lateState = s"$base/late"
       val all = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("source"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -329,7 +330,7 @@ object Corpus {
             col("arr_epoch") - 2).otherwise(col("arr_epoch")))
         .withColumn("ts_us",
           col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
-        .localCheckpoint()
+        .stage()
       (0 until epochs).foreach { k =>
         CdcUpsert.withLateness(
           staged.filter(col("arr_epoch") === k)
@@ -351,7 +352,7 @@ object Corpus {
           lit(null).cast("long").as("cum_before"),
           col("quarantine_epoch").cast("long")))
         .getOrElse(kept.limit(0))
-      kept.unionByName(quar).localCheckpoint().orderBy(col("doc_id"))
+      kept.unionByName(quar).stage().orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
@@ -372,7 +373,7 @@ object Corpus {
       val packState = s"$base/state"
       val lateState = s"$base/late"
       val all = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("source"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -383,7 +384,7 @@ object Corpus {
             col("arr_epoch") - 2).otherwise(col("arr_epoch")))
         .withColumn("ts_us",
           col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
-        .localCheckpoint()
+        .stage()
       (0 until epochs).foreach { k =>
         CdcUpsert.withLateness(
           staged.filter(col("arr_epoch") === k)
@@ -409,7 +410,7 @@ object Corpus {
           lit(null).cast("long").as("n_seqs"),
           col("quarantine_epoch").cast("long")))
         .getOrElse(kept.limit(0))
-      kept.unionByName(quar).localCheckpoint().orderBy(col("doc_id"))
+      kept.unionByName(quar).stage().orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
@@ -533,7 +534,7 @@ object Corpus {
           .withColumn("__s", substring(col("__o"), 1, 1)),
         Seq("__s"), "__b", Seq(col("__o"), col("doc_id")), "rk",
         stratumTotalOut = Some("__tot"))
-      .localCheckpoint()
+      .stage()
     val totals = ranked.select(col("__s"), col("__tot")).distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -675,7 +676,7 @@ object Corpus {
     try {
       val statePath = s"$base/state"
       val all = Tables.documents(spark, dir)
-        .select(col("lang"), col("doc_id")).localCheckpoint()
+        .select(col("lang"), col("doc_id")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -687,7 +688,7 @@ object Corpus {
       TopKStream.rankedAsOf(spark, statePath, epochs - 1L, "lang", perLang)
         .getOrElse(sys.error("balance stream: no state"))
         .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("lang"), col("rk"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -1094,7 +1095,7 @@ object Corpus {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("syms",
         concat(split(col("word"), ""), array(lit("</w>"))))
-      .localCheckpoint()
+      .stage()
     val nTypes = words.count()
     if (nTypes > 0 && nTypes <= localTypeBudget) {
       val t0 = System.nanoTime()
@@ -1158,7 +1159,7 @@ object Corpus {
         val rules = batch.map { case (l, r, _) => (l, r) }
         val mergeUdf = udf((syms: Seq[String]) => greedyMergeAll(syms, rules))
         words = words.withColumn("syms", mergeUdf(col("syms")))
-          .localCheckpoint()
+          .stage()
         // per-Spark-round wall + rules shipped this round — the probe's
         // flatness evidence (names sort by round)
         graft.tools.PhaseTiming.record(
@@ -1443,7 +1444,7 @@ object Corpus {
     val words = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .stage()
     val subUdf = udf((w: String) => substringsOf(w, seedMaxLen))
     val t0 = System.nanoTime()
     // seed selection stays DISTRIBUTED through the top-k: at a long seed
@@ -1459,7 +1460,7 @@ object Corpus {
     val seedAgg = words
       .select(col("cnt"), explode(subUdf(col("word"))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
-      .localCheckpoint()
+      .stage()
     val chars0 = seedAgg.filter(length(col("piece")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val multi0 = seedAgg.filter(length(col("piece")) > 1)
@@ -1804,7 +1805,7 @@ object Corpus {
           |  transform(
           |    slice(split(word, ''), 2, greatest(size(split(word, '')) - 1, 0)),
           |    c -> concat('##', c)))""".stripMargin))
-      .localCheckpoint()
+      .stage()
     val nTypes = words.count()
     if (nTypes > 0 && nTypes <= localTypeBudget) {
       val rows = words.select(col("word"), col("cnt"), col("syms"))
@@ -1831,7 +1832,7 @@ object Corpus {
       val pos = words
         .select(col("word"), col("cnt"),
           posexplode(col("syms")).as(Seq("pos", "s")))
-        .localCheckpoint()
+        .stage()
       val sc = pos.groupBy(col("s").as("sym"))
         .agg(sum(col("cnt")).as("sc"))
       val top = pos
@@ -1859,7 +1860,7 @@ object Corpus {
         learned += ((round, l, r, m, c, cl, cr))
         val mergeUdf = udf((syms: Seq[String]) => greedyMergeSym(syms, l, r, m))
         words = words.withColumn("syms", mergeUdf(col("syms")))
-          .localCheckpoint()
+          .stage()
         round += 1
       }
     }

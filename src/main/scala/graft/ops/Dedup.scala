@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Deduplication suite over `documents` — exact, keyed, MinHash-LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup (the north-star
@@ -299,7 +300,7 @@ object Dedup {
     // the ContextCleaner once the frame is unreachable, and laziness is
     // preserved for plan-only callers (ExplainDump).
     val banded = bandRows(sigs)
-      .localCheckpoint(false)
+      .stageLazy()
     val bucketed = banded
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_sig"))))
@@ -424,7 +425,7 @@ object Dedup {
       s"simhash_fp_lt$splitId") { p =>
       simhashFps(oldDocs).write.mode("overwrite").parquet(p)
     }
-    val deltaFp = simhashFps(newDocs).localCheckpoint()
+    val deltaFp = simhashFps(newDocs).stage()
     val histIdx = simhashBandRows(histFp)
     val deltaIdx = simhashBandRows(deltaFp)
     val dp = deltaHammingPairs(histIdx, deltaIdx,
@@ -504,7 +505,7 @@ object Dedup {
     // otherwise log a survivor that was never indexed, or vice versa
     // (ADVICE r15).
     {
-      val slim = batch.select(col("doc_id"), col("text")).localCheckpoint()
+      val slim = batch.select(col("doc_id"), col("text")).stage()
       fingerprintStreamApplyBatch(
         simhashFps(slim),
         batchId, statePath, maxHamming, maxBucket, compactEvery,
@@ -531,7 +532,7 @@ object Dedup {
     val survRoot = s"$statePath/survivors"
     Seq(indexRoot, survRoot)
       .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
-    val fps = fps0.select(col("doc_id"), col("fp")).localCheckpoint()
+    val fps = fps0.select(col("doc_id"), col("fp")).stage()
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_sig"))
@@ -540,18 +541,18 @@ object Dedup {
       .select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("fp"),
         col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-      .localCheckpoint()
+      .stage()
     val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
     val hist =
       if (histPaths.nonEmpty) sp.read.parquet(histPaths: _*)
       else newRows.limit(0)
     val bandCols = Seq("band", "band_sig")
     val newKeys = newRows.groupBy(bandCols.map(col): _*)
-      .agg(count(lit(1)).as("d_n")).localCheckpoint()
+      .agg(count(lit(1)).as("d_n")).stage()
     val touchedHist = hist
       .join(broadcast(newKeys.select(bandCols.map(col): _*)),
         bandCols, "left_semi")
-      .localCheckpoint()
+      .stage()
     val okKeys = broadcast(newKeys
       .join(touchedHist.groupBy(bandCols.map(col): _*)
           .agg(count(lit(1)).as("h_n")),
@@ -607,7 +608,7 @@ object Dedup {
     val survRoot = s"$statePath/survivors"
     Seq(indexRoot, survRoot)
       .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
-    val fps = memberFps.select(col("doc_id"), col("fp")).localCheckpoint()
+    val fps = memberFps.select(col("doc_id"), col("fp")).stage()
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(fp, ${b * 16}) & 65535").as("band_sig"))
@@ -616,18 +617,18 @@ object Dedup {
       .select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("fp"),
         col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-      .localCheckpoint()
+      .stage()
     val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
     val hist =
       if (histPaths.nonEmpty) sp.read.parquet(histPaths: _*)
       else newRows.limit(0)
     val bandCols = Seq("band", "band_sig")
     val newKeys = newRows.groupBy(bandCols.map(col): _*)
-      .agg(count(lit(1)).as("d_n")).localCheckpoint()
+      .agg(count(lit(1)).as("d_n")).stage()
     val touchedHist = hist
       .join(broadcast(newKeys.select(bandCols.map(col): _*)),
         bandCols, "left_semi")
-      .localCheckpoint()
+      .stage()
     val okKeys = broadcast(newKeys
       .join(touchedHist.groupBy(bandCols.map(col): _*)
           .agg(count(lit(1)).as("h_n")),
@@ -682,7 +683,7 @@ object Dedup {
     try {
       val statePath = s"$base/state"
       val all = Tables.documents(spark, cdir)
-        .select(col("doc_id"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("text")).stage()
       val width = 140 / epochs
       (0 until epochs).foreach { k =>
         simhashStreamApplyBatch(
@@ -692,7 +693,7 @@ object Dedup {
       }
       val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
         epochs - 1L)
-      spark.read.parquet(paths: _*).localCheckpoint()
+      spark.read.parquet(paths: _*).stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -723,7 +724,7 @@ object Dedup {
     try {
       val statePath = s"$base/state"
       val all = Tables.documents(spark, cdir)
-        .select(col("doc_id"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("text")).stage()
       val width = 140 / epochs
       (0 until epochs).foreach { k =>
         minhashStreamApplyBatch(
@@ -734,7 +735,7 @@ object Dedup {
       }
       val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
         epochs - 1L)
-      spark.read.parquet(paths: _*).localCheckpoint()
+      spark.read.parquet(paths: _*).stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -817,7 +818,7 @@ object Dedup {
     * pathological block.
     *
     * NOTE (deliberate eagerness): CONSTRUCTING this frame runs the
-    * block-size aggregation immediately — the `localCheckpoint()` below is
+    * block-size aggregation immediately — the `stage()` below is
     * eager, and the routing counters ([[graft.tools.RoutingMetrics]]) are
     * read off the materialized hot-block frame at build time. Route
     * selection (which blocks escape) and its observability are build-time
@@ -844,7 +845,7 @@ object Dedup {
     val hotAgg = docs0
       .groupBy(blockKeys.map(col): _*).count()
       .filter(col("count") > maxBlockExact)
-      .localCheckpoint()
+      .stage()
     // Routing observability: the guard's decisions are recorded as
     // counters (drained per query by Bench into bench_full.json). The
     // counts come from the ALREADY-materialized hot-block frame — a
@@ -928,7 +929,7 @@ object Dedup {
     // a full tokenize pass to every guarded query on a healthy corpus)
     // and record the cap counter as zero directly.
     val bandedAll =
-      if (escapeActive) bandedAll0.localCheckpoint() else bandedAll0
+      if (escapeActive) bandedAll0.stage() else bandedAll0
     graft.tools.RoutingMetrics.add("jaccard_capped_band_buckets",
       if (escapeActive)
         bandedAll.filter(col("bucket_n") > MinhashMaxBucket)
@@ -1098,7 +1099,7 @@ object Dedup {
     // join — the block-key set of a batch is tiny, so it broadcasts and
     // the corpus is pruned map-side (cost ∝ delta, not history)
     val touched = broadcast(
-      newDocs.select(blockKeys.map(col): _*).distinct().localCheckpoint())
+      newDocs.select(blockKeys.map(col): _*).distinct().stage())
     val aSide = docs.join(touched, blockKeys, "left_semi")
       .select(col("lang"), col("source"), col("len_bucket"),
         col("doc_id").as("a_id"), col("toks").as("a_toks"))
@@ -1160,7 +1161,7 @@ object Dedup {
     // delta band rows, materialized once: key counts, the key broadcast,
     // and both candidate joins all read them (a batch is small by
     // definition — a corpus-sized "delta" is a rebuild, not a refresh)
-    val deltaIndex = bandRows(signaturesOf(newDocs)).localCheckpoint()
+    val deltaIndex = bandRows(signaturesOf(newDocs)).stage()
     val delta = deltaVerifiedPairs(histIndex, deltaIndex,
       ids => shingleSetsOf(all.join(ids, Seq("doc_id"), "left_semi")),
       jaccardThreshold, maxBucket)
@@ -1206,7 +1207,7 @@ object Dedup {
       deltaCandidatePairs(histIndex, deltaIndex, maxBucket)
     val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
       .unionByName(candidates.select(col("b_id").as("doc_id")))
-      .distinct().localCheckpoint())
+      .distinct().stage())
     val sh = verifyShingles(candIds)
     val pairs = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
@@ -1252,13 +1253,13 @@ object Dedup {
     val touchedHist = histIndex
       .join(broadcast(deltaCounts.select(bandCols.map(col): _*)),
         bandCols, "left_semi")
-      .localCheckpoint()
+      .stage()
     val histCounts = touchedHist.groupBy(bandCols.map(col): _*)
       .agg(count(lit(1)).as("h_n"))
     val keyCounts = deltaCounts
       .join(histCounts, bandCols, "left_outer")
       .withColumn("h_n", coalesce(col("h_n"), lit(0L)))
-      .localCheckpoint()
+      .stage()
     val okKeys = broadcast(keyCounts
       .filter(col("h_n") + col("d_n") <= maxBucket)
       .select(bandCols.map(col): _*))
@@ -1281,7 +1282,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .localCheckpoint()
+      .stage()
     (candidates, crossingKeys)
   }
 
@@ -1309,16 +1310,16 @@ object Dedup {
     val bandCols = Seq("band", "band_sig")
     val crossDocs = broadcast(histIndex
       .join(broadcast(crossingKeys), bandCols, "left_semi")
-      .select(col("doc_id")).distinct().localCheckpoint())
+      .select(col("doc_id")).distinct().stage())
     val suspects = histPairs
       .join(crossDocs.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
       .join(crossDocs.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
-      .localCheckpoint()
+      .stage()
     // every band key a suspect doc sits in, and that key's combined size
     val suspectIdx = histIndex
-      .join(crossDocs, Seq("doc_id"), "left_semi").localCheckpoint()
+      .join(crossDocs, Seq("doc_id"), "left_semi").stage()
     val suspectKeys = broadcast(
-      suspectIdx.select(bandCols.map(col): _*).distinct().localCheckpoint())
+      suspectIdx.select(bandCols.map(col): _*).distinct().stage())
     val combined = histIndex.join(suspectKeys, bandCols, "left_semi")
       .groupBy(bandCols.map(col): _*).agg(count(lit(1)).as("h_n"))
       .join(deltaIndex.join(suspectKeys, bandCols, "left_semi")
@@ -1326,7 +1327,7 @@ object Dedup {
         bandCols, "left_outer")
     val validKeys = broadcast(combined
       .filter(col("h_n") + coalesce(col("d_n"), lit(0L)) <= maxBucket)
-      .select(bandCols.map(col): _*).localCheckpoint())
+      .select(bandCols.map(col): _*).stage())
     val retained = suspects
       .join(suspectIdx.select(col("doc_id").as("a_id"), col("band"), col("band_sig")),
         Seq("a_id"))
@@ -1336,7 +1337,7 @@ object Dedup {
       .select(col("a_id"), col("b_id")).distinct()
     val retract = broadcast(
       suspects.select(col("a_id"), col("b_id"))
-        .join(retained, Seq("a_id", "b_id"), "left_anti").localCheckpoint())
+        .join(retained, Seq("a_id", "b_id"), "left_anti").stage())
     histPairs.join(retract, Seq("a_id", "b_id"), "left_anti")
   }
 
@@ -1394,8 +1395,8 @@ object Dedup {
       .foreach(graft.tools.LogState.requireNoFuture(_, batchId))
     graft.tools.RangeState.requireNoFuture(shRoot, batchId)
     val t0 = System.nanoTime()
-    val arriving = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    val newBands = bandRows(signaturesOf(arriving)).localCheckpoint()
+    val arriving = batch.select(col("doc_id"), col("text")).stage()
+    val newBands = bandRows(signaturesOf(arriving)).stage()
     // the shingle store's range boundaries: the id span when the caller
     // knows it (minhashStream does), else seeded from the first batch —
     // with id-ordered arrival that parks later ids in the top partition,
@@ -1563,7 +1564,7 @@ object Dedup {
         graft.tools.LogState.pathsAsOf(s"$statePath/survivors", Long.MaxValue)
       require(survPaths.nonEmpty, s"no survivor state under $statePath")
       spark.read.parquet(survPaths: _*)
-        .localCheckpoint()
+        .stage()
         .orderBy(col("doc_id"))
     } finally {
       graft.tools.TempDirs.deleteRecursively(base)
@@ -1775,7 +1776,7 @@ object Dedup {
       s"emb_lsh_sigs_lt${splitId}_t${tables}_b${b}_p$probes") { p =>
       embLshSigs(hist, tables, b).write.mode("overwrite").parquet(p)
     }
-    val deltaSigs = embLshSigs(delta, tables, b).localCheckpoint()
+    val deltaSigs = embLshSigs(delta, tables, b).stage()
     val dProbe = deltaSigs.select(col("table"), col("vec_id").as("d_id"),
       explode(graft.functions.VectorKernels.probeSigsUdf(
         col("sig0"), lit(b), lit(probes))).as("sig"))
@@ -1879,7 +1880,7 @@ object Dedup {
     // call, inflating the very probe timing the metric exists to explain.
     val assigned = KMeans.assign(vecs, centroids)
       .select(col("vec_id"), col("v"), col("cluster_id"))
-      .localCheckpoint()
+      .stage()
     // Cluster-size SKEW, recorded per call (drained into bench routing /
     // probe prints): the pair surface is Σ cluster² — the max cluster is
     // the term that says whether k was sized right for the corpus, and a
@@ -2020,7 +2021,7 @@ object Dedup {
     val deltaAssigned = KMeans.assign(
       all.filter(col("vec_id") >= splitId), centroids)
       .select(col("cluster_id"), col("vec_id"), col("v"))
-      .localCheckpoint()
+      .stage()
     val deltaDups = semanticDupIds(
       histMates.unionByName(deltaAssigned), deltaAssigned, eps)
     histSurv.select(col("vec_id"))
@@ -2067,7 +2068,7 @@ object Dedup {
     val t0 = System.nanoTime()
     val arriving = batch.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .localCheckpoint()
+      .stage()
     val cpath = s"$statePath/centroids"
     if (batchId == 0L)
       KMeans.saveIndex(KMeans.fit(sp,
@@ -2076,7 +2077,7 @@ object Dedup {
     val centroids = KMeans.loadIndex(sp, cpath)
     val assigned = KMeans.assign(arriving, centroids)
       .select(col("cluster_id"), col("vec_id"), col("v"))
-      .localCheckpoint()
+      .stage()
     val bounds = graft.tools.RangeState.freezeUniform(memberRoot,
       k.toLong, math.min(k, 16))
     val touched = graft.tools.RangeState.publishDelta(memberRoot, batchId,
@@ -2118,7 +2119,7 @@ object Dedup {
     try {
       val statePath = s"$base/state"
       val all = Tables.embeddings(spark, cdir)
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).stage()
       val width = 200 / epochs
       (0 until epochs).foreach { b =>
         semanticStreamApplyBatch(
@@ -2129,7 +2130,7 @@ object Dedup {
       }
       val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
         epochs - 1L)
-      spark.read.parquet(paths: _*).localCheckpoint()
+      spark.read.parquet(paths: _*).stage()
         .orderBy(col("vec_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -2265,7 +2266,7 @@ object Dedup {
     graft.tools.RangeState.requireNoFuture(vecRoot, batchId)
     val t0 = System.nanoTime()
     val arriving = batch.select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
+      .stage()
     // the vector store's range boundaries: the id span when the caller
     // knows it, else seeded from the first batch (id-ordered arrival
     // parks later ids in the top partition — a pruning-balance cost,
@@ -2292,7 +2293,7 @@ object Dedup {
       arriving.select(col("vec_id"), lit(t).as("table"),
         graft.functions.LshSignature.lsh_sig(col("embedding"), t, bw)
           .as("sig0"))
-    }.reduce(_ unionByName _).localCheckpoint()
+    }.reduce(_ unionByName _).stage()
     val histPaths = graft.tools.LogState.pathsAsOf(indexRoot, batchId - 1)
     val hist =
       if (histPaths.nonEmpty) sp.read.parquet(histPaths: _*)
@@ -2316,7 +2317,7 @@ object Dedup {
       .distinct()
     val touchedHist = hist
       .join(broadcast(probeKeys), Seq("table", "sig0"), "left_semi")
-      .localCheckpoint()
+      .stage()
     // hist ids < delta ids under id-ordered arrival → (a, b) =
     // (hist, delta) is already canonical; delta×delta orders by id.
     // Both joins BROADCAST their slim side (pruned hist slice / batch
@@ -2334,7 +2335,7 @@ object Dedup {
       .filter(col("d_id") < col("b_id"))
       .select(col("d_id").as("a_id"), col("b_id"))
     val cands = hd.unionByName(dd).dropDuplicates("a_id", "b_id")
-      .localCheckpoint()
+      .stage()
     // a-side vectors from the store, PRUNED to the partitions holding
     // candidate a-ids (the minhash shingle-store move): ≤ vecPartitions
     // distinct buckets — a tiny collect bought back as a pruned read
@@ -2413,7 +2414,7 @@ object Dedup {
     try {
       val statePath = s"$base/state"
       val all = Tables.embeddings(spark, cdir)
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).stage()
       val width = 200 / epochs
       (0 until epochs).foreach { k =>
         embeddingStreamApplyBatch(
@@ -2424,7 +2425,7 @@ object Dedup {
       }
       val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
         epochs - 1L)
-      spark.read.parquet(paths: _*).localCheckpoint()
+      spark.read.parquet(paths: _*).stage()
         .orderBy(col("vec_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -2466,16 +2467,16 @@ object Dedup {
     // 2^rounds (measured 145 s at sf0.1; checkpointed: ~2 s).
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+      .stage()
     var labels = allIds.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .stage()
     def round(ls: DataFrame): DataFrame = ls
       .unionByName(edges
         .join(ls, edges("dst") === ls("doc_id"))
         .select(col("src").as("doc_id"), col("label")))
       .groupBy(col("doc_id"))
       .agg(min(col("label")).as("label"))
-      .localCheckpoint()
+      .stage()
     // Min-label propagation converges in graph-diameter rounds. Near-dup
     // components are usually near-cliques (diameter ≤ 2), so the first
     // `minRounds` run without a probe; after that, each round pays one
@@ -3082,11 +3083,11 @@ object Dedup {
         .write.mode("overwrite").parquet(p)
     }
     val deltaOccs = substrGramDigests(delta, n)
-      .localCheckpoint()
+      .stage()
     val deltaDigs = deltaOccs.select(col("d1"), col("d2")).distinct()
-      .localCheckpoint()
+      .stage()
     val affected = occsArt.join(deltaDigs, Seq("d1", "d2"), "left_semi")
-      .select(col("doc_id")).distinct().localCheckpoint()
+      .select(col("doc_id")).distinct().stage()
     if (mode == "rebuild" || (mode == "auto" && {
       val nAff = affected.count()
       val nDelta = delta.count()
@@ -3265,10 +3266,10 @@ object Dedup {
     val sp = batch.sparkSession
     val roots = Seq("occs", "docs", "results").map(r => s"$statePath/$r")
     roots.foreach(graft.tools.LogState.requireNoFuture(_, epoch))
-    val batchDocs = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    val batchDocs = batch.select(col("doc_id"), col("text")).stage()
     val batchOccs = substrGramDigests(batchDocs, n)
       .select(col("d1"), col("d2"), col("doc_id"), col("pos"))
-      .localCheckpoint()
+      .stage()
     val histOccPaths = graft.tools.LogState.pathsAsOf(s"$statePath/occs",
       epoch - 1)
     val histOccs =
@@ -3277,7 +3278,7 @@ object Dedup {
     val affected = histOccs
       .join(batchOccs.select(col("d1"), col("d2")).distinct(),
         Seq("d1", "d2"), "left_semi")
-      .select(col("doc_id")).distinct().localCheckpoint()
+      .select(col("doc_id")).distinct().stage()
     val allOccs = histOccs.unionByName(batchOccs)
     val rIds = affected.unionByName(batchDocs.select(col("doc_id"))).distinct()
     val rOccs = allOccs.join(rIds, Seq("doc_id"), "left_semi")
@@ -3345,7 +3346,7 @@ object Dedup {
     try {
       val statePath = s"$base/state"
       val all = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("text")).stage()
       // pmod batches (the gate): worst-case cross-epoch affectedness.
       // byRange (probes): contiguous id slices — the id-local ingest
       // regime where affected sets stay near the batch's own range.
@@ -3364,7 +3365,7 @@ object Dedup {
         .getOrElse(sys.error("substring stream: no state"))
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           col("clean_text"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -3406,7 +3407,7 @@ object Dedup {
       val lateState = s"$base/late"
       val all = lateEventTime(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        epochs).localCheckpoint()
+        epochs).stage()
       (0 until epochs).foreach { k =>
         val batch = all.filter(col("arr_epoch") === k)
           .select(col("doc_id"), col("text"), col("ts_us"))
@@ -3429,7 +3430,7 @@ object Dedup {
           lit(null).cast("string").as("clean_text"),
           col("quarantine_epoch").cast("long")))
         .getOrElse(state.limit(0))
-      state.unionByName(quar).localCheckpoint().orderBy(col("doc_id"))
+      state.unionByName(quar).stage().orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
@@ -3477,13 +3478,13 @@ object Dedup {
     Seq("banned", "occs", "docs", "results")
       .foreach(r => graft.tools.LogState.requireNoFuture(s"$statePath/$r", epoch))
     val batchDocs = trainBatch.select(col("doc_id"), col("text"))
-      .localCheckpoint()
+      .stage()
     val batchOccs = substrGramDigests(batchDocs, n)
       .select(col("d1"), col("d2"), col("doc_id"), col("pos"))
-      .localCheckpoint()
+      .stage()
     val newBanned = substrGramDigests(
         testBatch.select(col("doc_id"), col("text")), n)
-      .select(col("d1"), col("d2")).distinct().localCheckpoint()
+      .select(col("d1"), col("d2")).distinct().stage()
     val histBannedPaths =
       graft.tools.LogState.pathsAsOf(s"$statePath/banned", epoch - 1)
     val banned =
@@ -3496,7 +3497,7 @@ object Dedup {
       if (histOccPaths.isEmpty) batchOccs.limit(0)
       else sp.read.parquet(histOccPaths: _*)
     val affected = histOccs.join(newBanned, Seq("d1", "d2"), "left_semi")
-      .select(col("doc_id")).distinct().localCheckpoint()
+      .select(col("doc_id")).distinct().stage()
     val histDocPaths =
       graft.tools.LogState.pathsAsOf(s"$statePath/docs", epoch - 1)
     val affectedDocs =
@@ -3563,9 +3564,9 @@ object Dedup {
         .withColumn("bucket",
           substring(md5(col("doc_id").cast("string")), 1, 1))
       val test = all.filter(col("bucket").isin("0", "1"))
-        .select(col("doc_id"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("text")).stage()
       val train = all.filter(!col("bucket").isin("0", "1"))
-        .select(col("doc_id"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("text")).stage()
       (0 until epochs).foreach { k =>
         decontaminateStreamApplyBatch(
           train.filter(pmod(col("doc_id"), lit(epochs)) === k),
@@ -3576,7 +3577,7 @@ object Dedup {
         .getOrElse(sys.error("decontaminate stream: no state"))
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           col("clean_text"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }

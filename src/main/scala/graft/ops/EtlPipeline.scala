@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Reference-parity ETL pipeline (SURVEY.md §2.9, §3.1): the one flow the
   * reference actually runs — two sources → union-by-name → full-row dedup →
@@ -294,7 +295,7 @@ object EtlPipeline {
         col("o_orderstatus").as("o_orderstatus"),
         col("o_totalprice").as("o_totalprice"))
       .orderBy(col("o_orderkey"))
-      .localCheckpoint() // materialize before the db dir is torn down
+      .stage() // materialize before the db dir is torn down
     // clean shutdown (Derby signals success via SQLException), then delete
     try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/db;shutdown=true")
     catch { case _: java.sql.SQLException => () }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Graph analytics over the near-duplicate document graph — the standard
   * web-corpus quality signal: a document's PageRank in the similarity
@@ -96,7 +97,7 @@ object Graph {
     // executor-local blocks — fine in single-JVM local mode (the sandbox
     // contract); a multi-executor cluster run would use reliable
     // checkpoint() (or tolerate recompute-on-loss) instead.
-    val out = ranks.localCheckpoint()
+    val out = ranks.stage()
     withDeg.unpersist()
     out
   }
@@ -122,7 +123,7 @@ object Graph {
       case Some(prev) => nodes.join(prev, Seq("node"), "left")
         .select(col("node"), coalesce(col("rank"), lit(base)).as("rank"))
       case None => nodes.select(col("node"), lit(base).as("rank"))
-    }).localCheckpoint()
+    }).stage()
     var it = 0
     var moved = Long.MaxValue
     while (it < maxIters && moved > tolMass) {
@@ -135,7 +136,7 @@ object Graph {
           (lit(teleport) +
             expr(s"($DampNum * coalesce(contrib, CAST(0 AS BIGINT))) div $DampDen"))
             .as("rank"))
-        .localCheckpoint()
+        .stage()
       moved = next
         .join(ranks.select(col("node"), col("rank").as("prev")), Seq("node"))
         .agg(sum(abs(col("rank") - col("prev")))).head().getLong(0)

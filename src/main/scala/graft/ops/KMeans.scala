@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorKernels
+import graft.tools.Stage._
 
 /** Distributed k-means over the embedding corpus — the coarse quantizer a
   * real IVF index trains, expressed as pure DataFrame passes:
@@ -154,7 +155,7 @@ object KMeans {
     val vecs = corpus.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .filter(VectorKernels.normSqUdf(col("v")) > lit(0.0))
-      .localCheckpoint()
+      .stage()
 
     def timed[A](n: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Multi-dimensional layout: Z-order (Morton) clustering. Sorting a table
   * by the bit-interleaving of two key columns localizes BOTH dimensions in
@@ -77,7 +78,7 @@ object Layout {
       spark.read.parquet(s"$base/compact")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
-        .localCheckpoint() // materialize before the temp layout is deleted
+        .stage() // materialize before the temp layout is deleted
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with the decode / feature-extract step structured as a per-partition
@@ -651,7 +652,7 @@ object Multimodal {
     * closed-form oracle. */
   def imageDHashIncrClustered(spark: SparkSession, dir: String,
                               splitId: Long = 100): DataFrame = {
-    val fps = imageFps(spark).localCheckpoint()
+    val fps = imageFps(spark).stage()
     Dedup.fingerprintIncremental(fps.filter(col("doc_id") < splitId),
       fps.filter(col("doc_id") >= splitId))
   }
@@ -672,7 +673,7 @@ object Multimodal {
     val base = graft.tools.TempDirs.createFast("graft-mmstream")
     try {
       val statePath = s"$base/state"
-      val fps = imageFps(spark).localCheckpoint()
+      val fps = imageFps(spark).stage()
       val width = 140 / epochs
       (0 until epochs).foreach { k =>
         graft.ops.Dedup.fingerprintStreamApplyBatch(
@@ -682,7 +683,7 @@ object Multimodal {
       }
       spark.read.parquet(graft.tools.LogState.pathsAsOf(
           s"$statePath/survivors", epochs - 1L): _*)
-        .localCheckpoint()
+        .stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -779,7 +780,7 @@ object Multimodal {
     * equality-with-rebuild claim, same closed-form oracle). */
   def audioHashIncrClustered(spark: SparkSession, dir: String,
                              splitId: Long = 100): DataFrame = {
-    val fps = audioFps(spark).localCheckpoint()
+    val fps = audioFps(spark).stage()
     Dedup.fingerprintIncremental(fps.filter(col("doc_id") < splitId),
       fps.filter(col("doc_id") >= splitId))
   }
@@ -885,7 +886,7 @@ object Multimodal {
   def videoDHashIncrClustered(spark: SparkSession, dir: String,
                               splitVid: Long = 100,
                               minAligned: Int = 2): DataFrame = {
-    val fps = videoFrameFps(spark).localCheckpoint()
+    val fps = videoFrameFps(spark).stage()
     val cut = splitVid * 64
     aggregateAligned(
       Dedup.fingerprintIncremental(fps.filter(col("doc_id") < cut),
@@ -937,7 +938,7 @@ object Multimodal {
     val base = graft.tools.TempDirs.createFast("graft-mmvideostream")
     try {
       val statePath = s"$base/state"
-      val fps = videoFrameFps(spark).localCheckpoint()
+      val fps = videoFrameFps(spark).stage()
       val width = 140 / epochs
       (0 until epochs).foreach { k =>
         graft.ops.Dedup.sequenceFingerprintStreamApplyBatch(
@@ -948,7 +949,7 @@ object Multimodal {
       }
       spark.read.parquet(graft.tools.LogState.pathsAsOf(
           s"$statePath/survivors", epochs - 1L): _*)
-        .localCheckpoint()
+        .stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -984,7 +985,7 @@ object Multimodal {
     val base = graft.tools.TempDirs.createFast("graft-mmaudiostream")
     try {
       val statePath = s"$base/state"
-      val fps = audioFps(spark).localCheckpoint()
+      val fps = audioFps(spark).stage()
       val width = 140 / epochs
       (0 until epochs).foreach { k =>
         graft.ops.Dedup.fingerprintStreamApplyBatch(
@@ -994,7 +995,7 @@ object Multimodal {
       }
       spark.read.parquet(graft.tools.LogState.pathsAsOf(
           s"$statePath/survivors", epochs - 1L): _*)
-        .localCheckpoint()
+        .stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Second batch of oracle-checked operators: json structs, array and
   * date/math scalar functions, conditional aggregation, subqueries, pivot,
@@ -226,7 +227,7 @@ object Relational2 {
     // checkpoint the sink contents and drop the backing temp view —
     // repeated bench/gate runs would otherwise pin every run's full
     // result set in driver memory for the session lifetime
-    val out = spark.table(name).localCheckpoint()
+    val out = spark.table(name).stage()
     spark.catalog.dropTempView(name)
     out.orderBy(col("bucket"), col("event_type"))
   }
@@ -270,7 +271,7 @@ object Relational2 {
       // eager localCheckpoint materializes the read-back so the sink/
       // checkpoint directories can be deleted before returning (repeated
       // bench/correctness runs would otherwise accumulate orphaned dirs)
-      spark.read.parquet(s"$base/out").localCheckpoint()
+      spark.read.parquet(s"$base/out").stage()
         .orderBy(col("bucket"), col("event_type"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -323,7 +324,7 @@ object Relational2 {
         .select(col("bucket").cast("long").as("bucket"), col("event_type"),
           col("n").cast("long").as("n"),
           col("sum_value").cast("double").as("sum_value"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("bucket"), col("event_type"))
       graft.tools.PhaseTiming.record("readback", (System.nanoTime() - t1) / 1e9)
       out
@@ -367,7 +368,7 @@ object Relational2 {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("event_type"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -410,7 +411,7 @@ object Relational2 {
         .outputMode("append")
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.read.parquet(s"$base/out").localCheckpoint()
+      spark.read.parquet(s"$base/out").stage()
         .orderBy(col("event_type"), col("session_start"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -469,7 +470,7 @@ object Relational2 {
         .outputMode("append")
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.read.parquet(s"$base/out").localCheckpoint()
+      spark.read.parquet(s"$base/out").stage()
         .orderBy(col("event_type"), col("bucket"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -518,7 +519,7 @@ object Relational2 {
         .outputMode("append")
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.read.parquet(s"$base/out").localCheckpoint()
+      spark.read.parquet(s"$base/out").stage()
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -570,7 +571,7 @@ object Relational2 {
         .outputMode("append")
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.read.parquet(s"$base/out").localCheckpoint()
+      spark.read.parquet(s"$base/out").stage()
         .orderBy(col("user_id"), col("click_id"),
           coalesce(col("purchase_id"), lit(-1L)))
     } finally graft.tools.TempDirs.deleteRecursively(base)
@@ -612,7 +613,7 @@ object Relational2 {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))
-        .localCheckpoint() // materialize before the temp layout is deleted
+        .stage() // materialize before the temp layout is deleted
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
@@ -704,7 +705,7 @@ object Relational2 {
       val statePath = s"$base/state"
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("user_id"))
-        .localCheckpoint()
+        .stage()
       val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -725,7 +726,7 @@ object Relational2 {
           (abs(col("approx_users").cast("double") /
             col("exact_users").cast("double") - 1.0) <= 0.05)
             .as("within_bound"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("event_type"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -769,7 +770,7 @@ object Relational2 {
       // multi-executor cluster would lose blocks on executor failure, so
       // there this would be a reliable checkpoint() or a copy-out before
       // the temp sink dir is deleted.
-      val out = spark.read.parquet(s"$base/out").localCheckpoint()
+      val out = spark.read.parquet(s"$base/out").stage()
         .orderBy(col("bucket"), col("event_type"))
       graft.tools.PhaseTiming.record("readback", (System.nanoTime() - t1) / 1e9)
       out
@@ -791,7 +792,7 @@ object Relational2 {
         .agg(count(lit(1)).as("n"),
           sum(length(col("text"))).as("sum_text_len"))
         .orderBy(col("lang"))
-        .localCheckpoint()
+        .stage()
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
@@ -834,7 +835,7 @@ object Relational2 {
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     // same cleanup discipline as q33: checkpoint, then drop the temp view
-    val result = spark.table(name).localCheckpoint()
+    val result = spark.table(name).stage()
     spark.catalog.dropTempView(name)
     result.orderBy(col("user_id"), col("start_ms"))
   }
@@ -1234,7 +1235,7 @@ object Relational2 {
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
-    val out = spark.table(name).localCheckpoint()
+    val out = spark.table(name).stage()
     spark.catalog.dropTempView(name)
     out.orderBy(col("bucket"), col("c_mktsegment"))
   }
@@ -1330,7 +1331,7 @@ object Relational2 {
         .outputMode("append")
         .start()
       try q.processAllAvailable() finally q.stop()
-      spark.read.parquet(s"$base/out").localCheckpoint()
+      spark.read.parquet(s"$base/out").stage()
         .orderBy(col("bucket"), col("event_type"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -1614,7 +1615,7 @@ object Relational2 {
           unix_micros(col("last.ts")).as("last_us"),
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("user_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -1638,7 +1639,7 @@ object Relational2 {
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .localCheckpoint()
+        .stage()
       val mm = ev.agg(min(col("event_id")), max(col("event_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -1654,7 +1655,7 @@ object Relational2 {
           unix_micros(col("last.ts")).as("last_us"),
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("user_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -1748,7 +1749,7 @@ object Relational2 {
           unix_micros(col("last.ts")).as("last_us"),
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("user_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -1815,7 +1816,7 @@ object Relational2 {
             unix_micros(col("last.ts")).as("last_us"),
             col("last.event_type").as("last_type"),
             col("last.value").as("last_value"))
-          .localCheckpoint()
+          .stage()
           .orderBy(col("user_id"))
       } finally graft.tools.TempDirs.deleteRecursively(base)
     }
@@ -1869,7 +1870,7 @@ object Relational2 {
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .localCheckpoint() // 3×epochs scans below — pin the normalized input
+        .stage() // 3×epochs scans below — pin the normalized input
       val stats = (0 until epochs).flatMap { k =>
         val batch = ev.filter(pmod(col("event_id"), lit(epochs)) === k)
         arms.map { case (policy, path) =>
@@ -1946,7 +1947,7 @@ object Relational2 {
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .localCheckpoint() // epochs+2 scans below — pin the normalized input
+        .stage() // epochs+2 scans below — pin the normalized input
       (0 until epochs).foreach { k =>
         CdcUpsert.applyBatch(
           ev.filter(pmod(col("event_id"), lit(epochs)) === k),
@@ -1974,7 +1975,7 @@ object Relational2 {
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"),
           col("parts_read"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("user_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -2029,7 +2030,7 @@ object Relational2 {
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .localCheckpoint() // epochs+1 scans below — pin the normalized input
+        .stage() // epochs+1 scans below — pin the normalized input
       (0 until epochs).foreach { k =>
         CdcUpsert.applyBatch(
           ev.filter(pmod(col("event_id"), lit(epochs)) === k),
@@ -2049,7 +2050,7 @@ object Relational2 {
       }
       perVal.reduce(_.unionByName(_))
         .select(col("event_type"), col("user_id"), col("parts_read"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("event_type"), col("user_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -2093,7 +2094,7 @@ object Relational2 {
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .localCheckpoint()
+        .stage()
       (0 until epochs).foreach { k =>
         CdcUpsert.applyBatchWithLateness(
           ev.filter(pmod(col("event_id"), lit(epochs)) === k),
@@ -2110,7 +2111,7 @@ object Relational2 {
           unix_micros(col("last.ts")).as("last_us"),
           col("last.event_type").as("last_type"),
           col("last.value").as("last_value"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("user_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -2181,7 +2182,7 @@ object Relational2 {
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-        .localCheckpoint()
+        .stage()
       val mm = ev.agg(min(col("user_id")), max(col("user_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       graft.tools.RangeState.freezeUniform(statePath, hi, numPartitions)
@@ -2256,7 +2257,7 @@ object Relational2 {
           sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_text_len"))
         .orderBy(col("lang"), col("source"))
-        .localCheckpoint()
+        .stage()
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
@@ -2286,7 +2287,7 @@ object Relational2 {
           countDistinct(col("user_id")).as("n_users"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
         .orderBy(col("event_type"))
-        .localCheckpoint()
+        .stage()
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
@@ -2319,7 +2320,7 @@ object Relational2 {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
-        .localCheckpoint()
+        .stage()
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 

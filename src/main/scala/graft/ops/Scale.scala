@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.tools.Stage._
 
 /** Scale-management utilities: skew-salted joins and bucketed co-located
   * joins — the two standard answers to "this shuffle is the bottleneck at
@@ -67,7 +68,7 @@ object Scale {
       .filter(col("count") >= math.max(1L,
         math.ceil(hotRowThreshold * sampleFraction).toLong))
       .select(col(key))
-      .localCheckpoint()
+      .stage()
   }
 
   /** TARGETED skew salting: salt ONLY the keys that are actually hot.

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Similarity search over `embeddings.embedding` (array<float>, dim 64).
   *
@@ -546,18 +547,18 @@ object Similarity {
     // Each tier's candidate frame is materialized ONCE (localCheckpoint)
     // and reused for both the recall rerank and the fraction count.
     val ivfCands = ivfCandidates(spark, dir, IvfNprobe, IvfCells,
-      IvfIterations).localCheckpoint()
+      IvfIterations).stage()
     val ivfNum = recallNum(rankTail(
       ivfCands.withColumn("cos", Dedup.cosine("q_emb", "n_emb"))))
     val ivfFrac = ivfCands.count() / scans
     val lshCands = lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
-      LshTables, adaptiveLshBits(n), LshProbes).localCheckpoint()
+      LshTables, adaptiveLshBits(n), LshProbes).stage()
     val lshNum = recallNum(rerankSlim(spark, dir, lshCands))
     val lshFrac = lshCands.count() / scans
     // PQ's fraction is its EXACT-rerank scan share; the ADC pass itself
     // is linear but over 8-byte codes, not vectors — the compression is
     // the scale term, stated here so the artifact can't oversell it.
-    val pqCands = pqCandidates(spark, dir).localCheckpoint()
+    val pqCands = pqCandidates(spark, dir).stage()
     val pqNum = recallNum(rerankSlim(spark, dir, pqCands))
     val pqFrac = pqCands.count() / scans
     def bp(x: Double): Long = math.round(x * 10000)
@@ -832,7 +833,7 @@ object Similarity {
     try {
       val statePath = s"$base/state"
       val all = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).stage()
       val mm = all.agg(min(col("vec_id")), max(col("vec_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -843,7 +844,7 @@ object Similarity {
       }
       embStatsGate(embStatsStreamReport(spark, statePath, epochs - 1L)
           .getOrElse(sys.error("emb stats stream: no state")))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("dim"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** Text-analysis operators over the `documents` table — the LLM-data-
   * pipeline surface mandated by BASELINE.json's north star (language ID,
@@ -739,7 +740,7 @@ object TextAnalysis {
     val flags0 = funnelDocFlags(batch)
       .withColumn("udig", md5(col("canon_url")))
       .withColumn("tdig", md5(col("text")))
-      .localCheckpoint()
+      .stage()
     // ADMISSION CONTRACT, enforced (VERDICT r15 #4): both dedup windows
     // equal the batch funnel's min-doc_id-wins rule only under GLOBAL
     // id-ordered arrival (first arrival must be the smallest id of its
@@ -778,7 +779,7 @@ object TextAnalysis {
     val newUrlWin = flags0.groupBy(col("udig"))
       .agg(min(col("doc_id")).as("u_keep"))
       .join(urlHist.select(col("dig").as("udig")), Seq("udig"), "left_anti")
-      .localCheckpoint()
+      .stage()
     val s14 = flags0
       .join(newUrlWin, Seq("udig"), "left_outer")
       .withColumn("s1", col("u_keep") === col("doc_id"))
@@ -790,7 +791,7 @@ object TextAnalysis {
     val newTextWin = s14.filter(col("s4")).groupBy(col("tdig"))
       .agg(min(col("doc_id")).as("t_keep"))
       .join(textHist.select(col("dig").as("tdig")), Seq("tdig"), "left_anti")
-      .localCheckpoint()
+      .stage()
     val res = s14
       .join(newTextWin, Seq("tdig"), "left_outer")
       .withColumn("s5", col("s4") && col("t_keep") === col("doc_id"))
@@ -831,7 +832,7 @@ object TextAnalysis {
     try {
       val statePath = s"$base/state"
       val all = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("lang"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -842,7 +843,7 @@ object TextAnalysis {
       }
       finewebStreamReport(spark, statePath, epochs - 1L)
         .getOrElse(sys.error("fineweb stream: no state"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("stage"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -871,7 +872,7 @@ object TextAnalysis {
       val statePath = s"$base/state"
       val lateState = s"$base/late"
       val all = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("lang"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -882,7 +883,7 @@ object TextAnalysis {
             col("arr_epoch") - 2).otherwise(col("arr_epoch")))
         .withColumn("ts_us",
           col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
-        .localCheckpoint()
+        .stage()
       (0 until epochs).foreach { k =>
         CdcUpsert.withLateness(
           staged.filter(col("arr_epoch") === k)
@@ -909,7 +910,7 @@ object TextAnalysis {
           import spark.implicits._
           Seq(("6_late", 0L, 0L)).toDF("stage", "n_docs", "total_tokens")
         }
-      report.unionByName(lateRow).localCheckpoint().orderBy(col("stage"))
+      report.unionByName(lateRow).stage().orderBy(col("stage"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
@@ -1191,7 +1192,7 @@ object TextAnalysis {
       val statePath = s"$base/state"
       dsirModelTrain(spark, dir, modelPath)
       val all = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("text")).localCheckpoint()
+        .select(col("doc_id"), col("lang"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -1204,7 +1205,7 @@ object TextAnalysis {
           s"$statePath/results", epochs - 1L): _*)
         .select(col("doc_id"), col("n_grams"), col("score_sum"),
           col("score_avg"), col("selected"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -1298,7 +1299,7 @@ object TextAnalysis {
         min(when(col("s4"), col("doc_id"))).over(W.partitionBy(col("text"))))
       .withColumn("is_test",
         substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
-      .localCheckpoint()
+      .stage()
     // stage 06: decontaminate the survivors against the planted
     // benchmark split (the standalone text_decontaminate operator over
     // injectable frames)
@@ -1316,7 +1317,7 @@ object TextAnalysis {
         Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("rem"),
         col("clean_text"))
-      .localCheckpoint()
+      .stage()
     // stage 07: DSIR selection on clean text, frozen reference model
     // trained on the full original corpus (dsirModelTrain's split)
     val mg = dsirGrams(docsRaw)
@@ -1332,7 +1333,7 @@ object TextAnalysis {
     val s7 = s6
       .join(scored.filter(col("selected")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .stage()
     // stage 08: per-domain cap among survivors (md5-rank sample, the
     // corpus_domain_cap arithmetic, ranked within the SURVIVOR set)
     val s8 = TwoLevel.rank(
@@ -1343,7 +1344,7 @@ object TextAnalysis {
         Seq("domain"), "__b", Seq(col("__o"), col("doc_id")), "rk")
       .filter(col("rk") <= UrlCuration.DomainCapK)
       .select(col("doc_id"), col("lang"), col("source"), col("rem"))
-      .localCheckpoint()
+      .stage()
     // stage 09: mixture plan over the curated corpus (corpus_mix
     // arithmetic on CLEAN token counts)
     val weights = Seq(("de", 1500L), ("en", 4000L), ("es", 1000L),
@@ -1361,7 +1362,7 @@ object TextAnalysis {
         when(col("cum_before") < expr("target % pool"), lit(1L))
           .otherwise(lit(0L)))
       .select(col("doc_id"), col("source"), col("rem"), col("repeats"))
-      .localCheckpoint()
+      .stage()
     // stage 10: packing, closed form per source over planned tokens
     val packed = mixed.groupBy(col("source"))
       .agg(sum(col("repeats") * col("rem")).as("planned"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.tools.Stage._
 
 /** URL/domain-level curation — the stage real web pipelines run BEFORE
   * any text pass (VERDICT r13 #5): canonicalize the URL, exact-dedup on
@@ -237,7 +238,7 @@ object UrlCuration {
         graft.functions.UrlKernels.canonicalizeUrlUdf(col("url"))
           .as("canon_url"))
       .withColumn("digest", md5(col("canon_url")))
-      .localCheckpoint()
+      .stage()
     val histPaths =
       graft.tools.LogState.pathsAsOf(s"$statePath/winners", epoch - 1)
     val hist =
@@ -275,7 +276,7 @@ object UrlCuration {
     try {
       val statePath = s"$base/state"
       val all = withUrl(spark, dir).select(col("doc_id"), col("url"))
-        .localCheckpoint()
+        .stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -287,7 +288,7 @@ object UrlCuration {
       spark.read.parquet(graft.tools.LogState.pathsAsOf(
           s"$statePath/results", epochs - 1L): _*)
         .select(col("doc_id"), col("canon_url"), col("keep"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("doc_id"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
@@ -359,7 +360,7 @@ object UrlCuration {
       .select(col("doc_id"),
         graft.functions.UrlKernels.urlDomainUdf(col("url")).as("domain"))
       .withColumn("ord", md5(col("doc_id").cast("string")))
-      .localCheckpoint()
+      .stage()
     TopKStream.applyBatch(d.select(col("domain"), col("ord"),
       col("doc_id")), epoch, statePath, "domain", k, compactEvery)
     d.groupBy(col("domain")).agg(count(lit(1)).as("n"))
@@ -399,7 +400,7 @@ object UrlCuration {
     try {
       val statePath = s"$base/state"
       val all = withUrl(spark, dir).select(col("doc_id"), col("url"))
-        .localCheckpoint()
+        .stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val width = (hi - lo) / epochs + 1
@@ -410,7 +411,7 @@ object UrlCuration {
       }
       domainCapStreamReport(spark, statePath, epochs - 1L)
         .getOrElse(sys.error("domain cap stream: no state"))
-        .localCheckpoint()
+        .stage()
         .orderBy(col("domain"), col("rk"))
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }

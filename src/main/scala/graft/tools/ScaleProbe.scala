@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tools.Stage._
 
 /** 20× scale probe — empirical evidence that the operators' 100 TB design
   * arguments hold beyond the fixture sizes. Builds a synthetic corpus
@@ -64,7 +65,7 @@ object ScaleProbe {
             s"""transform(reverse(embedding), (x, i) ->
                |  CASE WHEN i = 0 THEN CAST(x + rep / $mult.0 AS FLOAT)
                |  ELSE x END)""".stripMargin)).as("embedding"))
-      .localCheckpoint()
+      .stage()
     val base = TempDirs.createFast("graft-embstream-probe")
     try {
       val statePath = s"$base/state"
