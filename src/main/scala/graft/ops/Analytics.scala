@@ -251,12 +251,35 @@ object Analytics {
     * the batch operator uses (map-side partial merge, O(d·w) per task).
     * Epoch-keyed overwrite derived from the batch alone —
     * replay-idempotent. */
+  /** Pin the sketch geometry beside the cells log: the (idx, n) deltas
+    * are only meaningful under the (d, w) that hashed them — a reader
+    * with a smaller sketch would index out of bounds, and a transposed
+    * one would silently mis-fold. Written once (atomic), asserted by
+    * every subsequent writer and reader. */
+  private def pinCmsGeometry(statePath: String, d: Int, w: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(statePath, "geometry")
+    if (Files.exists(p)) {
+      val Array(pd, pw) = Files.readString(p).trim.split("\t").map(_.toInt)
+      require(pd == d && pw == w,
+        s"CMS state at $statePath was written with geometry d=$pd w=$pw; " +
+          s"refusing to touch it with d=$d w=$w")
+    } else {
+      Files.createDirectories(p.getParent)
+      val tmp = Paths.get(statePath, "geometry.tmp")
+      Files.writeString(tmp, s"$d\t$w")
+      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   def cmsStreamApplyBatch(toks: DataFrame, epoch: Long, statePath: String,
                           d: Int = 4, w: Int = 512,
                           compactEvery: Int = 4): Unit = {
     import org.apache.spark.sql.Encoders
     val sp = toks.sparkSession
     val tEpoch = System.nanoTime()
+    pinCmsGeometry(statePath, d, w)
     graft.tools.LogState.requireNoFuture(s"$statePath/cells", epoch)
     val cms = udaf(new graft.functions.CountMinAggregator(d, w),
       Encoders.STRING)
@@ -278,10 +301,16 @@ object Analytics {
     val paths = graft.tools.LogState.pathsAsOf(s"$statePath/cells", upTo)
     if (paths.isEmpty) None
     else {
+      pinCmsGeometry(statePath, d, w) // reject a (d,w) mismatch up front
       val sk = new Array[Long](d * w)
       sp.read.parquet(paths: _*)
         .groupBy(col("idx")).agg(sum(col("n")).as("n"))
-        .collect().foreach(r => sk(r.getInt(0)) += r.getLong(1))
+        .collect().foreach { r =>
+          val idx = r.getInt(0)
+          require(idx >= 0 && idx < d * w,
+            s"CMS cell idx $idx outside pinned geometry d=$d w=$w")
+          sk(idx) += r.getLong(1)
+        }
       Some(sk)
     }
   }

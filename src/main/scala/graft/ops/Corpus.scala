@@ -34,6 +34,17 @@ object Corpus {
   private val tokensSql =
     "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Tunables shared between the lateness/shard queries and their SQL
+    * oracles — the q103 `Q103Epochs` pattern (ADVICE r16): each value
+    * is written ONCE and read by BOTH the Scala default parameter and
+    * the oracle interpolation, so a query/oracle desync requires an
+    * explicit non-default call (which the gate board never makes). */
+  val StreamLateEpochs: Int = 4
+  val StreamLatenessMicros: Long = 1500000L
+  val BudgetDefault: Long = 300L
+  val SeqLenDefault: Int = 64
+  val ShardsDefault: Int = 8
+
   // ---------------------------------------------------------------------
 
   /** GPT-style concat-and-chunk sequence packing: within each source,
@@ -312,8 +323,9 @@ object Corpus {
     * misclassified tolerated doc, or a dropped quarantine row breaks
     * the hash. */
   def budgetSelectStreamLate(spark: SparkSession, dir: String,
-                             budget: Long = 300L, epochs: Int = 4,
-                             latenessMicros: Long = 1500000L): DataFrame = {
+                             budget: Long = BudgetDefault,
+                             epochs: Int = StreamLateEpochs,
+                             latenessMicros: Long = StreamLatenessMicros): DataFrame = {
     val base = graft.tools.TempDirs.createFast("graft-budstreamlate")
     try {
       val budState = s"$base/state"
@@ -366,8 +378,9 @@ object Corpus {
     * slot assignments over on-time docs UNION quarantine rows (pack
     * fields null, quarantine epoch carried). */
   def packSequencesStreamLate(spark: SparkSession, dir: String,
-                              seqLen: Int = 64, epochs: Int = 4,
-                              latenessMicros: Long = 1500000L): DataFrame = {
+                              seqLen: Int = SeqLenDefault,
+                              epochs: Int = StreamLateEpochs,
+                              latenessMicros: Long = StreamLatenessMicros): DataFrame = {
     val base = graft.tools.TempDirs.createFast("graft-packstreamlate")
     try {
       val packState = s"$base/state"
@@ -422,7 +435,7 @@ object Corpus {
        |           FROM documents),
        |d0 AS (
        |  SELECT d.doc_id, d.source, d.text,
-       |    (d.doc_id - b.lo) // ((b.hi - b.lo) // 4 + 1) AS arr_epoch
+       |    (d.doc_id - b.lo) // ((b.hi - b.lo) // $StreamLateEpochs + 1) AS arr_epoch
        |  FROM documents d, b),
        |t AS (
        |  SELECT doc_id, source, text, arr_epoch,
@@ -434,8 +447,8 @@ object Corpus {
        |w AS (SELECT g.epoch,
        |        MAX(m.mx) OVER (ORDER BY g.epoch
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |          - 1500000 AS wm
-       |      FROM range(0, 4) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |          - $StreamLatenessMicros AS wm
+       |      FROM range(0, $StreamLateEpochs) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
        |lt AS (SELECT t.*, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
        |              THEN 1 ELSE 0 END AS late
        |       FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
@@ -446,10 +459,11 @@ object Corpus {
        |  FROM (SELECT source, doc_id, len($tokensSql) AS n_tokens
        |        FROM lt WHERE late = 0))
        |SELECT source, doc_id, n_tokens, cum_before,
-       |  cum_before // 64 AS seq_first,
-       |  cum_before % 64 AS seq_offset,
+       |  cum_before // $SeqLenDefault AS seq_first,
+       |  cum_before % $SeqLenDefault AS seq_offset,
        |  CASE WHEN n_tokens = 0 THEN 0
-       |       ELSE (cum_before + n_tokens - 1) // 64 - cum_before // 64 + 1
+       |       ELSE (cum_before + n_tokens - 1) // $SeqLenDefault
+       |            - cum_before // $SeqLenDefault + 1
        |  END AS n_seqs,
        |  CAST(NULL AS BIGINT) AS quarantine_epoch
        |FROM sel
@@ -469,7 +483,7 @@ object Corpus {
        |           FROM documents),
        |d0 AS (
        |  SELECT d.doc_id, d.source, d.text,
-       |    (d.doc_id - b.lo) // ((b.hi - b.lo) // 4 + 1) AS arr_epoch
+       |    (d.doc_id - b.lo) // ((b.hi - b.lo) // $StreamLateEpochs + 1) AS arr_epoch
        |  FROM documents d, b),
        |t AS (
        |  SELECT doc_id, source, text, arr_epoch,
@@ -481,8 +495,8 @@ object Corpus {
        |w AS (SELECT g.epoch,
        |        MAX(m.mx) OVER (ORDER BY g.epoch
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |          - 1500000 AS wm
-       |      FROM range(0, 4) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |          - $StreamLatenessMicros AS wm
+       |      FROM range(0, $StreamLateEpochs) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
        |lt AS (SELECT t.*, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
        |              THEN 1 ELSE 0 END AS late
        |       FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
@@ -494,7 +508,7 @@ object Corpus {
        |        FROM lt WHERE late = 0))
        |SELECT source, doc_id, n_tokens, cum_before,
        |  CAST(NULL AS BIGINT) AS quarantine_epoch
-       |FROM sel WHERE cum_before < 300
+       |FROM sel WHERE cum_before < $BudgetDefault
        |UNION ALL
        |SELECT source, doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        |  CAST(arr_epoch AS BIGINT)
@@ -517,7 +531,7 @@ object Corpus {
     * written partitioned by `shard`; pos gives the within-shard read
     * order. */
   def shuffleShards(spark: SparkSession, dir: String,
-                    shards: Int = 8): DataFrame = {
+                    shards: Int = ShardsDefault): DataFrame = {
     import spark.implicits._
     // GLOBAL rank with no unpartitioned window anywhere (the fleet-wide
     // ban PlanRegressionSpec enforces): stratify by the md5's LEADING
@@ -550,9 +564,9 @@ object Corpus {
   }
 
   val shuffleShardsSql: String =
-    """SELECT doc_id,
-      |  CAST((rk - 1) % 8 AS BIGINT) AS shard,
-      |  CAST((rk - 1) // 8 AS BIGINT) AS pos
+    s"""SELECT doc_id,
+      |  CAST((rk - 1) % $ShardsDefault AS BIGINT) AS shard,
+      |  CAST((rk - 1) // $ShardsDefault AS BIGINT) AS pos
       |FROM (
       |  SELECT doc_id, ROW_NUMBER() OVER (
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk

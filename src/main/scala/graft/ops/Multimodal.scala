@@ -608,20 +608,6 @@ object Multimodal {
     fp
   }
 
-  /** Perceptual-hash image near-dup through the HASH GATE on a planted
-    * corpus (VERDICT r12 #7 — bridges the multimodal codec path into
-    * the dedup banding kernel): 140 REAL PNGs — ids 0..119 encode the
-    * raster of base id % 40 (three byte-identical payloads per base),
-    * ids 120..139 unique rasters — go through the FULL pipeline: JDK
-    * PNG encode → decode → 9×8 nearest-neighbor downsample → dHash →
-    * [[Dedup.fingerprintNearDup]] (4×16-bit banding, skew cap, exact
-    * Hamming ≤ 3 verify). Replica dHashes are bit-identical (Hamming 0,
-    * every band collides); distinct scrambled rasters sit at Hamming
-    * ≈ 32, so the output is exactly the 120 replica pairs the oracle
-    * synthesizes — a codec bug that decodes rasters unequally, a
-    * downsample/dHash bug that hashes replicas apart, or a banding bug
-    * that drops a pair breaks the hash. `dir` unused (regime, not
-    * scale). */
   /** The planted image corpus's dHash fingerprints through the REAL
     * PNG round trip — shared by the batch / incremental / streaming
     * gates (ImageIO registry warms once per partition, not per row). */
@@ -638,6 +624,20 @@ object Multimodal {
       .toDF("doc_id", "fp")
   }
 
+  /** Perceptual-hash image near-dup through the HASH GATE on a planted
+    * corpus (VERDICT r12 #7 — bridges the multimodal codec path into
+    * the dedup banding kernel): 140 REAL PNGs — ids 0..119 encode the
+    * raster of base id % 40 (three byte-identical payloads per base),
+    * ids 120..139 unique rasters — go through the FULL pipeline: JDK
+    * PNG encode → decode → 9×8 nearest-neighbor downsample → dHash →
+    * [[Dedup.fingerprintNearDup]] (4×16-bit banding, skew cap, exact
+    * Hamming ≤ 3 verify). Replica dHashes are bit-identical (Hamming 0,
+    * every band collides); distinct scrambled rasters sit at Hamming
+    * ≈ 32, so the output is exactly the 120 replica pairs the oracle
+    * synthesizes — a codec bug that decodes rasters unequally, a
+    * downsample/dHash bug that hashes replicas apart, or a banding bug
+    * that drops a pair breaks the hash. `dir` unused (regime, not
+    * scale). */
   def imageDHashClustered(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprintNearDup(imageFps(spark), maxHamming = 3,
       maxBucket = 200, sorted = true)
@@ -743,18 +743,6 @@ object Multimodal {
     fp
   }
 
-  /** Audio-fingerprint near-dup through the HASH GATE on a planted
-    * corpus — completes the multimodal↔dedup bridge for the audio
-    * codec path (image dHash landed first): 140 REAL WAVs — ids 0..119
-    * carry the PCM of seed id % 40 (three byte-identical payloads per
-    * base), ids 120..139 unique — through the FULL pipeline: JDK WAV
-    * encode → decode → windowed-energy [[audioHash]] →
-    * [[Dedup.fingerprintNearDup]] (4×16-bit banding, skew cap, exact
-    * Hamming ≤ 3 verify). Replica hashes are bit-identical; distinct
-    * scrambled PCM sits at Hamming ≈ 32 — output is exactly the 120
-    * replica pairs the oracle synthesizes. A codec bug that decodes
-    * samples unequally, a windowing/energy bug that hashes replicas
-    * apart, or a banding bug that drops a pair breaks the hash. */
   /** The planted audio corpus's fingerprints through the REAL WAV
     * round trip — shared by the batch / incremental / streaming
     * gates. */
@@ -771,6 +759,18 @@ object Multimodal {
       .toDF("doc_id", "fp")
   }
 
+  /** Audio-fingerprint near-dup through the HASH GATE on a planted
+    * corpus — completes the multimodal↔dedup bridge for the audio
+    * codec path (image dHash landed first): 140 REAL WAVs — ids 0..119
+    * carry the PCM of seed id % 40 (three byte-identical payloads per
+    * base), ids 120..139 unique — through the FULL pipeline: JDK WAV
+    * encode → decode → windowed-energy [[audioHash]] →
+    * [[Dedup.fingerprintNearDup]] (4×16-bit banding, skew cap, exact
+    * Hamming ≤ 3 verify). Replica hashes are bit-identical; distinct
+    * scrambled PCM sits at Hamming ≈ 32 — output is exactly the 120
+    * replica pairs the oracle synthesizes. A codec bug that decodes
+    * samples unequally, a windowing/energy bug that hashes replicas
+    * apart, or a banding bug that drops a pair breaks the hash. */
   def audioHashClustered(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprintNearDup(audioFps(spark), maxHamming = 3,
       maxBucket = 200, sorted = true)
@@ -825,6 +825,28 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** The planted clip corpus's per-frame dHashes under frame-composite
+    * keys (vid·64 + frame_idx), through the REAL GIF mux/demux — shared
+    * by the batch / incremental / streaming gates. seed·131+f is unique
+    * per (seed, f): f < 131 < seed spacing. */
+  private def videoFrameFps(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (w, h) = (18, 16)
+    spark.range(0, 140).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val seed = if (id < 120) id % 40 else 1000L + id
+          val nf = (seed % 3 + 3).toInt // 3..5 frames, base-determined
+          val gif = encodeGifFrames(
+            (0 until nf).map(f => scrambledGray(seed * 131 + f, w, h)), w, h)
+          decodeGifFrames(gif).zipWithIndex.map { case (img, f) =>
+            (id * 64 + f, dHash(img))
+          }
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
   /** VIDEO near-dup through the HASH GATE on a planted replicated-clip
     * corpus (VERDICT r15 #7 — the video surface gains its dedup tier;
     * decode existed since mm_video_real): per-frame dHash + SEQUENCE-
@@ -849,28 +871,6 @@ object Multimodal {
     * rows; no raster ever shuffles) and the aligned-count aggregation
     * shuffles only verified frame pairs. `dir` unused (regime, not
     * scale). */
-  /** The planted clip corpus's per-frame dHashes under frame-composite
-    * keys (vid·64 + frame_idx), through the REAL GIF mux/demux — shared
-    * by the batch / incremental / streaming gates. seed·131+f is unique
-    * per (seed, f): f < 131 < seed spacing. */
-  private def videoFrameFps(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val (w, h) = (18, 16)
-    spark.range(0, 140).as[Long]
-      .mapPartitions { ids =>
-        ids.flatMap { id =>
-          val seed = if (id < 120) id % 40 else 1000L + id
-          val nf = (seed % 3 + 3).toInt // 3..5 frames, base-determined
-          val gif = encodeGifFrames(
-            (0 until nf).map(f => scrambledGray(seed * 131 + f, w, h)), w, h)
-          decodeGifFrames(gif).zipWithIndex.map { case (img, f) =>
-            (id * 64 + f, dHash(img))
-          }
-        }
-      }
-      .toDF("doc_id", "fp")
-  }
-
   def videoDHashClustered(spark: SparkSession, dir: String,
                           minAligned: Int = 2): DataFrame =
     videoNearDupPairs(videoFrameFps(spark), minAligned)

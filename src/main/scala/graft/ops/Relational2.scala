@@ -2036,8 +2036,11 @@ object Relational2 {
           ev.filter(pmod(col("event_id"), lit(epochs)) === k),
           k, statePath, policy)
       }
+      // Bounded IN THE PLAN (orderBy+limit → TakeOrdered), not by data
+      // luck — keeps the "every driver collect is k-limited" invariant.
       val targetVals = ev.select(col("event_type")).distinct()
-        .collect().map(_.getString(0)).sorted.take(2)
+        .orderBy(col("event_type")).limit(2)
+        .collect().map(_.getString(0))
       val perVal = targetVals.map { v =>
         val (dfOpt, parts) = CdcUpsert.indexLookup(spark, statePath, v,
           policy)

@@ -865,8 +865,8 @@ object TextAnalysis {
     * leaking into a dedup window, or a dropped quarantine row, breaks
     * the hash. */
   def finewebStreamLate(spark: SparkSession, dir: String,
-                        epochs: Int = 4,
-                        latenessMicros: Long = 1500000L): DataFrame = {
+                        epochs: Int = Corpus.StreamLateEpochs,
+                        latenessMicros: Long = Corpus.StreamLatenessMicros): DataFrame = {
     val base = graft.tools.TempDirs.createFast("graft-fwstreamlate")
     try {
       val statePath = s"$base/state"
@@ -935,14 +935,14 @@ object TextAnalysis {
        |          THEN arr_epoch - 2 ELSE arr_epoch END) * 1000000
        |      + (d.doc_id * 131 % 997) * 1000 AS ts_us
        |  FROM (SELECT doc_id,
-       |          (doc_id - b.lo) // ((b.hi - b.lo) // 4 + 1) AS arr_epoch
+       |          (doc_id - b.lo) // ((b.hi - b.lo) // ${Corpus.StreamLateEpochs} + 1) AS arr_epoch
        |        FROM documents, b) d),
        |m AS (SELECT arr_epoch, MAX(ts_us) AS mx FROM t GROUP BY arr_epoch),
        |w AS (SELECT g.epoch,
        |        MAX(m.mx) OVER (ORDER BY g.epoch
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |          - 1500000 AS wm
-       |      FROM range(0, 4) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |          - ${Corpus.StreamLatenessMicros} AS wm
+       |      FROM range(0, ${Corpus.StreamLateEpochs}) g(epoch) LEFT JOIN m ON m.arr_epoch = g.epoch),
        |lt AS (SELECT t.doc_id, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
        |              THEN 1 ELSE 0 END AS late
        |       FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
@@ -1280,9 +1280,13 @@ object TextAnalysis {
     * oracle recomposes every stage's existing SQL twin over the same
     * chain — a drift in ANY stage's semantics, or in how stages hand
     * survivors forward, breaks the hash. */
+  /** Shared between [[curationPipeline]]'s default and
+    * [[curationPipelineSql]]'s interpolation (the q103 pattern). */
+  val MixBudgetDefault: Long = 20000L
+
   def curationPipeline(spark: SparkSession, dir: String,
-                       mixBudget: Long = 20000L,
-                       seqLen: Int = 64): DataFrame = {
+                       mixBudget: Long = MixBudgetDefault,
+                       seqLen: Int = Corpus.SeqLenDefault): DataFrame = {
     import spark.implicits._
     val W = org.apache.spark.sql.expressions.Window
     val docsRaw = Tables.documents(spark, dir)
@@ -1542,7 +1546,7 @@ object TextAnalysis {
        |w(lang, w_bp) AS (VALUES
        |  ('de', 1500), ('en', 4000), ('es', 1000), ('fr', 1000), ('zh', 2500)),
        |pool AS (SELECT lang, SUM(rem) AS pool FROM s8 GROUP BY lang),
-       |tg2 AS (SELECT pool.lang, pool.pool, w.w_bp * 20000 // 10000 AS target
+       |tg2 AS (SELECT pool.lang, pool.pool, w.w_bp * $MixBudgetDefault // 10000 AS target
        |        FROM pool JOIN w ON pool.lang = w.lang),
        |cb AS (
        |  SELECT s8.*, CAST(COALESCE(SUM(rem) OVER (PARTITION BY lang
@@ -1583,7 +1587,7 @@ object TextAnalysis {
        |           AS c,
        |         CAST(COALESCE(SUM(repeats * rem), 0) AS BIGINT) AS t
        |       FROM mixd),
-       |r10 AS (SELECT CAST(COALESCE(SUM((planned + 63) // 64), 0) AS BIGINT)
+       |r10 AS (SELECT CAST(COALESCE(SUM((planned + ${Corpus.SeqLenDefault - 1}) // ${Corpus.SeqLenDefault}), 0) AS BIGINT)
        |            AS c,
        |          CAST(COALESCE(SUM(planned), 0) AS BIGINT) AS t FROM pk)
        |SELECT stage, n_docs, total_tokens FROM (

@@ -25,7 +25,9 @@ object HighWaterMarks {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  /** Newest marks at or below `epoch`; empty before any write. */
+  /** Newest marks at or below `epoch`; empty before any write. A
+    * negative `epoch` is a legitimate walk-back (epoch-1 at epoch 0 =
+    * "before the first write") and returns empty. */
   def readAsOf(root: String, epoch: Long): Map[String, Long] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return Map.empty
@@ -44,6 +46,10 @@ object HighWaterMarks {
   /** Writes the cumulative marks for `epoch` (merge the batch's maxes
     * into `prev` before calling). Atomic overwrite, replay-safe. */
   def write(root: String, epoch: Long, marks: Map[String, Long]): Unit = {
+    // The v\d+ filename pattern readAsOf matches can never encode a
+    // negative epoch — reject at write time rather than silently
+    // producing a file no reader will ever see.
+    require(epoch >= 0, s"HighWaterMarks epoch must be >= 0, got $epoch")
     val dir = Paths.get(root)
     Files.createDirectories(dir)
     val body = marks.toSeq.sortBy(_._1)
