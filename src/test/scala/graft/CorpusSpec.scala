@@ -365,6 +365,30 @@ class CorpusSpec extends SparkSpec {
     assert(tok(0L) == "abc" && tok(11L) == "def def def")
   }
 
+  test("shuffleShardsEpochs: per-epoch permutations are distinct over the " +
+      "same doc set, shards balanced-within-1, positions dense") {
+    val out = Corpus.shuffleShardsEpochs(spark, sf, shards = 4, epochs = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(0))) // (epoch, shard, pos, doc_id)
+    val n = out.length / 3
+    assert(n > 0 && out.length == 3 * n)
+    // per-epoch global order (shard-major round-robin inverts to rank)
+    def order(e: Long): Seq[Long] = out.filter(_._1 == e)
+      .sortBy(t => (t._3 * 4 + t._2)).map(_._4).toSeq
+    val perms = (0L to 2L).map(order)
+    assert(perms.forall(_.length == n))
+    assert(perms.forall(_.toSet == perms.head.toSet), "same doc set per epoch")
+    assert(perms.distinct.length == 3, "epoch salts must change the order")
+    // balance: every (epoch, shard) within 1 of n/4
+    val sizes = out.groupBy(t => (t._1, t._2)).values.map(_.length)
+    assert(sizes.size == 12 && sizes.forall(s =>
+      math.abs(s - n / 4.0) <= 1), s"shard sizes: ${sizes.toSeq}")
+    // positions dense per (epoch, shard)
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    }
+  }
+
   test("splitTrainValTest: tiny strata round toward train") {
     // 1 doc in a language: 1*100 <= 1*80 is false, <= 90 false -> test?
     // rk=1, n=1: 100 <= 80 fails, 100 <= 90 fails -> test. A 2-doc
