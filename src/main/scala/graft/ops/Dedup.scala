@@ -740,6 +740,94 @@ object Dedup {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  /** STREAMING minhash under EVENT-TIME LATENESS through the HASH GATE
+    * (VERDICT r16 #6 — the first near-dup tier whose `withLateness`
+    * wrapper is oracle-gated, not just spec-covered): the planted
+    * 140-doc clustered corpus arrives in four contiguous id-range
+    * batches; docs with doc_id % 7 == 3 arriving in epoch ≥ 2 carry an
+    * event time two epochs old, so the watermark recurrence quarantines
+    * some (true late) and tolerates others (disorder within the bound)
+    * — both paths exercised. A quarantined replica must QUARANTINE, not
+    * silently vanish or suppress its family's survivor; a quarantined
+    * probe must leave the survivor set. Output = folded on-time
+    * survivor set UNION quarantine rows; the oracle replays the dense
+    * watermark recurrence over range(0, 140) and takes the min on-time
+    * id per family (exact-replica Jaccard = 1.0 makes keep-first exact
+    * in this regime) — a late doc leaking into the band index, a
+    * misclassified tolerated doc, or a dropped quarantine row breaks
+    * the hash. Constants shared with the oracle (the q103 pattern).
+    * `dir` unused (regime, not scale). */
+  def minhashStreamLateClustered(spark: SparkSession, dir: String,
+      epochs: Int = Corpus.StreamLateEpochs,
+      latenessMicros: Long = Corpus.StreamLatenessMicros): DataFrame = {
+    val cdir = clusteredDocsDir(spark)
+    val base = graft.tools.TempDirs.createFast("graft-mhstreamlate")
+    try {
+      val dedupState = s"$base/state"
+      val lateState = s"$base/late"
+      val width = 140 / epochs
+      val all = Tables.documents(spark, cdir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("arr_epoch", expr(s"doc_id div $width"))
+        .withColumn("src_epoch",
+          when(col("doc_id") % 7 === 3 && col("arr_epoch") >= 2,
+            col("arr_epoch") - 2).otherwise(col("arr_epoch")))
+        .withColumn("ts_us",
+          col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
+        .stage()
+      (0 until epochs).foreach { k =>
+        minhashStreamLateApplyBatch(
+          all.filter(col("arr_epoch") === k)
+            .select(col("doc_id"), col("text"), col("ts_us")),
+          k, lateState, dedupState, latenessMicros,
+          compactEvery = 2, idSpan = 140)
+      }
+      val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$dedupState/survivors", epochs - 1L): _*)
+        .select(col("doc_id"),
+          lit(null).cast("long").as("quarantine_epoch"))
+      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
+        .map(_.select(col("doc_id"), col("quarantine_epoch").cast("long")))
+        .getOrElse(surv.limit(0))
+      surv.unionByName(quar).stage().orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Oracle of [[minhashStreamLateClustered]]: the dense watermark
+    * recurrence over the planted event times (synthesized from
+    * range(0, 140) — the clustered corpus is closed-form), survivors =
+    * min on-time id per family, UNION the quarantine rows. */
+  val minhashStreamLateClusteredSql: String = {
+    val epochs = Corpus.StreamLateEpochs
+    val width = 140 / epochs
+    s"""WITH t AS (
+       |  SELECT x AS doc_id, x // $width AS arr_epoch,
+       |    (CASE WHEN x % 7 = 3 AND x // $width >= 2
+       |          THEN x // $width - 2 ELSE x // $width END) * 1000000
+       |      + (x * 131 % 997) * 1000 AS ts_us
+       |  FROM range(0, 140) t(x)),
+       |m AS (SELECT arr_epoch, MAX(ts_us) AS mx FROM t GROUP BY arr_epoch),
+       |w AS (SELECT g.epoch,
+       |        MAX(m.mx) OVER (ORDER BY g.epoch
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - ${Corpus.StreamLatenessMicros} AS wm
+       |      FROM range(0, $epochs) g(epoch)
+       |      LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |lt AS (SELECT t.*, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
+       |              THEN 1 ELSE 0 END AS late
+       |       FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
+       |surv AS (SELECT MIN(doc_id) AS doc_id
+       |         FROM lt WHERE late = 0
+       |         GROUP BY CASE WHEN doc_id < 120
+       |                       THEN doc_id % 40 ELSE doc_id END)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(NULL AS BIGINT) AS quarantine_epoch FROM surv
+       |UNION ALL
+       |SELECT CAST(doc_id AS BIGINT), CAST(arr_epoch AS BIGINT)
+       |FROM lt WHERE late = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** [[minhashIncremental]] / [[simhashIncremental]] through the HASH
     * GATE on the planted corpus (splitId 100 puts the third replica of
     * bases 20–39 and all 20 probes in the delta): the maintained index
@@ -3592,11 +3680,14 @@ object Dedup {
       batch: DataFrame, epoch: Long, lateState: String,
       dedupState: String, latenessMicros: Long,
       jaccardThreshold: Double = 0.5,
-      maxBucket: Int = MinhashMaxBucket): Unit =
+      maxBucket: Int = MinhashMaxBucket,
+      compactEvery: Int = 8,
+      idSpan: Long = -1): Unit =
     CdcUpsert.withLateness(batch, epoch, lateState, latenessMicros,
       col("ts_us")) { onTime =>
       minhashStreamApplyBatch(onTime.select(col("doc_id"), col("text")),
-        epoch, dedupState, jaccardThreshold, maxBucket)
+        epoch, dedupState, jaccardThreshold, maxBucket,
+        compactEvery = compactEvery, idSpan = idSpan)
     }
 
   /** [[simhashStreamApplyBatch]] under the same lateness wrapper — all
@@ -3735,6 +3826,7 @@ object Dedup {
     "dedup_incr_minhash_clustered" -> (minhashIncrementalClustered _),
     "dedup_stream_simhash_clustered" -> ((s: SparkSession, d: String) => simhashStreamClustered(s, d)),
     "dedup_stream_minhash_clustered" -> ((s: SparkSession, d: String) => minhashStreamClustered(s, d)),
+    "dedup_stream_minhash_late" -> ((s: SparkSession, d: String) => minhashStreamLateClustered(s, d)),
     "dedup_stream_embedding_clustered" -> ((s: SparkSession, d: String) => embeddingStreamClustered(s, d)),
     "dedup_incr_simhash_clustered" -> (simhashIncrementalClustered _),
     "dedup_simhash_clustered" -> (simhashClustered _),
@@ -3778,6 +3870,7 @@ object Dedup {
     "dedup_stream_simhash_clustered" -> simhashStreamClusteredSql,
     // same survivor set as the simhash stream gate by corpus construction
     "dedup_stream_minhash_clustered" -> simhashStreamClusteredSql,
+    "dedup_stream_minhash_late" -> minhashStreamLateClusteredSql,
     "dedup_stream_embedding_clustered" -> embeddingStreamClusteredSql,
     "dedup_incr_simhash_clustered" -> simhashClusteredSql,
     "dedup_simhash_clustered" -> simhashClusteredSql,

@@ -577,6 +577,45 @@ class DedupSpec extends SparkSpec {
     graft.tools.TempDirs.deleteRecursively(root)
   }
 
+  test("streaming minhash under lateness: a quarantined replica does not " +
+      "suppress its family's survivor, and a quarantined FIRST copy does " +
+      "not pre-claim survivorship from a later on-time copy") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dir = corpus((1L, base), (3L, base), (4L, unrelated),
+      (5L, unrelated))
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-latemh2").toString
+    val (lateState, dedupState) = (s"$root/late", s"$root/state")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // epoch 0: doc 1 (family A survivor) at 10s; L=2s → wm(0)=8s
+    Dedup.minhashStreamLateApplyBatch(
+      docs.filter(col("doc_id") === 1L).withColumn("ts_us", lit(10000000L)),
+      0L, lateState, dedupState, latenessMicros = 2000000L)
+    // epoch 1: doc 3 = LATE replica of A (ts 5s < wm) → must quarantine,
+    // and doc 1 must STAY the survivor; doc 4 = LATE first copy of
+    // family B (ts 6s < wm) → quarantined, B has no survivor yet
+    Dedup.minhashStreamLateApplyBatch(
+      docs.filter(col("doc_id").isin(3L, 4L))
+        .withColumn("ts_us", when(col("doc_id") === 3L, lit(5000000L))
+          .otherwise(lit(6000000L))),
+      1L, lateState, dedupState, latenessMicros = 2000000L)
+    // epoch 2: doc 5 = ON-TIME copy of family B's text → must SURVIVE
+    // (the quarantined doc 4 never entered the index, so it cannot have
+    // pre-claimed family B)
+    Dedup.minhashStreamLateApplyBatch(
+      docs.filter(col("doc_id") === 5L).withColumn("ts_us", lit(12000000L)),
+      2L, lateState, dedupState, latenessMicros = 2000000L)
+    val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$dedupState/survivors", 2L): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 5L),
+      s"expected on-time survivors {1, 5}, got $surv")
+    val quar = graft.ops.CdcUpsert.quarantineAsOf(spark, lateState, 2L).get
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(quar == Set(3L, 4L), s"expected quarantine {3, 4}, got $quar")
+    graft.tools.TempDirs.deleteRecursively(root)
+  }
+
   test("fuzzy entity match: typo-level name variants inside blocks only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
