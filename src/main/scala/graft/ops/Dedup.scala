@@ -2130,6 +2130,139 @@ object Dedup {
     semanticDedupIncremental(spark, Similarity.clusteredCorpusDir(spark),
       k = 10, iterations = 2, eps = 0.99999, splitId = 150)
 
+  /** Mean-shift threshold (µ-units of the q = floor(x·10⁶) scale) above
+    * which a dimension counts as drifted — shared between the refresh
+    * protocol's default and both refresh oracles (the q103 pattern). */
+  val DriftThresholdMicro: Long = 100000L
+
+  /** DRIFT-TRIGGERED QUANTIZER REFRESH (VERDICT r16 #4) — the protocol
+    * connecting the drift monitor ([[Similarity.embStatsRaw]] /
+    * [[Similarity.embDriftDims]]) to the frozen quantizer the
+    * incremental semantic tier deploys with ([[semanticDedupIncremental]]
+    * trains once on history and freezes — correct exactly as long as the
+    * delta's distribution is the history's):
+    *
+    *  1. score the delta against history — two per-dim stats reports,
+    *     integer-exact cross-multiplied mean-shift (no division);
+    *  2. NO drifted dim → the FROZEN path, byte-for-byte
+    *     [[semanticDedupIncremental]] (same ArtifactCache tags, so the
+    *     history artifacts are reused untouched — the no-drift arm's
+    *     gate proves the protocol adds nothing to the frozen tier);
+    *  3. any drifted dim → RETRAIN-AND-REASSIGN: new quantizer trained
+    *     on history ∪ delta (`kRefresh` cells — sized for the shifted
+    *     distribution), EVERY vector reassigned under the new partition,
+    *     survivors recomputed by the same pair kernel
+    *     ([[semanticDupIds]]). Keep-first-by-id is a pure function of
+    *     the pair set, so the refresh answer must equal a from-scratch
+    *     batch rebuild — which is exactly what the gate's oracle
+    *     synthesizes.
+    *
+    * The decision read is one O(dims) collect (bounded by construction).
+    * At 100 TB the refresh branch costs one retrain + one reassignment
+    * pass — the price of correctness once the monitor says the frozen
+    * partition no longer matches the data; the frozen branch stays
+    * delta-priced. */
+  def semanticDedupRefresh(spark: SparkSession, dir: String,
+                           k: Int, kRefresh: Int, iterations: Int,
+                           eps: Double, splitId: Long,
+                           thresholdMicro: Long = DriftThresholdMicro): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val drifted = Similarity.embDriftDims(
+        Similarity.embStatsOf(embs.filter(col("vec_id") < splitId)),
+        Similarity.embStatsOf(embs.filter(col("vec_id") >= splitId)),
+        thresholdMicro)
+      .limit(1).collect().nonEmpty
+    if (drifted) {
+      val all = embs.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val centroids = KMeans.fit(spark, embs, kRefresh, iterations)
+      val assigned = KMeans.assign(all, centroids)
+        .select(col("cluster_id"), col("vec_id"), col("v"))
+        .stage()
+      assigned.select(col("vec_id"))
+        .join(semanticDupIds(assigned, assigned, eps),
+          Seq("vec_id"), "left_anti")
+        .withColumn("branch", lit("refresh"))
+        .orderBy(col("vec_id"))
+    } else {
+      semanticDedupIncremental(spark, dir, k, iterations, eps, splitId)
+        .withColumn("branch", lit("frozen"))
+        .orderBy(col("vec_id"))
+    }
+  }
+
+  /** [[semanticDedupRefresh]] through the HASH GATE on the DRIFTED
+    * corpus ([[Similarity.writeDriftedCorpus]] — the delta's two new
+    * directions shift dims 60/61 by 0.5 in the mean, far past the
+    * threshold, so the retrain branch is FORCED): the oracle replays
+    * the same integer drift recurrence in SQL (a scoring bug that fails
+    * to trigger flips the `branch` column and breaks the hash) and
+    * synthesizes the from-scratch survivor set — identical replicas
+    * co-cluster under ANY quantizer and eps separates identity from
+    * jitter, so refresh == rebuild bitwise. `dir` unused (regime). */
+  def semanticRefreshClustered(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupRefresh(spark, Similarity.driftedCorpusDir(spark),
+      k = 10, kRefresh = 12, iterations = 2, eps = 0.99999, splitId = 200)
+
+  /** The NO-DRIFT arm: the standard clustered corpus split at 150 (the
+    * [[semanticDedupIncrClustered]] regime — the delta is a quarter of
+    * every planted direction, means shift by at most a few hundred µ on
+    * the jitter dim, far below threshold). The protocol must take the
+    * FROZEN branch and reproduce the incremental tier's answer through
+    * its own cached artifacts — proving the decision layer leaves the
+    * frozen path untouched when the monitor is quiet. */
+  def semanticRefreshNoDriftClustered(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupRefresh(spark, Similarity.clusteredCorpusDir(spark),
+      k = 10, kRefresh = 12, iterations = 2, eps = 0.99999, splitId = 150)
+
+  /** Oracle scaffold shared by both refresh arms: the integer drift
+    * recurrence over the synthesized corpus (split at `splitId`) decides
+    * `branch`; survivors = keep-first NOT-EXISTS within direction blocks
+    * (history: % 10 over dims 0..59; delta: % 2 over the new
+    * directions — cross-block cosines never reach eps by construction,
+    * the same separation argument every semantic gate documents). */
+  private def refreshOracleSql(embSql: String, splitId: Long,
+                               blockPred: String): String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""WITH emb AS (
+       |  $embSql),
+       |qv AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       |  FROM (
+       |    SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+       |           unnest(embedding) AS x
+       |    FROM emb)),
+       |h AS (SELECT dim, COUNT(*) AS n_h, SUM(q) AS s_h FROM qv
+       |      WHERE vec_id < $splitId GROUP BY dim),
+       |d AS (SELECT dim, COUNT(*) AS n_d, SUM(q) AS s_d FROM qv
+       |      WHERE vec_id >= $splitId GROUP BY dim),
+       |drift AS (
+       |  SELECT CASE WHEN EXISTS (
+       |      SELECT 1 FROM h JOIN d USING (dim)
+       |      WHERE abs(s_d * n_h - s_h * n_d)
+       |            > $DriftThresholdMicro * n_h * n_d)
+       |    THEN 'refresh' ELSE 'frozen' END AS branch)
+       |SELECT a.vec_id, drift.branch FROM emb a, drift
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM emb b
+       |  WHERE b.vec_id < a.vec_id
+       |    AND ($blockPred)
+       |    AND $cos >= 0.99999)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  val semanticRefreshClusteredSql: String =
+    refreshOracleSql(Similarity.driftedEmbSql, 200L,
+      """(a.vec_id < 200 AND b.vec_id < 200
+        |         AND b.vec_id % 10 = a.vec_id % 10)
+        |      OR (a.vec_id >= 200 AND b.vec_id >= 200
+        |         AND b.vec_id % 2 = a.vec_id % 2)""".stripMargin)
+
+  val semanticRefreshNoDriftClusteredSql: String =
+    refreshOracleSql(Similarity.clusteredEmbSql, 150L,
+      "b.vec_id % 10 = a.vec_id % 10")
+
   /** One micro-batch of STREAMING SemDeDup — the semantic tier joins
     * the other four streaming dedup forms on the same state contract:
     * epoch-keyed overwrite writes (at-least-once replay rewrites
@@ -3845,6 +3978,8 @@ object Dedup {
     "dedup_semantic" -> (semanticDedupFixture _),
     "dedup_semantic_clustered" -> (semanticDedupClustered _),
     "dedup_incr_semantic_clustered" -> (semanticDedupIncrClustered _),
+    "dedup_semantic_refresh_clustered" -> (semanticRefreshClustered _),
+    "dedup_semantic_refresh_nodrift_clustered" -> (semanticRefreshNoDriftClustered _),
     "dedup_stream_semantic_clustered" ->
       ((s: SparkSession, d: String) => semanticStreamClustered(s, d)),
   )
@@ -3889,6 +4024,8 @@ object Dedup {
     // incremental and streaming forms share the batch gate's oracle:
     // equality-with-rebuild IS their claim (q38/q34 precedent)
     "dedup_incr_semantic_clustered" -> semanticDedupClusteredSql,
+    "dedup_semantic_refresh_clustered" -> semanticRefreshClusteredSql,
+    "dedup_semantic_refresh_nodrift_clustered" -> semanticRefreshNoDriftClusteredSql,
     "dedup_stream_semantic_clustered" -> semanticDedupClusteredSql,
   )
 }

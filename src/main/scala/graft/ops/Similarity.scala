@@ -622,6 +622,87 @@ object Similarity {
     }
   }
 
+  /** The clustered corpus EXTENDED with a drifted delta — the regime for
+    * the drift-triggered quantizer-refresh gate (VERDICT r16 #4): ids
+    * 0..199 are [[writeClusteredCorpus]] verbatim (history — 10 planted
+    * directions over dims 0..59); ids 200..269 are a delta along TWO NEW
+    * directions (e60 / e61 by id parity, dim-63 jitter by id % 7 →
+    * identity classes mod 14, five identical copies each) that NO
+    * history-trained quantizer cell represents — the exact distribution
+    * shift [[embStatsRaw]] exists to catch. Same exact-binary-fraction
+    * discipline, so the oracle synthesizes it bitwise. */
+  private[graft] def writeDriftedCorpus(spark: SparkSession, dir: String): Unit = {
+    val rows = (0 until 270).map { i =>
+      val v = new Array[Float](64)
+      if (i < 200) {
+        val c = i % 10
+        v(c * 6) = 1.0f
+        v(c * 6 + 1) = 0.03125f * (1 + i % 5)
+      } else {
+        v(60 + i % 2) = 1.0f
+      }
+      v(63) = 0.0078125f * (i % 7)
+      (i.toLong, v, if (i < 200) i % 10 else 10 + i % 2)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private val driftedDirRef =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def driftedCorpusDir(spark: SparkSession): String = {
+    val got = driftedDirRef.get()
+    if (got != null) got
+    else driftedDirRef.synchronized {
+      val again = driftedDirRef.get()
+      if (again != null) again
+      else {
+        val d = graft.tools.TempDirs.createFastForJvm("graft-simdrift")
+        writeDriftedCorpus(spark, d)
+        driftedDirRef.set(d)
+        d
+      }
+    }
+  }
+
+  /** DuckDB synthesis of the drifted corpus (see [[writeDriftedCorpus]];
+    * CASE branches are ordered so the shared dim-63 jitter applies to
+    * both regimes). */
+  private[graft] val driftedEmbSql: String =
+    """SELECT i AS vec_id,
+      |    list_transform(range(0, 64), d -> CASE
+      |      WHEN i < 200 AND d = (i % 10) * 6 THEN 1.0
+      |      WHEN i < 200 AND d = (i % 10) * 6 + 1 THEN 0.03125 * (1 + i % 5)
+      |      WHEN i >= 200 AND d = 60 + i % 2 THEN 1.0
+      |      WHEN d = 63 THEN 0.0078125 * (i % 7)
+      |      ELSE 0.0 END) AS embedding
+      |  FROM range(0, 270) t(i)""".stripMargin
+
+  /** The DECISION LAYER over two [[embStatsRaw]] reports (VERDICT r16
+    * #4): dims whose mean shifted by more than `thresholdMicro`
+    * (µ-units of the q = floor(x·10⁶) scale) between the two corpora.
+    * Integer-exact RATIO form — the mean comparison
+    * |s_d/n_d − s_h/n_h| > T is cross-multiplied to
+    * |s_d·n_h − s_h·n_d| > T·n_h·n_d so no division ever happens; all
+    * products run in DECIMAL(38,0) (|s| ≤ 10⁶·n, so the cross terms stay
+    * exact past 10¹⁵ vectors per side). Inner join on dim: both reports
+    * come from the same encoder width, so the dim sets coincide — a dim
+    * present on one side only would mean comparing different encoders,
+    * which is a caller error, not drift. The output is O(dims) rows;
+    * consumers read it driver-side (bounded by construction). */
+  def embDriftDims(hist: DataFrame, delta: DataFrame,
+                   thresholdMicro: Long): DataFrame = {
+    val h = hist.select(col("dim"), col("n").as("n_h"),
+      col("sum_q").cast(Dec38).as("s_h"))
+    val d = delta.select(col("dim"), col("n").as("n_d"),
+      col("sum_q").cast(Dec38).as("s_d"))
+    h.join(d, Seq("dim"))
+      .filter(abs(col("s_d") * col("n_h") - col("s_h") * col("n_d")) >
+        lit(thresholdMicro).cast(Dec38) * col("n_h") * col("n_d"))
+      .select(col("dim"))
+  }
+
   /** The clustered-corpus arm of the recall measurement, driver-visible
     * (VERDICT r9 #5): the fixture counters show the isotropic regime
     * (LSH recall ≈ its 3% scan fraction — information-theoretically

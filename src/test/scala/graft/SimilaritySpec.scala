@@ -318,4 +318,34 @@ class SimilaritySpec extends SparkSpec {
     } finally graft.tools.TempDirs.deleteRecursively(
       statePath.stripSuffix("/state"))
   }
+
+  test("embDriftDims: strict threshold boundary (a shift of exactly T " +
+      "does not trigger; a clearly larger one does), exact past the " +
+      "int64 q envelope, and unequal corpus sizes cross-multiply " +
+      "correctly") {
+    import spark.implicits._
+    def stats(rows: (Long, Seq[Float])*) = Similarity.embStatsOf(
+      rows.toSeq.toDF("vec_id", "embedding"))
+    // hist: 2 vectors at x=0 (dim 0) → mean 0; delta: 1 vector.
+    // T = 100000µ: delta at 0.1 shifts the mean by exactly T → NOT
+    // drifted (strict >); 0.100001 → drifted. Unequal n (2 vs 1)
+    // exercises the cross-multiplication.
+    val h = stats(0L -> Seq(0.0f), 1L -> Seq(0.0f))
+    assert(Similarity.embDriftDims(h, stats(2L -> Seq(0.1f)),
+      100000L).collect().isEmpty, "shift == T must not trigger")
+    assert(Similarity.embDriftDims(h, stats(2L -> Seq(0.11f)),
+      100000L).collect().map(_.getInt(0)).toSeq == Seq(0),
+      "shift > T must trigger on exactly the shifted dim")
+    // a second, unshifted dim stays quiet while dim 0 drifts
+    val h2 = stats(0L -> Seq(0.0f, 0.5f), 1L -> Seq(0.0f, 0.5f))
+    val d2 = stats(2L -> Seq(1.0f, 0.5f))
+    assert(Similarity.embDriftDims(h2, d2, 100000L)
+      .collect().map(_.getInt(0)).toSeq == Seq(0))
+    // int64 envelope: |q| = 4×10⁹ (the embStats overflow plant) with
+    // the cross term s_d·n_h = 4×10⁹·n_h stays exact in DECIMAL
+    val hBig = stats((0L until 3L).map(i => i -> Seq(4000.0f)): _*)
+    val dBig = stats(3L -> Seq(-4000.0f))
+    assert(Similarity.embDriftDims(hBig, dBig, 100000L)
+      .collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
 }
