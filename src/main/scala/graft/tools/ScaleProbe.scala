@@ -807,6 +807,26 @@ object ScaleProbe {
         graft.ops.Dedup.semanticDedupIncremental(spark, edir, k = k,
           iterations = 2, eps = 0.95, splitId = n - n / 20).count()
       }),
+      // ANN tier shoot-out on the replicated embedding corpus (VERDICT
+      // r16 #2's probe arm): same queries, three search paths. First
+      // run pays the build-once artifacts (hnsw edge list, ivf
+      // quantizer — ArtifactCache'd beside the corpus); re-run against
+      // the cache for the recurring search-only term. The graph tier's
+      // claim is that its search cost is n-INDEPENDENT (entry layer +
+      // ef·M·hops scored nodes) while IVF/LSH scan a candidate
+      // FRACTION that grows with n.
+      "sim_hnsw" -> (() => {
+        val (edir, _) = semEmbCorpus()
+        graft.ops.Similarity.hnswTopK(spark, edir).count()
+      }),
+      "sim_ivf" -> (() => {
+        val (edir, _) = semEmbCorpus()
+        graft.ops.Similarity.ivfTopK(spark, edir).count()
+      }),
+      "sim_lsh" -> (() => {
+        val (edir, _) = semEmbCorpus()
+        graft.ops.Similarity.lshTopK(spark, edir).count()
+      }),
       "text_tfidf"         -> (() => graft.ops.TextAnalysis.queries("text_tfidf")(spark, outDir).count()),
       "text_inverted_index"-> (() => graft.ops.TextAnalysis.queries("text_inverted_index")(spark, outDir).count()),
       "text_langid"        -> (() => graft.ops.TextAnalysis.queries("text_langid")(spark, outDir).count()),

@@ -179,7 +179,7 @@ class SimilaritySpec extends SparkSpec {
     graft.tools.RoutingMetrics.drain() // isolate this test's counters
     val m = Similarity.recallClustered(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(m.keySet == Set("ivf", "lsh", "pq"))
+    assert(m.keySet == Set("hnsw", "ivf", "lsh", "pq"))
     m.foreach { case (tier, (num, den)) =>
       assert(den > 0 && num == den,
         s"$tier recall not 1.0 on the clustered corpus: $num/$den")
@@ -188,10 +188,40 @@ class SimilaritySpec extends SparkSpec {
     assert(c("ivf_recall_clustered_bp") >= 9000L, s"counters: $c")
     assert(c("lsh_recall_clustered_bp") >= 9000L, s"counters: $c")
     assert(c("pq_recall_clustered_bp") >= 9000L, s"counters: $c")
+    assert(c("hnsw_recall_clustered_bp") >= 9000L, s"counters: $c")
+    assert(c("hnsw_cand_fraction_clustered_bp") > 0L &&
+      c("hnsw_cand_fraction_clustered_bp") <= 10000L)
     assert(c("ivf_cand_fraction_clustered_bp") > 0L &&
       c("ivf_cand_fraction_clustered_bp") <= 10000L)
     assert(c("lsh_cand_fraction_clustered_bp") > 0L &&
       c("lsh_cand_fraction_clustered_bp") <= 10000L)
+  }
+
+  test("HNSW graph: base-layer out-degree bounded by M, edges stay " +
+      "in-partition, top layer covers every direction") {
+    val dir = Similarity.clusteredCorpusDir(spark)
+    val edges = Similarity.hnswIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).map(_._2.length)
+    assert(deg.max <= Similarity.HnswM, s"degree ${deg.max} > M")
+    assert(edges.forall { case (s, d) =>
+      s / Similarity.HnswPartWidth == d / Similarity.HnswPartWidth },
+      "base-layer edges must stay inside their partition subgraph")
+    // entry period 3 coprime to direction period 10 → all 10 directions
+    val entryDirs = (0L until 200L)
+      .filter(_ % Similarity.hnswEntryPeriod(200) == 0).map(_ % 10).toSet
+    assert(entryDirs == (0L until 10L).toSet)
+  }
+
+  test("annTopK: graph branch equals brute force on the clustered " +
+      "corpus, and the dispatch floor keeps it off every fixture") {
+    val dir = Similarity.clusteredCorpusDir(spark)
+    val brute = Similarity.bruteForceTopK(spark, dir).collect().map(_.toString)
+    val graph = Similarity.annTopK(spark, dir, graphWins = _ => true)
+      .collect().map(_.toString)
+    assert(graph.toSeq == brute.toSeq)
+    assert(!Similarity.hnswWinsAt(200L) && !Similarity.hnswWinsAt(100000L))
+    assert(Similarity.hnswWinsAt(Similarity.HnswDispatchFloor))
   }
 
   test("PQ top-k: exact-rerank subset of true ranking, bounded candidates") {
