@@ -1000,7 +1000,158 @@ object Multimodal {
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
 
+  // ---------------------------------------------------------------------
+  // Cross-modal (image + caption) joint curation
+  // ---------------------------------------------------------------------
+
+  /** The planted image+caption PAIR corpus (VERDICT r16 #3): the 140
+    * images of the perceptual-dedup regime (real PNG payloads; ids
+    * 0..119 = three byte-identical copies of 40 bases, 120..139 unique),
+    * each carrying a synthesized caption that is a pure function of the
+    * pair id, with three deterministic defect plantings on DISJOINT id
+    * classes (the spec isolates each rule):
+    *
+    *  - id % 8 == 1  → a 2-token caption (fails the ≥5-token quality
+    *    floor);
+    *  - id % 10 == 6 → the caption DUPLICATES pair id−4's text (caption
+    *    dedup must drop the later pair; id−4 always survives the
+    *    earlier stages — id−4 ≡ 2 mod 10, and %8/%12 never collide);
+    *  - id % 12 == 7 → the caption CLAIMS the wrong pattern seed
+    *    (seed+1), so the cross-modal consistency score fails.
+    *
+    * The caption's claimed seed is embedded as text ("pattern <s>") and
+    * recovered by regex at scoring time — the pair score is the Hamming
+    * distance between the image's dHash THROUGH THE REAL CODEC
+    * (encode→decode→downsample→hash) and the caption modality's
+    * reference fingerprint (dHash of the claimed seed's raster, no
+    * codec) — a codec bug that decodes rasters unequally breaks every
+    * honest pair's score, exactly like the perceptual-dedup gate. */
+  private def mmPairCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val raw = spark.range(0, 140).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val seed = if (id < 120) id % 40 else 1000L + id
+          (id, encodePngPixels(scrambledPixels(seed, 18, 16), 18, 16))
+        }
+      }.toDF("pair_id", "img")
+    def seedOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c < 120, c % 40).otherwise(lit(1000L) + c)
+    def claimedOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      seedOf(c) + when(c % 12 === 7, 1L).otherwise(0L)
+    val capKey = when(col("pair_id") % 10 === 6, col("pair_id") - 4)
+      .otherwise(col("pair_id"))
+    raw.withColumn("caption",
+      when(col("pair_id") % 8 === 1,
+        concat(lit("pattern "), claimedOf(capKey).cast("string")))
+      .otherwise(concat(lit("a photo of pattern "),
+        claimedOf(capKey).cast("string"),
+        lit(" item "), capKey.cast("string"))))
+  }
+
+  /** JOINT image+caption curation through the HASH GATE — the
+    * cross-modal composition (VERDICT r16 #3): a pair survives only if
+    * its IMAGE survives perceptual keep-first dedup (the shared banding
+    * kernel over real-codec dHashes) AND its CAPTION passes the quality
+    * floor AND caption keep-first dedup AND the pair clears the
+    * integer-exact cross-modal consistency score. Cumulative flags (the
+    * `pipeline_curation` recipe): each stage filters the previous
+    * stage's survivors, and the report row carries (count, id-sum) so a
+    * wrong survivor SET breaks the hash even at an equal count. The
+    * oracle replays the planted defect arithmetic in closed form over
+    * range(0, 140). `dir` unused (regime, not scale).
+    *
+    * Scale shape: rasters never shuffle (8 B fingerprints ride the
+    * banding kernel), captions shuffle once for the dedup window
+    * (partitioned by caption text), and the reference-fingerprint join
+    * is |distinct claimed seeds| ≤ corpus — broadcast at gate scale,
+    * an equi-join at any scale. */
+  def mmCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val pairs = mmPairCorpus(spark).stage()
+    // image modality: real-codec dHash per pair, keep-first via the
+    // shared banded kernel (drop any pair with an earlier near-dup mate)
+    val fps = pairs.select(col("pair_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) => (id, dHash(decodePng(png))) })
+      .toDF("doc_id", "fp").stage()
+    val laterDups = Dedup.fingerprintNearDup(fps, maxHamming = 3,
+        maxBucket = 200, sorted = false)
+      .select(col("b_id").as("pair_id")).distinct()
+    val flagged = pairs
+      .join(laterDups.withColumn("is_dup", lit(true)), Seq("pair_id"), "left")
+      .withColumn("s1", col("is_dup").isNull)
+      .withColumn("cap_tokens", size(split(col("caption"), " ")))
+      .withColumn("s2", col("s1") && col("cap_tokens") >= 5)
+      .withColumn("s3", col("s2") && col("pair_id") ===
+        min(when(col("s2"), col("pair_id"))).over(W.partitionBy(col("caption"))))
+    // cross-modal score: claimed seed from the caption text vs the
+    // image's decoded fingerprint
+    val claimed = flagged.withColumn("claimed_seed",
+      regexp_extract(col("caption"), "pattern (\\d+)", 1).cast("long"))
+    // the caption side's reference fingerprint hashes the raster
+    // DIRECTLY (no codec) — the image side went encode→decode, so an
+    // honest pair's Hamming-0 score additionally witnesses that the
+    // codec round trip is the identity (the mm_decode_real claim,
+    // re-asserted inside this gate)
+    val refFps = claimed.select(col("claimed_seed")).distinct()
+      .as[Long].mapPartitions(_.map { s =>
+        val px = scrambledPixels(s, 18, 16)
+        val img = new java.awt.image.BufferedImage(
+          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, 18, 16, px, 0, 18)
+        (s, dHash(img))
+      }).toDF("claimed_seed", "ref_fp")
+    val scored = claimed
+      .join(fps.withColumnRenamed("doc_id", "pair_id"), Seq("pair_id"))
+      .join(broadcast(refFps), Seq("claimed_seed"))
+      .withColumn("s4", col("s3") &&
+        expr("bit_count(fp ^ ref_fp)") <= 3)
+      .stage()
+    def row(stage: String, flag: org.apache.spark.sql.Column): DataFrame =
+      scored.agg(
+        count(when(flag, 1)).as("n_pairs"),
+        coalesce(sum(when(flag, col("pair_id"))), lit(0L)).as("id_sum"))
+        .select(lit(stage).as("stage"), col("n_pairs"), col("id_sum"))
+    row("0_total", lit(true))
+      .unionByName(row("1_img_dedup", col("s1")))
+      .unionByName(row("2_cap_quality", col("s2")))
+      .unionByName(row("3_cap_dedup", col("s3")))
+      .unionByName(row("4_pair_score", col("s4")))
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle of [[mmCuration]]: the planted defect arithmetic in closed
+    * form — image keep-first keeps first copies and uniques, the three
+    * caption defects are the disjoint mod classes. */
+  val mmCurationSql: String =
+    """WITH p AS (
+      |  SELECT x AS pair_id,
+      |    (x < 40 OR x >= 120) AS s1_ok,
+      |    NOT (x % 8 = 1) AS q_ok,
+      |    NOT (x % 10 = 6) AS nodup_ok,
+      |    NOT (x % 12 = 7) AS score_ok
+      |  FROM range(0, 140) t(x)),
+      |s AS (
+      |  SELECT pair_id, s1_ok AS s1, s1_ok AND q_ok AS s2,
+      |    s1_ok AND q_ok AND nodup_ok AS s3,
+      |    s1_ok AND q_ok AND nodup_ok AND score_ok AS s4
+      |  FROM p)
+      |SELECT stage, n_pairs, id_sum FROM (
+      |  SELECT '0_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(pair_id) AS BIGINT) AS id_sum FROM s
+      |  UNION ALL SELECT '1_img_dedup', CAST(COUNT(CASE WHEN s1 THEN 1 END) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN s1 THEN pair_id END), 0) AS BIGINT) FROM s
+      |  UNION ALL SELECT '2_cap_quality', CAST(COUNT(CASE WHEN s2 THEN 1 END) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN s2 THEN pair_id END), 0) AS BIGINT) FROM s
+      |  UNION ALL SELECT '3_cap_dedup', CAST(COUNT(CASE WHEN s3 THEN 1 END) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN s3 THEN pair_id END), 0) AS BIGINT) FROM s
+      |  UNION ALL SELECT '4_pair_score', CAST(COUNT(CASE WHEN s4 THEN 1 END) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN s4 THEN pair_id END), 0) AS BIGINT) FROM s)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mm_curation" -> (mmCuration _),
     "mm_video_real" -> (videoReal _),
     "mm_audio_real" -> (audioReal _),
     "mm_audio_windows" -> (audioWindows _),
@@ -1036,6 +1187,7 @@ object Multimodal {
     * (integer sums are exact in doubles at any fold order; round vs
     * round_even chosen to match Spark's round vs math.rint). */
   val oracles: Map[String, String] = Map(
+    "pipeline_mm_curation" -> mmCurationSql,
     "mm_dedup_phash_clustered" -> imageDHashClusteredSql,
     "mm_dedup_phash_stream" -> imageDHashStreamClusteredSql,
     // same planted replica structure as the image gate → same synthesis

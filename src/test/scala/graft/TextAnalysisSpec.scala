@@ -658,4 +658,30 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r3 == r1, s"rejected batch mutated state: $r3 vs $r1")
     } finally graft.tools.TempDirs.deleteRecursively(base)
   }
+
+  test("mmCuration: each planted defect class drops at exactly its stage, " +
+      "and the three caption defect classes are disjoint") {
+    val all = (0L until 140L).toSet
+    val s1 = all.filter(id => id < 40 || id >= 120)   // image keep-first
+    val s2 = s1.filter(_ % 8 != 1)                    // caption quality
+    val s3 = s2.filter(_ % 10 != 6)                   // caption dedup
+    val s4 = s3.filter(_ % 12 != 7)                   // pair score
+    val expect = Map("0_total" -> all, "1_img_dedup" -> s1,
+      "2_cap_quality" -> s2, "3_cap_dedup" -> s3, "4_pair_score" -> s4)
+    val got = Multimodal.queries("pipeline_mm_curation")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    expect.foreach { case (st, ids) =>
+      assert(got(st) == ((ids.size.toLong, ids.sum)),
+        s"stage $st: got ${got(st)}, want (${ids.size}, ${ids.sum})")
+    }
+    // isolation: every drop between consecutive stages belongs to that
+    // stage's planted class ONLY — no defect class bleeds into another
+    assert((s1 -- s2).nonEmpty && (s1 -- s2).forall(id =>
+      id % 8 == 1 && id % 10 != 6 && id % 12 != 7))
+    assert((s2 -- s3).nonEmpty && (s2 -- s3).forall(id =>
+      id % 10 == 6 && id % 8 != 1 && id % 12 != 7))
+    assert((s3 -- s4).nonEmpty && (s3 -- s4).forall(id =>
+      id % 12 == 7 && id % 8 != 1 && id % 10 != 6))
+  }
 }
