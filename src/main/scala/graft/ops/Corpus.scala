@@ -45,6 +45,8 @@ object Corpus {
   val SeqLenDefault: Int = 64
   val ShardsDefault: Int = 8
   val ShuffleEpochsDefault: Int = 3
+  val ChunkLenDefault: Int = 32
+  val ChunkStrideDefault: Int = 24
 
   // ---------------------------------------------------------------------
 
@@ -638,6 +640,50 @@ object Corpus {
       |                   || CAST(e.epoch AS VARCHAR)), d.doc_id) AS rk
       |  FROM documents d, range(0, $ShuffleEpochsDefault) e(epoch))
       |ORDER BY epoch, shard, pos""".stripMargin
+
+  /** Sliding-window document CHUNKING with overlap — the retrieval /
+    * long-context preprocessing step (every RAG index and most SFT
+    * pipelines chunk documents into fixed windows with a stride so no
+    * boundary sentence is lost to a hard cut): each document with ≥1
+    * token emits windows of [[ChunkLenDefault]] tokens every
+    * [[ChunkStrideDefault]] tokens; the LAST window is the first one
+    * whose end reaches the document end (a short final window, never a
+    * redundant tail). Chunk count = 1 + ⌈max(n − len, 0) / stride⌉ —
+    * integer-exact, so the oracle reproduces text and counts bitwise.
+    *
+    * Scale: one narrow projection + an explode — no shuffle at all
+    * until a consumer aggregates; the fan-out is size-proportional
+    * (≈ n/stride rows per doc), the shape a 100 TB chunking pass
+    * needs. */
+  def chunkDocs(spark: SparkSession, dir: String,
+                len: Int = ChunkLenDefault,
+                stride: Int = ChunkStrideDefault): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0L, (greatest(n - $len, 0L) + ${stride - 1}) div $stride)")))
+      .withColumn("chunk_toks",
+        expr(s"slice(tk, chunk_id * $stride + 1, $len)"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Oracle of [[chunkDocs]] — same window arithmetic from the same
+    * shared constants. */
+  val chunkDocsSql: String = {
+    val (l, st) = (ChunkLenDefault, ChunkStrideDefault)
+    s"""SELECT doc_id, s AS chunk_id,
+       |  CAST(len(tk[s * $st + 1 : s * $st + $l]) AS BIGINT) AS n_tokens,
+       |  array_to_string(tk[s * $st + 1 : s * $st + $l], ' ') AS chunk_text
+       |FROM (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |  unnest(range(0,
+       |    (greatest(len(tk) - $l, 0) + ${st - 1}) // $st + 1)) AS u(s)
+       |WHERE len(tk) > 0
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
 
   /** Mixture weighting — the data-MIXING step of a pretraining recipe
     * (fixed source weights à la The Pile, Gao et al. 2020; learned
@@ -2077,6 +2123,7 @@ object Corpus {
     "corpus_mix"         -> ((s: SparkSession, d: String) => mixWeights(s, d)),
     "corpus_shuffle_shards" -> ((s: SparkSession, d: String) => shuffleShards(s, d)),
     "corpus_shuffle_epochs" -> ((s: SparkSession, d: String) => shuffleShardsEpochs(s, d)),
+    "corpus_chunk"       -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
     "corpus_pack_bpe"    -> ((s: SparkSession, d: String) => packSequencesBpe(s, d)),
     "corpus_tokenize_bpe" -> (tokenizeBpe _),
@@ -2108,6 +2155,7 @@ object Corpus {
     "corpus_mix"         -> mixWeightsSql,
     "corpus_shuffle_shards" -> shuffleShardsSql,
     "corpus_shuffle_epochs" -> shuffleShardsEpochsSql,
+    "corpus_chunk" -> chunkDocsSql,
     "corpus_bpe"         -> bpeMergesSql,
     "corpus_pack_bpe"    -> packSequencesBpeSql,
     "corpus_tokenize_bpe" -> tokenizeBpeSql,

@@ -389,6 +389,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs: window boundaries — short doc = one chunk, exact fit " +
+      "= one chunk, len+1 = two chunks with a short tail, empty doc " +
+      "emits nothing, stride overlap preserved") {
+    def words(n: Int, p: String = "w") = (1 to n).map(p + _).mkString(" ")
+    val dir = docs(
+      (1L, words(5), "short", "s0"),       // n < len → 1 chunk of 5
+      (2L, words(32), "exact", "s0"),      // n == len → 1 chunk
+      (3L, words(33), "plusone", "s0"),    // → chunks at 0 and 24 (9 toks)
+      (4L, "", "empty", "s0"),             // no chunks
+      (5L, words(80), "long", "s0"))       // starts 0,24,48 → 32,32,32
+    val got = Corpus.chunkDocs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val by = got.groupBy(_._1)
+    assert(by(1L).map(t => (t._2, t._3)).toSeq == Seq((0L, 5L)))
+    assert(by(2L).map(t => (t._2, t._3)).toSeq == Seq((0L, 32L)))
+    assert(by(3L).sortBy(_._2).map(t => (t._2, t._3)).toSeq ==
+      Seq((0L, 32L), (1L, 9L)))
+    assert(!by.contains(4L))
+    assert(by(5L).sortBy(_._2).map(t => (t._2, t._3)).toSeq ==
+      Seq((0L, 32L), (1L, 32L), (2L, 32L)))
+    // overlap: doc 3's second chunk starts at token 25 (stride 24)
+    assert(by(3L).sortBy(_._2).last._4.startsWith("w25 "))
+    // every token of doc 3 is covered by some chunk
+    val covered = by(3L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 33).map("w" + _).toSet)
+  }
+
   test("splitTrainValTest: tiny strata round toward train") {
     // 1 doc in a language: 1*100 <= 1*80 is false, <= 90 false -> test?
     // rk=1, n=1: 100 <= 80 fails, 100 <= 90 fails -> test. A 2-doc
