@@ -328,21 +328,28 @@ object Similarity {
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val lo = vecs.agg(min(col("vec_id"))).head().getLong(0)
-      val parts = vecs.withColumn("part",
-        expr(s"(vec_id - $lo) div $HnswPartWidth"))
-      val a = parts.select(col("part"), col("vec_id").as("src"),
-        col("embedding").as("src_emb"))
-      val b = parts.select(col("part"), col("vec_id").as("dst"),
-        col("embedding").as("dst_emb"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("dst"))
-      a.join(b, Seq("part")).filter(col("src") =!= col("dst"))
-        .withColumn("cos", Dedup.cosine("src_emb", "dst_emb"))
-        .withColumn("nn_rank", row_number().over(w))
-        .filter(col("nn_rank") <= HnswM)
-        .select(col("src"), col("dst"))
-        .write.mode("overwrite").parquet(p)
+      buildHnswEdges(vecs, lo).write.mode("overwrite").parquet(p)
     }
+
+  /** The per-partition top-M edge derivation — shared by the batch
+    * build and the incremental touched-partition rebuild (`lo` anchors
+    * the id-range partitioning so both derive the SAME partition of any
+    * vector). */
+  private def buildHnswEdges(vecs: DataFrame, lo: Long): DataFrame = {
+    val parts = vecs.withColumn("part",
+      expr(s"(vec_id - $lo) div $HnswPartWidth"))
+    val a = parts.select(col("part"), col("vec_id").as("src"),
+      col("embedding").as("src_emb"))
+    val b = parts.select(col("part"), col("vec_id").as("dst"),
+      col("embedding").as("dst_emb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    a.join(b, Seq("part")).filter(col("src") =!= col("dst"))
+      .withColumn("cos", Dedup.cosine("src_emb", "dst_emb"))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= HnswM)
+      .select(col("src"), col("dst"))
+  }
 
   /** Exact-score a slim (q_id, n_id) frame (the frontier scoring pass —
     * [[rerankSlim]] without the rank tail). */
@@ -357,8 +364,11 @@ object Similarity {
     * plus [[HnswHops]] frontier expansions. Slim (q_id, n_id); split
     * out so [[recallRows]] counts exactly the frame the query pays
     * for. */
-  private[graft] def hnswCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val edges = hnswIndex(spark, dir)
+  private[graft] def hnswCandidates(spark: SparkSession, dir: String): DataFrame =
+    hnswCandidatesOver(spark, dir, hnswIndex(spark, dir))
+
+  private def hnswCandidatesOver(spark: SparkSession, dir: String,
+                                 edges: DataFrame): DataFrame = {
     val n = corpusDf(spark, dir).count()
     // entry layer × queries: 8 query ids broadcast against the ≤~1k-node
     // top layer — a bounded nested-loop, not a corpus cross join
@@ -394,6 +404,48 @@ object Similarity {
     * rerank tail — same contract as every other tier. */
   def hnswTopK(spark: SparkSession, dir: String): DataFrame =
     rerankSlim(spark, dir, hnswCandidates(spark, dir))
+
+  /** INCREMENTAL graph maintenance — the graph tier joins the other
+    * tiers' ingest contract: history persists its edge artifact; a
+    * delta batch must not rebuild the whole graph. Because base-layer
+    * subgraphs are id-range partitions and edges never cross them, a
+    * delta touches exactly the partitions its ids land in — history
+    * edges in UNTOUCHED partitions are reused verbatim, and only the
+    * touched partitions re-derive their top-M lists over (history ∪
+    * delta) members. The merged edge set is therefore BITWISE equal to
+    * a from-scratch rebuild (the equality-with-rebuild claim every
+    * incremental tier gates), and the search layer is unchanged. The
+    * touched-partition id collect is bounded by |delta|/width. At
+    * 100 TB an id-tail append (the common ingest shape) touches one
+    * partition per width of new data — ingest cost is
+    * O(touched · width²), independent of corpus size. */
+  private[graft] def hnswIndexIncremental(spark: SparkSession, dir: String,
+                                          splitId: Long): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val lo = vecs.agg(min(col("vec_id"))).head().getLong(0)
+    val histEdges = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"hnsw_hist_w${HnswPartWidth}_m${HnswM}_lt$splitId") { p =>
+      buildHnswEdges(vecs.filter(col("vec_id") < splitId), lo)
+        .write.mode("overwrite").parquet(p)
+    }
+    val touched = vecs.filter(col("vec_id") >= splitId)
+      .select(expr(s"(vec_id - $lo) div $HnswPartWidth").as("part"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val rebuilt = buildHnswEdges(
+      vecs.filter(expr(s"(vec_id - $lo) div $HnswPartWidth")
+        .isin(touched.toSeq: _*)), lo)
+    histEdges
+      .filter(!expr(s"(src - $lo) div $HnswPartWidth")
+        .isin(touched.toSeq: _*))
+      .unionByName(rebuilt)
+  }
+
+  /** Graph-ANN top-k over the incrementally-maintained edge artifact. */
+  def hnswTopKIncr(spark: SparkSession, dir: String,
+                   splitId: Long): DataFrame =
+    rerankSlim(spark, dir,
+      hnswCandidatesOver(spark, dir, hnswIndexIncremental(spark, dir, splitId)))
 
   /** Graph dispatch floor for [[annTopK]]: the graph tier wins once the
     * corpus is big enough that even LSH's bounded candidate FRACTION is
@@ -1114,6 +1166,12 @@ object Similarity {
       ((s: SparkSession, _: String) => pqTopK(s, clusteredCorpusDir(s))),
     "sim_topk_hnsw_clustered" ->
       ((s: SparkSession, _: String) => hnswTopK(s, clusteredCorpusDir(s))),
+    // incremental == rebuild: the id-tail delta (splitId 150) touches
+    // only the last partition subgraph; the merged edge artifact is
+    // bitwise the rebuild's, so search equals brute on this corpus
+    "sim_topk_hnsw_incr_clustered" ->
+      ((s: SparkSession, _: String) =>
+        hnswTopKIncr(s, clusteredCorpusDir(s), splitId = 150)),
     // the planner's graph regime, forced on the clustered corpus (the
     // sim_topk_ann_lsh recipe): the dispatch wiring to the graph branch
     // sits inside the same bitwise gate as the tier
@@ -1141,6 +1199,7 @@ object Similarity {
     "sim_topk_lsh_clustered" -> clusteredBruteSql,
     "sim_topk_pq_clustered"  -> clusteredBruteSql,
     "sim_topk_hnsw_clustered" -> clusteredBruteSql,
+    "sim_topk_hnsw_incr_clustered" -> clusteredBruteSql,
     "sim_topk_ann_hnsw"      -> clusteredBruteSql,
     // r16: the recall DECISION layer on the clustered corpus ships exact
     // integers (num == den == brute top-k row count by construction);

@@ -213,6 +213,21 @@ class SimilaritySpec extends SparkSpec {
     assert(entryDirs == (0L until 10L).toSet)
   }
 
+  test("HNSW incremental: merged edge set is bitwise the rebuild's, and " +
+      "untouched partitions come from the history artifact") {
+    val dir = Similarity.clusteredCorpusDir(spark)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = edgeSet(Similarity.hnswIndex(spark, dir))
+    val incr = edgeSet(Similarity.hnswIndexIncremental(spark, dir, 150L))
+    assert(incr == full, "incremental edge artifact must equal a rebuild")
+    // the id-tail delta (150..199) touches only partition 3 of width 50:
+    // partitions 0..2 must be pure history edges
+    val hist = edgeSet(Similarity.hnswIndexIncremental(spark, dir, 150L)
+      .filter(org.apache.spark.sql.functions.col("src") < 150))
+    assert(hist == full.filter(_._1 < 150))
+  }
+
   test("annTopK: graph branch equals brute force on the clustered " +
       "corpus, and the dispatch floor keeps it off every fixture") {
     val dir = Similarity.clusteredCorpusDir(spark)
