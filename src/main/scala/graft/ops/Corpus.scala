@@ -641,6 +641,54 @@ object Corpus {
       |  FROM documents d, range(0, $ShuffleEpochsDefault) e(epoch))
       |ORDER BY epoch, shard, pos""".stripMargin
 
+  /** PADDED sequence packing — the document-boundary-respecting recipe
+    * (SFT / instruction-tuning runs pad rather than concat: attention
+    * must not bleed across documents without masking): every document
+    * starts a fresh sequence, spans ⌈n / seqLen⌉ of them, and its last
+    * sequence carries `n_pad` padding tokens. Sequence ids are a
+    * per-source prefix sum of the per-doc sequence counts — the same
+    * [[TwoLevel]] decomposition as [[packSequences]], so the dominant
+    * source still fans out across buckets instead of serializing. A
+    * zero-token doc spans no sequences (n_seqs = 0, pad 0). Integer-
+    * exact end to end; emits per-doc (seqs_before, n_seqs, n_pad) — the
+    * padding column is what a mix planner aggregates to trade seqLen
+    * against padding loss. */
+  def packPadded(spark: SparkSession, dir: String,
+                 seqLen: Int = SeqLenDefault): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("n_seqs",
+        expr(s"(n_tokens + ${seqLen - 1}) div $seqLen"))
+      .withColumn("n_pad", when(col("n_tokens") === 0L, lit(0L))
+        .otherwise(col("n_seqs") * seqLen - col("n_tokens")))
+    TwoLevel.cumBefore(
+        TwoLevel.withIdRangeBucket(d, "source", "doc_id", "__b"),
+        Seq("source"), "__b", Seq(col("doc_id")), "n_seqs", "seqs_before")
+      .drop("__b")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("seqs_before"), col("n_seqs"), col("n_pad"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val packPaddedSql: String = {
+    val l = SeqLenDefault
+    s"""SELECT source, doc_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_seqs) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS seqs_before,
+       |  n_seqs, n_pad
+       |FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    (n_tokens + ${l - 1}) // $l AS n_seqs,
+       |    CASE WHEN n_tokens = 0 THEN 0
+       |         ELSE ((n_tokens + ${l - 1}) // $l) * $l - n_tokens
+       |    END AS n_pad
+       |  FROM (SELECT source, doc_id, len($tokensSql) AS n_tokens
+       |        FROM documents))
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   /** Sliding-window document CHUNKING with overlap — the retrieval /
     * long-context preprocessing step (every RAG index and most SFT
     * pipelines chunk documents into fixed windows with a stride so no
@@ -2124,6 +2172,7 @@ object Corpus {
     "corpus_shuffle_shards" -> ((s: SparkSession, d: String) => shuffleShards(s, d)),
     "corpus_shuffle_epochs" -> ((s: SparkSession, d: String) => shuffleShardsEpochs(s, d)),
     "corpus_chunk"       -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
+    "corpus_pack_padded" -> ((s: SparkSession, d: String) => packPadded(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
     "corpus_pack_bpe"    -> ((s: SparkSession, d: String) => packSequencesBpe(s, d)),
     "corpus_tokenize_bpe" -> (tokenizeBpe _),
@@ -2156,6 +2205,7 @@ object Corpus {
     "corpus_shuffle_shards" -> shuffleShardsSql,
     "corpus_shuffle_epochs" -> shuffleShardsEpochsSql,
     "corpus_chunk" -> chunkDocsSql,
+    "corpus_pack_padded" -> packPaddedSql,
     "corpus_bpe"         -> bpeMergesSql,
     "corpus_pack_bpe"    -> packSequencesBpeSql,
     "corpus_tokenize_bpe" -> tokenizeBpeSql,

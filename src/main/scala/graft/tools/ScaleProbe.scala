@@ -515,6 +515,10 @@ object ScaleProbe {
       "corpus_balance"     -> (() => graft.ops.Corpus.queries("corpus_balance")(spark, outDir).count()),
       "corpus_shard"       -> (() => graft.ops.Corpus.queries("corpus_shard")(spark, outDir).count()),
       "corpus_vocab_prune" -> (() => graft.ops.Corpus.queries("corpus_vocab_prune")(spark, outDir).count()),
+      "corpus_shuffle_epochs" -> (() =>
+        graft.ops.Corpus.shuffleShardsEpochs(spark, outDir).count()),
+      "corpus_chunk" -> (() =>
+        graft.ops.Corpus.chunkDocs(spark, outDir).count()),
       "pipeline_shards"    -> (() => graft.ops.Corpus.queries("pipeline_shards")(spark, outDir).count()),
       "dedup_exact"        -> (() => graft.ops.Dedup.exact(spark, outDir).count()),
       // substring-level span removal on the replica corpus — the WORST

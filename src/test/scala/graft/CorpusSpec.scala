@@ -417,6 +417,25 @@ class CorpusSpec extends SparkSpec {
     assert(covered == (1 to 33).map("w" + _).toSet)
   }
 
+  test("packPadded: fresh sequence per doc, pad arithmetic at the " +
+      "boundaries, per-source prefix of sequence counts") {
+    def words(n: Int) = (1 to n).map("w" + _).mkString(" ")
+    val dir = docs(
+      (1L, words(64), "a", "s0"),   // exact fit: 1 seq, 0 pad
+      (2L, words(65), "b", "s0"),   // 2 seqs, 63 pad
+      (3L, words(1), "c", "s0"),    // 1 seq, 63 pad
+      (4L, "", "d", "s0"),          // 0 seqs, 0 pad
+      (5L, words(10), "e", "s0"))   // 1 seq, 54 pad — after 1..4 in s0
+    val got = Corpus.packPadded(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) == ((0L, 1L, 0L)))
+    assert(got(2L) == ((1L, 2L, 63L)))
+    assert(got(3L) == ((3L, 1L, 63L)))
+    assert(got(4L) == ((4L, 0L, 0L)))
+    assert(got(5L) == ((4L, 1L, 54L)))
+  }
+
   test("splitTrainValTest: tiny strata round toward train") {
     // 1 doc in a language: 1*100 <= 1*80 is false, <= 90 false -> test?
     // rk=1, n=1: 100 <= 80 fails, 100 <= 90 fails -> test. A 2-doc
