@@ -828,6 +828,147 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** [[simhashStreamClustered]] under the shared event-time lateness
+    * protocol through the HASH GATE — the same planted arrival/event
+    * scheme as [[minhashStreamLateClustered]] (docs with doc_id % 7 == 3
+    * arriving in epoch ≥ 2 carry a two-epoch-old event time; the
+    * watermark recurrence quarantines some and tolerates others). On
+    * exact replicas the Hamming distance is 0, so the simhash stream's
+    * exact survivor set coincides with the minhash stream's keep-first
+    * set and the two late gates SHARE one oracle — a tier whose
+    * lateness wiring diverges from the shared protocol breaks its hash
+    * independently. `dir` unused (regime, not scale). */
+  def simhashStreamLateClustered(spark: SparkSession, dir: String,
+      epochs: Int = Corpus.StreamLateEpochs,
+      latenessMicros: Long = Corpus.StreamLatenessMicros): DataFrame = {
+    val cdir = clusteredDocsDir(spark)
+    val base = graft.tools.TempDirs.createFast("graft-shstreamlate")
+    try {
+      val dedupState = s"$base/state"
+      val lateState = s"$base/late"
+      val width = 140 / epochs
+      val all = Tables.documents(spark, cdir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("arr_epoch", expr(s"doc_id div $width"))
+        .withColumn("src_epoch",
+          when(col("doc_id") % 7 === 3 && col("arr_epoch") >= 2,
+            col("arr_epoch") - 2).otherwise(col("arr_epoch")))
+        .withColumn("ts_us",
+          col("src_epoch") * 1000000L + (col("doc_id") * 131 % 997) * 1000L)
+        .stage()
+      (0 until epochs).foreach { k =>
+        simhashStreamLateApplyBatch(
+          all.filter(col("arr_epoch") === k)
+            .select(col("doc_id"), col("text"), col("ts_us")),
+          k, lateState, dedupState, latenessMicros)
+      }
+      val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$dedupState/survivors", epochs - 1L): _*)
+        .select(col("doc_id"),
+          lit(null).cast("long").as("quarantine_epoch"))
+      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
+        .map(_.select(col("doc_id"), col("quarantine_epoch").cast("long")))
+        .getOrElse(surv.limit(0))
+      surv.unionByName(quar).stage().orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** [[embeddingStreamClustered]] under the shared event-time lateness
+    * protocol through the HASH GATE — the fourth and last streaming
+    * near-dup tier's lateness form to be oracle-gated (substring r16,
+    * minhash/simhash r17). Same planted scheme over the 200-vector
+    * clustered corpus (vec_id % 7 == 3 arriving in epoch ≥ 2 is two
+    * epochs old); at the recall-1.0 banding parameters the on-time
+    * survivor rule is EXACT: keep v iff no on-time u < v with
+    * cosine > 0.5 — quarantining only removes pairs, so every remaining
+    * true pair still collides. The oracle replays the dense watermark
+    * recurrence over the SQL-synthesized corpus and brute-forces the
+    * on-time keep-first rule; a late vector leaking into the signature
+    * index, a tolerated vector misclassified, or a dropped quarantine
+    * row breaks the hash. `dir` unused (regime, not scale). */
+  def embeddingStreamLateClustered(spark: SparkSession, dir: String,
+      epochs: Int = Corpus.StreamLateEpochs,
+      latenessMicros: Long = Corpus.StreamLatenessMicros): DataFrame = {
+    val cdir = Similarity.clusteredCorpusDir(spark)
+    val base = graft.tools.TempDirs.createFast("graft-embstreamlate")
+    try {
+      val dedupState = s"$base/state"
+      val lateState = s"$base/late"
+      val width = 200 / epochs
+      val all = Tables.embeddings(spark, cdir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("arr_epoch", expr(s"vec_id div $width"))
+        .withColumn("src_epoch",
+          when(col("vec_id") % 7 === 3 && col("arr_epoch") >= 2,
+            col("arr_epoch") - 2).otherwise(col("arr_epoch")))
+        .withColumn("ts_us",
+          col("src_epoch") * 1000000L + (col("vec_id") * 131 % 997) * 1000L)
+        .stage()
+      (0 until epochs).foreach { k =>
+        embeddingStreamLateApplyBatch(
+          all.filter(col("arr_epoch") === k)
+            .select(col("vec_id"), col("embedding"), col("ts_us")),
+          k, lateState, dedupState, latenessMicros,
+          threshold = 0.5, tables = 4, bits = 10, probes = 2,
+          compactEvery = 2, idSpan = 200)
+      }
+      val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$dedupState/survivors", epochs - 1L): _*)
+        .select(col("vec_id"),
+          lit(null).cast("long").as("quarantine_epoch"))
+      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
+        .map(_.select(col("vec_id"), col("quarantine_epoch").cast("long")))
+        .getOrElse(surv.limit(0))
+      surv.unionByName(quar).stage().orderBy(col("vec_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Oracle of [[embeddingStreamLateClustered]]: watermark recurrence
+    * over the planted event times, then the brute-force on-time
+    * keep-first rule over the synthesized corpus (plain-join dup set —
+    * the decorrelated shape; see [[embeddingStreamClusteredSql]]'s
+    * note on the correlated-subquery cost), UNION the quarantine
+    * rows. Constants shared with the Scala defaults (q103 pattern). */
+  lazy val embeddingStreamLateClusteredSql: String = {
+    val epochs = Corpus.StreamLateEpochs
+    val width = 200 / epochs
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""WITH emb AS MATERIALIZED (
+       |  ${Similarity.clusteredEmbSql}),
+       |t AS (
+       |  SELECT vec_id, vec_id // $width AS arr_epoch,
+       |    (CASE WHEN vec_id % 7 = 3 AND vec_id // $width >= 2
+       |          THEN vec_id // $width - 2 ELSE vec_id // $width END)
+       |      * 1000000 + (vec_id * 131 % 997) * 1000 AS ts_us
+       |  FROM emb),
+       |m AS (SELECT arr_epoch, MAX(ts_us) AS mx FROM t GROUP BY arr_epoch),
+       |w AS (SELECT g.epoch,
+       |        MAX(m.mx) OVER (ORDER BY g.epoch
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - ${Corpus.StreamLatenessMicros} AS wm
+       |      FROM range(0, $epochs) g(epoch)
+       |      LEFT JOIN m ON m.arr_epoch = g.epoch),
+       |lt AS MATERIALIZED (
+       |  SELECT t.*, CASE WHEN p.wm IS NOT NULL AND t.ts_us < p.wm
+       |         THEN 1 ELSE 0 END AS late
+       |  FROM t LEFT JOIN w p ON p.epoch = t.arr_epoch - 1),
+       |dup AS MATERIALIZED (
+       |  SELECT DISTINCT la.vec_id
+       |  FROM lt la JOIN lt lb
+       |    ON lb.vec_id < la.vec_id AND la.late = 0 AND lb.late = 0
+       |  JOIN emb a ON a.vec_id = la.vec_id
+       |  JOIN emb b ON b.vec_id = lb.vec_id
+       |  WHERE $cos > 0.5)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |  CAST(NULL AS BIGINT) AS quarantine_epoch
+       |FROM lt WHERE late = 0
+       |  AND vec_id NOT IN (SELECT vec_id FROM dup)
+       |UNION ALL
+       |SELECT CAST(vec_id AS BIGINT), CAST(arr_epoch AS BIGINT)
+       |FROM lt WHERE late = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** [[minhashIncremental]] / [[simhashIncremental]] through the HASH
     * GATE on the planted corpus (splitId 100 puts the third replica of
     * bases 20–39 and all 20 probes in the delta): the maintained index
@@ -2608,12 +2749,14 @@ object Dedup {
       batch: DataFrame, epoch: Long, lateState: String,
       dedupState: String, latenessMicros: Long,
       threshold: Double = 0.35, tables: Int = 4,
-      bits: Int = -1, probes: Int = 2): Unit =
+      bits: Int = -1, probes: Int = 2,
+      compactEvery: Int = 4, idSpan: Long = -1): Unit =
     CdcUpsert.withLateness(batch, epoch, lateState, latenessMicros,
       col("ts_us")) { onTime =>
       embeddingStreamApplyBatch(
         onTime.select(col("vec_id"), col("embedding")),
-        epoch, dedupState, threshold, tables, bits, probes)
+        epoch, dedupState, threshold, tables, bits, probes,
+        compactEvery = compactEvery, idSpan = idSpan)
     }
 
   /** STREAMING embedding-LSH through the HASH GATE on the clustered
@@ -3960,7 +4103,9 @@ object Dedup {
     "dedup_stream_simhash_clustered" -> ((s: SparkSession, d: String) => simhashStreamClustered(s, d)),
     "dedup_stream_minhash_clustered" -> ((s: SparkSession, d: String) => minhashStreamClustered(s, d)),
     "dedup_stream_minhash_late" -> ((s: SparkSession, d: String) => minhashStreamLateClustered(s, d)),
+    "dedup_stream_simhash_late" -> ((s: SparkSession, d: String) => simhashStreamLateClustered(s, d)),
     "dedup_stream_embedding_clustered" -> ((s: SparkSession, d: String) => embeddingStreamClustered(s, d)),
+    "dedup_stream_embedding_late" -> ((s: SparkSession, d: String) => embeddingStreamLateClustered(s, d)),
     "dedup_incr_simhash_clustered" -> (simhashIncrementalClustered _),
     "dedup_simhash_clustered" -> (simhashClustered _),
     "dedup_groups_clustered" -> (dedupGroupsClustered _),
@@ -4006,7 +4151,11 @@ object Dedup {
     // same survivor set as the simhash stream gate by corpus construction
     "dedup_stream_minhash_clustered" -> simhashStreamClusteredSql,
     "dedup_stream_minhash_late" -> minhashStreamLateClusteredSql,
+    // same survivor families as minhash-late by corpus construction
+    // (exact replicas → Hamming 0), so the two late gates share one oracle
+    "dedup_stream_simhash_late" -> minhashStreamLateClusteredSql,
     "dedup_stream_embedding_clustered" -> embeddingStreamClusteredSql,
+    "dedup_stream_embedding_late" -> embeddingStreamLateClusteredSql,
     "dedup_incr_simhash_clustered" -> simhashClusteredSql,
     "dedup_simhash_clustered" -> simhashClusteredSql,
     "dedup_groups_clustered" -> dedupGroupsClusteredSql,

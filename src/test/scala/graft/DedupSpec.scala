@@ -805,6 +805,29 @@ class DedupSpec extends SparkSpec {
     graft.tools.TempDirs.deleteRecursively(root)
   }
 
+  test("late streaming gates: simhash-late row set equals minhash-late " +
+      "(the shared-oracle claim), embedding-late quarantine is the " +
+      "planted late cohort and disjoint from survivors") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val mh = rows(Dedup.minhashStreamLateClustered(spark, ""))
+    val sh = rows(Dedup.simhashStreamLateClustered(spark, ""))
+    // exact replicas → Hamming 0 ⇒ both hash families resolve the same
+    // keep-first survivor set AND the same quarantine (shared protocol)
+    assert(sh == mh, s"simhash-late diverged from minhash-late: " +
+      s"${(sh diff mh) ++ (mh diff sh)}")
+    val embOut = rows(Dedup.embeddingStreamLateClustered(spark, ""))
+    val (quar, surv) = embOut.partition(_._2 >= 0L)
+    assert(quar.nonEmpty && surv.nonEmpty, s"both paths must be " +
+      s"exercised: ${quar.size} quarantined / ${surv.size} survivors")
+    // the planted scheme only marks vec_id % 7 == 3 in epochs >= 2 late
+    assert(quar.forall { case (id, ep) => id % 7 == 3 && ep >= 2 },
+      s"quarantine outside the planted cohort: $quar")
+    assert(quar.map(_._1).intersect(surv.map(_._1)).isEmpty,
+      "a vector cannot be both quarantined and a survivor")
+  }
+
   test("clustered streaming gates (minhash + embedding) reproduce the " +
       "exact survivor sets their oracles synthesize") {
     val mh = Dedup.minhashStreamClustered(spark, "")
