@@ -580,6 +580,116 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
     rerankSlim(spark, dir, pqCandidates(spark, dir))
 
+  // ---------------------------------------------------------------------
+  // Filtered ANN (metadata predicate + top-k)
+  // ---------------------------------------------------------------------
+
+  /** Predicate-passing fraction at or below which the planner
+    * PRE-filters. Shared with the gate entries AND the oracle SQL so the
+    * planner's regime on each gated corpus is pinned, not assumed. */
+  val FilteredPreFraction = 0.2
+  /** The fixture gate's predicate (label = [[FilteredLabel]]) — ~10–12 %
+    * of every fixture corpus, safely below the crossover. */
+  val FilteredLabel = 3
+  /** The clustered post-filter gate's predicate: vec_id % [[FilteredMod]]
+    * < [[FilteredKeep]] keeps HALF of every planted direction (10 of its
+    * 20 vectors — still ≥ K same-direction neighbors per query), so the
+    * true filtered top-k stay inside the query's own IVF cell and the
+    * post-filter branch is exact on this corpus. */
+  val FilteredMod = 20
+  val FilteredKeep = 10
+
+  /** Filtered vector search — top-k among corpus vectors passing a
+    * metadata predicate, the planning problem every production vector
+    * store documents (FAISS `IDSelector`; pre- vs post-filtering in
+    * Milvus/Qdrant guides): a SELECTIVE predicate makes brute force over
+    * the filtered subset the cheapest exact plan (PRE-filter — the
+    * predicate and the column prune push to the parquet scan); an
+    * UNSELECTIVE one keeps the trained IVF index useful (POST-filter —
+    * probe as usual, drop candidates failing the predicate via a slim
+    * id semi-join, exact-rerank the rest). Selectivity is measured, not
+    * assumed: two column-pruned counts (row-group-stat cheap at scale).
+    *
+    * The post branch carries a K-GUARANTEE: a predicate can thin the
+    * probed cells below k for some query, so under-filled queries are
+    * recomputed exactly over the filtered corpus — a bounded corrective
+    * pass (the under-filled id list is ≤ [[NumQueries]] rows by
+    * construction; the routing counters record which regime ran).
+    * `preWins` is injectable so specs and gates can force each branch
+    * (the [[annTopK]] recipe). */
+  def filteredTopK(spark: SparkSession, dir: String, pred: Column,
+                   preWins: Double => Boolean = _ <= FilteredPreFraction)
+      : DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val total = math.max(1L, emb.count())
+    val passing = emb.filter(pred).count()
+    if (preWins(passing.toDouble / total)) {
+      graft.tools.RoutingMetrics.add("filtered_pre", 1L)
+      filteredExact(spark, dir, pred)
+    } else {
+      graft.tools.RoutingMetrics.add("filtered_post", 1L)
+      val passIds = emb.filter(pred).select(col("vec_id").as("n_id"))
+      val ranked = rankTail(
+        ivfCandidates(spark, dir, IvfNprobe, IvfCells, IvfIterations)
+          .join(passIds, Seq("n_id"), "left_semi")
+          .withColumn("cos", Dedup.cosine("q_emb", "n_emb")))
+        .stage()
+      // bounded collect: one row per UNDER-FILLED query, ≤ NumQueries
+      val short = ranked.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("c")).filter(col("c") < K)
+        .select(col("q_id"))
+        .unionByName(queriesDf(spark, dir).select(col("q_id"))
+          .join(ranked.select(col("q_id")).distinct(), Seq("q_id"),
+            "left_anti")) // a query with ZERO surviving candidates
+        .collect().map(_.getLong(0))
+      graft.tools.RoutingMetrics.add("filtered_topup_queries",
+        short.length.toLong)
+      if (short.isEmpty) ranked
+      else ranked.filter(!col("q_id").isin(short: _*))
+        .unionByName(filteredExact(spark, dir, pred)
+          .filter(col("q_id").isin(short: _*)))
+        .orderBy(col("q_id"), col("rank"))
+    }
+  }
+
+  /** The exact plan over the predicate-passing corpus — the pre-filter
+    * branch and the post branch's k-guarantee top-up. */
+  private def filteredExact(spark: SparkSession, dir: String,
+                            pred: Column): DataFrame =
+    rankTail(Tables.embeddings(spark, dir).filter(pred)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(queriesDf(spark, dir)), col("q_id") =!= col("n_id"))
+      .withColumn("cos", Dedup.cosine("q_emb", "n_emb")))
+
+  val filteredTopKSql: String = {
+    val cos = Dedup.cosineSql("q.embedding", "n.embedding")
+    s"""SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, $cos AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, n.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NumQueries AND n.label = $FilteredLabel) t
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Oracle of the clustered post-filter gate: exact filtered brute
+    * force over the synthesized corpus — the post branch must reproduce
+    * it bitwise (its candidates cover the filtered top-k on this corpus;
+    * see [[FilteredMod]]). */
+  lazy val filteredPostClusteredSql: String = {
+    val cos = Dedup.cosineSql("q.embedding", "n.embedding")
+    s"""WITH emb AS (
+       |  $clusteredEmbSql)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, $cos AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, n.vec_id) AS rank
+       |  FROM emb q JOIN emb n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |    AND n.vec_id % $FilteredMod < $FilteredKeep) t
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Brute-force top-k via the typed bounded-heap Aggregator instead of
     * rank-over-window: partial aggregation ships at most k rows per group
     * per map task, so shuffle volume is O(groups·k) — the plan that
@@ -1178,6 +1288,18 @@ object Similarity {
     "sim_topk_ann_hnsw" ->
       ((s: SparkSession, _: String) =>
         annTopK(s, clusteredCorpusDir(s), graphWins = _ => true)),
+    // Filtered search, BOTH planner regimes driver-visible: the fixture
+    // predicate (label = 3, ~11 %) sits below the crossover → measured
+    // selectivity routes to the exact PRE-filter branch; the clustered
+    // predicate keeps 50 % → POST-filter (IVF probe + semi-join +
+    // k-guarantee), exact on that corpus by the FilteredMod geometry.
+    "sim_topk_filtered" ->
+      ((s: SparkSession, d: String) =>
+        filteredTopK(s, d, col("label") === FilteredLabel)),
+    "sim_topk_filtered_post_clustered" ->
+      ((s: SparkSession, _: String) =>
+        filteredTopK(s, clusteredCorpusDir(s),
+          col("vec_id") % FilteredMod < FilteredKeep)),
   )
 
   /** Brute force + aggregator variants are exact math → oracled; IVF/LSH
@@ -1201,6 +1323,8 @@ object Similarity {
     "sim_topk_hnsw_clustered" -> clusteredBruteSql,
     "sim_topk_hnsw_incr_clustered" -> clusteredBruteSql,
     "sim_topk_ann_hnsw"      -> clusteredBruteSql,
+    "sim_topk_filtered" -> filteredTopKSql,
+    "sim_topk_filtered_post_clustered" -> filteredPostClusteredSql,
     // r16: the recall DECISION layer on the clustered corpus ships exact
     // integers (num == den == brute top-k row count by construction);
     // fixture sim_recall_metrics stays rows-only per §5.5.

@@ -1997,7 +1997,10 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val bm25Sql: String =
+  /** The BM25 oracle's CTE block (through `rk`) — shared verbatim by
+    * [[bm25Sql]] and the hybrid-retrieval oracle so the lexical leg of
+    * the fusion can never drift from the `text_bm25` gate. */
+  private val bm25CteSql: String =
     s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |s AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS t FROM d),
        |tf AS (SELECT doc_id, token, COUNT(*) AS tf
@@ -2024,10 +2027,97 @@ object TextAnalysis {
        |rk AS (SELECT query_id, doc_id, score, n_hit,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
        |                            ORDER BY score DESC, doc_id) AS rank
-       |       FROM agg)
+       |       FROM agg)""".stripMargin
+
+  val bm25Sql: String =
+    s"""$bm25CteSql
        |SELECT query_id, rank, doc_id, score, n_hit
        |FROM rk WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval (lexical BM25 ∪ dense ANN, reciprocal-rank fusion)
+  // ---------------------------------------------------------------------
+
+  /** RRF's standard constant (Cormack/Clarke/Büttcher, SIGIR 2009). */
+  val RrfK = 60
+  /** lcm(RrfK+1 .. RrfK+10): every reciprocal 1/(RrfK+r) at ranks the
+    * fusion can see becomes the EXACT integer RrfL/(RrfK+r) — the
+    * bm25-contrib trick applied to rank fusion, so fused scores are
+    * integer sums and the gate covers scores AND fused ranks. Fits
+    * comfortably in an int64 (≈1.4×10¹⁴; a fused score is ≤ 2·RrfL/61). */
+  val RrfL: Long = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (RrfK + 1L to RrfK + 10L).foldLeft(1L)((l, x) => l / gcd(l, x) * x)
+  }
+
+  /** HYBRID retrieval — the fusion layer production search actually
+    * serves (lexical recall + semantic recall beat either alone): for
+    * each of the five BM25 term queries, pair the dense query vector
+    * with the same index (vec_id = query_id), take the lexical top-10
+    * ([[bm25Indexed]] — the persisted-index form) and the dense top-k
+    * ([[Similarity.annTopK]] — the planner-dispatched tier, exact on
+    * fixture corpora by the crossover), and fuse by reciprocal-rank:
+    * rrf(d) = Σ_legs RrfL div (RrfK + rank_leg(d)). Integer-exact both
+    * sides ([[RrfL]]), so the oracle replays the whole fusion bitwise.
+    *
+    * Scale shape: both legs arrive k-bounded (O(queries·k) rows — the
+    * heavy lifting already happened inside the tiered, index-backed
+    * legs), fusion is one full-outer join on (query_id, doc_id) plus a
+    * per-query window over ≤ k+K rows. The join key coalesce keeps
+    * docs found by only one leg. */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Indexed(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = Similarity.annTopK(spark, dir)
+      .filter(col("q_id") < 5)
+      .select(col("q_id").cast("int").as("query_id"),
+        col("n_id").as("doc_id"), col("rank").as("dense_rank"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"$RrfL div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfL div ($RrfK + dense_rank)"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("dense_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle of [[hybridRetrieval]]: the BM25 CTE block verbatim, the
+    * dense leg as the brute-force chain (what annTopK must return below
+    * the crossover), and the same integer RRF. */
+  lazy val hybridRetrievalSql: String = {
+    val cos = Dedup.cosineSql("q.embedding", "n.embedding")
+    s"""$bm25CteSql,
+       |lex AS (SELECT query_id, doc_id, rank AS lex_rank
+       |        FROM rk WHERE rank <= 10),
+       |dense_all AS (
+       |  SELECT CAST(q.vec_id AS INT) AS query_id, n.vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $cos DESC, n.vec_id) AS dense_rank
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < 5),
+       |dense AS (SELECT query_id, doc_id, dense_rank FROM dense_all
+       |          WHERE dense_rank <= ${Similarity.K}),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |         l.lex_rank, v.dense_rank,
+       |         COALESCE($RrfL // ($RrfK + l.lex_rank), 0)
+       |           + COALESCE($RrfL // ($RrfK + v.dense_rank), 0) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense v
+       |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+       |SELECT query_id, rank, doc_id, rrf, lex_rank, dense_rank FROM (
+       |  SELECT fused.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rank FROM fused) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** CCNet-style QUALITY BUCKETING (Wenzek et al., LREC 2020 §4.3): per
     * language, rank documents by the LM familiarity score
@@ -2103,6 +2193,7 @@ object TextAnalysis {
     "text_bm25"        -> (bm25 _),
     "text_bm25_indexed" -> (bm25Indexed _),
     "text_bm25_incr"   -> ((s: SparkSession, d: String) => bm25Incremental(s, d)),
+    "text_hybrid_retrieval" -> (hybridRetrieval _),
     "text_lm_score"    -> (lmScore _),
     "text_inverted_index" -> (invertedIndex _),
     "text_redact"      -> (redact _),
@@ -2134,6 +2225,7 @@ object TextAnalysis {
     "text_bm25"        -> bm25Sql,
     "text_bm25_indexed" -> bm25Sql,
     "text_bm25_incr"   -> bm25Sql,
+    "text_hybrid_retrieval" -> hybridRetrievalSql,
     "text_lm_score"    -> lmScoreSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_redact"      -> redactSql,

@@ -393,4 +393,44 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.embDriftDims(hBig, dBig, 100000L)
       .collect().map(_.getInt(0)).toSeq == Seq(0))
   }
+
+  test("filteredTopK: measured selectivity routes the branches, and the " +
+      "post branch's k-guarantee recovers the exact answer when the " +
+      "predicate starves every probed cell") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    graft.tools.RoutingMetrics.drain()
+    // label = 3 is ~10 % of the fixture → the planner must PRE-filter
+    val pre = Similarity.filteredTopK(spark, sf,
+      col("label") === Similarity.FilteredLabel).collect()
+    val rm1 = graft.tools.RoutingMetrics.drain()
+    assert(rm1.getOrElse("filtered_pre", 0L) == 1L &&
+      rm1.getOrElse("filtered_post", 0L) == 0L,
+      s"selective predicate must take the pre branch: $rm1")
+    assert(pre.nonEmpty && pre.forall(_.getInt(1) <= Similarity.K))
+    // the clustered gate's predicate keeps 50 % → POST branch
+    val cdir = Similarity.clusteredCorpusDir(spark)
+    Similarity.filteredTopK(spark, cdir,
+      col("vec_id") % Similarity.FilteredMod < Similarity.FilteredKeep)
+      .collect()
+    val rm2 = graft.tools.RoutingMetrics.drain()
+    assert(rm2.getOrElse("filtered_post", 0L) == 1L &&
+      rm2.getOrElse("filtered_topup_queries", -1L) == 0L,
+      s"50% predicate must post-filter with no top-up on this corpus: $rm2")
+    // starvation: only vec_ids {7, 107} pass — every query under-fills,
+    // so the k-guarantee must recompute ALL of them and the result must
+    // equal the forced-exact plan (min(K, |filtered|) rows per query)
+    val sparse = col("vec_id") % 100 === 7
+    val post = Similarity.filteredTopK(spark, cdir, sparse,
+      preWins = _ => false).collect().map(_.toSeq).toSeq
+    val exact = Similarity.filteredTopK(spark, cdir, sparse,
+      preWins = _ => true).collect().map(_.toSeq).toSeq
+    assert(post == exact, s"k-guarantee output diverged from exact")
+    val rm3 = graft.tools.RoutingMetrics.drain()
+    assert(rm3.getOrElse("filtered_topup_queries", 0L) == 8L,
+      s"all 8 starved queries must top up: $rm3")
+    val perQ = post.groupBy(_.head).view.mapValues(_.size).toMap
+    assert(perQ(7L) == 1 && perQ.filter(_._1 != 7L).values.forall(_ == 2),
+      s"row counts must be min(K, |filtered|) per query: $perQ")
+  }
 }
