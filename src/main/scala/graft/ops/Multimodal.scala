@@ -1085,15 +1085,22 @@ object Multimodal {
       .withColumn("s2", col("s1") && col("cap_tokens") >= 5)
       .withColumn("s3", col("s2") && col("pair_id") ===
         min(when(col("s2"), col("pair_id"))).over(W.partitionBy(col("caption"))))
-    // cross-modal score: claimed seed from the caption text vs the
-    // image's decoded fingerprint
+    mmScoreAndReport(flagged, fps)
+  }
+
+  /** Shared tail of [[mmCuration]] / [[mmCurationIncr]]: the
+    * cross-modal pair score over an s1–s3-flagged frame, then the
+    * attrition report — one definition so the incremental form's score
+    * math can never drift from the batch gate's. The caption side's
+    * reference fingerprint hashes the raster DIRECTLY (no codec) — the
+    * image side went encode→decode, so an honest pair's Hamming-0 score
+    * additionally witnesses that the codec round trip is the identity
+    * (the mm_decode_real claim, re-asserted inside this gate). */
+  private def mmScoreAndReport(flagged: DataFrame, fps: DataFrame): DataFrame = {
+    val spark = flagged.sparkSession
+    import spark.implicits._
     val claimed = flagged.withColumn("claimed_seed",
       regexp_extract(col("caption"), "pattern (\\d+)", 1).cast("long"))
-    // the caption side's reference fingerprint hashes the raster
-    // DIRECTLY (no codec) — the image side went encode→decode, so an
-    // honest pair's Hamming-0 score additionally witnesses that the
-    // codec round trip is the identity (the mm_decode_real claim,
-    // re-asserted inside this gate)
     val refFps = claimed.select(col("claimed_seed")).distinct()
       .as[Long].mapPartitions(_.map { s =>
         val px = scrambledPixels(s, 18, 16)
@@ -1119,6 +1126,66 @@ object Multimodal {
       .unionByName(row("3_cap_dedup", col("s3")))
       .unionByName(row("4_pair_score", col("s4")))
       .orderBy(col("stage"))
+  }
+
+  /** INCREMENTAL cross-modal curation — [[mmCuration]]'s maintained
+    * form (the bm25Incremental / imageDHashIncrClustered posture):
+    * history (pair_id < splitId) owns its modality artifacts — the
+    * image fingerprint index and the caption keep-first map
+    * (caption → min surviving id); a delta ingest pays delta-bound
+    * work — delta fingerprints pair against history through the shared
+    * incremental candidate kernel ([[Dedup.fingerprintIncremental]]),
+    * delta captions consult the history map (ids are monotone across
+    * the split, so no delta arrival can unseat a history min — the
+    * keep-first invariant that makes the map sufficient), and the
+    * per-row stages (quality floor, pair score) touch delta rows alone.
+    *
+    * splitId = 115 by default — a DOUBLY mid-family split: the third
+    * image copies of bases 35..39 (ids 115..119) land in the delta and
+    * must pair against two history copies each, AND caption-dup pair
+    * 116 targets history pair 112, forcing the cross-split map path
+    * (126/136 target 122/132 in-delta, exercising the delta-local min
+    * too). The gate's claim is incremental == rebuild: same oracle as
+    * the batch composition. */
+  def mmCurationIncr(spark: SparkSession, dir: String,
+                     splitId: Long = 115L): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val pairs = mmPairCorpus(spark).stage()
+    val hist = pairs.filter(col("pair_id") < splitId)
+    val delta = pairs.filter(col("pair_id") >= splitId)
+    def fpsOf(df: DataFrame): DataFrame = df
+      .select(col("pair_id"), col("img")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) => (id, dHash(decodePng(png))) })
+      .toDF("doc_id", "fp")
+    val histFp = fpsOf(hist).stage()
+    val deltaFp = fpsOf(delta).stage()
+    val laterDups = Dedup.fingerprintIncremental(histFp, deltaFp,
+        maxHamming = 3, maxBucket = 200, sorted = false)
+      .select(col("b_id").as("pair_id")).distinct()
+    def baseFlags(df: DataFrame): DataFrame = df
+      .join(laterDups.withColumn("is_dup", lit(true)), Seq("pair_id"), "left")
+      .withColumn("s1", col("is_dup").isNull)
+      .withColumn("cap_tokens", size(split(col("caption"), " ")))
+      .withColumn("s2", col("s1") && col("cap_tokens") >= 5)
+    // history caption keep-first over HISTORY alone (its own artifact)
+    val histFlagged = baseFlags(hist)
+      .withColumn("s3", col("s2") && col("pair_id") ===
+        min(when(col("s2"), col("pair_id")))
+          .over(W.partitionBy(col("caption"))))
+      .stage()
+    // the maintained caption → min-surviving-id map
+    val histMin = histFlagged.filter(col("s2"))
+      .groupBy(col("caption")).agg(min(col("pair_id")).as("hist_min"))
+    val deltaFlagged = baseFlags(delta)
+      .join(histMin, Seq("caption"), "left")
+      .withColumn("delta_min", min(when(col("s2"), col("pair_id")))
+        .over(W.partitionBy(col("caption"))))
+      .withColumn("s3", col("s2") && col("hist_min").isNull &&
+        col("pair_id") === col("delta_min"))
+      .drop("hist_min", "delta_min")
+    mmScoreAndReport(histFlagged.unionByName(deltaFlagged),
+      histFp.unionByName(deltaFp))
   }
 
   /** Oracle of [[mmCuration]]: the planted defect arithmetic in closed
@@ -1152,6 +1219,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mm_curation" -> (mmCuration _),
+    "pipeline_mm_curation_incr" -> ((s: SparkSession, d: String) =>
+      mmCurationIncr(s, d)),
     "mm_video_real" -> (videoReal _),
     "mm_audio_real" -> (audioReal _),
     "mm_audio_windows" -> (audioWindows _),
@@ -1188,6 +1257,8 @@ object Multimodal {
     * round_even chosen to match Spark's round vs math.rint). */
   val oracles: Map[String, String] = Map(
     "pipeline_mm_curation" -> mmCurationSql,
+    // incremental == rebuild is the claim (the shared-oracle precedent)
+    "pipeline_mm_curation_incr" -> mmCurationSql,
     "mm_dedup_phash_clustered" -> imageDHashClusteredSql,
     "mm_dedup_phash_stream" -> imageDHashStreamClusteredSql,
     // same planted replica structure as the image gate → same synthesis

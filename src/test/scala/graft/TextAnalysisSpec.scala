@@ -684,4 +684,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert((s3 -- s4).nonEmpty && (s3 -- s4).forall(id =>
       id % 12 == 7 && id % 8 != 1 && id % 10 != 6))
   }
+
+  test("mmCurationIncr == mmCuration at every split regime: mid-family " +
+      "(cross-split image copies AND cross-split caption dup), " +
+      "all-delta, and near-empty-delta") {
+    val batch = Multimodal.queries("pipeline_mm_curation")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // 115 = the default doubly-mid-family split (116's caption dups
+    // history 112; image bases 35..39 split 2 hist + 1 delta);
+    // 1 = everything in the delta (history artifacts all empty);
+    // 139 = a single-pair delta against full history
+    Seq(115L, 1L, 139L).foreach { split =>
+      val incr = Multimodal.mmCurationIncr(spark, sf, splitId = split)
+        .collect().map(_.toSeq).toSeq
+      assert(incr == batch, s"split $split diverged from the rebuild")
+    }
+  }
 }
