@@ -641,6 +641,70 @@ object Corpus {
       |  FROM documents d, range(0, $ShuffleEpochsDefault) e(epoch))
       |ORDER BY epoch, shard, pos""".stripMargin
 
+  /** CURRICULUM ordering for the dataloader — competence-based training
+    * order (Platanios et al., NAACL 2019; CCNet's head→middle→tail is
+    * the standard LLM instance): documents are phased by the
+    * [[TextAnalysis.qualityBuckets]] LM-familiarity bucket (head = 0
+    * first), shuffled WITHIN each phase by a salted seedless md5
+    * permutation (`md5('c:' || doc_id)` — independent of the
+    * [[shuffleShards]] key), and dealt round-robin into shards. Round-
+    * robin preserves the curriculum per shard: shard s reads positions
+    * s, s+shards, … — head docs first, tail last — while every shard
+    * stays balanced-within-1.
+    *
+    * Global rank with NO unpartitioned window (the fleet-wide ban):
+    * strata = (bucket, leading md5 hex char) — ≤ 3×16 real strata —
+    * ranked via [[TwoLevel]], lifted to the global curriculum order by
+    * a ≤48-row driver-side offset fold (bounded by construction). The
+    * familiarity chain underneath is lmScore's bigram-equi-join plan;
+    * the curriculum layer itself adds one narrow shuffle of
+    * (doc_id, bucket, key) rows. */
+  def curriculumOrder(spark: SparkSession, dir: String,
+                      shards: Int = ShardsDefault): DataFrame = {
+    import spark.implicits._
+    val phased = TextAnalysis.qualityBuckets(spark, dir)
+      .select(col("doc_id"), col("bucket"))
+    val salted = TwoLevel.withMd5Bucket(phased,
+        concat(lit("c:"), col("doc_id").cast("string")), "__o", "__b")
+      .withColumn("__s", substring(col("__o"), 1, 1))
+    val ranked = TwoLevel.rank(salted, Seq("bucket", "__s"), "__b",
+        Seq(col("__o"), col("doc_id")), "rk",
+        stratumTotalOut = Some("__tot"))
+      .stage()
+    // ≤ 3 buckets × 16 hex strata — the k-limited-collect discipline;
+    // offsets accumulate ACROSS buckets (one global curriculum order)
+    val totals = ranked.select(col("bucket"), col("__s"), col("__tot"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    val offsets = totals.map { case (b, s, t) =>
+      val o = (b, s, acc); acc += t; o }
+    ranked
+      .join(broadcast(offsets.toSeq.toDF("bucket", "__s", "__off")),
+        Seq("bucket", "__s"))
+      .withColumn("gr", col("__off") + col("rk"))
+      .withColumn("shard", ((col("gr") - 1) % shards).cast("long"))
+      .withColumn("pos", expr(s"(gr - 1) div $shards"))
+      .select(col("doc_id"), col("bucket"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle of [[curriculumOrder]]: the quality-buckets oracle verbatim
+    * as the phase, then ROW_NUMBER over (bucket, salted md5) — derived
+    * from the same [[ShardsDefault]]. */
+  lazy val curriculumSql: String =
+    s"""WITH qb AS (
+       |${TextAnalysis.qualityBucketsSql}),
+       |r AS (SELECT doc_id, bucket, ROW_NUMBER() OVER (
+       |        ORDER BY bucket, md5('c:' || CAST(doc_id AS VARCHAR)),
+       |                 doc_id) AS gr
+       |      FROM qb)
+       |SELECT doc_id, bucket,
+       |  CAST((gr - 1) % $ShardsDefault AS BIGINT) AS shard,
+       |  CAST((gr - 1) // $ShardsDefault AS BIGINT) AS pos
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** PADDED sequence packing — the document-boundary-respecting recipe
     * (SFT / instruction-tuning runs pad rather than concat: attention
     * must not bleed across documents without masking): every document
@@ -2171,6 +2235,7 @@ object Corpus {
     "corpus_mix"         -> ((s: SparkSession, d: String) => mixWeights(s, d)),
     "corpus_shuffle_shards" -> ((s: SparkSession, d: String) => shuffleShards(s, d)),
     "corpus_shuffle_epochs" -> ((s: SparkSession, d: String) => shuffleShardsEpochs(s, d)),
+    "corpus_curriculum" -> ((s: SparkSession, d: String) => curriculumOrder(s, d)),
     "corpus_chunk"       -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "corpus_pack_padded" -> ((s: SparkSession, d: String) => packPadded(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
@@ -2204,6 +2269,7 @@ object Corpus {
     "corpus_mix"         -> mixWeightsSql,
     "corpus_shuffle_shards" -> shuffleShardsSql,
     "corpus_shuffle_epochs" -> shuffleShardsEpochsSql,
+    "corpus_curriculum" -> curriculumSql,
     "corpus_chunk" -> chunkDocsSql,
     "corpus_pack_padded" -> packPaddedSql,
     "corpus_bpe"         -> bpeMergesSql,

@@ -448,4 +448,24 @@ class CorpusSpec extends SparkSpec {
     assert(by.filter(_._1 == "duo").map(_._2).sorted == Seq("test", "train"))
     assert(by.filter(_._1 == "solo").map(_._2) == Seq("test"))
   }
+
+  test("curriculumOrder: every doc once, shards balanced within 1, the " +
+      "bucket phase is non-decreasing along every shard, and buckets " +
+      "match qualityBuckets") {
+    val out = Corpus.curriculumOrder(spark, sf, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(out.map(_._1).distinct.length.toLong == nDocs)
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"imbalanced shards: $sizes")
+    out.groupBy(_._3).foreach { case (sh, rows) =>
+      val byPos = rows.sortBy(_._4).map(_._2)
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b },
+        s"shard $sh violates curriculum order: ${byPos.toSeq}")
+    }
+    val qb = graft.ops.TextAnalysis.qualityBuckets(spark, sf)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.forall { case (id, b, _, _) => qb(id) == b })
+  }
 }
