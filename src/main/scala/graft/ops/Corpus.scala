@@ -705,6 +705,59 @@ object Corpus {
        |  CAST((gr - 1) // $ShardsDefault AS BIGINT) AS pos
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Per-language sampling rates for [[sampleStratified]] — exact
+    * binary fractions so the hex thresholds are exact; the oracle CASE
+    * derives from the SAME map (the q103 shared-constant pattern). */
+  val SampleRates: Map[String, (Long, Long)] = Map(
+    "en" -> (3L, 4L), "zh" -> (1L, 2L))
+  val SampleDefaultRate: (Long, Long) = (1L, 4L)
+
+  /** rate → the 16-hex-digit threshold a uniform md5 prefix compares
+    * against: floor(16¹⁶ · num / den), zero-padded lowercase — string
+    * order on lowercase hex IS numeric order, in both engines. */
+  private[graft] def hexThreshold(num: Long, den: Long): String = {
+    val t = (BigInt(16).pow(16) * num / den).toString(16)
+    ("0" * (16 - t.length)) + t
+  }
+
+  /** DETERMINISTIC STRATIFIED SAMPLING — reproducible per-stratum
+    * downsampling (the "keep 25 % of web, 75 % of English, 50 % of zh"
+    * dial every corpus recipe has): keep a document iff the first 16
+    * hex chars of `md5(doc_id || ':smp')` fall below its language's
+    * exact-fraction threshold. Membership is a pure function of the
+    * DOCUMENT — unlike rank- or reservoir-based sampling, growing the
+    * corpus never flips an earlier document's membership (the
+    * append-stability property incremental pipelines need; spec-pinned).
+    * Plan: one narrow predicate on a column-pruned scan — no shuffle,
+    * no state, embarrassingly parallel at any scale. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    sampleStratifiedDocs(Tables.documents(spark, dir))
+
+  private[graft] def sampleStratifiedDocs(docs: DataFrame): DataFrame = {
+    val thr = SampleRates.foldLeft(
+        lit(hexThreshold(SampleDefaultRate._1, SampleDefaultRate._2))) {
+      case (els, (lang, (n, d))) =>
+        when(col("lang") === lang, lit(hexThreshold(n, d))).otherwise(els)
+    }
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .filter(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":smp"))), 1, 16) < thr)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle of [[sampleStratified]] — thresholds interpolated from the
+    * same [[SampleRates]]. */
+  lazy val sampleStratifiedSql: String = {
+    val cases = SampleRates.toSeq.sortBy(_._1).map { case (lang, (n, d)) =>
+      s"WHEN '$lang' THEN '${hexThreshold(n, d)}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':smp'), 1, 16)
+       |  < CASE lang $cases
+       |    ELSE '${hexThreshold(SampleDefaultRate._1, SampleDefaultRate._2)}' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** PADDED sequence packing — the document-boundary-respecting recipe
     * (SFT / instruction-tuning runs pad rather than concat: attention
     * must not bleed across documents without masking): every document
@@ -2236,6 +2289,7 @@ object Corpus {
     "corpus_shuffle_shards" -> ((s: SparkSession, d: String) => shuffleShards(s, d)),
     "corpus_shuffle_epochs" -> ((s: SparkSession, d: String) => shuffleShardsEpochs(s, d)),
     "corpus_curriculum" -> ((s: SparkSession, d: String) => curriculumOrder(s, d)),
+    "corpus_sample_stratified" -> (sampleStratified _),
     "corpus_chunk"       -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "corpus_pack_padded" -> ((s: SparkSession, d: String) => packPadded(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
@@ -2270,6 +2324,7 @@ object Corpus {
     "corpus_shuffle_shards" -> shuffleShardsSql,
     "corpus_shuffle_epochs" -> shuffleShardsEpochsSql,
     "corpus_curriculum" -> curriculumSql,
+    "corpus_sample_stratified" -> sampleStratifiedSql,
     "corpus_chunk" -> chunkDocsSql,
     "corpus_pack_padded" -> packPaddedSql,
     "corpus_bpe"         -> bpeMergesSql,

@@ -468,4 +468,32 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out.forall { case (id, b, _, _) => qb(id) == b })
   }
+
+  test("sampleStratified: membership is append-stable (a sub-corpus run " +
+      "equals the full run restricted), rates land near target, and " +
+      "thresholds are exact binary fractions") {
+    import org.apache.spark.sql.functions.col
+    val full = Corpus.sampleStratified(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // append-stability: sampling HALF the corpus picks exactly the
+    // full run's members with doc_id in that half
+    val half = Corpus.sampleStratifiedDocs(
+        graft.Tables.documents(spark, sf).filter(col("doc_id") < 250))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(half == full.filter(_._1 < 250))
+    // per-lang realized rate within a loose binomial band of its target
+    val byLang = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, n) =>
+      val (num, den) = Corpus.SampleRates.getOrElse(lang,
+        Corpus.SampleDefaultRate)
+      val got = full.count(_._2 == lang).toDouble / n
+      val want = num.toDouble / den
+      assert(math.abs(got - want) < 0.15,
+        s"$lang: realized $got vs target $want over $n docs")
+    }
+    assert(Corpus.hexThreshold(3, 4) == "c000000000000000" &&
+      Corpus.hexThreshold(1, 2) == "8000000000000000")
+  }
 }
