@@ -447,6 +447,113 @@ object Similarity {
     rerankSlim(spark, dir,
       hnswCandidatesOver(spark, dir, hnswIndexIncremental(spark, dir, splitId)))
 
+  /** One micro-batch of STREAMING graph maintenance — the graph tier
+    * joins the streaming matrix (batch r17a, incremental r17a; minhash/
+    * simhash/embedding tiers set the axis). State is key-range-
+    * partitioned ([[graft.tools.RangeState]], [[HnswPartWidth]]-wide):
+    * `vectors` accretes arrivals per partition; `edges` holds, per
+    * partition, the FULL rebuilt top-M subgraph of its latest touch —
+    * REPLACEMENT semantics (edges are a pure function of a partition's
+    * membership, so the latest rebuild supersedes all earlier ones; the
+    * reader takes each partition's newest delta only, never a union).
+    * Per batch: publish arrivals, re-derive subgraphs for exactly the
+    * touched partitions over their accumulated vectors (a pruned
+    * bucket read — untouched partitions are never listed, read, or
+    * rewritten), publish the new subgraphs keyed by src partition.
+    * Epoch-keyed overwrites derived from state < batchId: replay-
+    * idempotent, the shared streaming contract. */
+  private[graft] def hnswStreamApplyBatch(batch: DataFrame, batchId: Long,
+                                          statePath: String,
+                                          idSpan: Long = 200L): Unit = {
+    val sp = batch.sparkSession
+    val vecRoot = s"$statePath/vectors"
+    val edgeRoot = s"$statePath/edges"
+    graft.tools.RangeState.requireNoFuture(vecRoot, batchId)
+    graft.tools.RangeState.requireNoFuture(edgeRoot, batchId)
+    val parts = math.max(1, ((idSpan + HnswPartWidth - 1) / HnswPartWidth).toInt)
+    val bounds = graft.tools.RangeState.freezeUniform(vecRoot, idSpan, parts)
+    val arriving = batch.select(col("vec_id"), col("embedding")).stage()
+    val touchedVec = graft.tools.RangeState.publishDelta(vecRoot, batchId,
+      arriving, graft.tools.RangeState.bucketCol(bounds, col("vec_id")))
+    // bounded collect: ≤ |batch|/width touched partition ids
+    val touchedBuckets = arriving
+      .select(graft.tools.RangeState.bucketCol(bounds, col("vec_id")).as("p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val vecPaths = graft.tools.RangeState.pathsForBuckets(vecRoot,
+      touchedBuckets, batchId)
+    val edges = buildHnswEdges(sp.read.parquet(vecPaths: _*), 0L)
+    graft.tools.RangeState.publishDelta(edgeRoot, batchId, edges,
+      graft.tools.RangeState.bucketCol(bounds, col("src")))
+    graft.tools.RangeState.maintainTouched(sp, touchedVec, batchId, 4)(identity)
+  }
+
+  /** The edge reader's REPLACEMENT semantics: per partition, the newest
+    * delta at or before `upTo` — never a union (each touch rebuilds its
+    * partition's full subgraph). Kept off [[graft.tools.RangeState
+    * .pathsAsOf]] on purpose: that reader folds append-logs. */
+  private[graft] def hnswEdgePathsAsOf(edgeRoot: String,
+                                       upTo: Long): Seq[String] =
+    graft.tools.RangeState.partDirs(edgeRoot).flatMap { pd =>
+      val vs = Option(new java.io.File(s"$pd/delta").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(f => (f.getName.drop(1).toLong, f.getAbsolutePath))
+        .filter(_._1 <= upTo)
+      if (vs.isEmpty) Nil else Seq(vs.maxBy(_._1)._2)
+    }
+
+  /** STREAMING graph-ANN through the HASH GATE on the clustered corpus:
+    * five contiguous id-range batches (width 40 — deliberately
+    * MISALIGNED with the 50-wide partitions, so epochs 1/2/3 each
+    * re-touch a partition that earlier epochs already built and the
+    * replacement semantics carry real weight), then search over the
+    * maintained edge artifact. On this corpus graph search equals brute
+    * force (the tier gate's claim), so the stream shares
+    * [[clusteredBruteSql]]; the maintained-edges == rebuild equality is
+    * spec-pinned bitwise. `dir` ignored by design (regime, not scale). */
+  def hnswTopKStream(spark: SparkSession, dir: String,
+                     epochs: Int = 5): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-hnswstream")
+    try {
+      val statePath = s"$base/state"
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).stage()
+      val width = 200 / epochs
+      (0 until epochs).foreach { k =>
+        hnswStreamApplyBatch(
+          vecs.filter(col("vec_id") >= k * width &&
+            (col("vec_id") < (k + 1) * width || lit(k == epochs - 1))),
+          k, statePath)
+      }
+      val edges = spark.read
+        .parquet(hnswEdgePathsAsOf(s"$statePath/edges", epochs - 1L): _*)
+        .stage()
+      rerankSlim(spark, dir, hnswCandidatesOver(spark, dir, edges))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** The maintained edge set as-of the final epoch — split out for the
+    * bitwise equality-with-rebuild spec. */
+  private[graft] def hnswStreamEdges(spark: SparkSession, dir: String,
+                                     epochs: Int = 5): DataFrame = {
+    val base = graft.tools.TempDirs.createFast("graft-hnswse")
+    try {
+      val statePath = s"$base/state"
+      val vecs = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).stage()
+      val width = 200 / epochs
+      (0 until epochs).foreach { k =>
+        hnswStreamApplyBatch(
+          vecs.filter(col("vec_id") >= k * width &&
+            (col("vec_id") < (k + 1) * width || lit(k == epochs - 1))),
+          k, statePath)
+      }
+      spark.read
+        .parquet(hnswEdgePathsAsOf(s"$statePath/edges", epochs - 1L): _*)
+        .stage()
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
   /** Graph dispatch floor for [[annTopK]]: the graph tier wins once the
     * corpus is big enough that even LSH's bounded candidate FRACTION is
     * a large absolute scan (fraction·n ≫ the graph's ~ef·M·hops
@@ -1282,6 +1389,10 @@ object Similarity {
     "sim_topk_hnsw_incr_clustered" ->
       ((s: SparkSession, _: String) =>
         hnswTopKIncr(s, clusteredCorpusDir(s), splitId = 150)),
+    // streaming maintenance: misaligned arrival epochs force partition
+    // re-touches; search over the maintained graph equals brute here
+    "sim_topk_hnsw_stream_clustered" ->
+      ((s: SparkSession, _: String) => hnswTopKStream(s, clusteredCorpusDir(s))),
     // the planner's graph regime, forced on the clustered corpus (the
     // sim_topk_ann_lsh recipe): the dispatch wiring to the graph branch
     // sits inside the same bitwise gate as the tier
@@ -1322,6 +1433,7 @@ object Similarity {
     "sim_topk_pq_clustered"  -> clusteredBruteSql,
     "sim_topk_hnsw_clustered" -> clusteredBruteSql,
     "sim_topk_hnsw_incr_clustered" -> clusteredBruteSql,
+    "sim_topk_hnsw_stream_clustered" -> clusteredBruteSql,
     "sim_topk_ann_hnsw"      -> clusteredBruteSql,
     "sim_topk_filtered" -> filteredTopKSql,
     "sim_topk_filtered_post_clustered" -> filteredPostClusteredSql,

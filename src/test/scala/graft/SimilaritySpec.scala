@@ -394,6 +394,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(0))
   }
 
+  test("HNSW streaming: the maintained edge artifact equals the batch " +
+      "rebuild bitwise under misaligned epochs that re-touch partitions") {
+    val cdir = Similarity.clusteredCorpusDir(spark)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stream = edgeSet(Similarity.hnswStreamEdges(spark, cdir))
+    val rebuild = edgeSet(Similarity.hnswIndex(spark, cdir))
+    assert(stream == rebuild, s"maintained graph diverged: " +
+      s"extra=${(stream diff rebuild).take(5)} missing=${(rebuild diff stream).take(5)}")
+    // 5 epochs of width 40 over 50-wide partitions: epochs 1-3 must
+    // each re-touch an already-built partition (the replacement path)
+    assert(stream.nonEmpty)
+  }
+
   test("filteredTopK: measured selectivity routes the branches, and the " +
       "post branch's k-guarantee recovers the exact answer when the " +
       "predicate starves every probed cell") {
