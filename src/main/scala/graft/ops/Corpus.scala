@@ -916,6 +916,95 @@ object Corpus {
        |FROM c JOIN t ON c.lang = t.lang
        |ORDER BY c.lang, doc_id""".stripMargin
 
+  /** [[mixTemperature]]'s tunables, shared with its oracle. */
+  val MixTempBudgetDefault = 20000L
+  val MixTempScale = 1000000L
+
+  /** TEMPERATURE-BASED source mixing — the multilingual upsampling
+    * recipe (α = 1/2: sampling weight ∝ pool^α, the XLM-R/mBERT dial
+    * that keeps low-resource languages from vanishing under
+    * proportional sampling): per-language targets derive from the DATA
+    * (unlike [[mixWeights]]' fixed basis points) as
+    * w = floor(sqrt(pool) · 10⁶) — the floor-scale trick makes the only
+    * non-integer step (sqrt, bitwise-identical across engines) an exact
+    * integer before any arithmetic that could diverge. Targets are
+    * budget·w div W plus a LARGEST-REMAINDER top-up ranked by
+    * (remainder DESC, lang), so Σ targets == budget EXACTLY — the
+    * invariant a token-budget contract needs. Target math runs
+    * driver-side in BigInt over one row per language (bounded by
+    * construction; overflow-proof at any pool size); per-doc repeats
+    * ride the same TwoLevel prefix-sum decomposition as mixWeights. */
+  def mixTemperature(spark: SparkSession, dir: String,
+                     totalBudget: Long = MixTempBudgetDefault): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // one row per language — the k-limited-collect discipline
+    val pools = d.groupBy(col("lang")).agg(sum(col("n_tokens")).as("pool"))
+      .withColumn("w", expr(
+        s"CAST(floor(sqrt(CAST(pool AS DOUBLE)) * $MixTempScale) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val wSum = pools.map(p => BigInt(p._3)).sum
+    val base = pools.map { case (l, p, w) =>
+      val prod = BigInt(totalBudget) * w
+      (l, p, (prod / wSum).toLong, prod % wSum)
+    }
+    val leftover = totalBudget - base.map(_._3).sum
+    val bumped = base.sortBy { case (l, _, _, rem) => (-rem, l) }
+      .take(leftover.toInt).map(_._1).toSet
+    val tgt = base.map { case (l, p, t, _) =>
+      (l, p, t + (if (bumped(l)) 1L else 0L)) }
+      .toSeq.toDF("lang", "pool", "target")
+    TwoLevel.cumBefore(
+        TwoLevel.withMd5Bucket(d, col("doc_id").cast("string"), "__o", "__b"),
+        Seq("lang"), "__b", Seq(col("__o"), col("doc_id")),
+        "n_tokens", "cum_before")
+      .join(broadcast(tgt), Seq("lang"))
+      .withColumn("repeats", expr("target div pool") +
+        when(col("cum_before") < expr("target % pool"), lit(1L))
+          .otherwise(lit(0L)))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("cum_before"), col("target"), col("repeats"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Oracle of [[mixTemperature]] — sqrt floor-scale, HUGEINT products,
+    * the same largest-remainder rank; constants shared. */
+  lazy val mixTemperatureSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (SELECT lang, SUM(n_tokens) AS pool FROM d GROUP BY 1),
+       |w AS (SELECT lang, pool,
+       |        CAST(floor(sqrt(CAST(pool AS DOUBLE)) * $MixTempScale)
+       |          AS BIGINT) AS w
+       |      FROM p),
+       |s AS (SELECT CAST(SUM(w) AS HUGEINT) AS wsum FROM w),
+       |b AS (SELECT lang, pool,
+       |        CAST($MixTempBudgetDefault AS HUGEINT) * w // wsum AS t0,
+       |        CAST($MixTempBudgetDefault AS HUGEINT) * w % wsum AS rem
+       |      FROM w CROSS JOIN s),
+       |lf AS (SELECT $MixTempBudgetDefault - SUM(t0) AS lft FROM b),
+       |r AS (SELECT lang, pool,
+       |        CAST(t0 + CASE WHEN ROW_NUMBER() OVER
+       |            (ORDER BY rem DESC, lang) <= lft
+       |          THEN 1 ELSE 0 END AS BIGINT) AS target
+       |      FROM b CROSS JOIN lf),
+       |c AS (SELECT lang, doc_id, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS cum_before
+       |      FROM d)
+       |SELECT c.lang AS lang, doc_id, n_tokens, cum_before, target,
+       |  CAST(target // pool +
+       |    CASE WHEN cum_before < target % pool THEN 1 ELSE 0 END
+       |    AS BIGINT) AS repeats
+       |FROM c JOIN r ON c.lang = r.lang
+       |ORDER BY c.lang, doc_id""".stripMargin
+
   /** Per-language corpus balancing: a deterministic uniform subsample of at
     * most `perLang` documents per language, ranked by md5(doc_id) — the
     * standard "don't let English drown the mixture" rebalance, reproducible
@@ -2290,6 +2379,7 @@ object Corpus {
     "corpus_shuffle_epochs" -> ((s: SparkSession, d: String) => shuffleShardsEpochs(s, d)),
     "corpus_curriculum" -> ((s: SparkSession, d: String) => curriculumOrder(s, d)),
     "corpus_sample_stratified" -> (sampleStratified _),
+    "corpus_mix_temperature" -> ((s: SparkSession, d: String) => mixTemperature(s, d)),
     "corpus_chunk"       -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "corpus_pack_padded" -> ((s: SparkSession, d: String) => packPadded(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
@@ -2325,6 +2415,7 @@ object Corpus {
     "corpus_shuffle_epochs" -> shuffleShardsEpochsSql,
     "corpus_curriculum" -> curriculumSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,
+    "corpus_mix_temperature" -> mixTemperatureSql,
     "corpus_chunk" -> chunkDocsSql,
     "corpus_pack_padded" -> packPaddedSql,
     "corpus_bpe"         -> bpeMergesSql,

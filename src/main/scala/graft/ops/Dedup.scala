@@ -969,6 +969,105 @@ object Dedup {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** [[exactStreamTtlClustered]]'s tunables — the oracle derives from
+    * the SAME values (the q103 shared-constant discipline). */
+  val ExactTtlEpochs = 4
+  val ExactTtl = 1
+
+  /** One micro-batch of EXACT dedup under a STATE TTL — the
+    * bounded-state discipline every 100 TB seen-set eventually needs
+    * (an unbounded digest log grows with the corpus forever; a TTL'd
+    * one is bounded by ttl · batch): the digest log is epoch-keyed, a
+    * batch consults ONLY the last `ttl` epochs' digest dirs (the window
+    * read), and expired epoch dirs are DELETED — eviction is a
+    * directory drop, never a rewrite. Every arrival refreshes its
+    * digest's sighting (sliding-window semantics), so a duplicate whose
+    * every prior sighting expired is RESCUED — it re-enters as a fresh
+    * survivor; that is the contract's point, not a bug. Same-epoch
+    * arrivals keep-first by id. Epoch-keyed overwrites: replay-
+    * idempotent. The digest log is NEVER compacted — a fold would merge
+    * epochs and break eviction-by-directory. */
+  private[graft] def exactStreamTtlApplyBatch(batch: DataFrame,
+      batchId: Long, statePath: String, ttl: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val digRoot = s"$statePath/digests"
+    val survRoot = s"$statePath/survivors"
+    graft.tools.LogState.requireNoFuture(digRoot, batchId)
+    graft.tools.LogState.requireNoFuture(survRoot, batchId)
+    val sp = batch.sparkSession
+    val arr = batch.select(col("doc_id"), md5(col("text")).as("dig"))
+      .stage()
+    val winPaths = (math.max(0L, batchId - ttl) until batchId)
+      .map(j => s"$digRoot/delta/v$j")
+      .filter(p => new java.io.File(p).isDirectory)
+    val wFirst = Window.partitionBy(col("dig")).orderBy(col("doc_id"))
+    val firstInBatch = arr.withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1).drop("rn")
+    val keepers =
+      if (winPaths.isEmpty) firstInBatch
+      else firstInBatch.join(
+        sp.read.parquet(winPaths: _*).select(col("dig")),
+        Seq("dig"), "left_anti")
+    arr.select(col("dig")).write.mode("overwrite")
+      .parquet(s"$digRoot/delta/v$batchId")
+    keepers.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$survRoot/delta/v$batchId")
+    // ACTIVE eviction: the state bound is physical, not just a read
+    // discipline — expired epochs leave the filesystem
+    (0L until math.max(0L, batchId - ttl)).foreach { j =>
+      graft.tools.TempDirs.deleteRecursively(s"$digRoot/delta/v$j")
+    }
+  }
+
+  /** EXACT dedup under a sliding TTL through the HASH GATE on the
+    * planted corpus: width-35 epochs against replica gaps of 40 and 80
+    * populate BOTH paths — most second copies arrive one epoch after
+    * their base (caught), but bases 30–34's copies land two epochs out
+    * (ids 70–74 — RESCUED: every prior sighting expired), and bases
+    * 25–29's third copies outrun their refreshed window too (105–109).
+    * The oracle replays the sliding-window recurrence in closed form
+    * over range(0, 140); a leaked expired digest, a missed refresh, or
+    * a dropped rescue breaks the hash. `dir` unused (regime, not
+    * scale). */
+  def exactStreamTtlClustered(spark: SparkSession, dir: String,
+      epochs: Int = ExactTtlEpochs, ttl: Int = ExactTtl): DataFrame = {
+    val cdir = clusteredDocsDir(spark)
+    val base = graft.tools.TempDirs.createFast("graft-exttl")
+    try {
+      val statePath = s"$base/state"
+      val all = Tables.documents(spark, cdir)
+        .select(col("doc_id"), col("text")).stage()
+      val width = 140 / epochs
+      (0 until epochs).foreach { k =>
+        exactStreamTtlApplyBatch(
+          all.filter(col("doc_id") >= k * width &&
+            (col("doc_id") < (k + 1) * width || lit(k == epochs - 1))),
+          k, statePath, ttl)
+      }
+      spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          s"$statePath/survivors", epochs - 1L): _*)
+        .stage().orderBy(col("doc_id"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** Oracle of [[exactStreamTtlClustered]]: survivor iff no same-family
+    * arrival within the last [[ExactTtl]] epochs (any sighting
+    * refreshes — b ranges over ALL earlier arrivals, not survivors). */
+  val exactStreamTtlClusteredSql: String = {
+    val width = 140 / ExactTtlEpochs
+    s"""WITH t AS (
+       |  SELECT x AS doc_id,
+       |    CASE WHEN x < 120 THEN x % 40 ELSE x END AS fam,
+       |    x // $width AS e
+       |  FROM range(0, 140) t(x))
+       |SELECT CAST(a.doc_id AS BIGINT) AS doc_id FROM t a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM t b
+       |  WHERE b.fam = a.fam AND b.doc_id < a.doc_id
+       |    AND b.e >= a.e - $ExactTtl)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   /** [[minhashIncremental]] / [[simhashIncremental]] through the HASH
     * GATE on the planted corpus (splitId 100 puts the third replica of
     * bases 20–39 and all 20 probes in the delta): the maintained index
@@ -4104,6 +4203,7 @@ object Dedup {
     "dedup_stream_minhash_clustered" -> ((s: SparkSession, d: String) => minhashStreamClustered(s, d)),
     "dedup_stream_minhash_late" -> ((s: SparkSession, d: String) => minhashStreamLateClustered(s, d)),
     "dedup_stream_simhash_late" -> ((s: SparkSession, d: String) => simhashStreamLateClustered(s, d)),
+    "dedup_stream_exact_ttl" -> ((s: SparkSession, d: String) => exactStreamTtlClustered(s, d)),
     "dedup_stream_embedding_clustered" -> ((s: SparkSession, d: String) => embeddingStreamClustered(s, d)),
     "dedup_stream_embedding_late" -> ((s: SparkSession, d: String) => embeddingStreamLateClustered(s, d)),
     "dedup_incr_simhash_clustered" -> (simhashIncrementalClustered _),
@@ -4154,6 +4254,7 @@ object Dedup {
     // same survivor families as minhash-late by corpus construction
     // (exact replicas → Hamming 0), so the two late gates share one oracle
     "dedup_stream_simhash_late" -> minhashStreamLateClusteredSql,
+    "dedup_stream_exact_ttl" -> exactStreamTtlClusteredSql,
     "dedup_stream_embedding_clustered" -> embeddingStreamClusteredSql,
     "dedup_stream_embedding_late" -> embeddingStreamLateClusteredSql,
     "dedup_incr_simhash_clustered" -> simhashClusteredSql,

@@ -177,6 +177,21 @@ object ScaleProbe {
     java.nio.file.Files.writeString(sentinel.toPath, wantArgs)
     }
 
+    // embeddings: rep-shifted ids (queries vec_id < 8 stay the fixture
+    // queries), labels mod 10 — the filtered-ANN / hybrid arms' corpus.
+    // Own existence check (added after the sentinel scheme shipped):
+    // a reused older corpus still gets its embeddings table built once.
+    if (!new java.io.File(s"$outDir/embeddings.parquet").exists()) {
+      val embT = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nVec = embT.count()
+      embT.crossJoin(broadcast(reps))
+        .select((col("vec_id") + col("rep") * nVec).as("vec_id"),
+          col("embedding"))
+        .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
     println(s"probe corpus at $outDir: ${nDocs * mult} docs, ${nEv * mult} events")
 
     /** Shared driver for the sparse-traffic CDC arms: full-corpus load at
@@ -256,7 +271,8 @@ object ScaleProbe {
           java.nio.file.Files.readString(sent.toPath).trim == wantArgs)) {
         e.crossJoin(broadcast(reps))
           .select((col("vec_id") * mult + col("rep")).as("vec_id"),
-            col("embedding"), lit(0).as("label"))
+            col("embedding"))
+          .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$edir/embeddings.parquet")
         java.nio.file.Files.writeString(sent.toPath, wantArgs)
@@ -831,6 +847,32 @@ object ScaleProbe {
         val (edir, _) = semEmbCorpus()
         graft.ops.Similarity.lshTopK(spark, edir).count()
       }),
+      // filtered search, both planner regimes on the replicated corpus:
+      // the pre arm scans only the ~10% label slice (predicate pushed to
+      // the scan); the post arm probes the trained IVF index and
+      // semi-joins the 50% id set — the recurring terms of each branch
+      "sim_filtered_pre" -> (() => {
+        val (edir, _) = semEmbCorpus()
+        graft.ops.Similarity.filteredTopK(spark, edir,
+          col("label") === graft.ops.Similarity.FilteredLabel).count()
+      }),
+      "sim_filtered_post" -> (() => {
+        val (edir, _) = semEmbCorpus()
+        graft.ops.Similarity.filteredTopK(spark, edir,
+          col("label") < 5).count()
+      }),
+      // hybrid fusion over the replicated documents + embeddings: the
+      // legs dominate (indexed BM25 scoring join; planner-dispatched
+      // dense tier); the fusion layer itself is O(queries·k)
+      "text_hybrid" -> (() =>
+        graft.ops.TextAnalysis.hybridRetrieval(spark, outDir).count()),
+      // curriculum = lmScore's bigram plan + one narrow (bucket, md5)
+      // rank — the arm prices the phase signal at corpus scale
+      "corpus_curriculum" -> (() =>
+        graft.ops.Corpus.curriculumOrder(spark, outDir).count()),
+      // stratified sampling is the no-shuffle floor: one predicate scan
+      "corpus_sample" -> (() =>
+        graft.ops.Corpus.sampleStratified(spark, outDir).count()),
       "text_tfidf"         -> (() => graft.ops.TextAnalysis.queries("text_tfidf")(spark, outDir).count()),
       "text_inverted_index"-> (() => graft.ops.TextAnalysis.queries("text_inverted_index")(spark, outDir).count()),
       "text_langid"        -> (() => graft.ops.TextAnalysis.queries("text_langid")(spark, outDir).count()),

@@ -496,4 +496,38 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.hexThreshold(3, 4) == "c000000000000000" &&
       Corpus.hexThreshold(1, 2) == "8000000000000000")
   }
+
+  test("mixTemperature: targets sum to the budget exactly, upsample " +
+      "low-resource languages vs proportional, and per-lang repeats " +
+      "account for the full target") {
+    val out = Corpus.mixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byLang = out.groupBy(_._1)
+    val targets = byLang.view.mapValues(_.head._5).toMap
+    assert(targets.values.sum == Corpus.MixTempBudgetDefault,
+      s"largest-remainder must hit the budget exactly: $targets")
+    // α = 1/2 compresses the pool ratio: every language's target share
+    // must sit BETWEEN its proportional share and the uniform share
+    val pools = byLang.view.mapValues(_.map(_._3).sum).toMap
+    val pTot = pools.values.sum.toDouble
+    val tTot = Corpus.MixTempBudgetDefault.toDouble
+    val nL = pools.size.toDouble
+    pools.foreach { case (l, p) =>
+      val prop = p / pTot
+      val share = targets(l) / tTot
+      val lo = math.min(prop, 1.0 / nL) - 0.002
+      val hi = math.max(prop, 1.0 / nL) + 0.002
+      assert(share >= lo && share <= hi,
+        s"$l: share $share outside [$lo, $hi] (prop $prop)")
+    }
+    // per-doc repeats: sum(repeats · n_tokens) lands within one doc of
+    // the target (the prefix-sum remainder rule's contract)
+    byLang.foreach { case (l, rows) =>
+      val got = rows.map(r => r._6 * r._3).sum
+      val t = targets(l)
+      assert(got >= t - rows.map(_._3).max && got <= t + rows.map(_._3).max,
+        s"$l: assembled $got vs target $t")
+    }
+  }
 }

@@ -828,6 +828,51 @@ class DedupSpec extends SparkSpec {
       "a vector cannot be both quarantined and a survivor")
   }
 
+  test("exact dedup under TTL: expired epochs physically evicted, a " +
+      "re-sighting refreshes the window, replay idempotent, and the " +
+      "gate's rescued cohort is exactly the planted one") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha"), (3L, "alpha"),
+      (4L, "beta"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ttlst").toString
+    val st = s"$root/state"
+    def batch(ids: Long*) = docs.filter(col("doc_id").isin(ids: _*))
+    // e0: alpha(0), beta(1) survive; e1: alpha(2) caught AND refreshes;
+    // e2: alpha(3) caught (refreshed by 2), beta(4) RESCUED (1 expired)
+    Dedup.exactStreamTtlApplyBatch(batch(0L, 1L), 0L, st, ttl = 1)
+    Dedup.exactStreamTtlApplyBatch(batch(2L), 1L, st, ttl = 1)
+    Dedup.exactStreamTtlApplyBatch(batch(3L, 4L), 2L, st, ttl = 1)
+    def surv() = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$st/survivors", 2L): _*).collect().map(_.getLong(0)).toSet
+    assert(surv() == Set(0L, 1L, 4L),
+      s"refresh semantics: 3 caught via 2's refresh, 4 rescued: ${surv()}")
+    // physical eviction: only the last ttl+1 epochs' digest dirs remain
+    def digDirs() = Option(new java.io.File(s"$st/digests/delta").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(digDirs() == Set("v1", "v2"), s"eviction leaked: ${digDirs()}")
+    // replay of the last epoch rewrites identical state
+    Dedup.exactStreamTtlApplyBatch(batch(3L, 4L), 2L, st, ttl = 1)
+    assert(surv() == Set(0L, 1L, 4L) && digDirs() == Set("v1", "v2"))
+    // the clustered gate's rescued cohort: second copies of bases 30-34
+    // (ids 70-74) and third copies of bases 25-29 (ids 105-109)
+    val gate = Dedup.exactStreamTtlClustered(spark, "")
+      .collect().map(_.getLong(0)).toSet
+    val expected = (0L until 40L).toSet ++ (70L until 75L) ++
+      (105L until 110L) ++ (120L until 140L)
+    assert(gate == expected, s"gate survivors: " +
+      s"extra=${(gate diff expected).toSeq.sorted} " +
+      s"missing=${(expected diff gate).toSeq.sorted}")
+    graft.tools.TempDirs.deleteRecursively(root)
+    graft.tools.TempDirs.deleteRecursively(dir)
+  }
+
   test("clustered streaming gates (minhash + embedding) reproduce the " +
       "exact survivor sets their oracles synthesize") {
     val mh = Dedup.minhashStreamClustered(spark, "")
