@@ -1097,24 +1097,8 @@ object Multimodal {
     * additionally witnesses that the codec round trip is the identity
     * (the mm_decode_real claim, re-asserted inside this gate). */
   private def mmScoreAndReport(flagged: DataFrame, fps: DataFrame): DataFrame = {
-    val spark = flagged.sparkSession
-    import spark.implicits._
-    val claimed = flagged.withColumn("claimed_seed",
-      regexp_extract(col("caption"), "pattern (\\d+)", 1).cast("long"))
-    val refFps = claimed.select(col("claimed_seed")).distinct()
-      .as[Long].mapPartitions(_.map { s =>
-        val px = scrambledPixels(s, 18, 16)
-        val img = new java.awt.image.BufferedImage(
-          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        img.setRGB(0, 0, 18, 16, px, 0, 18)
-        (s, dHash(img))
-      }).toDF("claimed_seed", "ref_fp")
-    val scored = claimed
-      .join(fps.withColumnRenamed("doc_id", "pair_id"), Seq("pair_id"))
-      .join(broadcast(refFps), Seq("claimed_seed"))
-      .withColumn("s4", col("s3") &&
-        expr("bit_count(fp ^ ref_fp)") <= 3)
-      .stage()
+    val scored = mmScoreAndReportFlags(flagged,
+      fps.withColumnRenamed("doc_id", "pair_id")).stage()
     def row(stage: String, flag: org.apache.spark.sql.Column): DataFrame =
       scored.agg(
         count(when(flag, 1)).as("n_pairs"),
@@ -1217,8 +1201,116 @@ object Multimodal {
       |    CAST(COALESCE(SUM(CASE WHEN s4 THEN pair_id END), 0) AS BIGINT) FROM s)
       |ORDER BY stage""".stripMargin
 
+  /** STREAMING cross-modal curation — the composition's third form
+    * (batch r17a, incremental r17b): pairs arrive in four contiguous
+    * id-range epochs. Per epoch, the batch's image fingerprints stream
+    * through the shared banded dedup core (keep-first vs history —
+    * exactly the batch s1 under id-ordered arrival); caption quality is
+    * per-row; caption keep-first consults a maintained caption →
+    * min-s2-id LogState map (id-ordered arrival makes the as-of min the
+    * global min — the same monotone-id argument as the incremental
+    * form); the pair score is per-row. Each epoch publishes its
+    * per-stage (count, id-sum) contribution as an epoch-keyed delta;
+    * the final report is a commutative integer SUM over epoch deltas,
+    * so it must equal the batch composition bitwise — same oracle.
+    * Epoch-keyed overwrites throughout: replay-idempotent. */
+  def mmCurationStream(spark: SparkSession, dir: String,
+                       epochs: Int = 4): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val base = graft.tools.TempDirs.createFast("graft-mmstreamcur")
+    try {
+      val imgState = s"$base/img"
+      val capRoot = s"$base/caps"
+      val repRoot = s"$base/report"
+      val pairs = mmPairCorpus(spark).stage()
+      val width = 140 / epochs
+      (0 until epochs).foreach { k =>
+        graft.tools.LogState.requireNoFuture(capRoot, k)
+        graft.tools.LogState.requireNoFuture(repRoot, k)
+        val batch = pairs.filter(col("pair_id") >= k * width &&
+          (col("pair_id") < (k + 1) * width || lit(k == epochs - 1)))
+          .stage()
+        val fps = batch.select(col("pair_id"), col("img"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, png) =>
+            (id, dHash(decodePng(png))) })
+          .toDF("doc_id", "fp").stage()
+        Dedup.fingerprintStreamApplyBatch(fps, k, imgState,
+          maxHamming = 3, maxBucket = 200, compactEvery = 2)
+        val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+            s"$imgState/survivors", k): _*)
+          .select(col("doc_id").as("pair_id"), lit(true).as("s1x"))
+        val capHist =
+          if (k == 0) batch.select(col("caption"),
+            lit(0L).as("hist_min")).limit(0)
+          else spark.read.parquet(graft.tools.LogState.pathsAsOf(
+              capRoot, k - 1L): _*)
+            .groupBy(col("caption")).agg(min(col("cap_id")).as("hist_min"))
+        val flagged = batch
+          .join(surv, Seq("pair_id"), "left")
+          .withColumn("s1", coalesce(col("s1x"), lit(false)))
+          .withColumn("s2", col("s1") &&
+            size(split(col("caption"), " ")) >= 5)
+          .join(capHist, Seq("caption"), "left")
+          .withColumn("bmin", min(when(col("s2"), col("pair_id")))
+            .over(W.partitionBy(col("caption"))))
+          .withColumn("s3", col("s2") && col("hist_min").isNull &&
+            col("pair_id") === col("bmin"))
+        val scored = mmScoreAndReportFlags(flagged,
+          fps.withColumnRenamed("doc_id", "pair_id")).stage()
+        // maintain the caption map: this epoch's s2 captions
+        flagged.filter(col("s2"))
+          .select(col("caption"), col("pair_id").as("cap_id"))
+          .write.mode("overwrite").parquet(s"$capRoot/delta/v$k")
+        // epoch-keyed report contribution (commutative integer fold)
+        def row(stage: String, flag: org.apache.spark.sql.Column) =
+          scored.agg(count(when(flag, 1)).as("n_pairs"),
+            coalesce(sum(when(flag, col("pair_id"))), lit(0L)).as("id_sum"))
+            .select(lit(stage).as("stage"), col("n_pairs"), col("id_sum"))
+        row("0_total", lit(true))
+          .unionByName(row("1_img_dedup", col("s1")))
+          .unionByName(row("2_cap_quality", col("s2")))
+          .unionByName(row("3_cap_dedup", col("s3")))
+          .unionByName(row("4_pair_score", col("s4")))
+          .write.mode("overwrite").parquet(s"$repRoot/delta/v$k")
+      }
+      spark.read.parquet(graft.tools.LogState.pathsAsOf(
+          repRoot, epochs - 1L): _*)
+        .groupBy(col("stage"))
+        .agg(sum(col("n_pairs")).as("n_pairs"), sum(col("id_sum")).as("id_sum"))
+        .stage()
+        .orderBy(col("stage"))
+    } finally graft.tools.TempDirs.deleteRecursively(base)
+  }
+
+  /** The s4 scoring step of [[mmScoreAndReport]] without the report
+    * tail — the stream form folds its report across epochs instead. */
+  private def mmScoreAndReportFlags(flagged: DataFrame,
+                                    fps: DataFrame): DataFrame = {
+    val spark = flagged.sparkSession
+    import spark.implicits._
+    val claimed = flagged.withColumn("claimed_seed",
+      regexp_extract(col("caption"), "pattern (\\d+)", 1).cast("long"))
+    val refFps = claimed.select(col("claimed_seed")).distinct()
+      .as[Long].mapPartitions(_.map { s =>
+        val px = scrambledPixels(s, 18, 16)
+        val img = new java.awt.image.BufferedImage(
+          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, 18, 16, px, 0, 18)
+        (s, dHash(img))
+      }).toDF("claimed_seed", "ref_fp")
+    claimed
+      .join(fps, Seq("pair_id"))
+      .join(broadcast(refFps), Seq("claimed_seed"))
+      .withColumn("s4", col("s3") &&
+        expr("bit_count(fp ^ ref_fp)") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_mm_curation" -> (mmCuration _),
+    "pipeline_mm_curation_stream" -> ((s: SparkSession, d: String) =>
+      mmCurationStream(s, d)),
     "pipeline_mm_curation_incr" -> ((s: SparkSession, d: String) =>
       mmCurationIncr(s, d)),
     "mm_video_real" -> (videoReal _),
@@ -1259,6 +1351,8 @@ object Multimodal {
     "pipeline_mm_curation" -> mmCurationSql,
     // incremental == rebuild is the claim (the shared-oracle precedent)
     "pipeline_mm_curation_incr" -> mmCurationSql,
+    // the epoch-folded report must equal the batch composition bitwise
+    "pipeline_mm_curation_stream" -> mmCurationSql,
     "mm_dedup_phash_clustered" -> imageDHashClusteredSql,
     "mm_dedup_phash_stream" -> imageDHashStreamClusteredSql,
     // same planted replica structure as the image gate → same synthesis

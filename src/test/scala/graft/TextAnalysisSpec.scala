@@ -699,5 +699,13 @@ class TextAnalysisSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(incr == batch, s"split $split diverged from the rebuild")
     }
+    // the streaming form's epoch-folded report must also equal the
+    // batch composition — at the default epochs and at a 7-epoch width
+    // that misaligns every image family boundary
+    Seq(4, 7).foreach { e =>
+      val stream = Multimodal.mmCurationStream(spark, sf, epochs = e)
+        .collect().map(_.toSeq).toSeq
+      assert(stream == batch, s"stream epochs=$e diverged from batch")
+    }
   }
 }
