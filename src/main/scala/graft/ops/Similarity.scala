@@ -131,9 +131,15 @@ object Similarity {
     * counts exactly the frame the query scores. */
   private[graft] def ivfCandidates(spark: SparkSession, dir: String,
                                    nprobe: Int, cells: Int,
-                                   iterations: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val centroids = ivfIndex(spark, dir, cells, iterations)
+                                   iterations: Int): DataFrame =
+    ivfProbe(Tables.embeddings(spark, dir),
+      ivfIndex(spark, dir, cells, iterations), nprobe)
+
+  /** The IVF probe given an ALREADY-TRAINED quantizer — split out so the
+    * drift-refresh protocol can search with either the frozen or a
+    * retrained centroid frame through the one probing definition. */
+  private def ivfProbe(e: DataFrame, centroids: DataFrame,
+                       nprobe: Int): DataFrame = {
     val vecs = e.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     // corpus bucketed by trained cell — one map-side pass
@@ -153,6 +159,86 @@ object Similarity {
     corpus.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
   }
+
+  /** DRIFT-TRIGGERED quantizer refresh for the SEARCH consumer — the
+    * protocol [[Dedup.semanticDedupRefresh]] runs for the dedup
+    * consumer, applied to the IVF index (VERDICT r16 #4's other half:
+    * the drift monitor guards every frozen quantizer, and the search
+    * tier deploys one too). History (vec_id < splitId) owns the trained
+    * index; a delta ingest is scored by [[embDriftDims]] — quiet
+    * monitor → search the WHOLE corpus with the FROZEN history-trained
+    * quantizer (assignment is map-side; new vectors just bucket into
+    * existing cells — the cheap path, and the correct one while the
+    * distribution holds); any drifted dim → retrain on history ∪ delta
+    * and search with the fresh quantizer (stale cells would park the
+    * new directions' vectors in unrelated cells and the new-direction
+    * queries would probe them blind). The `branch` column makes the
+    * decision hash-gated: a scoring bug flips it and breaks the gate
+    * even where both branches' top-k would coincide. */
+  def ivfTopKRefresh(spark: SparkSession, dir: String, splitId: Long,
+                     cells: Int = IvfCells,
+                     cellsRefresh: Int = 12,
+                     nprobe: Int = IvfNprobe,
+                     iterations: Int = IvfIterations,
+                     thresholdMicro: Long = Dedup.DriftThresholdMicro)
+      : DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val drifted = embDriftDims(
+        embStatsOf(e.filter(col("vec_id") < splitId)),
+        embStatsOf(e.filter(col("vec_id") >= splitId)),
+        thresholdMicro)
+      .limit(1).collect().nonEmpty
+    val (centroids, branch) =
+      if (drifted)
+        (KMeans.fit(spark, e, cellsRefresh, iterations), "refresh")
+      else
+        (graft.tools.ArtifactCache.parquet(spark, dir,
+          s"ivf_hist_c${cells}_i${iterations}_lt$splitId") { p =>
+          KMeans.saveIndex(KMeans.fit(spark,
+            e.filter(col("vec_id") < splitId), cells, iterations), p)
+        }, "frozen")
+    rankTail(ivfProbe(e, centroids, nprobe)
+        .withColumn("cos", Dedup.cosine("q_emb", "n_emb")))
+      .withColumn("branch", lit(branch))
+  }
+
+  /** The refresh arm on the DRIFTED corpus (the semantic-refresh gate's
+    * regime): dims 60/61 shift 0.5 in the mean past the threshold, so
+    * the retrain branch is FORCED; the retrained cells co-cluster every
+    * direction's identical-up-to-jitter members, the query's own cell
+    * is always probed, and the history queries' true top-k never leave
+    * their direction — so refresh search == brute over the 270-vector
+    * corpus, which the oracle synthesizes. */
+  def ivfRefreshClustered(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKRefresh(spark, driftedCorpusDir(spark), splitId = 200)
+
+  /** The NO-DRIFT arm on the standard clustered corpus split at 150:
+    * the monitor is quiet, so search runs over the full corpus with the
+    * HISTORY-trained frozen quantizer — delta vectors of every planted
+    * direction bucket into their direction's existing cell, so the
+    * frozen path is exact here too, and the gate pins that the protocol
+    * adds nothing when quiet. */
+  def ivfRefreshNoDriftClustered(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKRefresh(spark, clusteredCorpusDir(spark), splitId = 150)
+
+  lazy val ivfRefreshClusteredSql: String = {
+    val cos = Dedup.cosineSql("q.embedding", "n.embedding")
+    s"""WITH emb AS (
+       |  $driftedEmbSql)
+       |SELECT q_id, rank, n_id, cos, 'refresh' AS branch FROM (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, $cos AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, n.vec_id) AS rank
+       |  FROM emb q JOIN emb n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $NumQueries) t
+       |WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  lazy val ivfRefreshNoDriftSql: String =
+    s"""WITH b AS (
+       |  $clusteredBruteSql)
+       |SELECT q_id, rank, n_id, cos, 'frozen' AS branch FROM b
+       |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // Hyperplane LSH ANN
@@ -1377,6 +1463,8 @@ object Similarity {
     // identical at every SF, exactly like sim_recall_clustered.
     "sim_topk_ivf_clustered" ->
       ((s: SparkSession, _: String) => ivfTopK(s, clusteredCorpusDir(s))),
+    "sim_topk_ivf_refresh_clustered" -> (ivfRefreshClustered _),
+    "sim_topk_ivf_refresh_nodrift_clustered" -> (ivfRefreshNoDriftClustered _),
     "sim_topk_lsh_clustered" ->
       ((s: SparkSession, _: String) => lshTopK(s, clusteredCorpusDir(s))),
     "sim_topk_pq_clustered" ->
@@ -1429,6 +1517,8 @@ object Similarity {
     "sim_topk_ann"   -> bruteForceTopKSql,
     "sim_topk_ann_lsh"       -> clusteredBruteSql,
     "sim_topk_ivf_clustered" -> clusteredBruteSql,
+    "sim_topk_ivf_refresh_clustered" -> ivfRefreshClusteredSql,
+    "sim_topk_ivf_refresh_nodrift_clustered" -> ivfRefreshNoDriftSql,
     "sim_topk_lsh_clustered" -> clusteredBruteSql,
     "sim_topk_pq_clustered"  -> clusteredBruteSql,
     "sim_topk_hnsw_clustered" -> clusteredBruteSql,

@@ -394,6 +394,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(0))
   }
 
+  test("ivfTopKRefresh: the drifted arm takes the retrain branch, the " +
+      "quiet arm stays frozen and matches the full-corpus-trained tier") {
+    val drift = Similarity.ivfRefreshClustered(spark, "").collect()
+    assert(drift.nonEmpty && drift.forall(_.getString(4) == "refresh"))
+    val quiet = Similarity.ivfRefreshNoDriftClustered(spark, "").collect()
+    assert(quiet.nonEmpty && quiet.forall(_.getString(4) == "frozen"))
+    // both quantizers are exact on this corpus → identical top-k
+    val tier = Similarity.ivfTopK(spark,
+      Similarity.clusteredCorpusDir(spark)).collect()
+      .map(_.toSeq).toSeq
+    assert(quiet.map(_.toSeq.take(4)).toSeq == tier,
+      "frozen-branch search diverged from the clustered IVF tier")
+  }
+
   test("HNSW streaming: the maintained edge artifact equals the batch " +
       "rebuild bitwise under misaligned epochs that re-touch partitions") {
     val cdir = Similarity.clusteredCorpusDir(spark)
