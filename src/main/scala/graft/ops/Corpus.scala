@@ -758,6 +758,117 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** END-TO-END DATALOADER ASSEMBLY through the HASH GATE — the
+    * assembly-side integration (`pipeline_curation` composed the
+    * cleaning side in r16; this composes the four dataloader stages
+    * over one another):
+    *
+    *   1. [[sampleStratified]] — reproducible per-language subsample;
+    *   2. [[mixTemperatureDocs]] over the SAMPLED pool — α = ½ targets
+    *      with the exact-budget largest-remainder top-up;
+    *   3. replicate — each document becomes `repeats` training
+    *      instances (a narrow generator, zero shuffle);
+    *   4. shuffle+shard — instances permute by the seedless
+    *      `md5(doc_id ':' rep)` key through the TwoLevel strata rank
+    *      (no global sort, no unpartitioned window) and deal
+    *      round-robin into [[ShardsDefault]] shards.
+    *
+    * Every stage is integer-/md5-exact, so the oracle replays the WHOLE
+    * chain — a sampling flip, a one-token budget miss, a lost or extra
+    * replica, or a permutation divergence anywhere breaks one hash.
+    * Scale shape: the stages compose scans and one narrow rank shuffle;
+    * the only driver folds are one row per language and 16 stratum
+    * offsets. */
+  def dataloaderPipeline(spark: SparkSession, dir: String,
+                         totalBudget: Long = MixTempBudgetDefault,
+                         shards: Int = ShardsDefault): DataFrame = {
+    import spark.implicits._
+    val sampled = sampleStratifiedDocs(Tables.documents(spark, dir))
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+    val reps = mixTemperatureDocs(sampled, totalBudget)
+      .filter(col("repeats") > 0L)
+      .withColumn("rep", explode(expr("sequence(0L, repeats - 1L)")))
+      .select(col("lang"), col("doc_id"), col("rep"))
+    val salted = TwoLevel.withMd5Bucket(reps,
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("rep").cast("string")), "__o", "__b")
+      .withColumn("__s", substring(col("__o"), 1, 1))
+    val ranked = TwoLevel.rank(salted, Seq("__s"), "__b",
+        Seq(col("__o"), col("doc_id"), col("rep")), "rk",
+        stratumTotalOut = Some("__tot"))
+      .stage()
+    val totals = ranked.select(col("__s"), col("__tot")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (s, t) => val o = (s, acc); acc += t; o }
+    ranked
+      .join(broadcast(offsets.toSeq.toDF("__s", "__off")), Seq("__s"))
+      .withColumn("gr", col("__off") + col("rk"))
+      .withColumn("shard", ((col("gr") - 1) % shards).cast("long"))
+      .withColumn("pos", expr(s"(gr - 1) div $shards"))
+      .select(col("lang"), col("doc_id"), col("rep"), col("shard"),
+        col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Oracle of [[dataloaderPipeline]] — the full chain replayed:
+    * sample predicate, tempered targets over the sampled pool,
+    * prefix-sum repeats, per-instance md5 permutation. Constants
+    * shared throughout. */
+  lazy val dataloaderPipelineSql: String = {
+    val cases = SampleRates.toSeq.sortBy(_._1).map { case (lang, (n, dn)) =>
+      s"WHEN '$lang' THEN '${hexThreshold(n, dn)}'"
+    }.mkString(" ")
+    s"""WITH sm AS (
+       |  SELECT lang, doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':smp'), 1, 16)
+       |    < CASE lang $cases
+       |      ELSE '${hexThreshold(SampleDefaultRate._1, SampleDefaultRate._2)}' END),
+       |p AS (SELECT lang, SUM(n_tokens) AS pool FROM sm GROUP BY 1),
+       |w AS (SELECT lang, pool,
+       |        CAST(floor(sqrt(CAST(pool AS DOUBLE)) * $MixTempScale)
+       |          AS BIGINT) AS w
+       |      FROM p),
+       |s AS (SELECT CAST(SUM(w) AS HUGEINT) AS wsum FROM w),
+       |b AS (SELECT lang, pool,
+       |        CAST($MixTempBudgetDefault AS HUGEINT) * w // wsum AS t0,
+       |        CAST($MixTempBudgetDefault AS HUGEINT) * w % wsum AS rem
+       |      FROM w CROSS JOIN s),
+       |lf AS (SELECT $MixTempBudgetDefault - SUM(t0) AS lft FROM b),
+       |r AS (SELECT lang, pool,
+       |        CAST(t0 + CASE WHEN ROW_NUMBER() OVER
+       |            (ORDER BY rem DESC, lang) <= lft
+       |          THEN 1 ELSE 0 END AS BIGINT) AS target
+       |      FROM b CROSS JOIN lf),
+       |c AS (SELECT lang, doc_id, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS cum_before
+       |      FROM sm),
+       |rp AS (SELECT c.lang, doc_id,
+       |         CAST(target // pool +
+       |           CASE WHEN cum_before < target % pool THEN 1 ELSE 0 END
+       |           AS BIGINT) AS repeats
+       |       FROM c JOIN r ON c.lang = r.lang),
+       |inst AS (SELECT lang, doc_id, CAST(u AS BIGINT) AS rep
+       |         FROM rp, unnest(range(0, repeats)) t(u)),
+       |rk AS (SELECT lang, doc_id, rep, ROW_NUMBER() OVER (
+       |         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'
+       |                        || CAST(rep AS VARCHAR)),
+       |                  doc_id, rep) AS gr
+       |       FROM inst)
+       |SELECT lang, doc_id, rep,
+       |  CAST((gr - 1) % $ShardsDefault AS BIGINT) AS shard,
+       |  CAST((gr - 1) // $ShardsDefault AS BIGINT) AS pos
+       |FROM rk
+       |ORDER BY shard, pos""".stripMargin
+  }
+
   /** PADDED sequence packing — the document-boundary-respecting recipe
     * (SFT / instruction-tuning runs pad rather than concat: attention
     * must not bleed across documents without masking): every document
@@ -935,11 +1046,20 @@ object Corpus {
     * construction; overflow-proof at any pool size); per-doc repeats
     * ride the same TwoLevel prefix-sum decomposition as mixWeights. */
   def mixTemperature(spark: SparkSession, dir: String,
-                     totalBudget: Long = MixTempBudgetDefault): DataFrame = {
+                     totalBudget: Long = MixTempBudgetDefault): DataFrame =
+    mixTemperatureDocs(
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+      totalBudget)
+
+  /** [[mixTemperature]] over an arbitrary (lang, doc_id, n_tokens)
+    * pool — the composition entry ([[dataloaderPipeline]] feeds the
+    * SAMPLED pool through the same definition). */
+  private[graft] def mixTemperatureDocs(d: DataFrame,
+                                        totalBudget: Long): DataFrame = {
+    val spark = d.sparkSession
     import spark.implicits._
-    val d = Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
     // one row per language — the k-limited-collect discipline
     val pools = d.groupBy(col("lang")).agg(sum(col("n_tokens")).as("pool"))
       .withColumn("w", expr(
@@ -2380,6 +2500,7 @@ object Corpus {
     "corpus_curriculum" -> ((s: SparkSession, d: String) => curriculumOrder(s, d)),
     "corpus_sample_stratified" -> (sampleStratified _),
     "corpus_mix_temperature" -> ((s: SparkSession, d: String) => mixTemperature(s, d)),
+    "pipeline_dataloader" -> ((s: SparkSession, d: String) => dataloaderPipeline(s, d)),
     "corpus_chunk"       -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "corpus_pack_padded" -> ((s: SparkSession, d: String) => packPadded(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
@@ -2416,6 +2537,7 @@ object Corpus {
     "corpus_curriculum" -> curriculumSql,
     "corpus_sample_stratified" -> sampleStratifiedSql,
     "corpus_mix_temperature" -> mixTemperatureSql,
+    "pipeline_dataloader" -> dataloaderPipelineSql,
     "corpus_chunk" -> chunkDocsSql,
     "corpus_pack_padded" -> packPaddedSql,
     "corpus_bpe"         -> bpeMergesSql,

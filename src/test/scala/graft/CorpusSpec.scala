@@ -530,4 +530,22 @@ class CorpusSpec extends SparkSpec {
         s"$l: assembled $got vs target $t")
     }
   }
+
+  test("dataloaderPipeline: instances come only from sampled docs, " +
+      "shards balanced within 1, positions dense per shard") {
+    val out = Corpus.dataloaderPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val sampledIds = Corpus.sampleStratified(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(out.map(_._2).toSet.subsetOf(sampledIds),
+      "an unsampled doc leaked into the assembly")
+    val sizes = out.groupBy(_._4).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"imbalanced shards: $sizes")
+    out.groupBy(_._4).foreach { case (sh, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (0L until rows.size).toSeq,
+        s"shard $sh positions not dense")
+    }
+  }
 }
