@@ -873,6 +873,12 @@ object ScaleProbe {
       // stratified sampling is the no-shuffle floor: one predicate scan
       "corpus_sample" -> (() =>
         graft.ops.Corpus.sampleStratified(spark, outDir).count()),
+      // the full assembly chain (sample → temper → replicate → shuffle →
+      // shard) at a budget that scales with the corpus, so the instance
+      // stream the rank shuffles grows with the data
+      "pipeline_dataloader" -> (() =>
+        graft.ops.Corpus.dataloaderPipeline(spark, outDir,
+          totalBudget = 20000L * mult).count()),
       "text_tfidf"         -> (() => graft.ops.TextAnalysis.queries("text_tfidf")(spark, outDir).count()),
       "text_inverted_index"-> (() => graft.ops.TextAnalysis.queries("text_inverted_index")(spark, outDir).count()),
       "text_langid"        -> (() => graft.ops.TextAnalysis.queries("text_langid")(spark, outDir).count()),
