@@ -940,7 +940,16 @@ object Similarity {
     * and the oracle SQL embed the same ±1 literals, so no engine needs a
     * shared hash function at query time. */
   private[ops] lazy val projSigns: Array[Array[Int]] = {
-    Array.tabulate(16, Dedup.Dim) { (j, i) =>
+    // literal 64 (= Dedup.Dim), NOT a read of another object's val: the
+    // Dedup ⇄ Similarity objects reference each other during class init
+    // (embeddingStreamClusteredSql ↔ clusteredEmbSql), and under
+    // concurrent suite-triggered initialization a cross-object val read
+    // inside this lazy body can observe Dedup's IN-PROGRESS default (0)
+    // — the JVM breaks the <clinit> cycle instead of deadlocking, and
+    // this matrix came back with empty rows (empty.reduceLeft in
+    // project(), seen once in a full parallel suite run). A literal is
+    // immune; FixturesSchemaSpec pins the embedding width to 64.
+    Array.tabulate(16, 64) { (j, i) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val h = md.digest(s"proj:$j:$i".getBytes("UTF-8"))
       if ((h(0) & 1) == 0) 1 else -1
