@@ -14,6 +14,24 @@ import org.apache.spark.sql.SparkSession
   * report per-phase timings via graft.tools.PhaseTiming so a regression in
   * e.g. quantizer training is attributable without re-profiling.
   *
+  * WALL-CLOCK BUDGET (VERDICT r17 #1 — the r17 driver run was killed at
+  * exactly +3600 s mid-suite and left `parsed: null`): the whole run fits
+  * itself to `SPARK_GRAFT_BENCH_BUDGET` seconds (default 2700, safely
+  * under the driver's hour) by degrading, in order of how little each step
+  * costs in evidence:
+  *   1. the sf0.001 plan warm-up SKIPS stream/state-replay queries up
+  *      front (their cost is per-epoch state IO, not codegen — warming
+  *      them buys nothing) and stops entirely past 20 % of budget;
+  *   2. past 40 % of budget the remaining queries run ONE iteration
+  *      instead of `iters` — recorded per-query in `query_iters`, so a
+  *      1-iteration min is never mistaken for a 3-iteration one;
+  *   3. past 92 % of budget remaining queries are SKIPPED and listed in
+  *      `skipped` (comparable flips false — a partial total must never
+  *      be compared against a full one).
+  * A JVM shutdown hook flushes BOTH artifacts (`comparable:false`,
+  * `aborted:true`) if the process is killed mid-suite, so an external
+  * timeout can never again produce an unparsable round artifact.
+  *
   * Output contract: the harness that invokes this keeps only a ~2000-char
   * tail of stdout (BENCH_r01–r03 all show `parsed: null` with the JSON line
   * truncated mid-object at exactly 2000 chars), and sbt appends its own
@@ -28,160 +46,82 @@ import org.apache.spark.sql.SparkSession
   *     fit a `maxLine` budget (default 1700 chars, SPARK_GRAFT_BENCH_MAXLINE).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_ITERS").flatMap(_.trim.toIntOption).getOrElse(3))
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
-    val maxLine = sys.env.get("SPARK_GRAFT_BENCH_MAXLINE")
-      .flatMap(_.trim.toIntOption).getOrElse(1700)
-    val spark = Tables.withEventsConf(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      // keep saveAsTable catalog dirs (q94's bucketed tables) out of the
-      // repo root — ./spark-warehouse is the default otherwise
-      .config("spark.sql.warehouse.dir",
-        graft.tools.TempDirs.createFastForJvm("graft-warehouse"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id)").collect() // JVM/session warmup
-    // Warm each plan at the smallest SF first: whole-stage codegen caches
-    // on generated source, which is identical across data dirs for the
-    // same plan shape — so the timed run below measures execution, not
-    // one-time Janino compilation (which a long-lived cluster amortizes).
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-    }
-    // Discard phases the sf0.001 warm-up recorded (tiny-scale streaming
-    // epoch timings etc.) so the "warm." drain below holds ONLY the
-    // bench-SF sim/kmeans artifact-build phases it claims (ADVICE r15).
-    graft.tools.PhaseTiming.drain()
-    // Artifact warm-in at the BENCH SF for the similarity/k-means family
-    // (VERDICT r14 #8): their IVF/PQ/ground-truth artifacts are cached
-    // per data dir, so the sf0.001 plan warm-up above does not build
-    // them for sfDir — the build otherwise lands inside a timed
-    // iteration of whichever query touches each artifact first, and the
-    // sub-second sim entries drift 1.3–1.45× run to run on that
-    // accident of ordering. One untimed pass pins queries_min to steady
-    // state for the family (the train-once cost stays visible in the
-    // probe artifacts and the *.build phases, not here).
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => n.startsWith("sim_") || n.startsWith("kmeans_") }
-      .foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
-    val phases = scala.collection.mutable.Map[String, Double]()
-    // The warm-in just paid the family's train-once artifact builds —
-    // keep their *.build phase timings under a "warm." prefix so the
-    // build-cost evidence still lands in bench_full.json (the timed
-    // loop's leading drain would otherwise discard them).
-    phases ++= graft.tools.PhaseTiming.drain()
-      .map { case (k, v) => s"warm.$k" -> v }
-    // Per-query shuffle-bytes evidence: the collector aggregates each
-    // action's shuffle writes; the per-iteration average lands in the
-    // bench JSON so "the dedup shuffle carries digests, not documents"
-    // is a measured number, not only a plan assertion.
-    // r7 (advice): shuffleBytesWritten and sink bytesWritten are collected
-    // SEPARATELY — file/JDBC output no longer inflates the shuffle number.
-    // The per-iteration average still includes any first-iteration
-    // artifact-cache build (documented: steady state is the min column).
-    val collector = graft.tools.MetricsCollector.attach(spark)
-    val shuffles = scala.collection.mutable.Map[String, Double]()
-    val sinks = scala.collection.mutable.Map[String, Double]()
-    // (name, median, min): the median is the headline (absorbs one bad
-    // iteration); the min is recorded beside it because on a contended
-    // sandbox even the median inflates — min is the best witness of what
-    // the plan costs when the machine isn't fighting back.
-    // Routing-guard counters (oversized blocks rerouted, docs routed, band
-    // buckets capped): the one place the engine can return fewer rows than
-    // a naive oracle, surfaced in the artifact (VERDICT r7 item 4). The
-    // ++= keeps the last iteration that FIRED each counter: routing is
-    // deterministic per corpus, but counters attached to train-once
-    // artifact builds (dedup_incr_jaccard's pair artifact) fire only on
-    // the iteration that built the artifact — absent counters on a
-    // warm-artifact run mean "build skipped", not "routing changed".
-    val routing = scala.collection.mutable.Map[String, Long]()
-    // Query exceptions are NOT swallowed into sub-100ms "timings" any more
-    // (round 8: 37 analysis-broken queries read as a speedup because the
-    // bench recorded their time-to-throw). An errored query is excluded
-    // from every total and lands in an `errors` map in both artifacts.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
-      graft.tools.RoutingMetrics.drain()
-      org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
-      collector.clear()
-      // Byte metrics are per-iteration DELTAS so a failed iteration's
-      // partial bytes never enter the per-query averages, and the
-      // divisor is the successful-iteration count — timings and byte
-      // metrics now describe the same set of runs (ADVICE r9).
-      var okShuffle, okSink, prevShuffle, prevSink = 0.0
-      val times = (1 to iters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name,
-              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" ").take(300)}")
-            false
-        }
-        val t = (System.nanoTime() - t0) / 1e9
-        // accumulate across iterations (last write wins): steady-state
-        // phases come from the final iteration, while train-once artifact
-        // builds (*.build fires only on the first call per corpus) survive
-        phases ++= graft.tools.PhaseTiming.drain()
-          .map { case (k, v) => s"$name.$k" -> v }
-        routing ++= graft.tools.RoutingMetrics.drain()
-          .map { case (k, v) => s"$name.$k" -> v }
-        org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
-        val curShuffle = collector.all.map(_.shuffleBytesWritten).sum.toDouble
-        val curSink = collector.all.map(_.sinkBytesWritten).sum.toDouble
-        if (ok) { okShuffle += curShuffle - prevShuffle; okSink += curSink - prevSink }
-        prevShuffle = curShuffle; prevSink = curSink
-        if (ok) Some(t) else None
-      }
-      if (times.isEmpty) None // all iterations threw — errors map has the story
-      else {
-        shuffles(name) = okShuffle / times.size
-        sinks(name) = okSink / times.size
-        Some((name, times.sorted.apply(times.size / 2), times.min))
-      }
-    }
-    val results = timed.map { case (n, med, _) => n -> med }
-    val mins = timed.map { case (n, _, mn) => n -> mn }
+  /** Stream/state-replay queries: their runtime is per-epoch state IO
+    * (writes, compaction folds, range-pruned reads), which no codegen
+    * cache amortizes — a tiny-SF warm-up pass just pays the IO twice.
+    * Covers the foreachBatch-loop families (`*stream*`, `*_late`,
+    * `*_ttl`, `*_refresh`, `*_incr`) and the CDC state-layout gates
+    * (q95–q103 replay 4-epoch ingest loops by construction). */
+  private def stateReplay(name: String): Boolean =
+    name.contains("stream") || name.endsWith("_late") ||
+      name.contains("_late_") || name.contains("_ttl") ||
+      name.contains("_refresh") || name.contains("_incr") ||
+      name.matches("q(9[5-9]|10[0-9])_.*")
+
+  // ---- state shared with the shutdown hook (all writes under `lock`) ----
+  private val lock = new Object
+  @volatile private var artifactsWritten = false
+  private val phases = scala.collection.mutable.Map[String, Double]()
+  private val shuffles = scala.collection.mutable.Map[String, Double]()
+  private val sinks = scala.collection.mutable.Map[String, Double]()
+  private val routing = scala.collection.mutable.Map[String, Long]()
+  private val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+  private val timed =
+    scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+  private val queryIters = scala.collection.mutable.Map[String, Int]()
+  private val skipped = scala.collection.mutable.ArrayBuffer[String]()
+  private var warmupTruncatedAt = -1 // #warm-ups completed when truncated
+  private var outPath = "/root/repo/bench_full.json"
+  private var maxLine = 1700
+  private var itersCfg = 3
+  private var budgetSec = 2700.0
+  private var sfDir = ""
+  private var startNanos = 0L
+
+  private def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Builds and flushes both artifacts from the current (possibly
+    * partial) state. Called once at normal completion and by the
+    * shutdown hook on an external kill; idempotent via
+    * `artifactsWritten`. Must stay cheap — on SIGTERM the JVM may only
+    * have the timeout's grace period before a follow-up KILL. */
+  private def writeArtifacts(aborted: Boolean): Unit = lock.synchronized {
+    if (artifactsWritten) return
+    artifactsWritten = true
+    val results = timed.map { case (n, med, _) => n -> med }.toSeq
+    val mins = timed.map { case (n, _, mn) => n -> mn }.toSeq
     def jsonMap(m: Iterable[(String, Double)], fmt: Double => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def full(v: Double): String = v.toString
     def short(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-
-    // Full-detail artifact for the judge (all queries, full precision, phases).
-    // The resolved scratch root distinguishes "tmpfs engaged, still slow"
-    // from "silent fallback to a contended disk" for the streaming sinks.
     val scratch = graft.tools.TempDirs.resolvedRoot
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    // `comparable`: errored queries are EXCLUDED from `value`, so a run
-    // with errors produces a smaller (better-looking) total than a
-    // healthy one — totals must only be compared across artifacts where
-    // comparable=true / n_errors=0 (ADVICE r9; the r8 artifact is the
-    // cautionary tale).
-    val comparable = errors.isEmpty
+    // `comparable`: errored/skipped queries are EXCLUDED from `value`, so
+    // such a run produces a smaller (better-looking) total than a healthy
+    // one — totals must only be compared across artifacts where
+    // comparable=true / n_errors=0 / n_skipped=0 (ADVICE r9; the r8
+    // artifact is the cautionary tale). An aborted run is never
+    // comparable. Degraded ITERATIONS (query_iters < iters) keep
+    // comparable=true: each per-query min is still a real end-to-end
+    // min, just over fewer samples.
+    val comparable = errors.isEmpty && skipped.isEmpty && !aborted
+    val itersJson = queryIters.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val skippedJson = skipped.map(jstr).mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"errors":$errJson,"n_errors":${errors.size},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"aborted":$aborted,"queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"errors":$errJson,"n_errors":${errors.size},"skipped":$skippedJson,"n_skipped":${skipped.size},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$itersCfg,"query_iters":$itersJson,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"warmup_truncated_at":$warmupTruncatedAt,"scratch_root":"$scratch","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -200,11 +140,167 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
     def line(slow: Seq[(String, Double)]): String = {
       val qs = jsonMap(fams ++ slow.sortBy(_._1), short)
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","comparable":$comparable,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"full":"$outPath","iters":$iters,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","comparable":$comparable,"aborted":$aborted,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"n_skipped":${skipped.size},"full":"$outPath","iters":$itersCfg,"budget_sec":$budgetSec,"elapsed_sec":${short(elapsedSec)},"scratch_root":"$scratch","sf":"$sfDir"}"""
     }
     var k = 0
     while (k < bySlowest.size && line(bySlowest.take(k + 1)).length <= maxLine) k += 1
     println(line(bySlowest.take(k)))
+    System.out.flush()
+  }
+
+  def main(args: Array[String]): Unit = {
+    startNanos = System.nanoTime()
+    sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    itersCfg = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_ITERS").flatMap(_.trim.toIntOption).getOrElse(3))
+    outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
+    maxLine = sys.env.get("SPARK_GRAFT_BENCH_MAXLINE")
+      .flatMap(_.trim.toIntOption).getOrElse(1700)
+    budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(_.trim.toDoubleOption).filter(_ > 0).getOrElse(2700.0)
+    // Kill-safety: an external timeout's SIGTERM runs shutdown hooks —
+    // flush whatever has been measured, marked aborted/not-comparable,
+    // instead of leaving the round with no parsable artifact (the r17
+    // failure mode).
+    val hook = new Thread(() => writeArtifacts(aborted = true), "bench-flush")
+    Runtime.getRuntime.addShutdownHook(hook)
+    val spark = Tables.withEventsConf(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      // keep saveAsTable catalog dirs (q94's bucketed tables) out of the
+      // repo root — ./spark-warehouse is the default otherwise
+      .config("spark.sql.warehouse.dir",
+        graft.tools.TempDirs.createFastForJvm("graft-warehouse"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // JVM/session warmup
+    // Warm each plan at the smallest SF first: whole-stage codegen caches
+    // on generated source, which is identical across data dirs for the
+    // same plan shape — so the timed run below measures execution, not
+    // one-time Janino compilation (which a long-lived cluster amortizes).
+    // Stream/state-replay queries are excluded (see stateReplay); the
+    // pass also stops once 20 % of the wall budget is burned.
+    val warmDir = "/root/testdata/sf0.001"
+    val warmable = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => stateReplay(n) }
+    var warmed = 0
+    warmable.foreach { case (_, fn) =>
+      if (elapsedSec < 0.20 * budgetSec) {
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        warmed += 1
+      } else if (warmupTruncatedAt < 0) warmupTruncatedAt = warmed
+    }
+    // Discard phases the sf0.001 warm-up recorded (tiny-scale streaming
+    // epoch timings etc.) so the "warm." drain below holds ONLY the
+    // bench-SF sim/kmeans artifact-build phases it claims (ADVICE r15).
+    graft.tools.PhaseTiming.drain()
+    // Artifact warm-in at the BENCH SF for the similarity/k-means family
+    // (VERDICT r14 #8): their IVF/PQ/ground-truth artifacts are cached
+    // per data dir, so the sf0.001 plan warm-up above does not build
+    // them for sfDir — the build otherwise lands inside a timed
+    // iteration of whichever query touches each artifact first, and the
+    // sub-second sim entries drift 1.3–1.45× run to run on that
+    // accident of ordering. One untimed pass pins queries_min to steady
+    // state for the family (the train-once cost stays visible in the
+    // probe artifacts and the *.build phases, not here).
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => n.startsWith("sim_") || n.startsWith("kmeans_") }
+      .foreach { case (_, fn) =>
+        if (elapsedSec < 0.30 * budgetSec)
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+    // The warm-in just paid the family's train-once artifact builds —
+    // keep their *.build phase timings under a "warm." prefix so the
+    // build-cost evidence still lands in bench_full.json (the timed
+    // loop's leading drain would otherwise discard them).
+    lock.synchronized {
+      phases ++= graft.tools.PhaseTiming.drain()
+        .map { case (k, v) => s"warm.$k" -> v }
+    }
+    // Per-query shuffle-bytes evidence: the collector aggregates each
+    // action's shuffle writes; the per-iteration average lands in the
+    // bench JSON so "the dedup shuffle carries digests, not documents"
+    // is a measured number, not only a plan assertion.
+    // r7 (advice): shuffleBytesWritten and sink bytesWritten are collected
+    // SEPARATELY — file/JDBC output no longer inflates the shuffle number.
+    // The per-iteration average still includes any first-iteration
+    // artifact-cache build (documented: steady state is the min column).
+    val collector = graft.tools.MetricsCollector.attach(spark)
+    // (name, median, min): the median is the headline (absorbs one bad
+    // iteration); the min is recorded beside it because on a contended
+    // sandbox even the median inflates — min is the best witness of what
+    // the plan costs when the machine isn't fighting back.
+    // Routing-guard counters (oversized blocks rerouted, docs routed, band
+    // buckets capped): the one place the engine can return fewer rows than
+    // a naive oracle, surfaced in the artifact (VERDICT r7 item 4). The
+    // ++= keeps the last iteration that FIRED each counter: routing is
+    // deterministic per corpus, but counters attached to train-once
+    // artifact builds (dedup_incr_jaccard's pair artifact) fire only on
+    // the iteration that built the artifact — absent counters on a
+    // warm-artifact run mean "build skipped", not "routing changed".
+    // Query exceptions are NOT swallowed into sub-100ms "timings" any more
+    // (round 8: 37 analysis-broken queries read as a speedup because the
+    // bench recorded their time-to-throw). An errored query is excluded
+    // from every total and lands in an `errors` map in both artifacts.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (elapsedSec > 0.92 * budgetSec) {
+        lock.synchronized { skipped += name }
+      } else {
+        graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
+        graft.tools.RoutingMetrics.drain()
+        org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
+        collector.clear()
+        // budget degradation step 2: past 40 % of budget each remaining
+        // query runs once — a 274-query suite of 3 iterations no longer
+        // fits a contended hour (the r17 DNF); per-query counts land in
+        // query_iters so a 1-sample min is never silently compared as 3.
+        val itersFor = if (elapsedSec > 0.40 * budgetSec) 1 else itersCfg
+        // Byte metrics are per-iteration DELTAS so a failed iteration's
+        // partial bytes never enter the per-query averages, and the
+        // divisor is the successful-iteration count — timings and byte
+        // metrics now describe the same set of runs (ADVICE r9).
+        var okShuffle, okSink, prevShuffle, prevSink = 0.0
+        val times = (1 to itersFor).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              lock.synchronized {
+                errors.getOrElseUpdate(name,
+                  s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" ").take(300)}")
+              }
+              false
+          }
+          val t = (System.nanoTime() - t0) / 1e9
+          // accumulate across iterations (last write wins): steady-state
+          // phases come from the final iteration, while train-once artifact
+          // builds (*.build fires only on the first call per corpus) survive
+          val ph = graft.tools.PhaseTiming.drain()
+          val rt = graft.tools.RoutingMetrics.drain()
+          org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
+          val curShuffle = collector.all.map(_.shuffleBytesWritten).sum.toDouble
+          val curSink = collector.all.map(_.sinkBytesWritten).sum.toDouble
+          lock.synchronized {
+            phases ++= ph.map { case (k, v) => s"$name.$k" -> v }
+            routing ++= rt.map { case (k, v) => s"$name.$k" -> v }
+            if (ok) { okShuffle += curShuffle - prevShuffle; okSink += curSink - prevSink }
+          }
+          prevShuffle = curShuffle; prevSink = curSink
+          if (ok) Some(t) else None
+        }
+        if (times.nonEmpty) lock.synchronized {
+          shuffles(name) = okShuffle / times.size
+          sinks(name) = okSink / times.size
+          queryIters(name) = times.size
+          timed += ((name, times.sorted.apply(times.size / 2), times.min))
+        }
+      }
+    }
+    writeArtifacts(aborted = false)
+    Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
   }
 }

@@ -716,6 +716,12 @@ object Corpus {
     * against: floor(16¹⁶ · num / den), zero-padded lowercase — string
     * order on lowercase hex IS numeric order, in both engines. */
   private[graft] def hexThreshold(num: Long, den: Long): String = {
+    // num >= den would emit a 17-char hex string, the pad expression
+    // would go negative-length, and the string compare against a 16-char
+    // md5 prefix would silently keep ~6 % instead of all rows (ADVICE
+    // r17) — a keep-everything rate needs no sampling predicate at all.
+    require(num > 0 && num < den,
+      s"sampling rate must satisfy 0 < num < den, got $num/$den")
     val t = (BigInt(16).pow(16) * num / den).toString(16)
     ("0" * (16 - t.length)) + t
   }
@@ -783,15 +789,7 @@ object Corpus {
                          totalBudget: Long = MixTempBudgetDefault,
                          shards: Int = ShardsDefault): DataFrame = {
     import spark.implicits._
-    val sampled = sampleStratifiedDocs(Tables.documents(spark, dir))
-      .join(Tables.documents(spark, dir).select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens")),
-        Seq("doc_id"))
-      .select(col("lang"), col("doc_id"), col("n_tokens"))
-    val reps = mixTemperatureDocs(sampled, totalBudget)
-      .filter(col("repeats") > 0L)
-      .withColumn("rep", explode(expr("sequence(0L, repeats - 1L)")))
-      .select(col("lang"), col("doc_id"), col("rep"))
+    val reps = dataloaderInstances(spark, dir, totalBudget)
     val salted = TwoLevel.withMd5Bucket(reps,
         concat(col("doc_id").cast("string"), lit(":"),
           col("rep").cast("string")), "__o", "__b")
@@ -814,15 +812,16 @@ object Corpus {
       .orderBy(col("shard"), col("pos"))
   }
 
-  /** Oracle of [[dataloaderPipeline]] — the full chain replayed:
-    * sample predicate, tempered targets over the sampled pool,
-    * prefix-sum repeats, per-instance md5 permutation. Constants
-    * shared throughout. */
-  lazy val dataloaderPipelineSql: String = {
+  /** The sample→temper→replicate chain as shared oracle CTEs (ending at
+    * `inst`, the training-instance table): [[dataloaderPipelineSql]],
+    * [[dataloaderCurriculumSql]] and (via the pipeline oracle)
+    * [[dataloaderResumeSql]] all replay the SAME pool — one definition
+    * so the three capstones cannot drift apart. */
+  private lazy val dataloaderInstSql: String = {
     val cases = SampleRates.toSeq.sortBy(_._1).map { case (lang, (n, dn)) =>
       s"WHEN '$lang' THEN '${hexThreshold(n, dn)}'"
     }.mkString(" ")
-    s"""WITH sm AS (
+    s"""sm AS (
        |  SELECT lang, doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
        |  FROM documents
        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':smp'), 1, 16)
@@ -856,7 +855,15 @@ object Corpus {
        |           AS BIGINT) AS repeats
        |       FROM c JOIN r ON c.lang = r.lang),
        |inst AS (SELECT lang, doc_id, CAST(u AS BIGINT) AS rep
-       |         FROM rp, unnest(range(0, repeats)) t(u)),
+       |         FROM rp, unnest(range(0, repeats)) t(u))""".stripMargin
+  }
+
+  /** Oracle of [[dataloaderPipeline]] — the full chain replayed:
+    * sample predicate, tempered targets over the sampled pool,
+    * prefix-sum repeats, per-instance md5 permutation. Constants
+    * shared throughout. */
+  lazy val dataloaderPipelineSql: String =
+    s"""WITH $dataloaderInstSql,
        |rk AS (SELECT lang, doc_id, rep, ROW_NUMBER() OVER (
        |         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'
        |                        || CAST(rep AS VARCHAR)),
@@ -867,7 +874,152 @@ object Corpus {
        |  CAST((gr - 1) // $ShardsDefault AS BIGINT) AS pos
        |FROM rk
        |ORDER BY shard, pos""".stripMargin
+
+  /** The sampled→tempered→replicated training-instance table (lang,
+    * doc_id, rep) — the Scala twin of [[dataloaderInstSql]], shared by
+    * [[dataloaderPipeline]] and [[dataloaderCurriculum]] so the two
+    * capstones assemble the SAME pool by construction. */
+  private def dataloaderInstances(spark: SparkSession, dir: String,
+                                  totalBudget: Long): DataFrame = {
+    val sampled = sampleStratifiedDocs(Tables.documents(spark, dir))
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"))
+    mixTemperatureDocs(sampled, totalBudget)
+      .filter(col("repeats") > 0L)
+      .withColumn("rep", explode(expr("sequence(0L, repeats - 1L)")))
+      .select(col("lang"), col("doc_id"), col("rep"))
   }
+
+  /** MID-EPOCH DATALOADER RESUME through the HASH GATE (VERDICT r17 #6
+    * — real training jobs restart; the assembly must hand back exactly
+    * the untrained suffix). The cursor is a per-shard high-water mark
+    * `(epoch 0, shard → pos)` persisted through
+    * [[graft.tools.HighWaterMarks]] — the same tiny-atomic-file pattern
+    * the id-ordered-admission guards use — and the READ-BACK marks (not
+    * the in-memory ones) drive the filter, so the persistence
+    * round-trip is load-bearing in the gate. The gate's cursor is
+    * mid-epoch by construction: shard s trained through
+    * pos < max(pos) div 2 (a pure function of the assembled epoch, so
+    * the oracle replays it in closed form at any SF). Resume emits the
+    * suffix WITH ITS ORIGINAL (shard, pos) — a trainer concatenating
+    * prefix + resume gets the identical epoch order, spec-pinned
+    * disjointly in CorpusSpec.
+    *
+    * Scale shape: [[dataloaderPipeline]]'s plan plus one ≤`shards`-row
+    * driver fold (the cursor), a broadcast join, and a narrow filter —
+    * nothing new shuffles. */
+  def dataloaderResume(spark: SparkSession, dir: String,
+                       totalBudget: Long = MixTempBudgetDefault,
+                       shards: Int = ShardsDefault): DataFrame = {
+    import spark.implicits._
+    val full = dataloaderPipeline(spark, dir, totalBudget, shards).stage()
+    // ≤ `shards` rows — the k-limited-collect discipline
+    val cuts = full.groupBy(col("shard"))
+      .agg(expr("max(pos) div 2").as("cut"))
+      .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    val root = graft.tools.TempDirs.createFast("graft-dlresume")
+    try {
+      graft.tools.HighWaterMarks.write(s"$root/cursor", 0L, cuts)
+      val got = graft.tools.HighWaterMarks.readAsOf(s"$root/cursor", 0L)
+      val cursor = got.toSeq.map { case (k, v) => (k.toLong, v) }
+        .toDF("shard", "cut")
+      full.join(broadcast(cursor), Seq("shard"))
+        .filter(col("pos") >= col("cut"))
+        .select(col("lang"), col("doc_id"), col("rep"), col("shard"),
+          col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    } finally graft.tools.TempDirs.deleteRecursively(root)
+  }
+
+  /** Oracle of [[dataloaderResume]]: the full assembly, filtered by the
+    * same closed-form mid-epoch cursor — suffix rows keep their
+    * original (shard, pos). */
+  // plain concatenation, NOT an outer stripMargin: the embedded assembly
+  // SQL has `||` concat operators at line starts, and a second stripMargin
+  // pass would eat their first pipe (Binder Error: '|'(VARCHAR, VARCHAR))
+  lazy val dataloaderResumeSql: String =
+    "WITH asm AS (\n" + dataloaderPipelineSql + "),\n" +
+      "cur AS (SELECT shard, MAX(pos) // 2 AS cut FROM asm GROUP BY shard)\n" +
+      "SELECT f.lang, f.doc_id, f.rep, f.shard, f.pos\n" +
+      "FROM asm f JOIN cur ON cur.shard = f.shard\n" +
+      "WHERE f.pos >= cur.cut\n" +
+      "ORDER BY f.shard, f.pos"
+
+  /** CURRICULUM-ORDERED DATALOADER ASSEMBLY through the HASH GATE
+    * (VERDICT r17 #7 — [[curriculumOrder]] and [[dataloaderPipeline]]
+    * were separate capstones; real runs want competence-ordered phases
+    * OVER the sampled+tempered pool): the [[dataloaderInstances]] chain
+    * builds the instance pool, each instance inherits its document's
+    * [[TextAnalysis.qualityBuckets]] phase, instances order by
+    * (bucket, salted md5 permutation within the phase — the
+    * [[curriculumOrder]] `c:` salt extended with the replica index so
+    * duplicates of one document still scatter within their phase), and
+    * round-robin dealing preserves the curriculum per shard exactly as
+    * in [[curriculumOrder]]. Shares BOTH existing oracles' constants
+    * ([[SampleRates]]/[[MixTempBudgetDefault]] and the qualityBuckets
+    * integer bucket rule); the monotone-phase-per-shard property is
+    * spec-pinned over the mixed pool.
+    *
+    * Scale shape: the pool chain is [[dataloaderPipeline]]'s; the
+    * phase join adds lmScore's bigram-equi-join plan; the rank is the
+    * same TwoLevel strata decomposition with a ≤3×16-row driver offset
+    * fold — still no global sort, no unpartitioned window. */
+  def dataloaderCurriculum(spark: SparkSession, dir: String,
+                           totalBudget: Long = MixTempBudgetDefault,
+                           shards: Int = ShardsDefault): DataFrame = {
+    import spark.implicits._
+    val phased = dataloaderInstances(spark, dir, totalBudget)
+      .join(TextAnalysis.qualityBuckets(spark, dir)
+        .select(col("doc_id"), col("bucket")), Seq("doc_id"))
+    val salted = TwoLevel.withMd5Bucket(phased,
+        concat(lit("c:"), col("doc_id").cast("string"), lit(":"),
+          col("rep").cast("string")), "__o", "__b")
+      .withColumn("__s", substring(col("__o"), 1, 1))
+    val ranked = TwoLevel.rank(salted, Seq("bucket", "__s"), "__b",
+        Seq(col("__o"), col("doc_id"), col("rep")), "rk",
+        stratumTotalOut = Some("__tot"))
+      .stage()
+    // ≤ 3 buckets × 16 hex strata — the k-limited-collect discipline;
+    // offsets accumulate ACROSS buckets (one global curriculum order)
+    val totals = ranked.select(col("bucket"), col("__s"), col("__tot"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = 0L
+    val offsets = totals.map { case (b, s, t) =>
+      val o = (b, s, acc); acc += t; o }
+    ranked
+      .join(broadcast(offsets.toSeq.toDF("bucket", "__s", "__off")),
+        Seq("bucket", "__s"))
+      .withColumn("gr", col("__off") + col("rk"))
+      .withColumn("shard", ((col("gr") - 1) % shards).cast("long"))
+      .withColumn("pos", expr(s"(gr - 1) div $shards"))
+      .select(col("lang"), col("doc_id"), col("rep"), col("bucket"),
+        col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Oracle of [[dataloaderCurriculum]]: the shared instance CTEs, the
+    * qualityBuckets oracle verbatim as the phase, ROW_NUMBER over
+    * (bucket, salted per-instance md5). */
+  lazy val dataloaderCurriculumSql: String =
+    s"""WITH qb AS (
+       |${TextAnalysis.qualityBucketsSql}),
+       |$dataloaderInstSql,
+       |rk AS (SELECT i.lang, i.doc_id, i.rep, qb.bucket,
+       |         ROW_NUMBER() OVER (
+       |           ORDER BY qb.bucket,
+       |                    md5('c:' || CAST(i.doc_id AS VARCHAR) || ':'
+       |                          || CAST(i.rep AS VARCHAR)),
+       |                    i.doc_id, i.rep) AS gr
+       |       FROM inst i JOIN qb ON qb.doc_id = i.doc_id)
+       |SELECT lang, doc_id, rep, bucket,
+       |  CAST((gr - 1) % $ShardsDefault AS BIGINT) AS shard,
+       |  CAST((gr - 1) // $ShardsDefault AS BIGINT) AS pos
+       |FROM rk
+       |ORDER BY shard, pos""".stripMargin
 
   /** PADDED sequence packing — the document-boundary-respecting recipe
     * (SFT / instruction-tuning runs pad rather than concat: attention
@@ -2501,6 +2653,8 @@ object Corpus {
     "corpus_sample_stratified" -> (sampleStratified _),
     "corpus_mix_temperature" -> ((s: SparkSession, d: String) => mixTemperature(s, d)),
     "pipeline_dataloader" -> ((s: SparkSession, d: String) => dataloaderPipeline(s, d)),
+    "pipeline_dataloader_resume" -> ((s: SparkSession, d: String) => dataloaderResume(s, d)),
+    "pipeline_dataloader_curriculum" -> ((s: SparkSession, d: String) => dataloaderCurriculum(s, d)),
     "corpus_chunk"       -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "corpus_pack_padded" -> ((s: SparkSession, d: String) => packPadded(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
@@ -2538,6 +2692,8 @@ object Corpus {
     "corpus_sample_stratified" -> sampleStratifiedSql,
     "corpus_mix_temperature" -> mixTemperatureSql,
     "pipeline_dataloader" -> dataloaderPipelineSql,
+    "pipeline_dataloader_resume" -> dataloaderResumeSql,
+    "pipeline_dataloader_curriculum" -> dataloaderCurriculumSql,
     "corpus_chunk" -> chunkDocsSql,
     "corpus_pack_padded" -> packPaddedSql,
     "corpus_bpe"         -> bpeMergesSql,

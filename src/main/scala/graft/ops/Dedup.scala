@@ -1031,6 +1031,12 @@ object Dedup {
     * scale). */
   def exactStreamTtlClustered(spark: SparkSession, dir: String,
       epochs: Int = ExactTtlEpochs, ttl: Int = ExactTtl): DataFrame = {
+    // The Scala batching gives the LAST epoch a catch-all tail while the
+    // oracle assigns epochs as doc_id // width — those agree only when
+    // the widths are exact (ADVICE r17); a non-divisor epoch count would
+    // silently shift the tail ids' TTL windows between the two engines.
+    require(140 % epochs == 0,
+      s"epochs must divide the 140-doc planted corpus, got $epochs")
     val cdir = clusteredDocsDir(spark)
     val base = graft.tools.TempDirs.createFast("graft-exttl")
     try {

@@ -596,7 +596,10 @@ object Similarity {
     * maintained edge artifact. On this corpus graph search equals brute
     * force (the tier gate's claim), so the stream shares
     * [[clusteredBruteSql]]; the maintained-edges == rebuild equality is
-    * spec-pinned bitwise. `dir` ignored by design (regime, not scale). */
+    * spec-pinned bitwise. `dir` IS load-bearing here (it names the corpus
+    * streamed and reranked); the registered gate lambda pins it to
+    * [[clusteredCorpusDir]] — that pinning lives in the lambda, not in
+    * this function (ADVICE r17 docstring fix). */
   def hnswTopKStream(spark: SparkSession, dir: String,
                      epochs: Int = 5): DataFrame = {
     val base = graft.tools.TempDirs.createFast("graft-hnswstream")
@@ -809,14 +812,18 @@ object Similarity {
     * pass (the under-filled id list is ≤ [[NumQueries]] rows by
     * construction; the routing counters record which regime ran).
     * `preWins` is injectable so specs and gates can force each branch
-    * (the [[annTopK]] recipe). */
+    * (the [[annTopK]] recipe); `selectivity` is injectable so the two
+    * driver gates can keep the EXACT probe (the branch choice is part of
+    * their oracles' determinism) while the default path pays the sampled
+    * one (VERDICT r17 #5 — a planner probe must not cost two full
+    * corpus scans before any real work). */
   def filteredTopK(spark: SparkSession, dir: String, pred: Column,
-                   preWins: Double => Boolean = _ <= FilteredPreFraction)
+                   preWins: Double => Boolean = _ <= FilteredPreFraction,
+                   selectivity: (DataFrame, Column) => Double =
+                     sampledSelectivity)
       : DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val total = math.max(1L, emb.count())
-    val passing = emb.filter(pred).count()
-    if (preWins(passing.toDouble / total)) {
+    if (preWins(selectivity(emb, pred))) {
       graft.tools.RoutingMetrics.add("filtered_pre", 1L)
       filteredExact(spark, dir, pred)
     } else {
@@ -843,6 +850,41 @@ object Similarity {
           .filter(col("q_id").isin(short: _*)))
         .orderBy(col("q_id"), col("rank"))
     }
+  }
+
+  /** Sampled-row floor below which [[sampledSelectivity]] falls back to
+    * the exact count: a dozen sampled rows can misroute a near-crossover
+    * predicate, and a corpus small enough to sample under this floor is
+    * small enough to count exactly. */
+  val SelectivityMinSample = 256L
+  /** 1-in-SelectivitySampleMod deterministic hash sample. */
+  val SelectivitySampleMod = 16
+
+  /** DEFAULT selectivity probe — one aggregate over a deterministic
+    * 1-in-[[SelectivitySampleMod]] `xxhash64(vec_id)` sample, counting
+    * total and predicate-passing rows in the SAME pass (the former probe
+    * paid two complete corpus scans before any search work — VERDICT r17
+    * #5). The sample is a pure function of the id, so the estimate — and
+    * therefore the branch choice — is reproducible run to run. Cost: one
+    * scan of the two probe columns with a 1/16 aggregate; at 100 TB this
+    * probe would come from persisted table statistics instead, and this
+    * function is the seam where that swap lands. Corpora whose sample
+    * comes back under [[SelectivityMinSample]] rows are counted exactly
+    * (tiny corpus → the exact count is already probe-priced). */
+  private[graft] def sampledSelectivity(emb: DataFrame, pred: Column): Double = {
+    val s = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(SelectivitySampleMod)) === 0)
+      .agg(count(lit(1)), count(when(pred, 1))).head()
+    if (s.getLong(0) < SelectivityMinSample) exactSelectivity(emb, pred)
+    else s.getLong(1).toDouble / s.getLong(0)
+  }
+
+  /** Exact passing fraction in ONE pass (conditional count, not two
+    * scans) — the gated regimes keep this probe: which branch runs is
+    * pinned by their oracles, so the measurement itself must be exact. */
+  private[graft] def exactSelectivity(emb: DataFrame, pred: Column): Double = {
+    val r = emb.agg(count(lit(1)), count(when(pred, 1))).head()
+    r.getLong(1).toDouble / math.max(1L, r.getLong(0))
   }
 
   /** The exact plan over the predicate-passing corpus — the pre-filter
@@ -1046,27 +1088,40 @@ object Similarity {
     // What brute force scores: each query scans the corpus minus itself
     // (the brute-force frame excludes self-pairs).
     val scans = (n - 1).toDouble * NumQueries
-    // Each tier's candidate frame is materialized ONCE (localCheckpoint)
-    // and reused for both the recall rerank and the fraction count.
-    val ivfCands = ivfCandidates(spark, dir, IvfNprobe, IvfCells,
-      IvfIterations).stage()
-    val ivfNum = recallNum(rankTail(
-      ivfCands.withColumn("cos", Dedup.cosine("q_emb", "n_emb"))))
+    // Each tier's SLIM (q_id, n_id) candidate frame is a deterministic
+    // function of the immutable corpus, exactly like the ground truth →
+    // persisted through ArtifactCache (VERDICT r17 #2: sim_recall_* were
+    // the bench's most expensive entries because every iteration re-ran
+    // all four tiers' candidate pipelines). The first call per data dir
+    // builds and persists each frame (cost visible as a *.build phase);
+    // later calls pay the bounded rerank + a metadata-cheap count only.
+    // Rerank goes through rerankSlim for every tier — CosineSimilarity
+    // casts per element to double, so scoring the rejoined float arrays
+    // is bitwise the former in-line double-cast scoring (IVF's old path).
+    def tierCands(kind: String)(build: => DataFrame): DataFrame =
+      graft.tools.ArtifactCache.parquet(spark, dir, kind) { p =>
+        build.select(col("q_id"), col("n_id"))
+          .write.mode("overwrite").parquet(p)
+      }
+    val ivfCands = tierCands("recall_cands_ivf")(
+      ivfCandidates(spark, dir, IvfNprobe, IvfCells, IvfIterations))
+    val ivfNum = recallNum(rerankSlim(spark, dir, ivfCands))
     val ivfFrac = ivfCands.count() / scans
-    val lshCands = lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
-      LshTables, adaptiveLshBits(n), LshProbes).stage()
+    val lshCands = tierCands("recall_cands_lsh")(
+      lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
+        LshTables, adaptiveLshBits(n), LshProbes))
     val lshNum = recallNum(rerankSlim(spark, dir, lshCands))
     val lshFrac = lshCands.count() / scans
     // PQ's fraction is its EXACT-rerank scan share; the ADC pass itself
     // is linear but over 8-byte codes, not vectors — the compression is
     // the scale term, stated here so the artifact can't oversell it.
-    val pqCands = pqCandidates(spark, dir).stage()
+    val pqCands = tierCands("recall_cands_pq")(pqCandidates(spark, dir))
     val pqNum = recallNum(rerankSlim(spark, dir, pqCands))
     val pqFrac = pqCands.count() / scans
     // the graph tier's fraction counts every node the search scored
     // (entry layer + expanded frontiers) — the same the-query-paid-for-it
     // accounting as the other tiers' candidate frames
-    val hnswCands = hnswCandidates(spark, dir).stage()
+    val hnswCands = tierCands("recall_cands_hnsw")(hnswCandidates(spark, dir))
     val hnswNum = recallNum(rerankSlim(spark, dir, hnswCands))
     val hnswFrac = hnswCands.count() / scans
     def bp(x: Double): Long = math.round(x * 10000)
@@ -1501,13 +1556,19 @@ object Similarity {
     // selectivity routes to the exact PRE-filter branch; the clustered
     // predicate keeps 50 % → POST-filter (IVF probe + semi-join +
     // k-guarantee), exact on that corpus by the FilteredMod geometry.
+    // Both gates pin the EXACT selectivity probe: the branch each oracle
+    // replays is part of its determinism. The default (sampled) probe's
+    // branch agreement with the exact one is spec-pinned on both gated
+    // corpora (SimilaritySpec).
     "sim_topk_filtered" ->
       ((s: SparkSession, d: String) =>
-        filteredTopK(s, d, col("label") === FilteredLabel)),
+        filteredTopK(s, d, col("label") === FilteredLabel,
+          selectivity = exactSelectivity)),
     "sim_topk_filtered_post_clustered" ->
       ((s: SparkSession, _: String) =>
         filteredTopK(s, clusteredCorpusDir(s),
-          col("vec_id") % FilteredMod < FilteredKeep)),
+          col("vec_id") % FilteredMod < FilteredKeep,
+          selectivity = exactSelectivity)),
   )
 
   /** Brute force + aggregator variants are exact math → oracled; IVF/LSH

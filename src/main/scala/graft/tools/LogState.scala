@@ -81,7 +81,18 @@ object LogState {
     * (all roots under one `compactNNN` phase so the amortized term is
     * visible in bench artifacts), then [[gc]] each root. `fold` must be
     * the same schedule-invariant fold readers apply — identity for
-    * append-only tables, the merge monoid otherwise. */
+    * append-only tables, the merge monoid otherwise.
+    *
+    * KILL WINDOW (the r17 driver kill landed here, mid-`base/vN` write):
+    * a process death during the base write leaves `base/vN` as a
+    * partial dir (`_temporary` attempt files only — an aborted
+    * FileFormatWriter commits nothing). That partial is invisible to
+    * every committed reader ([[pathsAsOf]] at `N − 1`, the newest
+    * committed point), is excluded from a replay's fold inputs by
+    * construction ([[compactionInputs]] never includes `base/vN`
+    * itself), cannot license [[gc]] (which only trusts bases at or
+    * below `batchId − 1`), and is overwritten whole by the replay of
+    * batch N. LogStateSpec pins all four properties. */
   def maintain(sp: SparkSession, roots: Seq[String], batchId: Long,
                compactEvery: Int)(fold: DataFrame => DataFrame): Unit = {
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {

@@ -179,9 +179,14 @@ object ScaleProbe {
 
     // embeddings: rep-shifted ids (queries vec_id < 8 stay the fixture
     // queries), labels mod 10 — the filtered-ANN / hybrid arms' corpus.
-    // Own existence check (added after the sentinel scheme shipped):
-    // a reused older corpus still gets its embeddings table built once.
-    if (!new java.io.File(s"$outDir/embeddings.parquet").exists()) {
+    // Same args-sentinel scheme as the tables above (ADVICE r17: a bare
+    // existence check would keep an old-multiplier embeddings table
+    // beside freshly rebuilt documents/events and silently skew the
+    // hybrid/filtered arms' relative timings). Sentinel written LAST.
+    val embSentinel = new java.io.File(outDir, ".embeddings-args")
+    val embReady = embSentinel.exists() &&
+      java.nio.file.Files.readString(embSentinel.toPath).trim == wantArgs
+    if (!embReady) {
       val embT = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val nVec = embT.count()
       embT.crossJoin(broadcast(reps))
@@ -190,6 +195,7 @@ object ScaleProbe {
         .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      java.nio.file.Files.writeString(embSentinel.toPath, wantArgs)
     }
 
     println(s"probe corpus at $outDir: ${nDocs * mult} docs, ${nEv * mult} events")

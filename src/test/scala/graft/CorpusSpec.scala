@@ -548,4 +548,52 @@ class CorpusSpec extends SparkSpec {
         s"shard $sh positions not dense")
     }
   }
+
+  test("dataloaderResume: suffix ∪ prefix == the full epoch, disjointly, " +
+      "with original (shard, pos) preserved") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val full = Corpus.dataloaderPipeline(spark, sf).collect().map(key).toSet
+    val resume = Corpus.dataloaderResume(spark, sf).collect().map(key).toSet
+    assert(resume.nonEmpty && resume.size < full.size,
+      "a mid-epoch cursor must leave a real, proper suffix")
+    // the trained prefix under the same closed-form cursor
+    val cuts = full.groupBy(_._4).view
+      .mapValues(rows => rows.map(_._5).max / 2).toMap
+    val prefix = full.filter(t => t._5 < cuts(t._4))
+    assert(resume == full -- prefix, "resume must be exactly the suffix")
+    assert((resume intersect prefix).isEmpty)
+    // every shard resumes at its own cursor (per-shard marks, not one
+    // global cut): min resumed pos per shard == that shard's mark
+    resume.groupBy(_._4).foreach { case (sh, rows) =>
+      assert(rows.map(_._5).min == cuts(sh),
+        s"shard $sh resumed at ${rows.map(_._5).min}, cursor ${cuts(sh)}")
+    }
+  }
+
+  test("dataloaderCurriculum: same instance pool as the shuffled assembly, " +
+      "phase monotone within every shard, shards balanced within 1") {
+    val cur = Corpus.dataloaderCurriculum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(cur.nonEmpty)
+    // identical pool: the curriculum must reorder the SAME (lang, doc,
+    // rep) instances the shuffled assembly emits — nothing added or lost
+    val pool = Corpus.dataloaderPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(cur.map(t => (t._1, t._2, t._3)).sorted.toSeq == pool)
+    // the curriculum property: within each shard, bucket (head=0 →
+    // tail=2) never decreases as pos advances — round-robin dealing
+    // preserves the global phase order per shard
+    cur.groupBy(_._5).foreach { case (sh, rows) =>
+      val byPos = rows.sortBy(_._6).map(_._4)
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b },
+        s"shard $sh bucket order not monotone: ${byPos.mkString(",")}")
+    }
+    val sizes = cur.groupBy(_._5).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"imbalanced shards: $sizes")
+    // more than one phase actually present — the monotonicity claim has
+    // content on this corpus
+    assert(cur.map(_._4).distinct.length > 1)
+  }
 }

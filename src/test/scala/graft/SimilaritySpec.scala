@@ -461,4 +461,31 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ(7L) == 1 && perQ.filter(_._1 != 7L).values.forall(_ == 2),
       s"row counts must be min(K, |filtered|) per query: $perQ")
   }
+
+  test("sampledSelectivity: one-pass hash-sample estimate tracks the exact " +
+      "fraction and routes the same branch; tiny corpora fall back exact") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // Above the SelectivityMinSample floor the probe really samples:
+    // 32k ids, label = id % 10 (independent of the xxhash64 sample key).
+    val big = spark.range(32000)
+      .select(col("id").as("vec_id"), pmod(col("id"), lit(10)).as("label"))
+    for ((pred, want) <- Seq(
+        (col("label") === 3, 0.1),   // selective → pre regime
+        (col("label") < 5, 0.5))) {  // unselective → post regime
+      val est = Similarity.sampledSelectivity(big, pred)
+      val ex = Similarity.exactSelectivity(big, pred)
+      assert(math.abs(ex - want) < 1e-9)
+      assert(math.abs(est - ex) < 0.05,
+        s"sampled estimate $est drifted from exact $ex")
+      assert((est <= Similarity.FilteredPreFraction) ==
+        (ex <= Similarity.FilteredPreFraction),
+        s"sampled probe must route the same branch: est=$est exact=$ex")
+    }
+    // Below the floor (every fixture corpus: 500–2000 vectors) the probe
+    // IS the exact count — bitwise, not approximately.
+    val emb = Tables.embeddings(spark, sf)
+    val pred = col("label") === Similarity.FilteredLabel
+    assert(Similarity.sampledSelectivity(emb, pred) ==
+      Similarity.exactSelectivity(emb, pred))
+  }
 }
