@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is ONE machine-parsable JSON line on stdout.
+// sbt's default forked-output strategy prefixes every program line with
+// "[info] " and appends its own "[success] Total time: …" epilogue —
+// every round's harness-captured stdout tail shows the metric line as
+// `[info] {"metric":…}` followed by the epilogue, which is why no round's
+// artifact ever parsed. Pass the forked JVM's stdout through verbatim and
+// drop the epilogue so the LAST line of a successful run IS the JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

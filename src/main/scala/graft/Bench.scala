@@ -19,9 +19,16 @@ import org.apache.spark.sql.SparkSession
   * itself to `SPARK_GRAFT_BENCH_BUDGET` seconds (default 2700, safely
   * under the driver's hour) by degrading, in order of how little each step
   * costs in evidence:
-  *   1. the sf0.001 plan warm-up SKIPS stream/state-replay queries up
-  *      front (their cost is per-epoch state IO, not codegen — warming
-  *      them buys nothing) and stops entirely past 20 % of budget;
+  *   1. the sf0.001 plan warm-up stops once 25 % of budget is burned
+  *      (`warmup_truncated_at` records where). It warms EVERY query,
+  *      state-replay included: the r17 verdict hypothesized the stream
+  *      family gains nothing from warm-up, but a quiet-window A/B
+  *      (r18, IterProbe) read their cold first iterations at 2.3–2.9×
+  *      the warm minimum (q96 26.5 s cold vs 11.5 s warm;
+  *      text_url_dedup_stream 6.8 vs 4.3) — the per-epoch foreachBatch
+  *      plans pay one-time Janino compilation per plan shape, which is
+  *      exactly what the tiny-SF pass absorbs. Skipping them would make
+  *      every budget-degraded single-iteration min a cold sample;
   *   2. past 40 % of budget the remaining queries run ONE iteration
   *      instead of `iters` — recorded per-query in `query_iters`, so a
   *      1-iteration min is never mistaken for a 3-iteration one;
@@ -46,18 +53,6 @@ import org.apache.spark.sql.SparkSession
   *     fit a `maxLine` budget (default 1700 chars, SPARK_GRAFT_BENCH_MAXLINE).
   */
 object Bench {
-  /** Stream/state-replay queries: their runtime is per-epoch state IO
-    * (writes, compaction folds, range-pruned reads), which no codegen
-    * cache amortizes — a tiny-SF warm-up pass just pays the IO twice.
-    * Covers the foreachBatch-loop families (`*stream*`, `*_late`,
-    * `*_ttl`, `*_refresh`, `*_incr`) and the CDC state-layout gates
-    * (q95–q103 replay 4-epoch ingest loops by construction). */
-  private def stateReplay(name: String): Boolean =
-    name.contains("stream") || name.endsWith("_late") ||
-      name.contains("_late_") || name.contains("_ttl") ||
-      name.contains("_refresh") || name.contains("_incr") ||
-      name.matches("q(9[5-9]|10[0-9])_.*")
-
   // ---- state shared with the shutdown hook (all writes under `lock`) ----
   private val lock = new Object
   @volatile private var artifactsWritten = false
@@ -182,14 +177,12 @@ object Bench {
     // on generated source, which is identical across data dirs for the
     // same plan shape — so the timed run below measures execution, not
     // one-time Janino compilation (which a long-lived cluster amortizes).
-    // Stream/state-replay queries are excluded (see stateReplay); the
-    // pass also stops once 20 % of the wall budget is burned.
+    // State-replay queries are warmed too — see the class doc's A/B
+    // numbers. The pass stops once 25 % of the wall budget is burned.
     val warmDir = "/root/testdata/sf0.001"
-    val warmable = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => stateReplay(n) }
     var warmed = 0
-    warmable.foreach { case (_, fn) =>
-      if (elapsedSec < 0.20 * budgetSec) {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      if (elapsedSec < 0.25 * budgetSec) {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         warmed += 1
       } else if (warmupTruncatedAt < 0) warmupTruncatedAt = warmed
@@ -210,7 +203,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => n.startsWith("sim_") || n.startsWith("kmeans_") }
       .foreach { case (_, fn) =>
-        if (elapsedSec < 0.30 * budgetSec)
+        if (elapsedSec < 0.35 * budgetSec)
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
     // The warm-in just paid the family's train-once artifact builds —
@@ -299,6 +292,11 @@ object Bench {
         }
       }
     }
+    // Silence Spark's shutdown chatter BEFORE printing the metric line:
+    // in a combined stdout+stderr capture a late WARN ("Failed to cancel
+    // job group …") landing after the JSON would stop it being the last
+    // line — the one place the harness looks for it.
+    spark.sparkContext.setLogLevel("ERROR")
     writeArtifacts(aborted = false)
     Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
