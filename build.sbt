@@ -37,6 +37,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 276-query suite generates thousands of whole-stage-codegen classes;
+  // the JDK default 240 MB code cache silently stops JIT compilation when
+  // full (no warning unless -XX:+PrintCodeCache) and everything after
+  // runs interpreted. Standard Spark-driver sizing for many-query JVMs.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )
 // Kernel preconditions (e.g. jaccardDistinct's distinct-input contract)
 // are verified per call in the test JVM only — the bench/verify hot path

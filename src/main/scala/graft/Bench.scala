@@ -165,6 +165,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The suite's .stage() localCheckpoints pin storage blocks until a
+      // DRIVER GC lets ContextCleaner reclaim them; at 276 queries the
+      // default 30-minute periodic GC lets dead blocks squeeze unified
+      // memory for most of the run (late-suite queries read 2–3× their
+      // fresh-JVM times in the r18 window A/B). A 5-minute cadence keeps
+      // the storage pool honest; the explicit GC every 32 queries below
+      // bounds the in-between growth.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false"))
       // keep saveAsTable catalog dirs (q94's bucketed tables) out of the
       // repo root — ./spark-warehouse is the default otherwise
@@ -239,10 +247,14 @@ object Bench {
     // (round 8: 37 analysis-broken queries read as a speedup because the
     // bench recorded their time-to-throw). An errored query is excluded
     // from every total and lands in an `errors` map in both artifacts.
+    var sinceGc = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (elapsedSec > 0.92 * budgetSec) {
         lock.synchronized { skipped += name }
       } else {
+        // see the periodicGC comment on the session conf
+        sinceGc += 1
+        if (sinceGc >= 32) { sinceGc = 0; System.gc() }
         graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
         graft.tools.RoutingMetrics.drain()
         org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
