@@ -55,6 +55,8 @@ object ExplainDump {
       "corpus_domain_cap" -> "domain cap: TwoLevel md5-bucket rank (bucket-local windows + broadcast prefix counts) — no per-domain global sort at any stratum skew",
       "q88_quantile_bound" -> "GK rank-bound check: 3-value-per-group approx broadcast onto the corpus scan, ONE conditional aggregation computes every tie interval",
       "pipeline_curation" -> "end-to-end curation composition: funnel flags in ONE raw-corpus pass, then decontam digest windows, broadcast frozen DSIR model, TwoLevel domain-cap rank and mix prefix sum over the SHRINKING survivor chain, closed-form pack aggregate — no stage re-scans the raw corpus",
+      "pipeline_dataloader_resume" -> "mid-epoch resume: the assembly plan unchanged, plus a <=shards-row cursor collect, a broadcast cursor join, and a narrow pos>=cut filter — the suffix keeps its original (shard, pos), nothing new shuffles",
+      "pipeline_dataloader_curriculum" -> "curriculum over the sampled+tempered pool: instance chain as in pipeline_dataloader, quality-bucket phase via lmScore's bigram equi-joins, then ONE TwoLevel (bucket, md5-prefix) rank + <=48-row broadcast offsets — competence order with no global sort",
     )
     val sb = new StringBuilder
     sb.append("# EXPLAIN — flagship physical plans\n\n")
