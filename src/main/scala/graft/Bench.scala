@@ -14,27 +14,34 @@ import org.apache.spark.sql.SparkSession
   * report per-phase timings via graft.tools.PhaseTiming so a regression in
   * e.g. quantizer training is attributable without re-profiling.
   *
-  * WALL-CLOCK BUDGET (VERDICT r17 #1 — the r17 driver run was killed at
-  * exactly +3600 s mid-suite and left `parsed: null`): the whole run fits
-  * itself to `SPARK_GRAFT_BENCH_BUDGET` seconds (default 2700, safely
-  * under the driver's hour) by degrading, in order of how little each step
-  * costs in evidence:
-  *   1. the sf0.001 plan warm-up stops once 25 % of budget is burned
-  *      (`warmup_truncated_at` records where). It warms EVERY query,
-  *      state-replay included: the r17 verdict hypothesized the stream
-  *      family gains nothing from warm-up, but a quiet-window A/B
-  *      (r18, IterProbe) read their cold first iterations at 2.3–2.9×
-  *      the warm minimum (q96 26.5 s cold vs 11.5 s warm;
-  *      text_url_dedup_stream 6.8 vs 4.3) — the per-epoch foreachBatch
-  *      plans pay one-time Janino compilation per plan shape, which is
-  *      exactly what the tiny-SF pass absorbs. Skipping them would make
-  *      every budget-degraded single-iteration min a cold sample;
-  *   2. past 40 % of budget the remaining queries run ONE iteration
-  *      instead of `iters` — recorded per-query in `query_iters`, so a
-  *      1-iteration min is never mistaken for a 3-iteration one;
-  *   3. past 92 % of budget remaining queries are SKIPPED and listed in
-  *      `skipped` (comparable flips false — a partial total must never
-  *      be compared against a full one).
+  * WALL-CLOCK BUDGET (VERDICT r17 #1 / reworked per r18 #3): the whole
+  * run fits itself to `SPARK_GRAFT_BENCH_BUDGET` seconds (default 2700,
+  * safely under the driver's hour). The r18 scheme — one alphabetical
+  * sf0.001 warm-up pass truncated at 25 % of budget, then fixed 40 %/92 %
+  * elapsed thresholds — left ~160 queries timed COLD at 1 iteration while
+  * the run finished with 35 % slack. Now warm-up is INTERLEAVED and
+  * degradation is PROJECTED:
+  *   - each query is warmed at sf0.001 immediately before its own timed
+  *     iterations (whole-stage codegen caches on generated source, which
+  *     is identical across data dirs for the same plan shape — and the
+  *     warm-up matters for EVERY query, state-replay included: the r18
+  *     quiet-window A/B read stream-family cold first iterations at
+  *     2.3–2.9× warm). A budget squeeze can therefore never leave an
+  *     EARLY query cold to pay for a LATE one;
+  *   - how many timed iterations each query gets (1..`iters`) and whether
+  *     it is warmed at all is decided from a PROJECTION: the measured
+  *     average warm-up / iteration cost of the queries completed so far
+  *     prices what the remaining queries minimally need (warm + 1 iter
+  *     each), and the current query takes extra iterations only while
+  *     that floor still fits inside 97 % of budget. Slack converts into
+  *     iterations instead of expiring; when the night is contended the
+  *     degradation order is extra-iters → warm-ups → skips. Per-query
+  *     evidence lands in `query_iters` and `warmed` (with `n_degraded` /
+  *     `n_cold` counters on BOTH artifacts, compact line included — a
+  *     tail-only consumer can see a degraded run, ADVICE r18);
+  *   - a query is SKIPPED only when even one cold iteration no longer
+  *     fits (comparable flips false — a partial total must never be
+  *     compared against a full one).
   * A JVM shutdown hook flushes BOTH artifacts (`comparable:false`,
   * `aborted:true`) if the process is killed mid-suite, so an external
   * timeout can never again produce an unparsable round artifact.
@@ -65,7 +72,7 @@ object Bench {
     scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
   private val queryIters = scala.collection.mutable.Map[String, Int]()
   private val skipped = scala.collection.mutable.ArrayBuffer[String]()
-  private var warmupTruncatedAt = -1 // #warm-ups completed when truncated
+  private val warmedMap = scala.collection.mutable.Map[String, Boolean]()
   private var outPath = "/root/repo/bench_full.json"
   private var maxLine = 1700
   private var itersCfg = 3
@@ -115,8 +122,16 @@ object Bench {
     val itersJson = queryIters.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val skippedJson = skipped.map(jstr).mkString("[", ",", "]")
+    val warmedJson = warmedMap.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Degradation evidence on BOTH artifacts (ADVICE r18): a consumer
+    // that only sees the compact tail can still tell a full-evidence run
+    // (n_degraded=0, n_cold=0) from one where the budget squeezed
+    // iterations or warm-ups out.
+    val nDegraded = queryIters.valuesIterator.count(_ < itersCfg)
+    val nCold = timed.count { case (n, _, _) => !warmedMap.getOrElse(n, false) }
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"aborted":$aborted,"queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"errors":$errJson,"n_errors":${errors.size},"skipped":$skippedJson,"n_skipped":${skipped.size},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$itersCfg,"query_iters":$itersJson,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"warmup_truncated_at":$warmupTruncatedAt,"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","comparable":$comparable,"aborted":$aborted,"queries":${jsonMap(results, full)},"queries_min":${jsonMap(mins, full)},"min_total":${mins.map(_._2).sum},"errors":$errJson,"n_errors":${errors.size},"skipped":$skippedJson,"n_skipped":${skipped.size},"phases":${jsonMap(phases.toSeq.sorted, full)},"shuffle_bytes":${jsonMap(shuffles.toSeq.sorted, full)},"sink_bytes":${jsonMap(sinks.toSeq.sorted, full)},"routing":${routing.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"iters":$itersCfg,"query_iters":$itersJson,"warmed":$warmedJson,"n_degraded":$nDegraded,"n_cold":$nCold,"budget_sec":$budgetSec,"elapsed_sec":$elapsedSec,"scratch_root":"$scratch","sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -135,7 +150,7 @@ object Bench {
     val bySlowest = results.sortBy(-_._2)
     def line(slow: Seq[(String, Double)]): String = {
       val qs = jsonMap(fams ++ slow.sortBy(_._1), short)
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","comparable":$comparable,"aborted":$aborted,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"n_skipped":${skipped.size},"full":"$outPath","iters":$itersCfg,"budget_sec":$budgetSec,"elapsed_sec":${short(elapsedSec)},"scratch_root":"$scratch","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","comparable":$comparable,"aborted":$aborted,"queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"n_skipped":${skipped.size},"n_degraded":$nDegraded,"n_cold":$nCold,"full":"$outPath","iters":$itersCfg,"budget_sec":$budgetSec,"elapsed_sec":${short(elapsedSec)},"scratch_root":"$scratch","sf":"$sfDir"}"""
     }
     var k = 0
     while (k < bySlowest.size && line(bySlowest.take(k + 1)).length <= maxLine) k += 1
@@ -181,47 +196,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/session warmup
-    // Warm each plan at the smallest SF first: whole-stage codegen caches
-    // on generated source, which is identical across data dirs for the
-    // same plan shape — so the timed run below measures execution, not
-    // one-time Janino compilation (which a long-lived cluster amortizes).
-    // State-replay queries are warmed too — see the class doc's A/B
-    // numbers. The pass stops once 25 % of the wall budget is burned.
     val warmDir = "/root/testdata/sf0.001"
-    var warmed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      if (elapsedSec < 0.25 * budgetSec) {
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-        warmed += 1
-      } else if (warmupTruncatedAt < 0) warmupTruncatedAt = warmed
-    }
-    // Discard phases the sf0.001 warm-up recorded (tiny-scale streaming
-    // epoch timings etc.) so the "warm." drain below holds ONLY the
-    // bench-SF sim/kmeans artifact-build phases it claims (ADVICE r15).
-    graft.tools.PhaseTiming.drain()
-    // Artifact warm-in at the BENCH SF for the similarity/k-means family
-    // (VERDICT r14 #8): their IVF/PQ/ground-truth artifacts are cached
-    // per data dir, so the sf0.001 plan warm-up above does not build
-    // them for sfDir — the build otherwise lands inside a timed
-    // iteration of whichever query touches each artifact first, and the
-    // sub-second sim entries drift 1.3–1.45× run to run on that
-    // accident of ordering. One untimed pass pins queries_min to steady
-    // state for the family (the train-once cost stays visible in the
-    // probe artifacts and the *.build phases, not here).
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => n.startsWith("sim_") || n.startsWith("kmeans_") }
-      .foreach { case (_, fn) =>
-        if (elapsedSec < 0.35 * budgetSec)
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
-    // The warm-in just paid the family's train-once artifact builds —
-    // keep their *.build phase timings under a "warm." prefix so the
-    // build-cost evidence still lands in bench_full.json (the timed
-    // loop's leading drain would otherwise discard them).
-    lock.synchronized {
-      phases ++= graft.tools.PhaseTiming.drain()
-        .map { case (k, v) => s"warm.$k" -> v }
-    }
+    // Projection bookkeeping (the class doc's budget scheme): measured
+    // average warm-up / timed-iteration costs price what the REMAINING
+    // queries minimally need, so the current query only takes budget the
+    // tail can spare. Defaults seed the first query's decision; after
+    // that every estimate is measured on this run, this machine.
+    var warmDone = 0; var warmCostSum = 0.0
+    var iterDone = 0; var iterCostSum = 0.0
+    def avgWarm: Double = if (warmDone > 0) warmCostSum / warmDone else 2.0
+    def avgIter: Double = if (iterDone > 0) iterCostSum / iterDone else 3.0
+    val budgetCap = 0.97 * budgetSec
     // Per-query shuffle-bytes evidence: the collector aggregates each
     // action's shuffle writes; the per-iteration average lands in the
     // bench JSON so "the dedup shuffle carries digests, not documents"
@@ -248,28 +233,60 @@ object Bench {
     // bench recorded their time-to-throw). An errored query is excluded
     // from every total and lands in an `errors` map in both artifacts.
     var sinceGc = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (elapsedSec > 0.92 * budgetSec) {
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.zipWithIndex.foreach { case ((name, fn), idx) =>
+      val remaining = ordered.size - idx - 1
+      // Skip only when even ONE cold iteration of this query no longer
+      // fits — the last degradation step, and it flips comparable.
+      if (elapsedSec + avgIter > budgetCap) {
         lock.synchronized { skipped += name }
       } else {
         // see the periodicGC comment on the session conf
         sinceGc += 1
         if (sinceGc >= 32) { sinceGc = 0; System.gc() }
-        graft.tools.PhaseTiming.drain() // drop leftovers from the prior query
+        // Warm-up is INTERLEAVED (class doc): sf0.001 plan compile for
+        // this query now, iff doing so still leaves the cold-1-iteration
+        // floor for every remaining query. Warm-ups degrade before
+        // skips, after extra iterations.
+        val doWarm =
+          elapsedSec + avgWarm + (remaining + 1) * avgIter <= budgetCap
+        if (doWarm) {
+          val w0 = System.nanoTime()
+          try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+          // Discard phases the sf0.001 warm-up recorded (tiny-scale
+          // streaming epoch timings etc. — ADVICE r15); the sfDir
+          // warm-in below re-drains into the "warm." namespace.
+          graft.tools.PhaseTiming.drain()
+          // Artifact warm-in at the BENCH SF for the similarity/k-means
+          // family (VERDICT r14 #8): their IVF/PQ/ground-truth artifacts
+          // are cached per data dir, so the sf0.001 warm-up does not
+          // build them for sfDir — unwarmed, the build lands inside
+          // timed iteration 1 and the sub-second sim entries drift
+          // 1.3–1.45× on the accident of query ordering. The build-cost
+          // evidence stays visible as warm.<name>.*.build phases.
+          if (name.startsWith("sim_") || name.startsWith("kmeans_")) {
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+            lock.synchronized {
+              phases ++= graft.tools.PhaseTiming.drain()
+                .map { case (k, v) => s"warm.$name.$k" -> v }
+            }
+          }
+          warmCostSum += (System.nanoTime() - w0) / 1e9; warmDone += 1
+        }
+        graft.tools.PhaseTiming.drain() // drop leftovers (prior query / warm-up)
         graft.tools.RoutingMetrics.drain()
         org.apache.spark.sql.graft.GraftShim.waitListeners(spark)
         collector.clear()
-        // budget degradation step 2: past 40 % of budget each remaining
-        // query runs once — a 274-query suite of 3 iterations no longer
-        // fits a contended hour (the r17 DNF); per-query counts land in
-        // query_iters so a 1-sample min is never silently compared as 3.
-        val itersFor = if (elapsedSec > 0.40 * budgetSec) 1 else itersCfg
         // Byte metrics are per-iteration DELTAS so a failed iteration's
         // partial bytes never enter the per-query averages, and the
         // divisor is the successful-iteration count — timings and byte
-        // metrics now describe the same set of runs (ADVICE r9).
+        // metrics describe the same set of runs (ADVICE r9).
         var okShuffle, okSink, prevShuffle, prevSink = 0.0
-        val times = (1 to itersFor).flatMap { _ =>
+        val times = scala.collection.mutable.ArrayBuffer[Double]()
+        var itersRun = 0
+        var keepGoing = true
+        while (keepGoing) {
+          itersRun += 1
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
             case e: Throwable =>
@@ -280,6 +297,7 @@ object Bench {
               false
           }
           val t = (System.nanoTime() - t0) / 1e9
+          iterCostSum += t; iterDone += 1
           // accumulate across iterations (last write wins): steady-state
           // phases come from the final iteration, while train-once artifact
           // builds (*.build fires only on the first call per corpus) survive
@@ -294,9 +312,15 @@ object Bench {
             if (ok) { okShuffle += curShuffle - prevShuffle; okSink += curSink - prevSink }
           }
           prevShuffle = curShuffle; prevSink = curSink
-          if (ok) Some(t) else None
+          if (ok) times += t
+          // Extra iterations only while the remaining queries' minimal
+          // needs (warm + 1 iteration each) still fit; an errored query
+          // stops immediately — re-running it buys no evidence.
+          keepGoing = ok && itersRun < itersCfg &&
+            elapsedSec + t + remaining * (avgWarm + avgIter) <= budgetCap
         }
         if (times.nonEmpty) lock.synchronized {
+          warmedMap(name) = doWarm
           shuffles(name) = okShuffle / times.size
           sinks(name) = okSink / times.size
           queryIters(name) = times.size

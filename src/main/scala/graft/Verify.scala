@@ -53,6 +53,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Rows-only → hash-gated twin pairing, dumped unfiltered so the
+    // driver/judge can verify every `no_oracle` row mechanically
+    // (SparkEntrySpec enforces the pairing invariants in the suite).
+    val twinsJson = SparkEntry.rowsOnlyTwins.toSeq.sorted
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_twins.json"), twinsJson)
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)

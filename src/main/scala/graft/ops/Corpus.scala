@@ -239,9 +239,10 @@ object Corpus {
     * later doc's span and breaks the hash. */
   def packSequencesStream(spark: SparkSession, dir: String,
                           seqLen: Int = 64, epochs: Int = 4): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-packstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "corpus_pack_stream",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$seqLen|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -252,14 +253,14 @@ object Corpus {
           all.filter(expr(s"(doc_id - $lo) div $width") === k),
           k, statePath, seqLen, compactEvery = 2)
       }
-      spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$statePath/results", epochs - 1L): _*)
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          col("cum_before"), col("seq_first"), col("seq_offset"),
-          col("n_seqs"))
-        .stage()
-        .orderBy(col("source"), col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/results", epochs - 1L): _*)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"), col("seq_first"), col("seq_offset"),
+        col("n_seqs"))
+      .stage()
+      .orderBy(col("source"), col("doc_id"))
   }
 
   /** STREAMING budget select through the HASH GATE: contiguous id-range
@@ -271,9 +272,10 @@ object Corpus {
   def budgetSelectStream(spark: SparkSession, dir: String,
                          budget: Long = 300L,
                          epochs: Int = 4): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-budstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "corpus_budget_stream",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$budget|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -284,13 +286,13 @@ object Corpus {
           all.filter(expr(s"(doc_id - $lo) div $width") === k),
           k, statePath, budget, compactEvery = 2)
       }
-      spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$statePath/results", epochs - 1L): _*)
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          col("cum_before"))
-        .stage()
-        .orderBy(col("source"), col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/results", epochs - 1L): _*)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"))
+      .stage()
+      .orderBy(col("source"), col("doc_id"))
   }
 
   val budgetSelectSql: String =
@@ -329,10 +331,11 @@ object Corpus {
                              budget: Long = BudgetDefault,
                              epochs: Int = StreamLateEpochs,
                              latenessMicros: Long = StreamLatenessMicros): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-budstreamlate")
-    try {
-      val budState = s"$base/state"
-      val lateState = s"$base/late"
+    val base = graft.tools.StateCache.getOrBuild(
+      "corpus_budget_stream_late",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$budget|$epochs|$latenessMicros") { root =>
+      val budState = s"$root/state"
+      val lateState = s"$root/late"
       val all = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -356,19 +359,19 @@ object Corpus {
             k, budState, budget, compactEvery = 2)
         }
       }
-      val kept = spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$budState/results", epochs - 1L): _*)
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          col("cum_before"),
-          lit(null).cast("long").as("quarantine_epoch"))
-      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
-        .map(_.select(col("source"), col("doc_id"),
-          lit(null).cast("long").as("n_tokens"),
-          lit(null).cast("long").as("cum_before"),
-          col("quarantine_epoch").cast("long")))
-        .getOrElse(kept.limit(0))
-      kept.unionByName(quar).stage().orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val kept = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/results", epochs - 1L): _*)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"),
+        lit(null).cast("long").as("quarantine_epoch"))
+    val quar = CdcUpsert.quarantineAsOf(spark, s"$base/late", epochs - 1L)
+      .map(_.select(col("source"), col("doc_id"),
+        lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("cum_before"),
+        col("quarantine_epoch").cast("long")))
+      .getOrElse(kept.limit(0))
+    kept.unionByName(quar).stage().orderBy(col("doc_id"))
   }
 
   /** STREAMING sequence packing under EVENT-TIME LATENESS (r16 — the
@@ -384,10 +387,11 @@ object Corpus {
                               seqLen: Int = SeqLenDefault,
                               epochs: Int = StreamLateEpochs,
                               latenessMicros: Long = StreamLatenessMicros): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-packstreamlate")
-    try {
-      val packState = s"$base/state"
-      val lateState = s"$base/late"
+    val base = graft.tools.StateCache.getOrBuild(
+      "corpus_pack_stream_late",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$seqLen|$epochs|$latenessMicros") { root =>
+      val packState = s"$root/state"
+      val lateState = s"$root/late"
       val all = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -411,23 +415,23 @@ object Corpus {
             k, packState, seqLen, compactEvery = 2)
         }
       }
-      val kept = spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$packState/results", epochs - 1L): _*)
-        .select(col("source"), col("doc_id"), col("n_tokens"),
-          col("cum_before"), col("seq_first"), col("seq_offset"),
-          col("n_seqs"),
-          lit(null).cast("long").as("quarantine_epoch"))
-      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
-        .map(_.select(col("source"), col("doc_id"),
-          lit(null).cast("long").as("n_tokens"),
-          lit(null).cast("long").as("cum_before"),
-          lit(null).cast("long").as("seq_first"),
-          lit(null).cast("long").as("seq_offset"),
-          lit(null).cast("long").as("n_seqs"),
-          col("quarantine_epoch").cast("long")))
-        .getOrElse(kept.limit(0))
-      kept.unionByName(quar).stage().orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val kept = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/results", epochs - 1L): _*)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"), col("seq_first"), col("seq_offset"),
+        col("n_seqs"),
+        lit(null).cast("long").as("quarantine_epoch"))
+    val quar = CdcUpsert.quarantineAsOf(spark, s"$base/late", epochs - 1L)
+      .map(_.select(col("source"), col("doc_id"),
+        lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("cum_before"),
+        lit(null).cast("long").as("seq_first"),
+        lit(null).cast("long").as("seq_offset"),
+        lit(null).cast("long").as("n_seqs"),
+        col("quarantine_epoch").cast("long")))
+      .getOrElse(kept.limit(0))
+    kept.unionByName(quar).stage().orderBy(col("doc_id"))
   }
 
   /** Oracle of [[packSequencesStreamLate]]: the budget-late watermark
@@ -947,6 +951,175 @@ object Corpus {
       "WHERE f.pos >= cur.cut\n" +
       "ORDER BY f.shard, f.pos"
 
+  /** Epochs in the multi-epoch dataloader schedule (kept small — the
+    * gate's cost is pool × epochs; the epoch-boundary semantics are
+    * identical at any count). The resume cursor sits at epochs/2, so 3
+    * exercises all three regimes: a fully-trained epoch 0, a mid-epoch
+    * cut at 1, an untouched epoch 2. */
+  val DataloaderEpochsDefault = 3
+
+  /** The instance pool fanned across `epochs` INDEPENDENT salted
+    * permutations — [[dataloaderPipeline]]'s assembly composed with the
+    * [[shuffleShardsEpochs]] recipe (salt = doc:rep:epoch; strata =
+    * (epoch, md5-prefix char); per-epoch offset fold, ≤ epochs×16 rows;
+    * round-robin dealing per epoch). The corpus chain runs ONCE — the
+    * epoch fan-out is a narrow explode over the slim (lang, doc_id,
+    * rep) pool, never the text. */
+  private def dataloaderEpochsAssembly(spark: SparkSession, dir: String,
+                                       totalBudget: Long, shards: Int,
+                                       epochs: Int): DataFrame = {
+    import spark.implicits._
+    val reps = dataloaderInstances(spark, dir, totalBudget)
+      .withColumn("epoch", explode(expr(s"sequence(0L, ${epochs - 1}L)")))
+    val salted = TwoLevel.withMd5Bucket(reps,
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("rep").cast("string"), lit(":"),
+          col("epoch").cast("string")), "__o", "__b")
+      .withColumn("__s", substring(col("__o"), 1, 1))
+    val ranked = TwoLevel.rank(salted, Seq("epoch", "__s"), "__b",
+        Seq(col("__o"), col("doc_id"), col("rep")), "rk",
+        stratumTotalOut = Some("__tot"))
+      .stage()
+    // epochs × 16 stratum totals — the k-limited-collect discipline
+    val totals = ranked.select(col("epoch"), col("__s"), col("__tot"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (e, ts) =>
+      var acc = 0L
+      ts.sortBy(_._2).map { case (_, s, t) =>
+        val o = (e, s, acc); acc += t; o }
+    }
+    ranked
+      .join(broadcast(offsets.toDF("epoch", "__s", "__off")),
+        Seq("epoch", "__s"))
+      .withColumn("gr", col("__off") + col("rk"))
+      .withColumn("shard", ((col("gr") - 1) % shards).cast("long"))
+      .withColumn("pos", expr(s"(gr - 1) div $shards"))
+      .select(col("lang"), col("doc_id"), col("rep"), col("epoch"),
+        col("shard"), col("pos"))
+  }
+
+  /** MULTI-EPOCH DATALOADER RESUME through the HASH GATE (VERDICT r18
+    * #4 — [[dataloaderResume]] gates an epoch-0 cursor only, but a real
+    * run restarts in the MIDDLE of epoch e of a multi-epoch schedule
+    * where every epoch has its own shuffle): the cursor is
+    * (epoch e, shard → pos) — e = epochs/2, per-shard cut =
+    * max(pos) div 2 within epoch e, both pure functions of the
+    * assembled schedule so the oracle replays them in closed form —
+    * persisted through [[graft.tools.HighWaterMarks]] at version e and
+    * READ BACK to drive the filter (the persistence round-trip is
+    * load-bearing). Resume = the suffix of epoch e in ITS OWN salted
+    * order, then epochs e+1.. untouched, every row with its ORIGINAL
+    * (epoch, shard, pos) — so prefix ∪ resume == the full schedule
+    * disjointly ACROSS the epoch boundary (spec-pinned). A cursor
+    * applied to the wrong epoch's permutation, a suffix row re-dealt,
+    * or an untouched later epoch perturbed all break the hash.
+    *
+    * Scale shape: the epoch assembly's plan plus one ≤shards-row
+    * driver fold, a broadcast join, and a narrow filter — nothing new
+    * shuffles. */
+  def dataloaderResumeEpochs(spark: SparkSession, dir: String,
+                             totalBudget: Long = MixTempBudgetDefault,
+                             shards: Int = ShardsDefault,
+                             epochs: Int = DataloaderEpochsDefault): DataFrame = {
+    import spark.implicits._
+    val full = dataloaderEpochsAssembly(spark, dir, totalBudget, shards,
+      epochs).stage()
+    val cutEpoch = epochs / 2
+    // ≤ `shards` rows — the k-limited-collect discipline
+    val cuts = full.filter(col("epoch") === cutEpoch)
+      .groupBy(col("shard"))
+      .agg(expr("max(pos) div 2").as("cut"))
+      .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    val root = graft.tools.TempDirs.createFast("graft-dlresumee")
+    try {
+      graft.tools.HighWaterMarks.write(s"$root/cursor", cutEpoch.toLong, cuts)
+      val got = graft.tools.HighWaterMarks.readAsOf(s"$root/cursor",
+        cutEpoch.toLong)
+      val cursor = got.toSeq.map { case (k, v) => (k.toLong, v) }
+        .toDF("shard", "cut")
+      full.filter(col("epoch") >= cutEpoch)
+        .join(broadcast(cursor), Seq("shard"))
+        .filter(col("epoch") > cutEpoch || col("pos") >= col("cut"))
+        .select(col("lang"), col("doc_id"), col("rep"), col("epoch"),
+          col("shard"), col("pos"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    } finally graft.tools.TempDirs.deleteRecursively(root)
+  }
+
+  /** Oracle of [[dataloaderResumeEpochs]]: the shared instance CTEs
+    * fanned across epochs with the same per-epoch salt, the closed-form
+    * (epoch, shard → cut) cursor, suffix-of-epoch-e ∪ later epochs. */
+  lazy val dataloaderResumeEpochsSql: String = {
+    val e = DataloaderEpochsDefault
+    val cut = e / 2
+    s"WITH $dataloaderInstSql,\n" +
+      "rk AS (SELECT i.lang, i.doc_id, i.rep, e.epoch, ROW_NUMBER() OVER (\n" +
+      "         PARTITION BY e.epoch\n" +
+      "         ORDER BY md5(CAST(i.doc_id AS VARCHAR) || ':'\n" +
+      "                        || CAST(i.rep AS VARCHAR) || ':'\n" +
+      "                        || CAST(e.epoch AS VARCHAR)),\n" +
+      "                  i.doc_id, i.rep) AS gr\n" +
+      s"       FROM inst i CROSS JOIN range(0, $e) e(epoch)),\n" +
+      "asm AS (SELECT lang, doc_id, rep, epoch,\n" +
+      s"          CAST((gr - 1) % $ShardsDefault AS BIGINT) AS shard,\n" +
+      s"          CAST((gr - 1) // $ShardsDefault AS BIGINT) AS pos\n" +
+      "        FROM rk),\n" +
+      s"cur AS (SELECT shard, MAX(pos) // 2 AS cut FROM asm\n" +
+      s"        WHERE epoch = $cut GROUP BY shard)\n" +
+      "SELECT a.lang, a.doc_id, a.rep, a.epoch, a.shard, a.pos\n" +
+      "FROM asm a JOIN cur ON cur.shard = a.shard\n" +
+      s"WHERE a.epoch > $cut OR (a.epoch = $cut AND a.pos >= cur.cut)\n" +
+      "ORDER BY a.epoch, a.shard, a.pos"
+  }
+
+  /** CURRICULUM-ORDERED RESUME through the HASH GATE (VERDICT r18 #4's
+    * second arm): the mid-epoch cursor applied to the
+    * [[dataloaderCurriculum]] assembly — a restart inside a quality
+    * phase must hand back the untrained suffix WITHOUT reordering
+    * phases. Positions are curriculum-ordered (bucket-major), so the
+    * per-shard `max(pos) div 2` cut lands mid-phase by construction and
+    * the suffix keeps each row's ORIGINAL (bucket, shard, pos): a
+    * resume that re-ranked the suffix (restarting a phase, or letting a
+    * later bucket jump the cut) breaks the hash; the monotone-phase and
+    * disjoint-union properties are spec-pinned beside the batch
+    * curriculum's. */
+  def dataloaderCurriculumResume(spark: SparkSession, dir: String,
+                                 totalBudget: Long = MixTempBudgetDefault,
+                                 shards: Int = ShardsDefault): DataFrame = {
+    import spark.implicits._
+    val full = dataloaderCurriculum(spark, dir, totalBudget, shards).stage()
+    // ≤ `shards` rows — the k-limited-collect discipline
+    val cuts = full.groupBy(col("shard"))
+      .agg(expr("max(pos) div 2").as("cut"))
+      .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    val root = graft.tools.TempDirs.createFast("graft-dlcurresume")
+    try {
+      graft.tools.HighWaterMarks.write(s"$root/cursor", 0L, cuts)
+      val got = graft.tools.HighWaterMarks.readAsOf(s"$root/cursor", 0L)
+      val cursor = got.toSeq.map { case (k, v) => (k.toLong, v) }
+        .toDF("shard", "cut")
+      full.join(broadcast(cursor), Seq("shard"))
+        .filter(col("pos") >= col("cut"))
+        .select(col("lang"), col("doc_id"), col("rep"), col("bucket"),
+          col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    } finally graft.tools.TempDirs.deleteRecursively(root)
+  }
+
+  /** Oracle of [[dataloaderCurriculumResume]]: the curriculum assembly
+    * filtered by the same closed-form cursor — suffix rows keep their
+    * original (bucket, shard, pos). Plain concatenation (see
+    * [[dataloaderResumeSql]]'s stripMargin note). */
+  lazy val dataloaderCurriculumResumeSql: String =
+    "WITH asm AS (\n" + dataloaderCurriculumSql + "),\n" +
+      "cur AS (SELECT shard, MAX(pos) // 2 AS cut FROM asm GROUP BY shard)\n" +
+      "SELECT f.lang, f.doc_id, f.rep, f.bucket, f.shard, f.pos\n" +
+      "FROM asm f JOIN cur ON cur.shard = f.shard\n" +
+      "WHERE f.pos >= cur.cut\n" +
+      "ORDER BY f.shard, f.pos"
+
   /** CURRICULUM-ORDERED DATALOADER ASSEMBLY through the HASH GATE
     * (VERDICT r17 #7 — [[curriculumOrder]] and [[dataloaderPipeline]]
     * were separate capstones; real runs want competence-ordered phases
@@ -1324,9 +1497,10 @@ object Corpus {
     * double-publish breaks the hash. */
   def balanceByLangStream(spark: SparkSession, dir: String,
                           perLang: Int = 40, epochs: Int = 4): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-balstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "corpus_balance_stream",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$perLang|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = Tables.documents(spark, dir)
         .select(col("lang"), col("doc_id")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -1337,12 +1511,12 @@ object Corpus {
           all.filter(expr(s"(doc_id - $lo) div $width") === k),
           k, statePath, perLang, compactEvery = 2)
       }
-      TopKStream.rankedAsOf(spark, statePath, epochs - 1L, "lang", perLang)
-        .getOrElse(sys.error("balance stream: no state"))
-        .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
-        .stage()
-        .orderBy(col("lang"), col("rk"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    TopKStream.rankedAsOf(spark, s"$base/state", epochs - 1L, "lang", perLang)
+      .getOrElse(sys.error("balance stream: no state"))
+      .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
+      .stage()
+      .orderBy(col("lang"), col("rk"))
   }
 
   val balanceByLangSql: String =
@@ -2654,7 +2828,9 @@ object Corpus {
     "corpus_mix_temperature" -> ((s: SparkSession, d: String) => mixTemperature(s, d)),
     "pipeline_dataloader" -> ((s: SparkSession, d: String) => dataloaderPipeline(s, d)),
     "pipeline_dataloader_resume" -> ((s: SparkSession, d: String) => dataloaderResume(s, d)),
+    "pipeline_dataloader_resume_epochs" -> ((s: SparkSession, d: String) => dataloaderResumeEpochs(s, d)),
     "pipeline_dataloader_curriculum" -> ((s: SparkSession, d: String) => dataloaderCurriculum(s, d)),
+    "pipeline_dataloader_curriculum_resume" -> ((s: SparkSession, d: String) => dataloaderCurriculumResume(s, d)),
     "corpus_chunk"       -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "corpus_pack_padded" -> ((s: SparkSession, d: String) => packPadded(s, d)),
     "corpus_bpe"         -> (bpeMerges _),
@@ -2693,7 +2869,9 @@ object Corpus {
     "corpus_mix_temperature" -> mixTemperatureSql,
     "pipeline_dataloader" -> dataloaderPipelineSql,
     "pipeline_dataloader_resume" -> dataloaderResumeSql,
+    "pipeline_dataloader_resume_epochs" -> dataloaderResumeEpochsSql,
     "pipeline_dataloader_curriculum" -> dataloaderCurriculumSql,
+    "pipeline_dataloader_curriculum_resume" -> dataloaderCurriculumResumeSql,
     "corpus_chunk" -> chunkDocsSql,
     "corpus_pack_padded" -> packPaddedSql,
     "corpus_bpe"         -> bpeMergesSql,

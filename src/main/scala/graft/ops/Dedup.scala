@@ -229,6 +229,17 @@ object Dedup {
 
   val ShingleN = 3
 
+  /** Size of the planted clustered-gate corpus ([[writeClusteredDocs]]:
+    * 3×40 exact replicas + 20 sub-threshold probes). Referenced by every
+    * Scala-side width/idSpan/require computation over that corpus
+    * (ADVICE r18: the TTL gate's divisibility require hard-coded the
+    * literal separately from the width math it guards). The corpus
+    * SHAPE constants (120 = replica span, 40 = families) stay literal
+    * inside the non-interpolated oracle SQL — they pin the same planted
+    * layout on the DuckDB side, where a drift is exactly what the hash
+    * gates exist to catch. */
+  val ClusteredCorpusDocs = 140
+
   /** documents → (doc_id, shingles) — the verification-side lookup.
     * Compiled kernel (see TextKernels): the HOF-lambda equivalent is
     * CodegenFallback-interpreted and ~100× slower per row. */
@@ -679,23 +690,28 @@ object Dedup {
   def simhashStreamClustered(spark: SparkSession, dir: String,
                              epochs: Int = 4): DataFrame = {
     val cdir = clusteredDocsDir(spark)
-    val base = graft.tools.TempDirs.createFast("graft-simstream")
-    try {
-      val statePath = s"$base/state"
+    // Ingested state is a pure function of (corpus, epochs) — built once
+    // per JVM (VERDICT r18 #2, the q99 recipe); iterations measure the
+    // range-pruned fold + gate projection, the build cost stays visible
+    // as a *.build phase.
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_simhash_clustered",
+      s"$cdir@${graft.tools.ArtifactCache.dirToken(cdir)}|$epochs") { b =>
+      val statePath = s"$b/state"
       val all = Tables.documents(spark, cdir)
         .select(col("doc_id"), col("text")).stage()
-      val width = 140 / epochs
+      val width = ClusteredCorpusDocs / epochs
       (0 until epochs).foreach { k =>
         simhashStreamApplyBatch(
           all.filter(col("doc_id") >= k * width &&
             (col("doc_id") < (k + 1) * width || lit(k == epochs - 1))),
           k, statePath, compactEvery = 2)
       }
-      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
-        epochs - 1L)
-      spark.read.parquet(paths: _*).stage()
-        .orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val paths = graft.tools.LogState.pathsAsOf(s"$base/state/survivors",
+      epochs - 1L)
+    spark.read.parquet(paths: _*).stage()
+      .orderBy(col("doc_id"))
   }
 
   val simhashStreamClusteredSql: String =
@@ -720,24 +736,25 @@ object Dedup {
   def minhashStreamClustered(spark: SparkSession, dir: String,
                              epochs: Int = 4): DataFrame = {
     val cdir = clusteredDocsDir(spark)
-    val base = graft.tools.TempDirs.createFast("graft-mhstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_minhash_clustered",
+      s"$cdir@${graft.tools.ArtifactCache.dirToken(cdir)}|$epochs") { b =>
+      val statePath = s"$b/state"
       val all = Tables.documents(spark, cdir)
         .select(col("doc_id"), col("text")).stage()
-      val width = 140 / epochs
+      val width = ClusteredCorpusDocs / epochs
       (0 until epochs).foreach { k =>
         minhashStreamApplyBatch(
           all.filter(col("doc_id") >= k * width &&
             (col("doc_id") < (k + 1) * width || lit(k == epochs - 1))),
           k, statePath, jaccardThreshold = 0.5,
-          maxBucket = MinhashMaxBucket, compactEvery = 2, idSpan = 140)
+          maxBucket = MinhashMaxBucket, compactEvery = 2, idSpan = ClusteredCorpusDocs)
       }
-      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
-        epochs - 1L)
-      spark.read.parquet(paths: _*).stage()
-        .orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val paths = graft.tools.LogState.pathsAsOf(s"$base/state/survivors",
+      epochs - 1L)
+    spark.read.parquet(paths: _*).stage()
+      .orderBy(col("doc_id"))
   }
 
   /** STREAMING minhash under EVENT-TIME LATENESS through the HASH GATE
@@ -761,11 +778,12 @@ object Dedup {
       epochs: Int = Corpus.StreamLateEpochs,
       latenessMicros: Long = Corpus.StreamLatenessMicros): DataFrame = {
     val cdir = clusteredDocsDir(spark)
-    val base = graft.tools.TempDirs.createFast("graft-mhstreamlate")
-    try {
-      val dedupState = s"$base/state"
-      val lateState = s"$base/late"
-      val width = 140 / epochs
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_minhash_late",
+      s"$cdir@${graft.tools.ArtifactCache.dirToken(cdir)}|$epochs|$latenessMicros") { b =>
+      val dedupState = s"$b/state"
+      val lateState = s"$b/late"
+      val width = ClusteredCorpusDocs / epochs
       val all = Tables.documents(spark, cdir)
         .select(col("doc_id"), col("text"))
         .withColumn("arr_epoch", expr(s"doc_id div $width"))
@@ -780,17 +798,17 @@ object Dedup {
           all.filter(col("arr_epoch") === k)
             .select(col("doc_id"), col("text"), col("ts_us")),
           k, lateState, dedupState, latenessMicros,
-          compactEvery = 2, idSpan = 140)
+          compactEvery = 2, idSpan = ClusteredCorpusDocs)
       }
-      val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$dedupState/survivors", epochs - 1L): _*)
-        .select(col("doc_id"),
-          lit(null).cast("long").as("quarantine_epoch"))
-      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
-        .map(_.select(col("doc_id"), col("quarantine_epoch").cast("long")))
-        .getOrElse(surv.limit(0))
-      surv.unionByName(quar).stage().orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/survivors", epochs - 1L): _*)
+      .select(col("doc_id"),
+        lit(null).cast("long").as("quarantine_epoch"))
+    val quar = CdcUpsert.quarantineAsOf(spark, s"$base/late", epochs - 1L)
+      .map(_.select(col("doc_id"), col("quarantine_epoch").cast("long")))
+      .getOrElse(surv.limit(0))
+    surv.unionByName(quar).stage().orderBy(col("doc_id"))
   }
 
   /** Oracle of [[minhashStreamLateClustered]]: the dense watermark
@@ -799,13 +817,13 @@ object Dedup {
     * min on-time id per family, UNION the quarantine rows. */
   val minhashStreamLateClusteredSql: String = {
     val epochs = Corpus.StreamLateEpochs
-    val width = 140 / epochs
+    val width = ClusteredCorpusDocs / epochs
     s"""WITH t AS (
        |  SELECT x AS doc_id, x // $width AS arr_epoch,
        |    (CASE WHEN x % 7 = 3 AND x // $width >= 2
        |          THEN x // $width - 2 ELSE x // $width END) * 1000000
        |      + (x * 131 % 997) * 1000 AS ts_us
-       |  FROM range(0, 140) t(x)),
+       |  FROM range(0, $ClusteredCorpusDocs) t(x)),
        |m AS (SELECT arr_epoch, MAX(ts_us) AS mx FROM t GROUP BY arr_epoch),
        |w AS (SELECT g.epoch,
        |        MAX(m.mx) OVER (ORDER BY g.epoch
@@ -842,11 +860,12 @@ object Dedup {
       epochs: Int = Corpus.StreamLateEpochs,
       latenessMicros: Long = Corpus.StreamLatenessMicros): DataFrame = {
     val cdir = clusteredDocsDir(spark)
-    val base = graft.tools.TempDirs.createFast("graft-shstreamlate")
-    try {
-      val dedupState = s"$base/state"
-      val lateState = s"$base/late"
-      val width = 140 / epochs
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_simhash_late",
+      s"$cdir@${graft.tools.ArtifactCache.dirToken(cdir)}|$epochs|$latenessMicros") { b =>
+      val dedupState = s"$b/state"
+      val lateState = s"$b/late"
+      val width = ClusteredCorpusDocs / epochs
       val all = Tables.documents(spark, cdir)
         .select(col("doc_id"), col("text"))
         .withColumn("arr_epoch", expr(s"doc_id div $width"))
@@ -862,15 +881,15 @@ object Dedup {
             .select(col("doc_id"), col("text"), col("ts_us")),
           k, lateState, dedupState, latenessMicros)
       }
-      val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$dedupState/survivors", epochs - 1L): _*)
-        .select(col("doc_id"),
-          lit(null).cast("long").as("quarantine_epoch"))
-      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
-        .map(_.select(col("doc_id"), col("quarantine_epoch").cast("long")))
-        .getOrElse(surv.limit(0))
-      surv.unionByName(quar).stage().orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/survivors", epochs - 1L): _*)
+      .select(col("doc_id"),
+        lit(null).cast("long").as("quarantine_epoch"))
+    val quar = CdcUpsert.quarantineAsOf(spark, s"$base/late", epochs - 1L)
+      .map(_.select(col("doc_id"), col("quarantine_epoch").cast("long")))
+      .getOrElse(surv.limit(0))
+    surv.unionByName(quar).stage().orderBy(col("doc_id"))
   }
 
   /** [[embeddingStreamClustered]] under the shared event-time lateness
@@ -890,10 +909,11 @@ object Dedup {
       epochs: Int = Corpus.StreamLateEpochs,
       latenessMicros: Long = Corpus.StreamLatenessMicros): DataFrame = {
     val cdir = Similarity.clusteredCorpusDir(spark)
-    val base = graft.tools.TempDirs.createFast("graft-embstreamlate")
-    try {
-      val dedupState = s"$base/state"
-      val lateState = s"$base/late"
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_embedding_late",
+      s"$cdir@${graft.tools.ArtifactCache.dirToken(cdir)}|$epochs|$latenessMicros") { b =>
+      val dedupState = s"$b/state"
+      val lateState = s"$b/late"
       val width = 200 / epochs
       val all = Tables.embeddings(spark, cdir)
         .select(col("vec_id"), col("embedding"))
@@ -912,15 +932,15 @@ object Dedup {
           threshold = 0.5, tables = 4, bits = 10, probes = 2,
           compactEvery = 2, idSpan = 200)
       }
-      val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$dedupState/survivors", epochs - 1L): _*)
-        .select(col("vec_id"),
-          lit(null).cast("long").as("quarantine_epoch"))
-      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
-        .map(_.select(col("vec_id"), col("quarantine_epoch").cast("long")))
-        .getOrElse(surv.limit(0))
-      surv.unionByName(quar).stage().orderBy(col("vec_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val surv = spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/survivors", epochs - 1L): _*)
+      .select(col("vec_id"),
+        lit(null).cast("long").as("quarantine_epoch"))
+    val quar = CdcUpsert.quarantineAsOf(spark, s"$base/late", epochs - 1L)
+      .map(_.select(col("vec_id"), col("quarantine_epoch").cast("long")))
+      .getOrElse(surv.limit(0))
+    surv.unionByName(quar).stage().orderBy(col("vec_id"))
   }
 
   /** Oracle of [[embeddingStreamLateClustered]]: watermark recurrence
@@ -1035,37 +1055,38 @@ object Dedup {
     // oracle assigns epochs as doc_id // width — those agree only when
     // the widths are exact (ADVICE r17); a non-divisor epoch count would
     // silently shift the tail ids' TTL windows between the two engines.
-    require(140 % epochs == 0,
-      s"epochs must divide the 140-doc planted corpus, got $epochs")
+    require(ClusteredCorpusDocs % epochs == 0,
+      s"epochs must divide the $ClusteredCorpusDocs-doc planted corpus, got $epochs")
     val cdir = clusteredDocsDir(spark)
-    val base = graft.tools.TempDirs.createFast("graft-exttl")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_exact_ttl",
+      s"$cdir@${graft.tools.ArtifactCache.dirToken(cdir)}|$epochs|$ttl") { b =>
+      val statePath = s"$b/state"
       val all = Tables.documents(spark, cdir)
         .select(col("doc_id"), col("text")).stage()
-      val width = 140 / epochs
+      val width = ClusteredCorpusDocs / epochs
       (0 until epochs).foreach { k =>
         exactStreamTtlApplyBatch(
           all.filter(col("doc_id") >= k * width &&
             (col("doc_id") < (k + 1) * width || lit(k == epochs - 1))),
           k, statePath, ttl)
       }
-      spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$statePath/survivors", epochs - 1L): _*)
-        .stage().orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/survivors", epochs - 1L): _*)
+      .stage().orderBy(col("doc_id"))
   }
 
   /** Oracle of [[exactStreamTtlClustered]]: survivor iff no same-family
     * arrival within the last [[ExactTtl]] epochs (any sighting
     * refreshes — b ranges over ALL earlier arrivals, not survivors). */
   val exactStreamTtlClusteredSql: String = {
-    val width = 140 / ExactTtlEpochs
+    val width = ClusteredCorpusDocs / ExactTtlEpochs
     s"""WITH t AS (
        |  SELECT x AS doc_id,
        |    CASE WHEN x < 120 THEN x % 40 ELSE x END AS fam,
        |    x // $width AS e
-       |  FROM range(0, 140) t(x))
+       |  FROM range(0, $ClusteredCorpusDocs) t(x))
        |SELECT CAST(a.doc_id AS BIGINT) AS doc_id FROM t a
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM t b
@@ -1848,10 +1869,13 @@ object Dedup {
                     // maintenance path is driver-visible, not spec-only;
                     // schedule invariance is MorUpsertSpec/DedupSpec-pinned
                     compactEvery: Int = 2): DataFrame = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val base = graft.tools.TempDirs.createFast("graft-dedup-stream")
-    try {
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_minhash",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$jaccardThreshold|$maxBucket|$chunks|$compactEvery") { b =>
+      val base = b
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val statePath = s"$base/state"
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
@@ -1894,16 +1918,14 @@ object Dedup {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val survPaths =
-        graft.tools.LogState.pathsAsOf(s"$statePath/survivors", Long.MaxValue)
-      require(survPaths.nonEmpty, s"no survivor state under $statePath")
-      spark.read.parquet(survPaths: _*)
-        .stage()
-        .orderBy(col("doc_id"))
-    } finally {
-      graft.tools.TempDirs.deleteRecursively(base)
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
+    val survPaths =
+      graft.tools.LogState.pathsAsOf(s"$base/state/survivors", Long.MaxValue)
+    require(survPaths.nonEmpty, s"no survivor state under $base/state")
+    spark.read.parquet(survPaths: _*)
+      .stage()
+      .orderBy(col("doc_id"))
   }
 
   /** Fuzzy entity resolution (record-linkage dedup): customer records in
@@ -2582,9 +2604,10 @@ object Dedup {
   def semanticStreamClustered(spark: SparkSession, dir: String,
                               epochs: Int = 4): DataFrame = {
     val cdir = Similarity.clusteredCorpusDir(spark)
-    val base = graft.tools.TempDirs.createFast("graft-semstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_semantic_clustered",
+      s"$cdir@${graft.tools.ArtifactCache.dirToken(cdir)}|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = Tables.embeddings(spark, cdir)
         .select(col("vec_id"), col("embedding")).stage()
       val width = 200 / epochs
@@ -2595,11 +2618,11 @@ object Dedup {
           b, statePath, k = 10, iterations = 2, eps = 0.99999,
           compactEvery = 2)
       }
-      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
-        epochs - 1L)
-      spark.read.parquet(paths: _*).stage()
-        .orderBy(col("vec_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val paths = graft.tools.LogState.pathsAsOf(s"$base/state/survivors",
+      epochs - 1L)
+    spark.read.parquet(paths: _*).stage()
+      .orderBy(col("vec_id"))
   }
 
   /** Signature width for the STREAMING embedding tier, from EXPECTED
@@ -2879,9 +2902,10 @@ object Dedup {
   def embeddingStreamClustered(spark: SparkSession, dir: String,
                                epochs: Int = 4): DataFrame = {
     val cdir = Similarity.clusteredCorpusDir(spark)
-    val base = graft.tools.TempDirs.createFast("graft-embstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_embedding_clustered",
+      s"$cdir@${graft.tools.ArtifactCache.dirToken(cdir)}|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = Tables.embeddings(spark, cdir)
         .select(col("vec_id"), col("embedding")).stage()
       val width = 200 / epochs
@@ -2892,11 +2916,11 @@ object Dedup {
           k, statePath, threshold = 0.5, tables = 4, bits = 10,
           probes = 2, compactEvery = 2, idSpan = 200)
       }
-      val paths = graft.tools.LogState.pathsAsOf(s"$statePath/survivors",
-        epochs - 1L)
-      spark.read.parquet(paths: _*).stage()
-        .orderBy(col("vec_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val paths = graft.tools.LogState.pathsAsOf(s"$base/state/survivors",
+      epochs - 1L)
+    spark.read.parquet(paths: _*).stage()
+      .orderBy(col("vec_id"))
   }
 
   val embeddingStreamClusteredSql: String = {
@@ -3024,7 +3048,7 @@ object Dedup {
     *    verify-filter stage and must appear in NO pair. */
   private[graft] def writeClusteredDocs(spark: SparkSession,
                                         d: String): Unit = {
-    val rows = (0 until 140).map { i =>
+    val rows = (0 until ClusteredCorpusDocs).map { i =>
       val text =
         if (i < 120) {
           val b = i % 40
@@ -3811,9 +3835,10 @@ object Dedup {
     * coverage drift anywhere in the log protocol breaks the hash. */
   def substringStream(spark: SparkSession, dir: String,
                       epochs: Int = 4, byRange: Boolean = false): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-substream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_substring",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs|$byRange") { root =>
+      val statePath = s"$root/state"
       val all = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text")).stage()
       // pmod batches (the gate): worst-case cross-epoch affectedness.
@@ -3830,13 +3855,13 @@ object Dedup {
       (0 until epochs).foreach { k =>
         substringStreamApplyBatch(batchOf(k), k, statePath, compactEvery = 2)
       }
-      substringStreamState(spark, statePath, epochs - 1)
-        .getOrElse(sys.error("substring stream: no state"))
-        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-          col("clean_text"))
-        .stage()
-        .orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    substringStreamState(spark, s"$base/state", epochs - 1)
+      .getOrElse(sys.error("substring stream: no state"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+      .stage()
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic event-time columns for the lateness gates: arrival
@@ -3870,10 +3895,11 @@ object Dedup {
   def substringStreamLate(spark: SparkSession, dir: String,
                           epochs: Int = 4,
                           latenessMicros: Long = 1500000L): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-substreamlate")
-    try {
-      val dedupState = s"$base/state"
-      val lateState = s"$base/late"
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_substring_late",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs|$latenessMicros") { root =>
+      val dedupState = s"$root/state"
+      val lateState = s"$root/late"
       val all = lateEventTime(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")),
         epochs).stage()
@@ -3887,20 +3913,20 @@ object Dedup {
             k, dedupState, compactEvery = 2)
         }
       }
-      val state = substringStreamState(spark, dedupState, epochs - 1)
-        .getOrElse(sys.error("substring stream late: no state"))
-        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-          col("clean_text"),
-          lit(null).cast("long").as("quarantine_epoch"))
-      val quar = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
-        .map(_.select(col("doc_id"),
-          lit(null).cast("long").as("n_tokens"),
-          lit(null).cast("long").as("n_removed"),
-          lit(null).cast("string").as("clean_text"),
-          col("quarantine_epoch").cast("long")))
-        .getOrElse(state.limit(0))
-      state.unionByName(quar).stage().orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val state = substringStreamState(spark, s"$base/state", epochs - 1)
+      .getOrElse(sys.error("substring stream late: no state"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"),
+        lit(null).cast("long").as("quarantine_epoch"))
+    val quar = CdcUpsert.quarantineAsOf(spark, s"$base/late", epochs - 1L)
+      .map(_.select(col("doc_id"),
+        lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("n_removed"),
+        lit(null).cast("string").as("clean_text"),
+        col("quarantine_epoch").cast("long")))
+      .getOrElse(state.limit(0))
+    state.unionByName(quar).stage().orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------------
@@ -4026,9 +4052,10 @@ object Dedup {
     * hash. */
   def decontaminateStream(spark: SparkSession, dir: String,
                           epochs: Int = 4): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-decontamstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "dedup_stream_decontaminate",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = Tables.documents(spark, dir)
         .withColumn("bucket",
           substring(md5(col("doc_id").cast("string")), 1, 1))
@@ -4042,13 +4069,13 @@ object Dedup {
           test.filter(pmod(col("doc_id"), lit(epochs)) === k),
           k, statePath, compactEvery = 2)
       }
-      substringStreamState(spark, statePath, epochs - 1)
-        .getOrElse(sys.error("decontaminate stream: no state"))
-        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-          col("clean_text"))
-        .stage()
-        .orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    substringStreamState(spark, s"$base/state", epochs - 1)
+      .getOrElse(sys.error("decontaminate stream: no state"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+      .stage()
+      .orderBy(col("doc_id"))
   }
 
   /** [[minhashStream]]'s id-chunk batches under the same lateness

@@ -602,9 +602,10 @@ object Similarity {
     * this function (ADVICE r17 docstring fix). */
   def hnswTopKStream(spark: SparkSession, dir: String,
                      epochs: Int = 5): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-hnswstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "sim_topk_hnsw_stream",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs") { root =>
+      val statePath = s"$root/state"
       val vecs = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).stage()
       val width = 200 / epochs
@@ -614,11 +615,11 @@ object Similarity {
             (col("vec_id") < (k + 1) * width || lit(k == epochs - 1))),
           k, statePath)
       }
-      val edges = spark.read
-        .parquet(hnswEdgePathsAsOf(s"$statePath/edges", epochs - 1L): _*)
-        .stage()
-      rerankSlim(spark, dir, hnswCandidatesOver(spark, dir, edges))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val edges = spark.read
+      .parquet(hnswEdgePathsAsOf(s"$base/state/edges", epochs - 1L): _*)
+      .stage()
+    rerankSlim(spark, dir, hnswCandidatesOver(spark, dir, edges))
   }
 
   /** The maintained edge set as-of the final epoch — split out for the
@@ -687,11 +688,20 @@ object Similarity {
     * pads to the fixed PqK+1 stride. */
   private[graft] def pqCodebooks(spark: SparkSession,
                                  dir: String): IndexedSeq[Array[Array[Double]]] =
+    pqCodebooksOf(spark, dir, Tables.embeddings(spark, dir), "")
+
+  /** Codebook trainer over an explicit training frame — the refresh
+    * protocol trains the frozen arm on HISTORY ONLY and the drifted arm
+    * on history ∪ delta; `tag` keeps the two artifact sets apart under
+    * the same corpus dir. */
+  private[graft] def pqCodebooksOf(spark: SparkSession, dir: String,
+                                   train: DataFrame, tag: String)
+      : IndexedSeq[Array[Array[Double]]] =
     (0 until PqM).map { m =>
       graft.tools.ArtifactCache.parquet(spark, dir,
-        s"pq_m${m}_k${PqK}_i$PqIterations") { p =>
+        s"pq_m${m}_k${PqK}_i$PqIterations$tag") { p =>
         KMeans.saveIndex(KMeans.fit(spark,
-          Tables.embeddings(spark, dir).select(col("vec_id"),
+          train.select(col("vec_id"),
             expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)")
               .as("embedding")),
           PqK, PqIterations), p)
@@ -723,8 +733,11 @@ object Similarity {
     * codegen'd arithmetic, no UDF on the scan — then the bounded-heap
     * aggregator keeps `PqRerank` per query, so shuffle volume is
     * O(queries · PqRerank) regardless of corpus size. */
-  private[graft] def pqCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val books = pqCodebooks(spark, dir)
+  private[graft] def pqCandidates(spark: SparkSession, dir: String): DataFrame =
+    pqCandidatesWith(spark, dir, pqCodebooks(spark, dir))
+
+  private[graft] def pqCandidatesWith(spark: SparkSession, dir: String,
+      books: IndexedSeq[Array[Array[Double]]]): DataFrame = {
     val qRows = queriesDf(spark, dir).collect()
     val adcRows = qRows.map { r =>
       val qid = r.getLong(0)
@@ -775,6 +788,56 @@ object Similarity {
     * measured recall/fraction sit beside IVF/LSH in [[recallMetrics]]. */
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
     rerankSlim(spark, dir, pqCandidates(spark, dir))
+
+  /** DRIFT-TRIGGERED codebook refresh for the PQ tier (VERDICT r18 #5 —
+    * the last frozen-trained ANN artifact without a monitored-refresh
+    * protocol; IVF gained its arms in r17, the semantic quantizer in
+    * r16): history (vec_id < splitId) owns the trained codebooks; the
+    * delta ingest is scored by [[embDriftDims]] — quiet monitor → encode
+    * and search the WHOLE corpus with the FROZEN history-trained
+    * codebooks (encoding is map-side; new vectors just take their
+    * nearest existing code — correct while the distribution holds); any
+    * drifted dim → retrain codebooks on history ∪ delta before encoding
+    * (frozen codes have NO cell for the new directions: every drifted
+    * vector would collapse onto the sentinel/nearest-old code and ADC
+    * would stop discriminating exactly where the delta lives). The
+    * `branch` column puts the decision inside the hash gate — same
+    * protocol, same oracle shapes as [[ivfTopKRefresh]]. */
+  def pqTopKRefresh(spark: SparkSession, dir: String, splitId: Long,
+                    thresholdMicro: Long = Dedup.DriftThresholdMicro)
+      : DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val drifted = embDriftDims(
+        embStatsOf(e.filter(col("vec_id") < splitId)),
+        embStatsOf(e.filter(col("vec_id") >= splitId)),
+        thresholdMicro)
+      .limit(1).collect().nonEmpty
+    val (books, branch) =
+      if (drifted)
+        (pqCodebooksOf(spark, dir, e, "_refresh"), "refresh")
+      else
+        (pqCodebooksOf(spark, dir, e.filter(col("vec_id") < splitId),
+          s"_hist_lt$splitId"), "frozen")
+    rerankSlim(spark, dir, pqCandidatesWith(spark, dir, books))
+      .withColumn("branch", lit(branch))
+  }
+
+  /** The refresh arm on the DRIFTED corpus: dims 60/61 shift past the
+    * threshold, forcing the retrain branch; retrained codebooks give
+    * the delta directions their own codes, history queries' top-k never
+    * leave their planted direction (the delta is orthogonal to them up
+    * to the tiny dim-63 jitter), so refresh search == brute over the
+    * 270-vector corpus — the SAME oracle as the IVF refresh arm. */
+  def pqRefreshClustered(spark: SparkSession, dir: String): DataFrame =
+    pqTopKRefresh(spark, driftedCorpusDir(spark), splitId = 200)
+
+  /** The NO-DRIFT arm on the standard clustered corpus split at 150:
+    * the monitor is quiet, codebooks stay frozen on history (every
+    * planted direction is already represented by vec_id < 150), and the
+    * frozen encode/search path is exact — the gate pins that the
+    * protocol adds nothing when quiet. */
+  def pqRefreshNoDriftClustered(spark: SparkSession, dir: String): DataFrame =
+    pqTopKRefresh(spark, clusteredCorpusDir(spark), splitId = 150)
 
   // ---------------------------------------------------------------------
   // Filtered ANN (metadata predicate + top-k)
@@ -1533,6 +1596,8 @@ object Similarity {
       ((s: SparkSession, _: String) => lshTopK(s, clusteredCorpusDir(s))),
     "sim_topk_pq_clustered" ->
       ((s: SparkSession, _: String) => pqTopK(s, clusteredCorpusDir(s))),
+    "sim_topk_pq_refresh_clustered" -> (pqRefreshClustered _),
+    "sim_topk_pq_refresh_nodrift_clustered" -> (pqRefreshNoDriftClustered _),
     "sim_topk_hnsw_clustered" ->
       ((s: SparkSession, _: String) => hnswTopK(s, clusteredCorpusDir(s))),
     // incremental == rebuild: the id-tail delta (splitId 150) touches
@@ -1591,6 +1656,11 @@ object Similarity {
     "sim_topk_ivf_refresh_nodrift_clustered" -> ivfRefreshNoDriftSql,
     "sim_topk_lsh_clustered" -> clusteredBruteSql,
     "sim_topk_pq_clustered"  -> clusteredBruteSql,
+    // the PQ refresh arms share the IVF protocol's oracles: refresh ==
+    // brute over the drifted corpus + the forced branch literal; quiet
+    // == brute over the clustered corpus + 'frozen'
+    "sim_topk_pq_refresh_clustered" -> ivfRefreshClusteredSql,
+    "sim_topk_pq_refresh_nodrift_clustered" -> ivfRefreshNoDriftSql,
     "sim_topk_hnsw_clustered" -> clusteredBruteSql,
     "sim_topk_hnsw_incr_clustered" -> clusteredBruteSql,
     "sim_topk_hnsw_stream_clustered" -> clusteredBruteSql,

@@ -828,9 +828,10 @@ object TextAnalysis {
     * and break the hash. */
   def finewebStream(spark: SparkSession, dir: String,
                     epochs: Int = 4): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-fwstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "pipeline_fineweb_stream",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -841,11 +842,11 @@ object TextAnalysis {
           all.filter(expr(s"(doc_id - $lo) div $width") === k),
           k, statePath, compactEvery = 2)
       }
-      finewebStreamReport(spark, statePath, epochs - 1L)
-        .getOrElse(sys.error("fineweb stream: no state"))
-        .stage()
-        .orderBy(col("stage"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    finewebStreamReport(spark, s"$base/state", epochs - 1L)
+      .getOrElse(sys.error("fineweb stream: no state"))
+      .stage()
+      .orderBy(col("stage"))
   }
 
   /** STREAMING funnel under EVENT-TIME LATENESS (r16 — the remedy the
@@ -867,10 +868,11 @@ object TextAnalysis {
   def finewebStreamLate(spark: SparkSession, dir: String,
                         epochs: Int = Corpus.StreamLateEpochs,
                         latenessMicros: Long = Corpus.StreamLatenessMicros): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-fwstreamlate")
-    try {
-      val statePath = s"$base/state"
-      val lateState = s"$base/late"
+    val base = graft.tools.StateCache.getOrBuild(
+      "pipeline_fineweb_stream_late",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs|$latenessMicros") { root =>
+      val statePath = s"$root/state"
+      val lateState = s"$root/late"
       val all = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("text")).stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -894,24 +896,24 @@ object TextAnalysis {
             k, statePath, compactEvery = 2)
         }
       }
-      val report = finewebStreamReport(spark, statePath, epochs - 1L)
-        .getOrElse(sys.error("fineweb stream late: no state"))
-      // the 6_late row is ALWAYS present (the oracle emits a zero row
-      // when nothing quarantined — an absent row would hash-mismatch
-      // on a corpus with no late arrivals)
-      val lateRow = CdcUpsert.quarantineAsOf(spark, lateState, epochs - 1L)
-        .map(q => funnelDocFlags(q.select(col("doc_id"), col("lang"),
-            col("text")))
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"))
-          .select(lit("6_late").as("stage"), col("n_docs"),
-            col("total_tokens")))
-        .getOrElse {
-          import spark.implicits._
-          Seq(("6_late", 0L, 0L)).toDF("stage", "n_docs", "total_tokens")
-        }
-      report.unionByName(lateRow).stage().orderBy(col("stage"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    val report = finewebStreamReport(spark, s"$base/state", epochs - 1L)
+      .getOrElse(sys.error("fineweb stream late: no state"))
+    // the 6_late row is ALWAYS present (the oracle emits a zero row
+    // when nothing quarantined — an absent row would hash-mismatch
+    // on a corpus with no late arrivals)
+    val lateRow = CdcUpsert.quarantineAsOf(spark, s"$base/late", epochs - 1L)
+      .map(q => funnelDocFlags(q.select(col("doc_id"), col("lang"),
+          col("text")))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"))
+        .select(lit("6_late").as("stage"), col("n_docs"),
+          col("total_tokens")))
+      .getOrElse {
+        import spark.implicits._
+        Seq(("6_late", 0L, 0L)).toDF("stage", "n_docs", "total_tokens")
+      }
+    report.unionByName(lateRow).stage().orderBy(col("stage"))
   }
 
   /** Oracle of [[finewebStreamLate]]: watermark recurrence over the
@@ -1186,10 +1188,11 @@ object TextAnalysis {
     * breaks the hash. */
   def dsirStream(spark: SparkSession, dir: String,
                  epochs: Int = 4): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-dsirstream")
-    try {
-      val modelPath = s"$base/model"
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "text_dsir_stream",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs") { root =>
+      val modelPath = s"$root/model"
+      val statePath = s"$root/state"
       dsirModelTrain(spark, dir, modelPath)
       val all = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("text")).stage()
@@ -1201,13 +1204,13 @@ object TextAnalysis {
           all.filter(expr(s"(doc_id - $lo) div $width") === k),
           k, statePath, modelPath, compactEvery = 2)
       }
-      spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$statePath/results", epochs - 1L): _*)
-        .select(col("doc_id"), col("n_grams"), col("score_sum"),
-          col("score_avg"), col("selected"))
-        .stage()
-        .orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/results", epochs - 1L): _*)
+      .select(col("doc_id"), col("n_grams"), col("score_sum"),
+        col("score_avg"), col("selected"))
+      .stage()
+      .orderBy(col("doc_id"))
   }
 
   val dsirSelectSql: String =

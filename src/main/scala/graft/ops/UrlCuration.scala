@@ -272,9 +272,10 @@ object UrlCuration {
     * hash. */
   def urlDedupStream(spark: SparkSession, dir: String,
                      epochs: Int = 4): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-urlstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "text_url_dedup_stream",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = withUrl(spark, dir).select(col("doc_id"), col("url"))
         .stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -285,12 +286,12 @@ object UrlCuration {
           all.filter(expr(s"(doc_id - $lo) div $width") === k),
           k, statePath, compactEvery = 2)
       }
-      spark.read.parquet(graft.tools.LogState.pathsAsOf(
-          s"$statePath/results", epochs - 1L): _*)
-        .select(col("doc_id"), col("canon_url"), col("keep"))
-        .stage()
-        .orderBy(col("doc_id"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    spark.read.parquet(graft.tools.LogState.pathsAsOf(
+        s"$base/state/results", epochs - 1L): _*)
+      .select(col("doc_id"), col("canon_url"), col("keep"))
+      .stage()
+      .orderBy(col("doc_id"))
   }
 
   /** Per-domain document cap: at most [[DomainCapK]] docs per domain,
@@ -396,9 +397,10 @@ object UrlCuration {
     * hash. */
   def domainCapStream(spark: SparkSession, dir: String,
                       epochs: Int = 4): DataFrame = {
-    val base = graft.tools.TempDirs.createFast("graft-domcapstream")
-    try {
-      val statePath = s"$base/state"
+    val base = graft.tools.StateCache.getOrBuild(
+      "corpus_domain_cap_stream",
+      s"$dir@${graft.tools.ArtifactCache.dirToken(dir)}|$epochs") { root =>
+      val statePath = s"$root/state"
       val all = withUrl(spark, dir).select(col("doc_id"), col("url"))
         .stage()
       val mm = all.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -409,11 +411,11 @@ object UrlCuration {
           all.filter(expr(s"(doc_id - $lo) div $width") === kk),
           kk, statePath, compactEvery = 2)
       }
-      domainCapStreamReport(spark, statePath, epochs - 1L)
-        .getOrElse(sys.error("domain cap stream: no state"))
-        .stage()
-        .orderBy(col("domain"), col("rk"))
-    } finally graft.tools.TempDirs.deleteRecursively(base)
+    }
+    domainCapStreamReport(spark, s"$base/state", epochs - 1L)
+      .getOrElse(sys.error("domain cap stream: no state"))
+      .stage()
+      .orderBy(col("domain"), col("rk"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

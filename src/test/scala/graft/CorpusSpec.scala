@@ -596,4 +596,71 @@ class CorpusSpec extends SparkSpec {
     // content on this corpus
     assert(cur.map(_._4).distinct.length > 1)
   }
+
+  test("dataloaderResumeEpochs: suffix ∪ prefix == the full multi-epoch " +
+      "schedule, disjointly, across the epoch boundary") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)) // (lang, doc, rep, epoch, shard, pos)
+    val epochs = Corpus.DataloaderEpochsDefault
+    val cutEpoch = epochs / 2
+    val resume = Corpus.dataloaderResumeEpochs(spark, sf).collect()
+      .map(key).toSet
+    assert(resume.nonEmpty)
+    // reconstruct the full schedule from the single-epoch pool size:
+    // every epoch is a permutation of the same instance pool, so the
+    // full schedule has pool × epochs rows
+    val pool = Corpus.dataloaderPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // epochs BELOW the cursor epoch contribute nothing; epochs above it
+    // are complete permutations of the pool
+    (cutEpoch + 1 until epochs).foreach { e =>
+      val late = resume.filter(_._4 == e).toSeq.map(t => (t._1, t._2, t._3))
+      assert(late.sorted == pool.sorted,
+        s"epoch $e (after the cursor) must be the untouched full permutation")
+    }
+    assert(resume.forall(_._4 >= cutEpoch),
+      "fully-trained epochs must not reappear")
+    // the cursor epoch is a real, proper suffix with per-shard cuts:
+    // min resumed pos per shard == that shard's closed-form mark, and
+    // prefix ∪ suffix is dense (0 until shard size)
+    val cutRows = resume.filter(_._4 == cutEpoch)
+    assert(cutRows.nonEmpty && cutRows.size < pool.size,
+      "the cursor epoch must resume mid-epoch")
+    cutRows.groupBy(_._5).foreach { case (sh, rows) =>
+      val poss = rows.map(_._6)
+      val fullShardMax = poss.max // suffix keeps original pos ⇒ max = shard max
+      assert(poss.min == fullShardMax / 2,
+        s"shard $sh resumed at ${poss.min}, cursor ${fullShardMax / 2}")
+      assert(poss.toSeq.sorted == (poss.min to fullShardMax).toSeq,
+        s"shard $sh suffix positions not dense — original pos not preserved")
+    }
+  }
+
+  test("dataloaderCurriculumResume: exactly the curriculum suffix, original " +
+      "(bucket, shard, pos) preserved, phases never restart") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)) // (lang, doc, rep, bucket, shard, pos)
+    val full = Corpus.dataloaderCurriculum(spark, sf).collect().map(key).toSet
+    val resume = Corpus.dataloaderCurriculumResume(spark, sf).collect()
+      .map(key).toSet
+    assert(resume.nonEmpty && resume.size < full.size)
+    val cuts = full.groupBy(_._5).view
+      .mapValues(rows => rows.map(_._6).max / 2).toMap
+    val prefix = full.filter(t => t._6 < cuts(t._5))
+    assert(resume == full -- prefix, "resume must be exactly the suffix")
+    assert((resume intersect prefix).isEmpty)
+    // no phase restarts: within each shard the resumed rows' buckets
+    // continue monotonically from the prefix's last bucket
+    resume.groupBy(_._5).foreach { case (sh, rows) =>
+      val byPos = rows.toSeq.sortBy(_._6).map(_._4)
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b },
+        s"shard $sh resumed buckets not monotone")
+      val lastTrained = prefix.filter(_._5 == sh).toSeq
+      if (lastTrained.nonEmpty)
+        assert(byPos.head >= lastTrained.maxBy(_._6)._4,
+          s"shard $sh resumed into an earlier phase than it trained")
+    }
+  }
 }

@@ -408,6 +408,30 @@ class SimilaritySpec extends SparkSpec {
       "frozen-branch search diverged from the clustered IVF tier")
   }
 
+  test("pqTopKRefresh: the drifted arm retrains the codebooks, the quiet " +
+      "arm stays frozen and matches the full-corpus-trained PQ tier") {
+    val drift = Similarity.pqRefreshClustered(spark, "").collect()
+    assert(drift.nonEmpty && drift.forall(_.getString(4) == "refresh"))
+    val quiet = Similarity.pqRefreshNoDriftClustered(spark, "").collect()
+    assert(quiet.nonEmpty && quiet.forall(_.getString(4) == "frozen"))
+    // history-trained codebooks are exact on this corpus too (every
+    // planted direction is represented below the split) → identical
+    // top-k to the full-corpus-trained tier
+    val tier = Similarity.pqTopK(spark,
+      Similarity.clusteredCorpusDir(spark)).collect()
+      .map(_.toSeq).toSeq
+    assert(quiet.map(_.toSeq.take(4)).toSeq == tier,
+      "frozen-branch PQ search diverged from the clustered PQ tier")
+    // BOUNDARY: a threshold just above the drifted corpus's measured
+    // shift keeps the monitor quiet there — the branch choice is the
+    // threshold comparison, not corpus identity
+    val atBoundary = Similarity.pqTopKRefresh(spark,
+      Similarity.driftedCorpusDir(spark), splitId = 200,
+      thresholdMicro = 1000000000L).collect()
+    assert(atBoundary.forall(_.getString(4) == "frozen"),
+      "an impossibly-high threshold must silence the monitor")
+  }
+
   test("HNSW streaming: the maintained edge artifact equals the batch " +
       "rebuild bitwise under misaligned epochs that re-touch partitions") {
     val cdir = Similarity.clusteredCorpusDir(spark)
