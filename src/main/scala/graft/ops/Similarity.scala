@@ -527,11 +527,16 @@ object Similarity {
       .unionByName(rebuilt)
   }
 
-  /** Graph-ANN top-k over the incrementally-maintained edge artifact. */
+  /** Graph-ANN top-k over the incrementally-maintained edge artifact.
+    * The merged edge set is staged once per call: the delta ingest (the
+    * gate's subject) stays timed every iteration, but the search's
+    * [[HnswHops]] frontier joins read the materialized merge instead of
+    * re-deriving the touched-partition rebuild per hop. */
   def hnswTopKIncr(spark: SparkSession, dir: String,
                    splitId: Long): DataFrame =
     rerankSlim(spark, dir,
-      hnswCandidatesOver(spark, dir, hnswIndexIncremental(spark, dir, splitId)))
+      hnswCandidatesOver(spark, dir,
+        hnswIndexIncremental(spark, dir, splitId).stage()))
 
   /** One micro-batch of STREAMING graph maintenance — the graph tier
     * joins the streaming matrix (batch r17a, incremental r17a; minhash/
