@@ -666,8 +666,7 @@ object Corpus {
   def curriculumOrder(spark: SparkSession, dir: String,
                       shards: Int = ShardsDefault): DataFrame = {
     import spark.implicits._
-    val phased = TextAnalysis.qualityBuckets(spark, dir)
-      .select(col("doc_id"), col("bucket"))
+    val phased = TextAnalysis.qualityPhases(spark, dir)
     val salted = TwoLevel.withMd5Bucket(phased,
         concat(lit("c:"), col("doc_id").cast("string")), "__o", "__b")
       .withColumn("__s", substring(col("__o"), 1, 1))
@@ -1165,8 +1164,7 @@ object Corpus {
                            shards: Int = ShardsDefault): DataFrame = {
     import spark.implicits._
     val phased = dataloaderInstances(spark, dir, totalBudget)
-      .join(TextAnalysis.qualityBuckets(spark, dir)
-        .select(col("doc_id"), col("bucket")), Seq("doc_id"))
+      .join(TextAnalysis.qualityPhases(spark, dir), Seq("doc_id"))
     val salted = TwoLevel.withMd5Bucket(phased,
         concat(lit("c:"), col("doc_id").cast("string"), lit(":"),
           col("rep").cast("string")), "__o", "__b")

