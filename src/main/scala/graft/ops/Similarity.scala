@@ -463,7 +463,7 @@ object Similarity {
       .select(col("n_id"))
       .join(broadcast(queriesDf(spark, dir).select(col("q_id"))), lit(true))
     var all = entry
-    var beam = rankBeam(scoreSlim(spark, dir, entry)).stage()
+    var beam = rankBeam(scoreSlim(spark, dir, entry))
     (1 to HnswHops).foreach { _ =>
       val frontier = beam.select(col("q_id"), col("n_id").as("src"))
         .join(edges, Seq("src"))
@@ -472,7 +472,6 @@ object Similarity {
       all = all.unionByName(frontier)
       beam = rankBeam(
           beam.unionByName(scoreSlim(spark, dir, frontier)).distinct())
-        .stage()
     }
     all.distinct().filter(col("q_id") =!= col("n_id"))
   }
