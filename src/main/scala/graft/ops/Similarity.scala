@@ -738,10 +738,10 @@ object Similarity {
     * aggregator keeps `PqRerank` per query, so shuffle volume is
     * O(queries · PqRerank) regardless of corpus size. */
   private[graft] def pqCandidates(spark: SparkSession, dir: String): DataFrame =
-    pqCandidatesWith(spark, dir, pqCodebooks(spark, dir))
+    pqCandidatesWith(spark, dir, pqCodebooks(spark, dir), "")
 
   private[graft] def pqCandidatesWith(spark: SparkSession, dir: String,
-      books: IndexedSeq[Array[Array[Double]]]): DataFrame = {
+      books: IndexedSeq[Array[Array[Double]]], tag: String): DataFrame = {
     val qRows = queriesDf(spark, dir).collect()
     val adcRows = qRows.map { r =>
       val qid = r.getLong(0)
@@ -775,7 +775,20 @@ object Similarity {
       element_at(col("adc"), lit(m * (PqK + 1) + 1) + col("codes").getItem(m))
     }.reduce(_ + _)
     val topR = graft.functions.TopKAggregator.topkUdaf(PqRerank)
-    pqEncode(corpusDf(spark, dir), books)
+    // The PERSISTED codes table — pqEncode's own doc states the
+    // production posture ("at scale this runs once at ingest and the
+    // codes table is the thing that persists"): encode once per
+    // (corpus, codebook set) through ArtifactCache, keyed by the same
+    // tag that keys the codebooks, so every search iteration pays the
+    // ADC scan over the COMPRESSED codes — the thing PQ exists to make
+    // cheap — not a fresh UDF encode of the raw vectors. Build visible
+    // as pq_codes<tag>.build.
+    val codes = graft.tools.ArtifactCache.parquet(spark, dir,
+      s"pq_codes$tag") { p =>
+      pqEncode(corpusDf(spark, dir), books)
+        .write.mode("overwrite").parquet(p)
+    }
+    codes
       .join(broadcast(adcDf), col("q_id") =!= col("n_id"))
       .withColumn("approx", approx)
       .groupBy(col("q_id"))
@@ -816,13 +829,13 @@ object Similarity {
         embStatsOf(e.filter(col("vec_id") >= splitId)),
         thresholdMicro)
       .limit(1).collect().nonEmpty
-    val (books, branch) =
+    val (books, branch, tag) =
       if (drifted)
-        (pqCodebooksOf(spark, dir, e, "_refresh"), "refresh")
+        (pqCodebooksOf(spark, dir, e, "_refresh"), "refresh", "_refresh")
       else
         (pqCodebooksOf(spark, dir, e.filter(col("vec_id") < splitId),
-          s"_hist_lt$splitId"), "frozen")
-    rerankSlim(spark, dir, pqCandidatesWith(spark, dir, books))
+          s"_hist_lt$splitId"), "frozen", s"_hist_lt$splitId")
+    rerankSlim(spark, dir, pqCandidatesWith(spark, dir, books, tag))
       .withColumn("branch", lit(branch))
   }
 
