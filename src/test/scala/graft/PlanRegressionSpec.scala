@@ -244,4 +244,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unpartitioned windows found:\n${offenders.mkString("\n")}")
   }
+
+  test("hnsw search is one fused plan: no localCheckpoint beam staging (r19)") {
+    // The r19 optimization dropped the per-hop beam .stage() calls —
+    // three hidden materialization jobs per search. Plain hnswTopK's
+    // edges come from the parquet ArtifactCache, so its plan must
+    // contain NO ExistingRDD (localCheckpoint) leaf at all; staging
+    // that pays (the incremental merged edge set, the stream edge
+    // fold) lives in the *_incr/*_stream variants only.
+    val p = plan("sim_topk_hnsw")
+    assert(!p.contains("ExistingRDD"),
+      s"beam staging reappeared in the hnsw search plan:\n${p.take(2000)}")
+  }
 }
