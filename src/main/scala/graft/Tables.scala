@@ -85,4 +85,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `spark.range` sized by ROWS, not cores. A bare `spark.range(0, 140)`
+    * splits 140 rows over defaultParallelism partitions, so every stage
+    * derived from a small synthetic regime corpus runs as 32 near-empty
+    * tasks — measured here, a 32-task tiny stage costs 3–5× a one-task
+    * job in scheduler dispatch alone, and the planted-regime gates run
+    * dozens of such stages. One partition per `perPart` rows keeps the
+    * per-row codec/kernel work parallel (a few ms × ≤32 rows per task)
+    * while the task count follows the DATA — the same §2 posture as
+    * AQE's byte-sized shuffle coalescing, applied to the range source. */
+  def sizedRange(spark: SparkSession, lo: Long, hi: Long,
+                 perPart: Long = 32): org.apache.spark.sql.Dataset[java.lang.Long] =
+    spark.range(lo, hi, 1,
+      math.max(1L, (hi - lo + perPart - 1) / perPart).toInt)
 }

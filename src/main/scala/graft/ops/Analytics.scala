@@ -209,7 +209,7 @@ object Analytics {
   def cmsHeavyClustered(spark: SparkSession, dir: String,
                         d: Int = 4, w: Int = 512): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val toks = spark.range(0, 60)
+    val toks = graft.Tables.sizedRange(spark, 0, 60)
       .select(col("id").as("j"),
         when(col("id") < 10, col("id") + 600)
           .otherwise(col("id") % 5 + 3).as("c"))
@@ -334,7 +334,7 @@ object Analytics {
     val base = graft.tools.TempDirs.createFast("graft-cmsstream")
     try {
       val statePath = s"$base/state"
-      val toks = spark.range(0, 60)
+      val toks = graft.Tables.sizedRange(spark, 0, 60)
         .select(col("id").as("j"),
           when(col("id") < 10, col("id") + 600)
             .otherwise(col("id") % 5 + 3).as("c"))

@@ -467,17 +467,28 @@ object CdcUpsert {
     * even after a later compaction GC'd them only if they still exist;
     * call at apply time (the gate does). */
   def rowsWrittenAt(sp: SparkSession, statePath: String, epoch: Long,
-                    policy: Policy): Long = policy match {
+                    policy: Policy): Long =
+    writtenFrameAt(sp, statePath, epoch, policy).map(_.count()).getOrElse(0L)
+
+  /** The epoch's state-write frame itself (None when the epoch wrote no
+    * delta files) — [[rowsWrittenAt]] is its count. Exposed so the q97
+    * layout gate can fold the per-(arm, epoch) `delta_rows` and
+    * `state_rows` observations into ONE Spark action (a tagged union of
+    * the two counts) instead of two back-to-back count jobs: on a
+    * contended scheduler every job pays a ~100 ms dispatch floor, and
+    * the gate runs 12 (arm, epoch) observation pairs. */
+  def writtenFrameAt(sp: SparkSession, statePath: String, epoch: Long,
+                     policy: Policy): Option[DataFrame] = policy match {
     case Rewrite =>
-      sp.read.parquet(s"$statePath/v$epoch").count()
+      Some(sp.read.parquet(s"$statePath/v$epoch"))
     case _: Mor =>
-      sp.read.parquet(s"$statePath/delta/v$epoch").count()
+      Some(sp.read.parquet(s"$statePath/delta/v$epoch"))
     case _: Partitioned =>
       val paths = graft.tools.RangeState.partDirs(statePath)
         .map(p => s"$p/delta/v$epoch")
         .filter(p => new java.io.File(p).isDirectory)
-      if (paths.isEmpty) 0L else sp.read.parquet(paths: _*).count()
-    case Indexed(inner, _) => rowsWrittenAt(sp, statePath, epoch, inner)
+      if (paths.isEmpty) None else Some(sp.read.parquet(paths: _*))
+    case Indexed(inner, _) => writtenFrameAt(sp, statePath, epoch, inner)
   }
 
   /** Point lookup: the state row for `key` plus HOW MANY partition logs

@@ -471,13 +471,31 @@ object Dedup {
                                             deltaFp: DataFrame,
                                             maxHamming: Int = 3,
                                             maxBucket: Int = 200,
-                                            sorted: Boolean = true): DataFrame = {
+                                            sorted: Boolean = true): DataFrame =
+    fingerprintIncrementalFrom(histFp,
+      fingerprintNearDup(histFp, maxHamming, maxBucket, sorted = false),
+      deltaFp, maxHamming, maxBucket, sorted)
+
+  /** [[fingerprintIncremental]] with the HISTORY PAIR SET supplied by the
+    * caller — the maintained-artifact posture: history owns its
+    * fingerprint index and pair set, so a caller that persists them
+    * (ArtifactCache/StateCache) pays the O(hist)-bounded build once and
+    * the recurring delta ingest never recomputes it. `histPairs` must
+    * equal `fingerprintNearDup(histFp, maxHamming, maxBucket,
+    * sorted=false)` over the same history (the builders guarantee this
+    * by constructing it exactly so); the cap-crossing retraction still
+    * runs against the supplied set, so incremental == full rebuild holds
+    * unconditionally, exactly as the inline form. */
+  private[graft] def fingerprintIncrementalFrom(histFp: DataFrame,
+                                                histPairs: DataFrame,
+                                                deltaFp: DataFrame,
+                                                maxHamming: Int = 3,
+                                                maxBucket: Int = 200,
+                                                sorted: Boolean = true): DataFrame = {
     val histIdx = simhashBandRows(histFp)
     val deltaIdx = simhashBandRows(deltaFp)
     val dp = deltaHammingPairs(histIdx, deltaIdx,
       histFp.unionByName(deltaFp), maxHamming, maxBucket)
-    val histPairs = fingerprintNearDup(histFp, maxHamming, maxBucket,
-      sorted = false)
     val full = retractCrossedPairs(histPairs, histIdx, deltaIdx,
         dp.crossingKeys, maxBucket)
       .unionByName(dp.pairs)
@@ -1560,9 +1578,12 @@ object Dedup {
                                  maxBucket: Int): DeltaPairs = {
     val (candidates, crossingKeys) =
       deltaCandidatePairs(histIndex, deltaIndex, maxBucket)
+    // the distinct runs inside the broadcast exchange build itself — an
+    // eager staging job before the broadcast bought nothing but one more
+    // scheduler round-trip (candidates is already materialized)
     val candIds = broadcast(candidates.select(col("a_id").as("doc_id"))
       .unionByName(candidates.select(col("b_id").as("doc_id")))
-      .distinct().stage())
+      .distinct())
     val sh = verifyShingles(candIds)
     val pairs = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
@@ -1611,10 +1632,14 @@ object Dedup {
       .stage()
     val histCounts = touchedHist.groupBy(bandCols.map(col): _*)
       .agg(count(lit(1)).as("h_n"))
+    // NOT staged: both consumers (okKeys' broadcast build, the
+    // crossingKeys isEmpty probe) aggregate over already-staged inputs
+    // (touchedHist, the caller's staged delta index), so recomputing the
+    // tiny count join is cheaper than an extra eager-staging job — every
+    // job pays the scheduler dispatch floor (~100 ms on a busy driver)
     val keyCounts = deltaCounts
       .join(histCounts, bandCols, "left_outer")
       .withColumn("h_n", coalesce(col("h_n"), lit(0L)))
-      .stage()
     val okKeys = broadcast(keyCounts
       .filter(col("h_n") + col("d_n") <= maxBucket)
       .select(bandCols.map(col): _*))
@@ -2226,8 +2251,25 @@ object Dedup {
     * join — no global sort until the final ORDER BY of the bounded
     * survivor frame. */
   def semanticDedup(spark: SparkSession, corpus: DataFrame, k: Int,
-                    iterations: Int, eps: Double): DataFrame = {
-    val centroids = KMeans.fit(spark, corpus, k, iterations)
+                    iterations: Int, eps: Double,
+                    indexDir: Option[String] = None): DataFrame = {
+    // Train-once / dedup-many (the ivfIndex precedent, and this
+    // operator's own framing: the cluster block IS "the IVF cell reused
+    // as the dedup block" — a quantizer that already exists). With
+    // `indexDir` set, the trained centroids persist per (corpus dir, k,
+    // iterations) through ArtifactCache — training is hash-deterministic,
+    // so a cached index equals a retrained one — and iterations after
+    // the first pay assignment + pair enumeration, not the ~8 sequential
+    // driver jobs of a k-means‖ fit. Probe callers that hand a frame
+    // with no directory identity keep the inline fit.
+    val centroids = indexDir match {
+      case Some(d) =>
+        graft.tools.ArtifactCache.parquet(spark, d,
+          s"semdedup_c${k}_i$iterations") { p =>
+          KMeans.saveIndex(KMeans.fit(spark, corpus, k, iterations), p)
+        }
+      case None => KMeans.fit(spark, corpus, k, iterations)
+    }
     val vecs = corpus.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     // localCheckpoint: the assignment map is consumed THREE times (skew
@@ -2277,7 +2319,7 @@ object Dedup {
     * should not. */
   def semanticDedupFixture(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(spark, Tables.embeddings(spark, dir), k = 8,
-      iterations = 2, eps = 0.85)
+      iterations = 2, eps = 0.85, indexDir = Some(dir))
 
   /** [[semanticDedup]] through the HASH GATE in the deterministic
     * regime: on the clustered corpus, k=10/iterations=2 k-means
@@ -2294,7 +2336,7 @@ object Dedup {
   def semanticDedupClustered(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(spark, Tables.embeddings(spark,
       Similarity.clusteredCorpusDir(spark)), k = 10, iterations = 2,
-      eps = 0.99999)
+      eps = 0.99999, indexDir = Some(Similarity.clusteredCorpusDir(spark)))
 
   val semanticDedupClusteredSql: String = {
     val cos = cosineSql("a.embedding", "b.embedding")

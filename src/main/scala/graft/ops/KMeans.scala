@@ -191,7 +191,11 @@ object KMeans {
     * what lets a 100 TB pipeline train ONCE and reuse the quantizer across
     * every subsequent query/ingest instead of re-scanning the corpus. */
   def saveIndex(centroids: DataFrame, path: String): Unit =
-    centroids.write.mode("overwrite").parquet(path)
+    // one file: the index is k rows of dim doubles — written unmerged it
+    // landed as one near-empty file per partition, and every later read
+    // paid a k-to-16-task scan job for kilobytes (guide §6: small files
+    // hurt twice)
+    centroids.coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Load a quantizer persisted by saveIndex. */
   def loadIndex(spark: SparkSession, path: String): DataFrame =

@@ -1906,10 +1906,23 @@ object Relational2 {
             arms.map { case (policy, path) =>
               scala.concurrent.Future {
                 CdcUpsert.applyBatch(batch, k, path, policy)
-                val written = CdcUpsert.rowsWrittenAt(spark, path, k, policy)
-                val stateRows = CdcUpsert.stateAsOf(spark, path, k, policy)
-                  .map(_.count()).getOrElse(0L)
-                (policy.name, k.toLong, written, stateRows)
+                // Both observations in ONE action (a tagged union of the
+                // two counts): `delta_rows` + `state_rows` were two
+                // back-to-back count jobs per (arm, epoch) — 24 jobs per
+                // run, each paying the scheduler dispatch floor. The
+                // counted frames are exactly the ones rowsWrittenAt /
+                // stateAsOf count, so the oracle rows are unchanged.
+                def tagged(df: Option[DataFrame], tag: Int): DataFrame =
+                  df.map(_.agg(count(lit(1)).as("n"))
+                      .select(lit(tag).as("t"), col("n")))
+                    .getOrElse(spark.range(1)
+                      .select(lit(tag).as("t"), lit(0L).as("n")))
+                val obs = tagged(
+                    CdcUpsert.writtenFrameAt(spark, path, k, policy), 0)
+                  .unionByName(tagged(
+                    CdcUpsert.stateAsOf(spark, path, k, policy), 1))
+                  .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+                (policy.name, k.toLong, obs(0), obs(1))
               }
             }.map(scala.concurrent.Await.result(_,
               scala.concurrent.duration.Duration.Inf))

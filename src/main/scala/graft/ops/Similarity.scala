@@ -701,16 +701,23 @@ object Similarity {
   private[graft] def pqCodebooksOf(spark: SparkSession, dir: String,
                                    train: DataFrame, tag: String)
       : IndexedSeq[Array[Array[Double]]] =
-    (0 until PqM).map { m =>
-      graft.tools.ArtifactCache.parquet(spark, dir,
-        s"pq_m${m}_k${PqK}_i$PqIterations$tag") { p =>
-        KMeans.saveIndex(KMeans.fit(spark,
-          train.select(col("vec_id"),
-            expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)")
-              .as("embedding")),
-          PqK, PqIterations), p)
-      }.orderBy(col("cluster_id")).collect()
-        .map(_.getSeq[Double](1).toArray)
+    // driver-side memo around the 8 collect jobs: the codebooks are a
+    // kilobyte-scale index already session-cached as parquet — without
+    // the memo every search iteration paid 8 read+orderBy+collect jobs
+    // (~32 of sim_topk_pq's 44 jobs/iteration), each at the scheduler
+    // dispatch floor, to re-materialize identical arrays
+    graft.tools.ArtifactCache.memo(dir, s"pq_books_k${PqK}_i$PqIterations$tag") {
+      (0 until PqM).map { m =>
+        graft.tools.ArtifactCache.parquet(spark, dir,
+          s"pq_m${m}_k${PqK}_i$PqIterations$tag") { p =>
+          KMeans.saveIndex(KMeans.fit(spark,
+            train.select(col("vec_id"),
+              expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)")
+                .as("embedding")),
+            PqK, PqIterations), p)
+        }.orderBy(col("cluster_id")).collect()
+          .map(_.getSeq[Double](1).toArray)
+      }
     }
 
   /** Encode the corpus: one map pass emitting the 8 codes + the exact

@@ -65,4 +65,21 @@ object ArtifactCache {
     * first build this session. */
   def pathOf(key: String, kind: String): Option[String] =
     paths.get((s"$key@${dirToken(key)}", kind))
+
+  private val driverSide =
+    scala.collection.concurrent.TrieMap[(String, String), AnyRef]()
+
+  /** Driver-side memo of a COLLECTED index artifact (centroid matrices,
+    * codebooks): the parquet artifact above already builds once per
+    * session, but a consumer that needs it as driver-side arrays paid a
+    * read+collect JOB on every call — pure scheduler dispatch for a
+    * kilobyte-sized index (measured: the PQ search re-collected its 8
+    * subspace codebooks every iteration, ~32 of sim_topk_pq's 44 jobs).
+    * Same freshness contract as [[parquet]]: the key folds in
+    * [[dirToken]], so a corpus rebuilt in place re-collects. JVM-lifetime
+    * only — nothing persists across runs, and the first call still pays
+    * (and phase-records, via the artifact build) the real cost. */
+  def memo[T <: AnyRef](key: String, kind: String)(f: => T): T =
+    driverSide.getOrElseUpdate((s"$key@${dirToken(key)}", kind), f)
+      .asInstanceOf[T]
 }
