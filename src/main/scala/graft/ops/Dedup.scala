@@ -1653,12 +1653,20 @@ object Dedup {
       .select(bandCols.map(col): _*)
     val dOk = deltaIndex.join(okKeys, bandCols, "left_semi")
     val hOk = touchedHist.join(okKeys, bandCols, "left_semi")
+    // The delta side BROADCASTS in both candidate joins (guide §3.1): a
+    // batch is small by definition — a corpus-sized "delta" is a rebuild,
+    // not a refresh — so its capped band rows fit any executor at any
+    // corpus size, and the hist-side join runs with NO exchange of the
+    // touched index slice (2 fewer shuffles, each of which AQE would
+    // otherwise materialize as its own dispatch-floored stage job).
+    val dOkB = broadcast(
+      dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")))
     val candidates = hOk
       .select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
-      .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols)
+      .join(dOkB, bandCols)
       .unionByName(dOk
         .select(col("band"), col("band_sig"), col("doc_id").as("a_id"))
-        .join(dOk.select(col("band"), col("band_sig"), col("doc_id").as("b_id")), bandCols))
+        .join(dOkB, bandCols))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
@@ -2098,7 +2106,8 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val b = if (bits > 0) bits
-            else Similarity.adaptiveLshBits(e.count(), tables, probes)
+            else Similarity.adaptiveLshBits(
+              Similarity.corpusCount(spark, dir), tables, probes)
     embeddingLshOf(e, threshold, tables, b, probes)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -2150,7 +2159,8 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val b = if (bits > 0) bits
-            else Similarity.adaptiveLshBits(e.count(), tables, probes)
+            else Similarity.adaptiveLshBits(
+              Similarity.corpusCount(spark, dir), tables, probes)
     val hist = e.filter(col("vec_id") < splitId)
     val delta = e.filter(col("vec_id") >= splitId)
     val histSigs = graft.tools.ArtifactCache.parquet(spark, dir,

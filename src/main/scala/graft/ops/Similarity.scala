@@ -41,6 +41,15 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
 
+  /** Embedding-corpus row count, memoized per (dir, content token): the
+    * adaptive-bit/crossover derivations need one metadata-only count
+    * job — re-running it every iteration of every ANN entry was pure
+    * scheduler dispatch on an immutable corpus. */
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
+    graft.tools.ArtifactCache.memo[java.lang.Long](dir, "embeddings_n") {
+      java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())
+    }.longValue
+
   /** Exact brute-force top-k: broadcast the query set against the corpus,
     * per-row cosine (native codegen'd expression), then per-query top-k
     * via rank-over-window. The window shuffles O(n·q) scored rows keyed by
@@ -324,7 +333,7 @@ object Similarity {
     * math and the brute/LSH crossover. */
   def lshTopK(spark: SparkSession, dir: String, bits: Int = -1): DataFrame = {
     val corpus = corpusDf(spark, dir)
-    val b = if (bits > 0) bits else adaptiveLshBits(corpus.count())
+    val b = if (bits > 0) bits else adaptiveLshBits(corpusCount(spark, dir))
     rerankSlim(spark, dir,
       lshCandidates(corpus, queriesDf(spark, dir), LshTables, b, LshProbes))
   }
@@ -340,7 +349,7 @@ object Similarity {
   def annTopK(spark: SparkSession, dir: String,
               lshWins: Long => Boolean = lshWinsAt,
               graphWins: Long => Boolean = hnswWinsAt): DataFrame = {
-    val n = corpusDf(spark, dir).count()
+    val n = corpusCount(spark, dir)
     // pass the derived bits down — lshTopK would otherwise re-count the
     // corpus (a second full metadata scan) to derive the same number.
     // `lshWins` / `graphWins` are injectable so the spec and the gates
@@ -508,7 +517,12 @@ object Similarity {
                                           splitId: Long): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-    val lo = vecs.agg(min(col("vec_id"))).head().getLong(0)
+    // corpus id floor: deterministic per corpus — the per-iteration
+    // one-row aggregation job was pure dispatch overhead
+    val lo: Long = graft.tools.ArtifactCache.memo[java.lang.Long](dir,
+      "hnsw_vec_lo") {
+      java.lang.Long.valueOf(vecs.agg(min(col("vec_id"))).head().getLong(0))
+    }.longValue
     val histEdges = graft.tools.ArtifactCache.parquet(spark, dir,
       s"hnsw_hist_w${HnswPartWidth}_m${HnswM}_lt$splitId") { p =>
       buildHnswEdges(vecs.filter(col("vec_id") < splitId), lo)
@@ -749,7 +763,11 @@ object Similarity {
 
   private[graft] def pqCandidatesWith(spark: SparkSession, dir: String,
       books: IndexedSeq[Array[Array[Double]]], tag: String): DataFrame = {
-    val qRows = queriesDf(spark, dir).collect()
+    // query rows are a deterministic slice of the immutable corpus — the
+    // per-iteration collect was one more dispatch-floored job per search
+    val qRows = graft.tools.ArtifactCache.memo(dir, "pq_query_rows") {
+      queriesDf(spark, dir).collect()
+    }
     val adcRows = qRows.map { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Float](1).map(_.toDouble).toArray
@@ -1160,18 +1178,20 @@ object Similarity {
     // brute-force scan once, then measure INDEX search only (ADVICE
     // r10 — the measurement used to rerun ground truth + each tier's
     // candidate pipeline twice per iteration).
-    val exact = graft.tools.ArtifactCache.parquet(spark, dir,
+    // driver-side memo (dirToken-keyed) around the per-iteration collect
+    // of the persisted truth set and the corpus-count metadata job: both
+    // are deterministic functions of the immutable corpus, and paying a
+    // dispatch-floored job per iteration to re-materialize them measured
+    // as pure overhead (guide §1.2 — remove redundant passes)
+    val exact = graft.tools.ArtifactCache.memo(dir, "recall_ground_truth_set") {
+      graft.tools.ArtifactCache.parquet(spark, dir,
         "recall_ground_truth") { p =>
         bruteForceTopK(spark, dir).select(col("q_id"), col("n_id"))
           .write.mode("overwrite").parquet(p)
       }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recallNum(df: DataFrame): Long = {
-      val got = df.select(col("q_id"), col("n_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      got.intersect(exact).size.toLong
     }
     val den = exact.size.toLong
-    val n = corpusDf(spark, dir).count()
+    val n: Long = corpusCount(spark, dir)
     // What brute force scores: each query scans the corpus minus itself
     // (the brute-force frame excludes self-pairs).
     val scans = (n - 1).toDouble * NumQueries
@@ -1190,27 +1210,43 @@ object Similarity {
         build.select(col("q_id"), col("n_id"))
           .write.mode("overwrite").parquet(p)
       }
-    val ivfCands = tierCands("recall_cands_ivf")(
-      ivfCandidates(spark, dir, IvfNprobe, IvfCells, IvfIterations))
-    val ivfNum = recallNum(rerankSlim(spark, dir, ivfCands))
-    val ivfFrac = ivfCands.count() / scans
-    val lshCands = tierCands("recall_cands_lsh")(
-      lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
-        LshTables, adaptiveLshBits(n), LshProbes))
-    val lshNum = recallNum(rerankSlim(spark, dir, lshCands))
-    val lshFrac = lshCands.count() / scans
     // PQ's fraction is its EXACT-rerank scan share; the ADC pass itself
     // is linear but over 8-byte codes, not vectors — the compression is
     // the scale term, stated here so the artifact can't oversell it.
-    val pqCands = tierCands("recall_cands_pq")(pqCandidates(spark, dir))
-    val pqNum = recallNum(rerankSlim(spark, dir, pqCands))
-    val pqFrac = pqCands.count() / scans
-    // the graph tier's fraction counts every node the search scored
+    // The graph tier's fraction counts every node the search scored
     // (entry layer + expanded frontiers) — the same the-query-paid-for-it
-    // accounting as the other tiers' candidate frames
-    val hnswCands = tierCands("recall_cands_hnsw")(hnswCandidates(spark, dir))
-    val hnswNum = recallNum(rerankSlim(spark, dir, hnswCands))
-    val hnswFrac = hnswCands.count() / scans
+    // accounting as the other tiers' candidate frames.
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> tierCands("recall_cands_ivf")(
+        ivfCandidates(spark, dir, IvfNprobe, IvfCells, IvfIterations)),
+      "lsh" -> tierCands("recall_cands_lsh")(
+        lshCandidates(corpusDf(spark, dir), queriesDf(spark, dir),
+          LshTables, adaptiveLshBits(n), LshProbes)),
+      "pq" -> tierCands("recall_cands_pq")(pqCandidates(spark, dir)),
+      "hnsw" -> tierCands("recall_cands_hnsw")(hnswCandidates(spark, dir)))
+    // The 4 candidate-frame counts fold into ONE action (a tagged union
+    // of aggregates), and the 4 reranked top-k frames (≤ queries·k rows
+    // each) into one more — the former 8 back-to-back driver actions
+    // each paid the scheduler dispatch floor per bench iteration. Same
+    // frames, same numbers; only the action count changes.
+    val fracByTier = tiers.map { case (tag, cands) =>
+        cands.agg(count(lit(1)).as("c")).select(lit(tag).as("t"), col("c"))
+      }.reduce(_.unionByName(_)).collect()
+      .map(r => r.getString(0) -> r.getLong(1) / scans).toMap
+    val numByTier = tiers.map { case (tag, cands) =>
+        rerankSlim(spark, dir, cands)
+          .select(lit(tag).as("t"), col("q_id"), col("n_id"))
+      }.reduce(_.unionByName(_)).collect()
+      .groupBy(_.getString(0))
+      .map { case (tag, rows) =>
+        tag -> rows.map(r => (r.getLong(1), r.getLong(2)))
+          .toSet.intersect(exact).size.toLong
+      }
+    def num(t: String) = numByTier.getOrElse(t, 0L) // empty rerank = 0 hits
+    val (ivfNum, ivfFrac) = (num("ivf"), fracByTier("ivf"))
+    val (lshNum, lshFrac) = (num("lsh"), fracByTier("lsh"))
+    val (pqNum, pqFrac) = (num("pq"), fracByTier("pq"))
+    val (hnswNum, hnswFrac) = (num("hnsw"), fracByTier("hnsw"))
     def bp(x: Double): Long = math.round(x * 10000)
     def rbp(num: Long): Long = bp(num.toDouble / math.max(1L, den))
     graft.tools.RoutingMetrics.add(s"ivf_recall${suffix}_bp", rbp(ivfNum))
